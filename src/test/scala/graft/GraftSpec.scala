@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local SparkSession across all suites (sbt forks one test JVM). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+abstract class GraftSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  def assertApprox(got: Seq[Double], want: Seq[Double], tol: Double): Unit = {
+    assert(got.length == want.length, s"length mismatch: got $got want $want")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(math.abs(g - w) <= tol, s"index $i: got $g want $w (tol $tol)")
+    }
+  }
+}
