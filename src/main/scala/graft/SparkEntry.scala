@@ -1,13 +1,244 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{AHP, Topsis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query takes (spark, sfDir) and reads `sfDir/<table>.parquet`.
+  * Double outputs are rounded to a fixed scale on BOTH the Spark and the
+  * DuckDB side so reduction-order float noise cannot break the hash compare.
+  */
 object SparkEntry {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("q_topsis")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared query configs (Spark impl and oracle SQL must agree) ----
+
+  // 4x4 perfectly-consistent judgment matrix (CR = 0) over
+  // (l_quantity, l_extendedprice, l_discount, l_tax).
+  private val ahpJudgment = Array(
+    Array(1.0, 2.0, 4.0, 8.0),
+    Array(0.5, 1.0, 2.0, 4.0),
+    Array(0.25, 0.5, 1.0, 2.0),
+    Array(0.125, 0.25, 0.5, 1.0))
+  private val ahpIndicator = Array(1, 1, 0, 0)
+  private lazy val ahpW: Array[Double] = AHP.weightVector(ahpJudgment)
+
+  private val topsisWeights = Array(0.4, 0.3, 0.2, 0.1)
+  private val topsisTypes = Array(1, 2, 3, 4) // quantity↑, price↓, discount≈0.05, tax∈[0.02,0.06]
+  private val topsisBest = 0.05
+  private val topsisInterval = Array(0.02, 0.06)
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q3_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = tbl(s, dir, "orders").filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = tbl(s, dir, "lineitem").filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      // customer is the small side at every SF -> broadcast; lineitem⋈orders
+      // shuffles on the join key only after both filters are pushed to scan.
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        // Sum in decimal: double summation order differs between engines and
+        // flips the 2nd decimal at .xx5 boundaries; decimal sums are exact.
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
+    }),
+
+    "q_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bySupp = tbl(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice")).as("total"))
+      val w = Window.orderBy(col("total").desc, col("l_suppkey"))
+      bySupp.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("l_suppkey"), col("rn"), round(col("total"), 2).as("total"))
+    }),
+
+    "q_topsis" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+          .as("features"))
+      Topsis.score(li, "features", topsisWeights, topsisTypes, topsisBest, topsisInterval, "score")
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("score"), 6).as("score"))
+    }),
+
+    "q_ahp" -> ((s, dir) => {
+      val cols = Array("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val li = tbl(s, dir, "lineitem")
+        .select((Seq("l_orderkey", "l_linenumber") ++ cols).map(col): _*)
+      AHP.score(li, cols, ahpJudgment, ahpIndicator, "score")
+        .select(col("l_orderkey"), col("l_linenumber"), round(col("score"), 6).as("score"))
+    }),
+
+    "q_time_features" -> ((s, dir) => {
+      tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("year"),
+        format_string("%02d", month(col("o_orderdate"))).as("month"),
+        format_string("%02d", dayofmonth(col("o_orderdate"))).as("day"))
+    }),
+
+    "q_stdscale" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val st = c.agg(avg(col("c_acctbal")).as("mu"), stddev_samp(col("c_acctbal")).as("sd")).head()
+      val (mu, sd) = (st.getDouble(0), st.getDouble(1))
+      c.select(col("c_custkey"),
+        round((col("c_acctbal") - lit(mu)) / lit(sd), 6).as("acctbal_scaled"))
+    }),
+
+    "q_mean_impute" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events").withColumn("v",
+        when(col("event_type") === "error", lit(null).cast("double")).otherwise(col("value")))
+      val mu = ev.agg(avg(col("v"))).head().getDouble(0)
+      ev.select(col("event_id"), round(coalesce(col("v"), lit(mu)), 6).as("value_imputed"))
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        | CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate""".stripMargin,
+
+    "q_window" ->
+      """SELECT l_suppkey, rn, round(total, 2) AS total FROM (
+        |  SELECT l_suppkey, sum(l_extendedprice) AS total,
+        |    row_number() OVER (ORDER BY sum(l_extendedprice) DESC, l_suppkey) AS rn
+        |  FROM lineitem GROUP BY l_suppkey)
+        |WHERE rn <= 10""".stripMargin,
+
+    "q_topsis" -> {
+      val Array(w0, w1, w2, w3) = topsisWeights
+      val best = topsisBest; val lo = topsisInterval(0); val hi = topsisInterval(1)
+      s"""WITH x AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(l_quantity AS DOUBLE) AS x0, CAST(l_extendedprice AS DOUBLE) AS x1,
+         |    CAST(l_discount AS DOUBLE) AS x2, CAST(l_tax AS DOUBLE) AS x3
+         |  FROM lineitem),
+         |s1 AS (SELECT max(x1) AS mx1, max(abs(x2 - $best)) AS dev2,
+         |              min(x3) AS mn3, max(x3) AS mx3 FROM x),
+         |p AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    x0 AS p0, mx1 - x1 AS p1, 1 - abs(x2 - $best) / dev2 AS p2,
+         |    CASE WHEN x3 < $lo THEN 1 - ($lo - x3) / greatest($lo - mn3, mx3 - $hi)
+         |         WHEN x3 <= $hi THEN 1
+         |         ELSE 1 - (x3 - $hi) / greatest($lo - mn3, mx3 - $hi) END AS p3
+         |  FROM x, s1),
+         |s2 AS (SELECT
+         |  sum(p0*p0) AS ss0, min(p0) AS pn0, max(p0) AS px0,
+         |  sum(p1*p1) AS ss1, min(p1) AS pn1, max(p1) AS px1,
+         |  sum(p2*p2) AS ss2, min(p2) AS pn2, max(p2) AS px2,
+         |  sum(p3*p3) AS ss3, min(p3) AS pn3, max(p3) AS px3 FROM p),
+         |z AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    p0/sqrt(ss0)*$w0 AS z0, p1/sqrt(ss1)*$w1 AS z1,
+         |    p2/sqrt(ss2)*$w2 AS z2, p3/sqrt(ss3)*$w3 AS z3,
+         |    pn0/sqrt(ss0)*$w0 AS zl0, px0/sqrt(ss0)*$w0 AS zh0,
+         |    pn1/sqrt(ss1)*$w1 AS zl1, px1/sqrt(ss1)*$w1 AS zh1,
+         |    pn2/sqrt(ss2)*$w2 AS zl2, px2/sqrt(ss2)*$w2 AS zh2,
+         |    pn3/sqrt(ss3)*$w3 AS zl3, px3/sqrt(ss3)*$w3 AS zh3
+         |  FROM p, s2)
+         |SELECT l_orderkey, l_linenumber,
+         |  round(sqrt((zl0-z0)*(zl0-z0) + (zl1-z1)*(zl1-z1) + (zl2-z2)*(zl2-z2) + (zl3-z3)*(zl3-z3))
+         |    / (sqrt((zh0-z0)*(zh0-z0) + (zh1-z1)*(zh1-z1) + (zh2-z2)*(zh2-z2) + (zh3-z3)*(zh3-z3))
+         |     + sqrt((zl0-z0)*(zl0-z0) + (zl1-z1)*(zl1-z1) + (zl2-z2)*(zl2-z2) + (zl3-z3)*(zl3-z3))), 6)
+         |  AS score
+         |FROM z""".stripMargin
+    },
+
+    "q_ahp" -> {
+      val j = ahpW // data-independent AHP weights, inlined as literals
+      s"""WITH x AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(l_quantity AS DOUBLE) AS x0, CAST(l_extendedprice AS DOUBLE) AS x1,
+         |    CAST(l_discount AS DOUBLE) AS x2, CAST(l_tax AS DOUBLE) AS x3
+         |  FROM lineitem),
+         |s1 AS (SELECT min(x0) AS mn0, max(x0) AS mx0, min(x1) AS mn1, max(x1) AS mx1,
+         |              min(x2) AS mn2, max(x2) AS mx2, min(x3) AS mn3, max(x3) AS mx3 FROM x),
+         |nrm AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    (x0 - mn0) / (mx0 - mn0) AS n0, (x1 - mn1) / (mx1 - mn1) AS n1,
+         |    (mx2 - x2) / (mx2 - mn2) AS n2, (mx3 - x3) / (mx3 - mn3) AS n3
+         |  FROM x, s1),
+         |s2 AS (SELECT sum(n0) AS t0, sum(n1) AS t1, sum(n2) AS t2, sum(n3) AS t3,
+         |              count(*) AS c FROM nrm),
+         |ent AS (
+         |  SELECT
+         |   sum(CASE WHEN n0 > 0 THEN (n0/t0)*ln(n0/t0) ELSE 0 END) AS e0,
+         |   sum(CASE WHEN n1 > 0 THEN (n1/t1)*ln(n1/t1) ELSE 0 END) AS e1,
+         |   sum(CASE WHEN n2 > 0 THEN (n2/t2)*ln(n2/t2) ELSE 0 END) AS e2,
+         |   sum(CASE WHEN n3 > 0 THEN (n3/t3)*ln(n3/t3) ELSE 0 END) AS e3
+         |  FROM nrm, s2),
+         |d AS (
+         |  SELECT 1 - (-(1.0/ln(c)) * e0) AS d0, 1 - (-(1.0/ln(c)) * e1) AS d1,
+         |         1 - (-(1.0/ln(c)) * e2) AS d2, 1 - (-(1.0/ln(c)) * e3) AS d3
+         |  FROM ent, s2)
+         |SELECT l_orderkey, l_linenumber,
+         |  round(n0 * (d0/(d0+d1+d2+d3)) * ${j(0)} + n1 * (d1/(d0+d1+d2+d3)) * ${j(1)}
+         |      + n2 * (d2/(d0+d1+d2+d3)) * ${j(2)} + n3 * (d3/(d0+d1+d2+d3)) * ${j(3)}, 6)
+         |  AS score
+         |FROM nrm, d""".stripMargin
+    },
+
+    "q_time_features" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS year,
+        | strftime(o_orderdate, '%m') AS month, strftime(o_orderdate, '%d') AS day
+        |FROM orders""".stripMargin,
+
+    "q_stdscale" ->
+      """WITH st AS (SELECT avg(c_acctbal) AS mu, stddev_samp(c_acctbal) AS sd FROM customer)
+        |SELECT c_custkey, round((c_acctbal - mu) / sd, 6) AS acctbal_scaled
+        |FROM customer, st""".stripMargin,
+
+    "q_mean_impute" ->
+      """WITH ev AS (SELECT event_id,
+        |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events),
+        |m AS (SELECT avg(v) AS mu FROM ev)
+        |SELECT event_id, round(coalesce(v, mu), 6) AS value_imputed FROM ev, m""".stripMargin,
+  )
 }
