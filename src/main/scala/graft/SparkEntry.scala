@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AHP, Topsis}
+import graft.operators.{AHP, FCMModel, Topsis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,14 @@ object SparkEntry {
     Array(0.125, 0.25, 0.5, 1.0))
   private val ahpIndicator = Array(1, 1, 0, 0)
   private lazy val ahpW: Array[Double] = AHP.weightVector(ahpJudgment)
+
+  // Fixed centroids over (l_quantity, l_extendedprice, l_discount, l_tax)
+  // so the FCM predict path has a DuckDB-expressible oracle (fit itself is
+  // golden-tested in FCMSpec; iterative fit has no SQL equivalent).
+  private val fcmCentroids = Array(
+    Array(10.0, 20000.0, 0.02, 0.02),
+    Array(25.0, 50000.0, 0.05, 0.04),
+    Array(40.0, 80000.0, 0.08, 0.06))
 
   private val topsisWeights = Array(0.4, 0.3, 0.2, 0.1)
   private val topsisTypes = Array(1, 2, 3, 4) // quantity↑, price↓, discount≈0.05, tax∈[0.02,0.06]
@@ -94,6 +102,16 @@ object SparkEntry {
         .select((Seq("l_orderkey", "l_linenumber") ++ cols).map(col): _*)
       AHP.score(li, cols, ahpJudgment, ahpIndicator, "score")
         .select(col("l_orderkey"), col("l_linenumber"), round(col("score"), 6).as("score"))
+    }),
+
+    "q_fcm" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+          .as("features"))
+      new FCMModel().setCentroids(fcmCentroids)
+        .transform(li)
+        .select(col("l_orderkey"), col("l_linenumber"), col("prediction"))
     }),
 
     "q_time_features" -> ((s, dir) => {
@@ -223,6 +241,23 @@ object SparkEntry {
          |      + n2 * (d2/(d0+d1+d2+d3)) * ${j(2)} + n3 * (d3/(d0+d1+d2+d3)) * ${j(3)}, 6)
          |  AS score
          |FROM nrm, d""".stripMargin
+    },
+
+    "q_fcm" -> {
+      def dist(c: Array[Double]): String =
+        s"sqrt((x0-${c(0)})*(x0-${c(0)}) + (x1-${c(1)})*(x1-${c(1)})" +
+          s" + (x2-${c(2)})*(x2-${c(2)}) + (x3-${c(3)})*(x3-${c(3)}))"
+      s"""WITH x AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(l_quantity AS DOUBLE) AS x0, CAST(l_extendedprice AS DOUBLE) AS x1,
+         |    CAST(l_discount AS DOUBLE) AS x2, CAST(l_tax AS DOUBLE) AS x3
+         |  FROM lineitem),
+         |d AS (SELECT l_orderkey, l_linenumber, ${dist(fcmCentroids(0))} AS d0,
+         |        ${dist(fcmCentroids(1))} AS d1, ${dist(fcmCentroids(2))} AS d2 FROM x)
+         |SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0
+         |       WHEN d1 <= d2 THEN 1 ELSE 2 END AS prediction
+         |FROM d""".stripMargin
     },
 
     "q_time_features" ->

@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructType}
+import scala.util.hashing.MurmurHash3
+
+/**
+ * Fuzzy c-means clustering, re-expressed Spark-first.
+ *
+ * Reference semantics (cn/swust/algorithms/fcm/FCM.java):
+ *  - init: k random centroids sampled from the data (FCM.java:71), initial
+ *    memberships ~ symmetric Dirichlet(1) (FCM.java:555-563 — unseeded
+ *    there; seeded here, an intentional determinism upgrade);
+ *  - per round: centroid_k = sum_i(u_ik^m * x_i) / sum_i(u_ik^m)
+ *    (FCM.java:474-503,242-260), memberships recomputed from the new
+ *    centroids as u_ik = 1 / sum_j (d_ik/d_jk)^(2/(m-1)) with the 1e-10
+ *    zero-distance guard (FCM.java:527-553);
+ *  - stop when max |delta u| <= TOL or maxIter (FCM.java:288-341).
+ *
+ * Spark architecture: memberships are a pure function of the centroids
+ * (except the random epoch-0 matrix, which we regenerate deterministically
+ * from a per-point hash), so NO per-row membership state is cached or
+ * shuffled — each round is ONE treeAggregate over the cached feature
+ * Dataset with broadcast (prev, curr) centroid pairs, accumulating
+ * (sum u^m, sum u^m x, max |delta u|) in primitive arrays. The Flink
+ * iteration machinery (epoch watermarks, feedback edges, termination
+ * streams — FCM.java:85-98,269-341) collapses into this driver loop; per
+ * round cost is one pass over the data and O(k*d) driver state, so the
+ * same loop runs unchanged on a 1000-executor cluster.
+ */
+class FCM(override val uid: String) extends Estimator[FCMModel]
+    with FCMParams with DefaultParamsWritable {
+
+  def this() = this(Identifiable.randomUID("fcm"))
+
+  def setK(value: Int): this.type = set(k, value)
+  def setM(value: Double): this.type = set(m, value)
+  def setTol(value: Double): this.type = set(tol, value)
+  def setMaxIter(value: Int): this.type = set(maxIter, value)
+  def setSeed(value: Long): this.type = set(seed, value)
+  def setDistanceMeasure(value: String): this.type = set(distanceMeasure, value)
+  def setFeaturesCol(value: String): this.type = set(featuresCol, value)
+  def setPredictionCol(value: String): this.type = set(predictionCol, value)
+
+  override def fit(ds: Dataset[_]): FCMModel = {
+    val df = ds.toDF()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val points = df.select(Features.asArray(df, $(featuresCol)))
+      .as[Array[Double]].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = FCM.run(points, $(k), $(m), $(tol), $(maxIter), $(seed),
+        $(distanceMeasure))
+      copyValues(new FCMModel(Identifiable.randomUID("fcmModel"))
+        .setCentroids(centroids)).setParent(this)
+    } finally points.unpersist(blocking = false)
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add($(predictionCol), IntegerType, nullable = false)
+
+  override def copy(extra: ParamMap): FCM = defaultCopy(extra)
+}
+
+trait FCMParams extends HasFeaturesCol with HasPredictionCol with HasMaxIter
+    with HasSeed with HasDistanceMeasure {
+  /** Number of clusters (FCMModelParams.java:11-16, default 3). */
+  final val k: IntParam =
+    new IntParam(this, "k", "number of clusters", ParamValidators.gt(1))
+  setDefault(k -> 3)
+  final def getK: Int = $(k)
+
+  /** Fuzziness exponent (FCMModelParams.java:18-24, default 2.0). */
+  final val m: DoubleParam =
+    new DoubleParam(this, "m", "fuzziness exponent (>1)", ParamValidators.gt(1.0))
+  setDefault(m -> 2.0)
+  final def getM: Double = $(m)
+
+  /** Convergence tolerance on max |delta membership| (FCMModelParams.java:26-30). */
+  final val tol: DoubleParam =
+    new DoubleParam(this, "tol", "convergence tolerance", ParamValidators.gtEq(0.0))
+  setDefault(tol -> 1e-4)
+  final def getTol: Double = $(tol)
+}
+
+object FCM extends DefaultParamsReadable[FCM] {
+
+  /** u_ik = 1 / sum_j (d_ik/d_jk)^(2/(m-1)), 1e-10 guard (FCM.java:527-553). */
+  def membership(point: Array[Double], centroids: Array[Array[Double]],
+                 measure: String, m: Double): Array[Double] = {
+    val dist = VecOps.distance(measure) _
+    val k = centroids.length
+    val dis = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      dis(i) = dist(point, centroids(i))
+      if (dis(i) == 0.0) dis(i) = 1e-10
+      i += 1
+    }
+    val u = new Array[Double](k)
+    val exp = 2.0 / (m - 1.0)
+    i = 0
+    while (i < k) {
+      var s = 0.0; var j = 0
+      while (j < k) { s += math.pow(dis(i) / dis(j), exp); j += 1 }
+      u(i) = 1.0 / s
+      i += 1
+    }
+    u
+  }
+
+  /** Symmetric Dirichlet(1) row keyed by a per-point hash — deterministic
+    * across partitionings (upgrade over the unseeded FCM.java:555-563). */
+  private[operators] def dirichletRow(point: Array[Double], k: Int, seed: Long): Array[Double] = {
+    val h = MurmurHash3.orderedHash(point.toSeq, (seed ^ (seed >>> 32)).toInt)
+    val rng = new java.util.Random(seed * 31 + h)
+    // alpha=1 symmetric Dirichlet == normalized Exp(1) draws.
+    val e = Array.fill(k)(-math.log(1.0 - rng.nextDouble()))
+    val s = e.sum
+    e.map(_ / s)
+  }
+
+  /** Driver loop; returns final centroids. */
+  def run(points: org.apache.spark.rdd.RDD[Array[Double]], k: Int, m: Double,
+          tol: Double, maxIter: Int, seed: Long, measure: String): Array[Array[Double]] = {
+    val sc = points.sparkContext
+    // Init centroids: k points sampled without replacement (FCM.java:71).
+    var curr: Array[Array[Double]] = points.takeSample(withReplacement = false, k, seed)
+    require(curr.nonEmpty, "cannot fit FCM on an empty dataset")
+    // Degenerate input (fewer rows than k): pad by repeating samples, like
+    // the reference's selectRandomCentroids on duplicate-heavy data.
+    while (curr.length < k) curr = curr ++ curr.take(k - curr.length)
+    var prev: Array[Array[Double]] = null
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val bPrev = sc.broadcast(prev)
+      val bCurr = sc.broadcast(curr)
+      val dims = curr(0).length
+      // One pass: membership under curr (epoch i) and prev (epoch i-1, or
+      // the regenerated Dirichlet init), accumulating the centroid update
+      // and max |delta u| exactly as FCM.java:422-503 does across tasks.
+      val (sums, contrib, delta) = points.treeAggregate(
+        (new Array[Double](k), Array.fill(k)(new Array[Double](dims)), -1.0))(
+        seqOp = { case ((cs, pc, d0), p) =>
+          val uCurr =
+            if (iter == 0) dirichletRow(p, k, seed)
+            else membership(p, bCurr.value, measure, m)
+          var d = d0
+          if (iter > 0) {
+            val uPrev =
+              if (iter == 1) dirichletRow(p, k, seed)
+              else membership(p, bPrev.value, measure, m)
+            var i = 0
+            while (i < k) {
+              val t = math.abs(uCurr(i) - uPrev(i)); if (t > d) d = t; i += 1
+            }
+          }
+          var i = 0
+          while (i < k) {
+            val um = math.pow(uCurr(i), m)
+            cs(i) += um
+            VecOps.axpy(um, p, pc(i))
+            i += 1
+          }
+          (cs, pc, d)
+        },
+        combOp = { case ((cs1, pc1, d1), (cs2, pc2, d2)) =>
+          var i = 0
+          while (i < k) { cs1(i) += cs2(i); VecOps.axpy(1.0, pc2(i), pc1(i)); i += 1 }
+          (cs1, pc1, math.max(d1, d2))
+        })
+      bPrev.destroy(); bCurr.destroy()
+      prev = curr
+      curr = Array.tabulate(k) { i =>
+        if (sums(i) == 0.0) prev(i) else VecOps.scal(1.0 / sums(i), contrib(i))
+      }
+      converged = iter > 0 && delta >= 0 && delta <= tol
+      iter += 1
+    }
+    curr
+  }
+}
+
+/**
+ * FCM predictor: argmax membership == nearest centroid (membership is
+ * monotone-decreasing in distance), appended as an int prediction column
+ * (FCMModel.java:74-143). Centroids ride a broadcast variable; the scoring
+ * UDF runs over primitive arrays.
+ */
+class FCMModel(override val uid: String) extends Model[FCMModel]
+    with FCMParams {
+
+  def this() = this(Identifiable.randomUID("fcmModel"))
+
+  private var centroids: Array[Array[Double]] = _
+  def setCentroids(value: Array[Array[Double]]): this.type = { centroids = value; this }
+  def getCentroids: Array[Array[Double]] = centroids
+
+  def setFeaturesColM(value: String): this.type = set(featuresCol, value)
+
+  /** Model data as a DataFrame (cluster_id, centroid) — the scalable analog
+    * of FCMModelData (FCMModelData.java:35-47); the O(n*k) membership
+    * matrix is intentionally NOT materialized (see membershipMatrix). */
+  def modelData(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cluster_id", "centroid")
+  }
+
+  /** Per-row membership vector for a dataset — computed on demand instead
+    * of being packed into one driver-side object like FCMModelData's
+    * membershipMatrix (untenable at scale; the reference's own predictor
+    * only ever uses the centroids, FCMModel.java:126-127). */
+  def membershipMatrix(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val measure = $(distanceMeasure); val fuzz = $(m)
+    val uUdf = udf { (p: Seq[Double]) =>
+      FCM.membership(p.toArray, bc.value, measure, fuzz)
+    }
+    df.withColumn("membership", uUdf(Features.asArray(df, $(featuresCol))))
+  }
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val measure = $(distanceMeasure)
+    val predictUdf = udf { (p: Seq[Double]) =>
+      val arr = p.toArray
+      val cs = bc.value
+      val dist = VecOps.distance(measure) _
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < cs.length) {
+        val d = dist(arr, cs(i))
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    df.withColumn($(predictionCol), predictUdf(Features.asArray(df, $(featuresCol))))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add($(predictionCol), IntegerType, nullable = false)
+
+  override def copy(extra: ParamMap): FCMModel =
+    copyValues(new FCMModel(uid).setCentroids(centroids), extra).setParent(parent)
+
+  /** Parquet model layout: centroids under &lt;path&gt;/data (FCMModel.java:153-166
+    * used custom byte encoders; Parquet replaces them). */
+  def save(path: String, spark: SparkSession): Unit =
+    modelData(spark).coalesce(1).write.mode("overwrite").parquet(s"$path/data")
+}
+
+object FCMModel {
+  def load(spark: SparkSession, path: String): FCMModel = {
+    val rows = spark.read.parquet(s"$path/data")
+      .orderBy("cluster_id").collect()
+    val cs = rows.map(_.getAs[Seq[Double]]("centroid").toArray)
+    new FCMModel(Identifiable.randomUID("fcmModel")).setCentroids(cs)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{FCM, FCMModel}
+import org.apache.spark.sql.functions._
+
+/** Port of the reference FCM tests (test/java/cn/swust/algorithms/fcm/
+  * FCMTest.java): param defaults, golden centroids, cluster groupings,
+  * k > distinct points, save/load. */
+class FCMSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val data = Seq(
+    Array(1.0, 2.0), Array(1.5, 1.8), Array(5.0, 8.0),
+    Array(8.0, 8.0), Array(1.0, 0.6), Array(9.0, 11.0))
+  private lazy val df = data.map(Tuple1(_)).toDF("features")
+
+  // FCMTest.java:53-66: expected cluster groupings.
+  private val expectedGroups = Set(
+    Set(Seq(9.0, 11.0)),
+    Set(Seq(8.0, 8.0), Seq(5.0, 8.0)),
+    Set(Seq(1.0, 2.0), Seq(1.5, 1.8), Seq(1.0, 0.6)))
+
+  test("param defaults match reference (FCMTest.java:187-209)") {
+    val fcm = new FCM()
+    assert(fcm.getFeaturesCol == "features")
+    assert(fcm.getPredictionCol == "prediction")
+    assert(fcm.getDistanceMeasure == "euclidean")
+    assert(fcm.getK == 3)
+    assert(fcm.getM == 2.0)
+    assert(fcm.getMaxIter == 20)
+    fcm.setK(9).setFeaturesCol("tf").setPredictionCol("tp").setK(3)
+      .setMaxIter(60).setSeed(100)
+    assert(fcm.getK == 3 && fcm.getMaxIter == 60 && fcm.getSeed == 100)
+  }
+
+  test("golden centroids (FCMTest.java:336-355) within 1e-4") {
+    val model = new FCM().setMaxIter(100).setSeed(42).fit(df)
+    val cs = model.getCentroids.sortBy(_(0))
+    assertApprox(cs(0).toSeq, Seq(1.1704, 1.4739), 1e-4)
+    assertApprox(cs(1).toSeq, Seq(5.8931, 7.9994), 1e-4)
+    assertApprox(cs(2).toSeq, Seq(8.8858, 10.6673), 1e-4)
+  }
+
+  test("fit + predict groups points like the reference (FCMTest.java:260-274)") {
+    val model = new FCM().setMaxIter(100).setSeed(42).fit(df)
+    val out = model.transform(df)
+    assert(out.columns.toSeq == Seq("features", "prediction"))
+    val groups = out.collect()
+      .groupBy(_.getInt(1))
+      .values.map(_.map(_.getAs[scala.collection.Seq[Double]](0).toList: Seq[Double]).toSet).toSet
+    assert(groups == expectedGroups)
+  }
+
+  test("fewer distinct points than k (FCMTest.java:238-257)") {
+    val tiny = Seq(Array(0.0, 0.1), Array(0.0, 0.1), Array(0.0, 0.1))
+      .map(Tuple1(_)).toDF("features")
+    val model = new FCM().setK(2).setSeed(1).fit(tiny)
+    val preds = model.transform(tiny).select("prediction").distinct().count()
+    assert(preds == 1L, "identical points must land in one cluster")
+  }
+
+  test("membership rows sum to 1 and model save/load round-trips") {
+    val model = new FCM().setMaxIter(100).setSeed(42).fit(df)
+    val sums = model.membershipMatrix(df)
+      .select(aggregate(col("membership"), lit(0.0), (a, x) => a + x))
+      .as[Double].collect()
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+
+    val dir = java.nio.file.Files.createTempDirectory("fcm-model").toString
+    model.save(dir, spark)
+    val loaded = FCMModel.load(spark, dir)
+    assert(loaded.getCentroids.map(_.toSeq).toSeq == model.getCentroids.map(_.toSeq).toSeq)
+  }
+}
