@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AHP, FCMModel, Topsis}
+import graft.operators.{AHP, Apriori, Canopy, FCMModel, Topsis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -38,6 +38,13 @@ object SparkEntry {
     Array(10.0, 20000.0, 0.02, 0.02),
     Array(25.0, 50000.0, 0.05, 0.04),
     Array(40.0, 80000.0, 0.08, 0.06))
+
+  // Fixed canopy centers over (l_quantity, l_tax*100) with T1 = 15: the
+  // broadcast-assignment path has a DuckDB oracle (center *selection* is
+  // order-sequential and covered by CanopySpec invariants instead).
+  private val canopyCenters = Array(
+    Array(5.0, 2.0), Array(20.0, 4.0), Array(35.0, 6.0))
+  private val canopyT1 = 15.0
 
   private val topsisWeights = Array(0.4, 0.3, 0.2, 0.1)
   private val topsisTypes = Array(1, 2, 3, 4) // quantity↑, price↓, discount≈0.05, tax∈[0.02,0.06]
@@ -112,6 +119,36 @@ object SparkEntry {
       new FCMModel().setCentroids(fcmCentroids)
         .transform(li)
         .select(col("l_orderkey"), col("l_linenumber"), col("prediction"))
+    }),
+
+    "q_canopy" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        array(col("l_quantity"), col("l_tax") * 100).as("features"))
+      Canopy.assign(li, "features", canopyCenters, canopyT1, "euclidean")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("__canopy_id").as("canopy_id"))
+    }),
+
+    "q_apriori" -> ((s, dir) => {
+      // Market-basket over lineitem: transaction = order, item = partkey
+      // bucket; items sorted so itemset identity is canonical in both
+      // engines. Pairs mode (maxItemsetSize=2) keeps the oracle SQL exact.
+      val it = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          concat(lit("i"), pmod(col("l_partkey"), lit(12))).as("item"))
+        .distinct()
+      val tx = it.groupBy("l_orderkey")
+        .agg(concat_ws("/", sort_array(collect_set(col("item")))).as("items"))
+      new Apriori().setMinSupport(0.05).setMinConfidence(0.1).setLift(1.0)
+        .setItemSeparator("/").setInputCols("items").setMaxItemsetSize(2)
+        .transform(tx)
+        .select(concat_ws(",", col("itemSet")).as("item_set"), col("count"),
+          round(col("support"), 6).as("support"),
+          round(col("confidence"), 6).as("confidence"),
+          round(col("lift"), 6).as("lift"),
+          concat_ws(",", col("prefix")).as("prefix"),
+          concat_ws(",", col("suffix")).as("suffix"))
     }),
 
     "q_time_features" -> ((s, dir) => {
@@ -259,6 +296,51 @@ object SparkEntry {
          |       WHEN d1 <= d2 THEN 1 ELSE 2 END AS prediction
          |FROM d""".stripMargin
     },
+
+    "q_canopy" -> {
+      val conds = canopyCenters.zipWithIndex.map { case (c, i) =>
+        s"""SELECT l_orderkey, l_linenumber, $i AS canopy_id FROM x
+           |WHERE sqrt((x0-${c(0)})*(x0-${c(0)}) + (x1-${c(1)})*(x1-${c(1)})) < $canopyT1
+           |  AND sqrt((x0-${c(0)})*(x0-${c(0)}) + (x1-${c(1)})*(x1-${c(1)})) > 1e-6""".stripMargin
+      }
+      s"""WITH x AS (
+         |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS x0,
+         |    CAST(l_tax AS DOUBLE) * 100 AS x1
+         |  FROM lineitem)
+         |${conds.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    "q_apriori" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey,
+        |    'i' || CAST(l_partkey % 12 AS VARCHAR) AS item FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS total FROM lineitem),
+        |i1 AS (SELECT item, COUNT(*) AS c FROM it GROUP BY item),
+        |i2 AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS c
+        |       FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+        |       GROUP BY a.item, b.item),
+        |f1 AS (SELECT item, c, c / CAST(total AS DOUBLE) AS sup FROM i1, n
+        |       WHERE c / CAST(total AS DOUBLE) >= 0.05),
+        |f2 AS (SELECT ia, ib, c, c / CAST(total AS DOUBLE) AS sup FROM i2, n
+        |       WHERE c / CAST(total AS DOUBLE) >= 0.05),
+        |r2 AS (
+        |  SELECT f2.ia || ',' || f2.ib AS item_set, f2.c AS count, f2.sup AS support,
+        |         f2.c / CAST(sb.c AS DOUBLE) AS confidence,
+        |         f2.c / CAST(sb.c AS DOUBLE) / sa.sup AS lift,
+        |         f2.ia AS prefix, f2.ib AS suffix
+        |  FROM f2 JOIN f1 sb ON sb.item = f2.ib JOIN f1 sa ON sa.item = f2.ia
+        |  UNION ALL
+        |  SELECT f2.ib || ',' || f2.ia, f2.c, f2.sup,
+        |         f2.c / CAST(sa.c AS DOUBLE),
+        |         f2.c / CAST(sa.c AS DOUBLE) / sb.sup,
+        |         f2.ib, f2.ia
+        |  FROM f2 JOIN f1 sb ON sb.item = f2.ib JOIN f1 sa ON sa.item = f2.ia)
+        |SELECT item_set, CAST(count AS INTEGER) AS count, round(support, 6) AS support,
+        |  round(confidence, 6) AS confidence, round(lift, 6) AS lift, prefix, suffix
+        |FROM (
+        |  SELECT item AS item_set, c AS count, sup AS support, sup AS confidence,
+        |    CAST(1.0 AS DOUBLE) AS lift, '' AS prefix, '' AS suffix FROM f1
+        |  UNION ALL SELECT * FROM r2)
+        |WHERE confidence >= 0.1 AND lift >= 1.0""".stripMargin,
 
     "q_time_features" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS year,

@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Apriori frequent itemsets + association rules.
+ *
+ * Reference semantics (cn/swust/algorithms/apriori/Apriori.java):
+ *  - each transaction string is split on itemSeparator; EVERY non-empty
+ *    ordered subsequence is enumerated and counted (Apriori.java:292-317,
+ *    320-365) — itemset identity is the ORDERED list, not the set;
+ *  - support = count / #transactions, kept when >= minSupport; frequent
+ *    1-itemsets get confidence = support and lift = 1.0
+ *    (Apriori.java:98-107);
+ *  - rules: for frequent S and every split S = prefix ++ suffix over all
+ *    prefix sizes, confidence(prefix->suffix) = count(S)/count(suffix) —
+ *    the reference's "confidence" of A->B is P(A|B); lift =
+ *    confidence / support(prefix) (Apriori.java:237-270). A rule fires only
+ *    when BOTH prefix and suffix are keys of the iterated broadcast map
+ *    (1-itemsets at round 1, then the reordered prefix++suffix itemsets of
+ *    the previous round's rules) — reachability we reproduce exactly;
+ *  - output deduped on the full tuple (Apriori.java:159-167), final filter
+ *    confidence >= minConfidence && lift >= lift (Apriori.java:181);
+ *    schema (itemSet, count, support, confidence, lift, prefix, suffix).
+ *
+ * Spark architecture: the data-sized work — subset explode + count — is a
+ * single flatMap + groupBy (partial aggregation, one shuffle). Support
+ * pruning shrinks frequent itemsets to driver scale (that is the whole
+ * point of minSupport), so rule generation, which touches only frequent
+ * itemsets, is a driver fixpoint loop over a hash map: the reference's
+ * PER_ROUND iteration with broadcast joins (Apriori.java:115-154)
+ * disappears. The broadcast map grows monotonically per round, so the
+ * last round's rule set equals the union over rounds — no accumulation
+ * or dedupe machinery needed beyond it.
+ *
+ * Scale guard: subset enumeration is 2^|tx|. `maxItemsetSize` bounds the
+ * explode (level-wise Apriori truncated at depth k); the reference's
+ * unbounded behavior is the default. For 100 TB with long baskets, set
+ * maxItemsetSize to the largest rule size you need.
+ */
+class Apriori(override val uid: String) extends Transformer
+    with HasInputCols with HasMaxIter with DefaultParamsWritable {
+
+  def this() = this(Identifiable.randomUID("apriori"))
+
+  /** Minimum support (AprioriParams.java:9-14, default 0.5). */
+  final val minSupport: DoubleParam = new DoubleParam(this, "minSupport",
+    "minimum support", ParamValidators.gtEq(0.0))
+  setDefault(minSupport -> 0.5)
+  def getMinSupport: Double = $(minSupport)
+  def setMinSupport(value: Double): this.type = set(minSupport, value)
+
+  /** Minimum confidence (AprioriParams.java:16-21, default 0.5). */
+  final val minConfidence: DoubleParam = new DoubleParam(this, "minConfidence",
+    "minimum confidence", ParamValidators.gtEq(0.0))
+  setDefault(minConfidence -> 0.5)
+  def getMinConfidence: Double = $(minConfidence)
+  def setMinConfidence(value: Double): this.type = set(minConfidence, value)
+
+  /** Minimum lift (AprioriParams.java:23-28, default 1.0). */
+  final val lift: DoubleParam = new DoubleParam(this, "lift",
+    "minimum lift", ParamValidators.gtEq(0.0))
+  setDefault(lift -> 1.0)
+  def getLift: Double = $(lift)
+  def setLift(value: Double): this.type = set(lift, value)
+
+  /** Transaction item separator (AprioriParams.java:30-36). */
+  final val itemSeparator: Param[String] =
+    new Param[String](this, "itemSeparator", "item separator regex")
+  def getItemSeparator: String = $(itemSeparator)
+  def setItemSeparator(value: String): this.type = set(itemSeparator, value)
+
+  /** Cap on enumerated itemset size — scale guard, Int.MaxValue = reference
+    * parity (unbounded). */
+  final val maxItemsetSize: IntParam = new IntParam(this, "maxItemsetSize",
+    "maximum itemset size to enumerate", ParamValidators.gt(0))
+  setDefault(maxItemsetSize -> Int.MaxValue)
+  def getMaxItemsetSize: Int = $(maxItemsetSize)
+  def setMaxItemsetSize(value: Int): this.type = set(maxItemsetSize, value)
+
+  def setInputCols(value: String*): this.type = set(inputCols, value.toArray)
+  def setMaxIter(value: Int): this.type = set(maxIter, value)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    require($(inputCols).length == 1, "inputCols must be one")
+    val df = ds.toDF()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sep = $(itemSeparator); val cap = $(maxItemsetSize)
+
+    val tx = df.select(col($(inputCols)(0)).cast(StringType)).as[String]
+    val numTx = tx.count()
+
+    // Subset counting: one flatMap + one hash-aggregated groupBy.
+    val counts = tx.flatMap { line =>
+      val items = line.split(sep)
+      (1 to math.min(items.length, cap)).iterator
+        .flatMap(k => items.toSeq.combinations(k))
+    }.groupBy(col("value").as("itemSet")).count()
+
+    val minSup = $(minSupport)
+    val frequent = counts
+      .withColumn("support", col("count") / lit(numTx.toDouble))
+      .filter(col("support") >= minSup)
+      .collect()
+      .map { r =>
+        (r.getAs[scala.collection.Seq[String]]("itemSet").toList,
+          r.getAs[Long]("count").toInt, r.getAs[Double]("support"))
+      }
+
+    val rules = Apriori.generateRules(frequent, $(maxIter))
+      .filter(r => r.confidence >= $(minConfidence) && r.lift >= $(lift))
+
+    spark.createDataFrame(spark.sparkContext.parallelize(rules.map(r =>
+      org.apache.spark.sql.Row(r.itemSet, r.count, r.support, r.confidence,
+        r.lift, r.prefix, r.suffix))), Apriori.outputSchema)
+  }
+
+  override def transformSchema(schema: StructType): StructType = Apriori.outputSchema
+
+  override def copy(extra: ParamMap): Apriori = defaultCopy(extra)
+}
+
+object Apriori extends DefaultParamsReadable[Apriori] {
+
+  val outputSchema: StructType = new StructType()
+    .add("itemSet", ArrayType(StringType), nullable = false)
+    .add("count", IntegerType, nullable = false)
+    .add("support", DoubleType, nullable = false)
+    .add("confidence", DoubleType, nullable = false)
+    .add("lift", DoubleType, nullable = false)
+    .add("prefix", ArrayType(StringType), nullable = false)
+    .add("suffix", ArrayType(StringType), nullable = false)
+
+  case class Rule(itemSet: List[String], count: Int, support: Double,
+                  confidence: Double, lift: Double,
+                  prefix: List[String], suffix: List[String])
+
+  /**
+   * Driver fixpoint of the reference's iterated rule generation
+   * (Apriori.java:115-154, 237-270). `frequent` = (orderedItems, count,
+   * support) after support pruning. Returns deduped rules INCLUDING the
+   * frequent 1-itemsets (confidence = support, lift = 1, empty
+   * prefix/suffix), which the reference re-emits every round.
+   */
+  def generateRules(frequent: Seq[(List[String], Int, Double)],
+                    maxIter: Int): Seq[Rule] = {
+    val singles = frequent.filter(_._1.size == 1)
+    val multis = frequent.filter(_._1.size > 1)
+    // map key -> (count, support); first-wins on key collisions
+    // (deterministic refinement of the reference's HashMap race).
+    val base: Map[List[String], (Int, Double)] =
+      singles.map { case (is, c, s) => is -> (c, s) }.toMap
+
+    var map = base
+    var rules = Vector.empty[Rule]
+    var round = 0
+    var grew = true
+    while (grew && round < maxIter) {
+      val emitted = Vector.newBuilder[Rule]
+      for ((items, cnt, sup) <- multis) {
+        var len = items.size - 1
+        while (len >= 1) {
+          for (prefix <- items.combinations(len)) {
+            val suffix = items.diff(prefix)
+            (map.get(suffix), map.get(prefix)) match {
+              case (Some((sufCnt, _)), Some((_, preSup))) =>
+                val confidence = cnt.toDouble / sufCnt.toDouble
+                val l = confidence / preSup
+                emitted += Rule(prefix ++ suffix, cnt, sup, confidence, l,
+                  prefix, suffix)
+              case _ =>
+            }
+          }
+          len -= 1
+        }
+      }
+      val newRules = emitted.result().distinct
+      grew = newRules.size > rules.size
+      rules = newRules
+      map = base ++ rules.map(r => r.itemSet -> (r.count, r.support))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.head._2 }
+      round += 1
+    }
+    singles.map { case (is, c, s) => Rule(is, c, s, s, 1.0, Nil, Nil) } ++ rules
+  }
+}

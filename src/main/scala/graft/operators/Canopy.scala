@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Canopy pre-clustering with thresholds T1 &gt; T2.
+ *
+ * Reference semantics (cn/swust/algorithms/canopy/Canopy.java:384-414):
+ * for the current center, each point with d &lt;= 1e-6 is treated as the
+ * center itself and dropped; d &lt; T1 joins the canopy; of those, d &lt; T2
+ * is removed from candidacy while d in [T2, T1) stays a candidate (so
+ * points may belong to several canopies); d &gt;= T1 stays a candidate. Next
+ * center = first remaining candidate (Canopy.java:427-435); stop when
+ * candidates are exhausted or maxIter rounds ran (Canopy.java:287-299).
+ *
+ * The reference's next-center choice is partition-order-dependent and its
+ * own test has no golden values (CanopyTest.java:151). Here the order is
+ * pinned to the input row order, making output deterministic for a given
+ * file layout; correctness is asserted through structural invariants
+ * (pairwise center distance &gt;= T2, members within T1, full coverage).
+ *
+ * Spark architecture (the reference's per-partition pattern,
+ * Canopy.java:163-212, made explicit): (1) mapPartitions runs the
+ * sequential selection locally, emitting O(#local centers) rows; (2) the
+ * driver re-runs the same selection over the collected local centers to
+ * merge near-duplicates; (3) one broadcast pass assigns every point to the
+ * canopies within T1. The data is scanned twice total, nothing iterative
+ * touches the cluster, and driver state is O(#centers * dims) — the same
+ * plan at 100 TB, provided T2 is chosen so #centers stays driver-sized.
+ */
+class Canopy(override val uid: String) extends Transformer
+    with HasFeaturesCol with HasPredictionCol with HasMaxIter
+    with HasDistanceMeasure with DefaultParamsWritable {
+
+  def this() = this(Identifiable.randomUID("canopy"))
+
+  /** Outer threshold (CanopyParams.java:8-14, default 1.0). */
+  final val t1: DoubleParam =
+    new DoubleParam(this, "t1", "outer threshold T1 (> T2)", ParamValidators.gt(0.0))
+  setDefault(t1 -> 1.0)
+  def getT1: Double = $(t1)
+  def setT1(value: Double): this.type = set(t1, value)
+
+  /** Inner threshold (CanopyParams.java:16-22, default 0.5). */
+  final val t2: DoubleParam =
+    new DoubleParam(this, "t2", "inner threshold T2 (< T1)", ParamValidators.gt(0.0))
+  setDefault(t2 -> 0.5)
+  def getT2: Double = $(t2)
+  def setT2(value: Double): this.type = set(t2, value)
+
+  def setMaxIter(value: Int): this.type = set(maxIter, value)
+  def setDistanceMeasure(value: String): this.type = set(distanceMeasure, value)
+  def setFeaturesCol(value: String): this.type = set(featuresCol, value)
+  def setPredictionCol(value: String): this.type = set(predictionCol, value)
+
+  /** Output: one row per canopy, (centroids, predictionCol) = (center,
+    * members incl. center) mirroring Canopy.java:93-109. */
+  override def transform(ds: Dataset[_]): DataFrame = {
+    require($(t1) > $(t2), s"T1 (${$(t1)}) must be > T2 (${$(t2)})")
+    val df = ds.toDF()
+    val centers = Canopy.selectCenters(df, $(featuresCol), $(t1), $(t2),
+      $(maxIter), $(distanceMeasure))
+    // Canopy row = center + strict members; duplicates of the center are
+    // dropped like the reference's `dis <= 1e-6 -> continue`, and the
+    // center itself appears exactly once, prepended (Canopy.java:416-423).
+    Canopy.assign(df, $(featuresCol), centers, $(t1), $(distanceMeasure))
+      .groupBy(col("__canopy_id"))
+      .agg(first(col("__center")).as("centroids"),
+        collect_list(col("__member")).as("__members"))
+      .withColumn($(predictionCol),
+        concat(array(col("centroids")), col("__members")))
+      .select(col("centroids"), col($(predictionCol)))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    new StructType()
+      .add("centroids", ArrayType(DoubleType), nullable = false)
+      .add($(predictionCol), ArrayType(ArrayType(DoubleType)), nullable = false)
+
+  override def copy(extra: ParamMap): Canopy = defaultCopy(extra)
+}
+
+object Canopy extends DefaultParamsReadable[Canopy] {
+
+  /** Sequential canopy-center selection over an ordered sweep
+    * (Canopy.java:384-435): keep a candidate if d > 1e-6 and d >= T2. */
+  def localCenters(points: Iterator[Array[Double]], t1: Double, t2: Double,
+                   maxIter: Int, measure: String): Seq[Array[Double]] = {
+    val dist = VecOps.distance(measure) _
+    var candidates = points.to(ArrayBuffer)
+    val centers = ArrayBuffer.empty[Array[Double]]
+    while (candidates.nonEmpty && centers.length < maxIter) {
+      val c = candidates.head
+      centers += c
+      candidates = candidates.filter { p =>
+        val d = dist(p, c)
+        d > 1e-6 && d >= t2
+      }
+    }
+    centers.toSeq
+  }
+
+  /** Two-level selection: per-partition local canopies, then the same
+    * sequential merge over local centers on the driver. */
+  def selectCenters(df: DataFrame, featuresCol: String, t1: Double, t2: Double,
+                    maxIter: Int, measure: String): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pts = df.select(Features.asArray(df, featuresCol)).as[Array[Double]]
+    val local = pts.rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        localCenters(it, t1, t2, maxIter, measure).iterator.map(c => (pid, c))
+      }
+      .collect()
+    // Merge in partition order then local order — deterministic.
+    val ordered = local.sortBy(_._1).iterator.map(_._2)
+    localCenters(ordered, t1, t2, maxIter, measure).toArray
+  }
+
+  /** Exploded assignment: (canopy_id, center, member) rows, one per strict
+    * membership (1e-6 < d < T1); scalable output shape. */
+  def assign(df: DataFrame, featuresCol: String, centers: Array[Array[Double]],
+             t1: Double, measure: String): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(centers)
+    val memberUdf = udf { (p: Seq[Double]) =>
+      val arr = p.toArray
+      val dist = VecOps.distance(measure) _
+      bc.value.indices.filter { i =>
+        val d = dist(arr, bc.value(i))
+        d > 1e-6 && d < t1
+      }
+    }
+    val centerUdf = udf { (i: Int) => bc.value(i) }
+    df.withColumn("__member", Features.asArray(df, featuresCol))
+      .withColumn("__canopy_id", explode(memberUdf(col("__member"))))
+      .withColumn("__center", centerUdf(col("__canopy_id")))
+  }
+}

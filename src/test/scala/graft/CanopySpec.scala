@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.Canopy
+import graft.core.VecOps
+
+/** Canopy structural tests. The reference's own test prints without golden
+  * values because next-center order is nondeterministic there
+  * (test/java/cn/swust/algorithms/canopy/CanopyTest.java:131-153); ours is
+  * deterministic (input order), so we assert the canopy invariants. */
+class CanopySpec extends GraftSpec {
+  import spark.implicits._
+
+  private val data = Seq(
+    Array(1.0, 1.0), Array(1.2, 1.1), Array(1.4, 1.4),
+    Array(5.0, 5.0), Array(5.3, 5.1), Array(9.0, 9.0), Array(9.1, 9.2))
+  private lazy val df = data.map(Tuple1(_)).toDF("features").repartition(2)
+
+  test("param defaults match reference (CanopyTest.java:88-115)") {
+    val c = new Canopy()
+    assert(c.getT1 == 1.0 && c.getT2 == 0.5)
+    assert(c.getDistanceMeasure == "euclidean")
+    assert(c.getFeaturesCol == "features" && c.getPredictionCol == "prediction")
+  }
+
+  test("T1 <= T2 rejected (Canopy.java:58-60)") {
+    intercept[IllegalArgumentException] {
+      new Canopy().setT1(0.4).setT2(0.5).transform(df)
+    }
+  }
+
+  test("canopy invariants: centers >= T2 apart, members < T1, full coverage") {
+    val t1 = 2.0; val t2 = 1.0
+    val centers = Canopy.selectCenters(df, "features", t1, t2, 100, "euclidean")
+    // pairwise center separation >= T2
+    for (i <- centers.indices; j <- centers.indices if i < j)
+      assert(VecOps.euclidean(centers(i), centers(j)) >= t2,
+        s"centers $i,$j closer than T2")
+    // every point within T1 of some center (or is a center)
+    data.foreach { p =>
+      assert(centers.exists(c => VecOps.euclidean(p, c) < t1),
+        s"point ${p.toSeq} uncovered")
+    }
+    // three natural groups at these thresholds
+    assert(centers.length == 3)
+  }
+
+  test("transform output shape: (centroids, prediction=members incl center first)") {
+    val out = new Canopy().setT1(2.0).setT2(1.0).setMaxIter(100).transform(df)
+    assert(out.columns.toSeq == Seq("centroids", "prediction"))
+    val rows = out.collect()
+    rows.foreach { r =>
+      val center = r.getAs[scala.collection.Seq[Double]]("centroids").toArray
+      val members = r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("prediction")
+      assert(members.head.toArray.sameElements(center), "center must lead the member list")
+      members.tail.foreach { m =>
+        assert(VecOps.euclidean(m.toArray, center) < 2.0)
+      }
+    }
+  }
+}
