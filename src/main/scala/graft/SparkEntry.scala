@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AHP, Apriori, Canopy, FCMModel, Topsis}
+import graft.operators.{AHP, Apriori, Canopy, FCMModel, MeanImputer, OnlineAHP, OnlineTopsis, StandardScalerEst, Topsis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,6 +45,20 @@ object SparkEntry {
   private val canopyCenters = Array(
     Array(5.0, 2.0), Array(20.0, 4.0), Array(35.0, 6.0))
   private val canopyT1 = 15.0
+
+  // 3x3 consistent judgment matrix for the online (windowed) queries over
+  // the events table; features (value, user_id%100, event_id%50).
+  private val onlineJudgment = Array(
+    Array(1.0, 2.0, 4.0), Array(0.5, 1.0, 2.0), Array(0.25, 0.5, 1.0))
+  private lazy val onlineAhpW: Array[Double] = AHP.weightVector(onlineJudgment)
+  private val onlineWindowMs = 3L * 86400000L
+
+  // events.ts is TIMESTAMP(NANOS) parquet read as a nanos long
+  // (nanosAsLong=true); integer division keeps exact millis.
+  private def eventFeatures(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").selectExpr(
+      "event_id", "ts div 1000000 AS tms", "CAST(value AS DOUBLE) AS x0",
+      "CAST(user_id % 100 AS DOUBLE) AS x1", "CAST(event_id % 50 AS DOUBLE) AS x2")
 
   private val topsisWeights = Array(0.4, 0.3, 0.2, 0.1)
   private val topsisTypes = Array(1, 2, 3, 4) // quantity↑, price↓, discount≈0.05, tax∈[0.02,0.06]
@@ -151,6 +165,27 @@ object SparkEntry {
           concat_ws(",", col("suffix")).as("suffix"))
     }),
 
+    "q_online_ahp" -> ((s, dir) => {
+      new OnlineAHP()
+        .setInputCols("x0", "x1", "x2")
+        .setJudgmentMatrix(onlineJudgment)
+        .setIndicatorType(Array(1, 0, 1))
+        .setTimeCol("tms").setWindowDuration("3 days").setOutputCol("score")
+        .transform(eventFeatures(s, dir))
+        .select(col("event_id"), round(col("score"), 6).as("score"))
+    }),
+
+    "q_online_topsis" -> ((s, dir) => {
+      val ev = eventFeatures(s, dir)
+        .withColumn("features", array(col("x0"), col("x1"), col("x2")))
+      val model = new OnlineTopsis()
+        .setCriteriaTypes(1, 2, 1).setWeights(0.5, 0.3, 0.2)
+        .setTimeCol("tms").setWindowDuration("3 days")
+        .fit(ev)
+      model.transform(ev)
+        .select(col("event_id"), round(col("prediction"), 6).as("score"))
+    }),
+
     "q_time_features" -> ((s, dir) => {
       tbl(s, dir, "orders").select(
         col("o_orderkey"),
@@ -161,17 +196,16 @@ object SparkEntry {
 
     "q_stdscale" -> ((s, dir) => {
       val c = tbl(s, dir, "customer")
-      val st = c.agg(avg(col("c_acctbal")).as("mu"), stddev_samp(col("c_acctbal")).as("sd")).head()
-      val (mu, sd) = (st.getDouble(0), st.getDouble(1))
+      val model = new StandardScalerEst().setInputCol("c_acctbal").fit(c)
       c.select(col("c_custkey"),
-        round((col("c_acctbal") - lit(mu)) / lit(sd), 6).as("acctbal_scaled"))
+        round((col("c_acctbal") - lit(model.mean)) / lit(model.std), 6).as("acctbal_scaled"))
     }),
 
     "q_mean_impute" -> ((s, dir) => {
       val ev = tbl(s, dir, "events").withColumn("v",
         when(col("event_type") === "error", lit(null).cast("double")).otherwise(col("value")))
-      val mu = ev.agg(avg(col("v"))).head().getDouble(0)
-      ev.select(col("event_id"), round(coalesce(col("v"), lit(mu)), 6).as("value_imputed"))
+      val model = new MeanImputer().setInputCol("v").fit(ev)
+      ev.select(col("event_id"), round(coalesce(col("v"), lit(model.mean)), 6).as("value_imputed"))
     }),
   )
 
@@ -341,6 +375,64 @@ object SparkEntry {
         |    CAST(1.0 AS DOUBLE) AS lift, '' AS prefix, '' AS suffix FROM f1
         |  UNION ALL SELECT * FROM r2)
         |WHERE confidence >= 0.1 AND lift >= 1.0""".stripMargin,
+
+    "q_online_ahp" -> {
+      val j = onlineAhpW
+      s"""WITH x AS (
+         |  SELECT event_id, CAST(value AS DOUBLE) AS x0,
+         |    CAST(user_id % 100 AS DOUBLE) AS x1, CAST(event_id % 50 AS DOUBLE) AS x2,
+         |    (epoch_ms(ts) // $onlineWindowMs) * $onlineWindowMs AS ws
+         |  FROM events),
+         |s1 AS (SELECT ws, min(x0) AS mn0, max(x0) AS mx0, min(x1) AS mn1,
+         |              max(x1) AS mx1, min(x2) AS mn2, max(x2) AS mx2
+         |       FROM x GROUP BY ws),
+         |nrm AS (
+         |  SELECT x.event_id, x.ws,
+         |    (x0 - mn0) / (mx0 - mn0) AS n0, (mx1 - x1) / (mx1 - mn1) AS n1,
+         |    (x2 - mn2) / (mx2 - mn2) AS n2
+         |  FROM x JOIN s1 ON x.ws = s1.ws),
+         |s2 AS (SELECT ws, sum(n0) AS t0, sum(n1) AS t1, sum(n2) AS t2,
+         |   sum(CASE WHEN n0 > 0 THEN n0*ln(n0) ELSE 0 END) AS e0,
+         |   sum(CASE WHEN n1 > 0 THEN n1*ln(n1) ELSE 0 END) AS e1,
+         |   sum(CASE WHEN n2 > 0 THEN n2*ln(n2) ELSE 0 END) AS e2
+         |  FROM nrm GROUP BY ws),
+         |d AS (SELECT ws,
+         |  1 - (-(1.0/ln(3)) * (e0/t0 - ln(t0))) AS d0,
+         |  1 - (-(1.0/ln(3)) * (e1/t1 - ln(t1))) AS d1,
+         |  1 - (-(1.0/ln(3)) * (e2/t2 - ln(t2))) AS d2
+         |  FROM s2)
+         |SELECT nrm.event_id,
+         |  round(n0 * ${j(0)} * (d0/(d0+d1+d2)) + n1 * ${j(1)} * (d1/(d0+d1+d2))
+         |      + n2 * ${j(2)} * (d2/(d0+d1+d2)), 6) AS score
+         |FROM nrm JOIN d ON nrm.ws = d.ws""".stripMargin
+    },
+
+    "q_online_topsis" ->
+      s"""WITH x AS (
+         |  SELECT event_id, CAST(value AS DOUBLE) AS x0,
+         |    CAST(user_id % 100 AS DOUBLE) AS x1, CAST(event_id % 50 AS DOUBLE) AS x2,
+         |    (epoch_ms(ts) // $onlineWindowMs) * $onlineWindowMs AS ws
+         |  FROM events),
+         |m AS (SELECT ws, avg(x0) AS m0, avg(x1) AS m1, avg(x2) AS m2 FROM x GROUP BY ws),
+         |s1 AS (SELECT max(m1) AS mx1 FROM m),
+         |p AS (SELECT ws, m0 AS p0, mx1 - m1 AS p1, m2 AS p2 FROM m, s1),
+         |s2 AS (SELECT
+         |  sum(p0*p0) AS ss0, min(p0) AS pn0, max(p0) AS px0,
+         |  sum(p1*p1) AS ss1, min(p1) AS pn1, max(p1) AS px1,
+         |  sum(p2*p2) AS ss2, min(p2) AS pn2, max(p2) AS px2 FROM p),
+         |z AS (SELECT ws,
+         |    p0/sqrt(ss0)*0.5 AS z0, p1/sqrt(ss1)*0.3 AS z1, p2/sqrt(ss2)*0.2 AS z2,
+         |    pn0/sqrt(ss0)*0.5 AS zl0, px0/sqrt(ss0)*0.5 AS zh0,
+         |    pn1/sqrt(ss1)*0.3 AS zl1, px1/sqrt(ss1)*0.3 AS zh1,
+         |    pn2/sqrt(ss2)*0.2 AS zl2, px2/sqrt(ss2)*0.2 AS zh2
+         |  FROM p, s2),
+         |sc AS (SELECT ws,
+         |  sqrt((zl0-z0)*(zl0-z0) + (zl1-z1)*(zl1-z1) + (zl2-z2)*(zl2-z2))
+         |   / (sqrt((zh0-z0)*(zh0-z0) + (zh1-z1)*(zh1-z1) + (zh2-z2)*(zh2-z2))
+         |    + sqrt((zl0-z0)*(zl0-z0) + (zl1-z1)*(zl1-z1) + (zl2-z2)*(zl2-z2))) AS score
+         |  FROM z)
+         |SELECT x.event_id, round(sc.score, 6) AS score
+         |FROM x JOIN sc ON x.ws = sc.ws""".stripMargin,
 
     "q_time_features" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS year,

@@ -122,8 +122,10 @@ object AHP extends DefaultParamsReadable[AHP] {
     val mx = (0 until n).map(i => s1.getDouble(2 * i + 1)).toArray
 
     // Min-max normalization, direction per indicatorType (AHP.java:349-382).
+    // Constant columns (mx == mn) give NaN like the reference's Java 0/0.
     def norm(i: Int): Column =
-      if (indicatorType(i) == 1) (x(i) - lit(mn(i))) / lit(mx(i) - mn(i))
+      if (mx(i) == mn(i)) lit(Double.NaN)
+      else if (indicatorType(i) == 1) (x(i) - lit(mn(i))) / lit(mx(i) - mn(i))
       else (lit(mx(i)) - x(i)) / lit(mx(i) - mn(i))
 
     // Pass 2: colSum, sum(x ln x) with 0 -> 0 guard (AHP.java:295-299), count.

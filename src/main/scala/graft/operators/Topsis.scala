@@ -109,15 +109,20 @@ object Topsis extends DefaultParamsReadable[Topsis] {
     val colMax = (0 until dims).map(i => s1.getDouble(3 * i + 1)).toArray
     val devMax = (0 until dims).map(i => s1.getDouble(3 * i + 2)).toArray
 
-    // Positiveization expression per dim (Topsis.java:324-385).
+    // Positiveization expression per dim (Topsis.java:324-385). Zero
+    // denominators reproduce the reference's Java IEEE semantics (NaN)
+    // instead of ANSI-mode divide errors.
     def pos(i: Int): Column = criteriaTypes(i) match {
       case 1 => x(i)
       case 2 => lit(colMax(i)) - x(i)
-      case 3 => lit(1.0) - abs(x(i) - lit(bestValue)) / lit(devMax(i))
+      case 3 =>
+        if (devMax(i) == 0.0) lit(Double.NaN)
+        else lit(1.0) - abs(x(i) - lit(bestValue)) / lit(devMax(i))
       case 4 =>
         val lo = intervalValue(0); val hi = intervalValue(1)
         val m = math.max(lo - colMin(i), colMax(i) - hi)
-        when(x(i) < lo, lit(1.0) - (lit(lo) - x(i)) / lit(m))
+        if (m == 0.0) when(x(i) >= lo && x(i) <= hi, lit(1.0)).otherwise(lit(Double.NaN))
+        else when(x(i) < lo, lit(1.0) - (lit(lo) - x(i)) / lit(m))
           .when(x(i) <= hi, lit(1.0))
           .otherwise(lit(1.0) - (x(i) - lit(hi)) / lit(m))
     }
@@ -147,11 +152,15 @@ object Topsis extends DefaultParamsReadable[Topsis] {
     }
 
     // Final projection: distances to ideal/anti-ideal, score (Topsis.java:261-297).
-    def z(i: Int): Column = p(i) / lit(denom(i)) * lit(weights(i))
+    def z(i: Int): Column =
+      if (denom(i) == 0.0) lit(Double.NaN)
+      else p(i) / lit(denom(i)) * lit(weights(i))
     val maxDis = sqrt((0 until dims).map(i => pow(lit(zHi(i)) - z(i), 2)).reduce(_ + _))
     val minDis = sqrt((0 until dims).map(i => pow(lit(zLo(i)) - z(i), 2)).reduce(_ + _))
     withPos
-      .withColumn(outputCol, minDis / (maxDis + minDis))
+      .withColumn(outputCol,
+        when(maxDis + minDis =!= 0.0, minDis / (maxDis + minDis))
+          .otherwise(lit(Double.NaN)))
       .drop("__graft_pos")
   }
 }

@@ -1,0 +1,274 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.ml.{Estimator, Model, Transformer}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Tumbling event-time window helpers shared by the Online* operators.
+  * The reference windows on epoch-millis event time assigned from a BIGINT
+  * `id` field (OnlineTopsisExample.java:108-116); window start = epoch-
+  * aligned floor, window maxTimestamp = start + size - 1
+  * (Flink TimeWindow.maxTimestamp). An empty duration = the reference's
+  * GlobalWindows default: one window over everything. */
+object EventWindows {
+  def durationMs(spec: String): Long = {
+    val m = "(\\d+)\\s*(day|days|hour|hours|minute|minutes|second|seconds|millisecond|milliseconds|ms)".r
+    spec.trim match {
+      case m(n, unit) =>
+        val mult = unit match {
+          case u if u.startsWith("day") => 86400000L
+          case u if u.startsWith("hour") => 3600000L
+          case u if u.startsWith("minute") => 60000L
+          case u if u.startsWith("second") => 1000L
+          case _ => 1L
+        }
+        n.toLong * mult
+      case other => throw new IllegalArgumentException(s"bad window duration: '$other'")
+    }
+  }
+
+  /** Event-time column as epoch millis, whatever its carrier type. */
+  def millis(df: DataFrame, timeCol: String): Column = df.schema(timeCol).dataType match {
+    case LongType => col(timeCol)
+    case TimestampType => (col(timeCol).cast("double") * 1000).cast(LongType)
+    case other => throw new IllegalArgumentException(s"timeCol must be LongType millis or timestamp, got $other")
+  }
+
+  /** Window-start key; one global window when spec is empty. */
+  def startCol(df: DataFrame, timeCol: String, spec: String): Column =
+    if (spec.isEmpty) lit(0L)
+    else {
+      val d = durationMs(spec)
+      (millis(df, timeCol) / d).cast(LongType) * d
+    }
+
+  /** Flink's window.maxTimestamp(): end - 1; Long.MaxValue for global. */
+  def maxTimestampCol(spec: String): Column =
+    if (spec.isEmpty) lit(Long.MaxValue)
+    else lit(EventWindows.durationMs(spec)) + col("__wstart") - 1
+}
+
+/**
+ * OnlineAHP: AHP + entropy scoring computed INDEPENDENTLY inside each
+ * event-time tumbling window (cn/swust/algorithms/ahp/OnlineAHP.java:82-186).
+ * Semantic difference from batch AHP preserved: the entropy constant is
+ * k = 1/ln(numCols), not 1/ln(rowCount) (OnlineAHP.java:151 vs AHP.java:158).
+ *
+ * Spark plan: the reference's parallelism-1 ProcessAllWindowFunction
+ * becomes two window-keyed hash aggregations broadcast-joined back — every
+ * window is processed in parallel and nothing is single-threaded, which is
+ * what makes this run on 100 TB where the reference's windowAll cannot.
+ */
+class OnlineAHP(override val uid: String) extends Transformer
+    with HasInputCols with HasOutputCol with HasTimeCol with HasWindowDuration
+    with DefaultParamsWritable {
+
+  def this() = this(Identifiable.randomUID("onlineAhp"))
+  setDefault(outputCol -> "output")
+
+  final val judgmentMatrix: DoubleArrayParam =
+    new DoubleArrayParam(this, "judgmentMatrix", "pairwise judgment matrix, row-major")
+  def setJudgmentMatrix(m: Array[Array[Double]]): this.type = set(judgmentMatrix, m.flatten)
+  def getJudgmentMatrix: Array[Array[Double]] = {
+    val flat = $(judgmentMatrix); val n = math.sqrt(flat.length).toInt
+    flat.grouped(n).toArray
+  }
+
+  final val indicatorType: IntArrayParam =
+    new IntArrayParam(this, "indicatorType", "indicator direction per column (1|0)",
+      (a: Array[Int]) => a.nonEmpty && a.forall(t => t == 0 || t == 1))
+  def setIndicatorType(value: Array[Int]): this.type = set(indicatorType, value)
+
+  def setInputCols(value: String*): this.type = set(inputCols, value.toArray)
+  def setOutputCol(value: String): this.type = set(outputCol, value)
+  def setTimeCol(value: String): this.type = set(timeCol, value)
+  def setWindowDuration(value: String): this.type = set(windowDuration, value)
+
+  override def transform(ds: Dataset[_]): DataFrame =
+    OnlineAHP.score(ds.toDF(), $(inputCols), getJudgmentMatrix, $(indicatorType),
+      $(timeCol), $(windowDuration), $(outputCol))
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add($(outputCol), DoubleType, nullable = false)
+
+  override def copy(extra: ParamMap): OnlineAHP = defaultCopy(extra)
+}
+
+object OnlineAHP extends DefaultParamsReadable[OnlineAHP] {
+
+  def score(df: DataFrame, inputCols: Array[String], judgment: Array[Array[Double]],
+            indicatorType: Array[Int], timeCol: String, windowSpec: String,
+            outputCol: String): DataFrame = {
+    AHP.checkMatrix(judgment, inputCols.length)
+    val ahpW = AHP.weightVector(judgment)
+    val cr = AHP.consistencyRatio(judgment, ahpW)
+    require(cr < 0.1, f"CR $cr%.4f is too large, please check your judgment matrix")
+
+    val n = inputCols.length
+    def x(i: Int): Column = col(inputCols(i)).cast(DoubleType)
+    val withW = df.withColumn("__wstart", EventWindows.startCol(df, timeCol, windowSpec))
+
+    // Pass 1: per-window per-column min/max (OnlineAHP.java:102-117).
+    val aggs1 = (0 until n).flatMap(i =>
+      Seq(min(x(i)).as(s"__mn_$i"), max(x(i)).as(s"__mx_$i")))
+    val s1 = withW.groupBy(col("__wstart")).agg(aggs1.head, aggs1.tail: _*)
+
+    // Per-window constant columns give NaN (Java 0/0), not ANSI errors.
+    def norm(i: Int): Column = {
+      val range = col(s"__mx_$i") - col(s"__mn_$i")
+      val v = if (indicatorType(i) == 1) (x(i) - col(s"__mn_$i")) / range
+        else (col(s"__mx_$i") - x(i)) / range
+      when(range =!= 0.0, v).otherwise(lit(Double.NaN))
+    }
+
+    val j1 = withW.join(broadcast(s1), "__wstart")
+
+    // Pass 2: per-window colSum + sum(x ln x); entropy via
+    // sum(p ln p) = (1/S) sum(x ln x) - ln S (0*ln0 := 0 guard,
+    // OnlineAHP.java:139-151).
+    val aggs2 = (0 until n).flatMap { i =>
+      val nm = norm(i)
+      Seq(sum(nm).as(s"__s_$i"),
+        sum(when(nm > 0.0, nm * log(nm)).otherwise(0.0)).as(s"__xlx_$i"))
+    }
+    val s2 = j1.groupBy(col("__wstart")).agg(aggs2.head, aggs2.tail: _*)
+
+    val k = 1.0 / math.log(n.toDouble) // OnlineAHP.java:151 — cols, not rows
+    def dW(i: Int): Column =
+      when(col(s"__s_$i") =!= 0.0,
+        lit(1.0) - (lit(-k) * (col(s"__xlx_$i") / col(s"__s_$i") - log(col(s"__s_$i")))))
+        .otherwise(lit(Double.NaN))
+    val dTotal = (0 until n).map(dW).reduce(_ + _)
+
+    val score = (0 until n).map(i => norm(i) * lit(ahpW(i)) * (dW(i) / dTotal)).reduce(_ + _)
+    j1.join(broadcast(s2), "__wstart")
+      .withColumn(outputCol, score)
+      .select(df.columns.map(col) :+ col(outputCol): _*)
+  }
+}
+
+/**
+ * OnlineTopsis: per-window mean feature vector (+ window max-timestamp and
+ * min event-timestamp) -> batch TOPSIS over the stream of window means ->
+ * scores joined back (cn/swust/algorithms/topsis/OnlineTopsis.java:57-164).
+ * fit() produces an OnlineTopsisModel whose model data has the reference
+ * schema (data, timestamp, score, minTimestamp) (TopsisModelData.java:32-41).
+ */
+class OnlineTopsis(override val uid: String) extends Estimator[OnlineTopsisModel]
+    with OnlineTopsisParams with DefaultParamsWritable {
+
+  def this() = this(Identifiable.randomUID("onlineTopsis"))
+
+  def setWeights(value: Double*): this.type = set(weights, value.toArray)
+  def setCriteriaTypes(value: Int*): this.type = set(criteriaTypes, value.toArray)
+  def setBestValue(value: Double): this.type = set(bestValue, value)
+  def setIntervalValue(value: Array[Double]): this.type = set(intervalValue, value)
+  def setFeaturesCol(value: String): this.type = set(featuresCol, value)
+  def setPredictionCol(value: String): this.type = set(predictionCol, value)
+  def setTimeCol(value: String): this.type = set(timeCol, value)
+  def setWindowDuration(value: String): this.type = set(windowDuration, value)
+  def setMaxAllowedModelDelayMs(value: Long): this.type = set(maxAllowedModelDelayMs, value)
+
+  override def fit(ds: Dataset[_]): OnlineTopsisModel = {
+    val df = ds.toDF()
+    val spec = $(windowDuration)
+    val withW = df
+      .withColumn("__wstart", EventWindows.startCol(df, $(timeCol), spec))
+      .withColumn("__ts", EventWindows.millis(df, $(timeCol)))
+      .withColumn("__f", Features.asArray(df, $(featuresCol)))
+
+    // Per-window elementwise mean + min event ts (OnlineTopsis.java:127-164).
+    // posexplode keeps this a plain hash aggregation at any window count.
+    val means = withW
+      .select(col("__wstart"), col("__ts"), posexplode(col("__f")).as(Seq("__pos", "__v")))
+      .groupBy(col("__wstart"), col("__pos"))
+      .agg(avg(col("__v")).as("__avg"), min(col("__ts")).as("__mnts"))
+      .groupBy(col("__wstart"))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__avg"))))
+          .getField("__avg").as("data"),
+        min(col("__mnts")).as("minTimestamp"))
+      .withColumn("timestamp", EventWindows.maxTimestampCol(spec))
+
+    // Batch TOPSIS over the window means (OnlineTopsis.java:78,165-317).
+    val scored = Topsis.score(means, "data", $(weights), $(criteriaTypes),
+      $(bestValue), $(intervalValue), "score")
+      .select(col("data"), col("timestamp"), col("score"), col("minTimestamp"))
+
+    copyValues(new OnlineTopsisModel(Identifiable.randomUID("onlineTopsisModel"))
+      .setModelData(scored.cache())).setParent(this)
+  }
+
+  override def transformSchema(schema: StructType): StructType = schema
+
+  override def copy(extra: ParamMap): OnlineTopsis = defaultCopy(extra)
+}
+
+trait OnlineTopsisParams extends HasFeaturesCol with HasPredictionCol
+    with HasTimeCol with HasWindowDuration {
+  final val weights: DoubleArrayParam =
+    new DoubleArrayParam(this, "weights", "per-column weight", ParamValidators.arrayLengthGt(0))
+  final val criteriaTypes: IntArrayParam =
+    new IntArrayParam(this, "criteriaTypes", "criteria type per column (1|2|3|4)",
+      (a: Array[Int]) => a.nonEmpty && a.forall(t => t >= 1 && t <= 4))
+  final val bestValue: DoubleParam = new DoubleParam(this, "bestValue", "intermediate best value")
+  setDefault(bestValue -> 0.0)
+  final val intervalValue: DoubleArrayParam =
+    new DoubleArrayParam(this, "intervalValue", "interval [lo, hi] for interval criteria")
+  setDefault(intervalValue -> Array(0.0, 0.0))
+  /** Model-readiness gate (OnlineTopsisModelParams.java:5, default 0). */
+  final val maxAllowedModelDelayMs: LongParam =
+    new LongParam(this, "maxAllowedModelDelayMs", "max allowed model delay ms",
+      ParamValidators.gtEq(0))
+  setDefault(maxAllowedModelDelayMs -> 0L)
+  final def getMaxAllowedModelDelayMs: Long = $(maxAllowedModelDelayMs)
+}
+
+/**
+ * OnlineTopsisModel: each row with event timestamp t is scored by the
+ * window model satisfying minTimestamp <= t - maxAllowedModelDelayMs <=
+ * timestamp (OnlineTopsisModel.java:131-163). The reference buffers early
+ * rows in operator state and drains them when a suitable model arrives; in
+ * batch that collapses to an event-time range join against the (small,
+ * broadcast) model table, picking the earliest suitable model — the one
+ * that would have arrived first on the stream.
+ */
+class OnlineTopsisModel(override val uid: String) extends Model[OnlineTopsisModel]
+    with OnlineTopsisParams {
+
+  def this() = this(Identifiable.randomUID("onlineTopsisModel"))
+
+  private var modelData: DataFrame = _
+  def setModelData(value: DataFrame): this.type = { modelData = value; this }
+  def getModelData: DataFrame = modelData
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    val delay = $(maxAllowedModelDelayMs)
+    val t = EventWindows.millis(df, $(timeCol))
+    val md = modelData.select(col("timestamp").as("__m_ts"),
+      col("minTimestamp").as("__m_mnts"), col("score").as("__m_score"))
+    val withId = df.withColumn("__rid", monotonically_increasing_id())
+    val joined = withId
+      .join(broadcast(md),
+        (t - delay) <= col("__m_ts") && (t - delay) >= col("__m_mnts"),
+        "left")
+    // earliest suitable model wins (stream arrival order); __rid keeps
+    // duplicate input rows distinct.
+    val w = Window.partitionBy(col("__rid")).orderBy(col("__m_ts").asc)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn($(predictionCol), col("__m_score"))
+      .select(df.columns.map(col) :+ col($(predictionCol)): _*)
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add($(predictionCol), DoubleType)
+
+  override def copy(extra: ParamMap): OnlineTopsisModel =
+    copyValues(new OnlineTopsisModel(uid).setModelData(modelData), extra).setParent(parent)
+}

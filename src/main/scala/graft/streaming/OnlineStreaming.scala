@@ -1,0 +1,167 @@
+package graft.streaming
+
+import graft.core._
+import graft.operators.{AHP, EventWindows, Topsis}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A buffered event-time row inside one window's state. */
+case class EvRow(tms: Long, features: Array[Double])
+
+/** Scored output row. */
+case class ScoredRow(tms: Long, features: Array[Double], score: Double)
+
+/**
+ * Structured Streaming forms of the Online* operators.
+ *
+ * The reference's Online* stages are event-time windowed DataStream
+ * programs (cn/swust/algorithms/ahp/OnlineAHP.java:63-71,
+ * …/topsis/OnlineTopsis.java:67-73) whose window state lives in Flink
+ * operator state. Here:
+ *
+ *  - `onlineAhpStream` is the faithful streaming port of OnlineAHP's
+ *    ProcessAllWindowFunction (OnlineAHP.java:82-186): rows buffer in
+ *    per-window GroupState and are scored+emitted when the event-time
+ *    watermark passes the window end — Spark's
+ *    flatMapGroupsWithState(EventTimeTimeout) is the exact analog of
+ *    Flink's window trigger on watermark passage. Unlike the reference's
+ *    parallelism-1 windowAll, windows are keyed so distinct windows score
+ *    on distinct executors.
+ *
+ *  - `onlineTopsisModelStream` streams window means (the model-fitting
+ *    aggregation of OnlineTopsis.java:127-164) as an append-mode windowed
+ *    aggregation. The TOPSIS scoring over the means is CROSS-window
+ *    (column max / sum-of-squares span all windows — OnlineTopsis.java:
+ *    165-317), which is non-monotonic over an unbounded stream; the
+ *    reference only gets away with it because its streams are bounded.
+ *    We therefore score means per micro-batch in foreachBatch, the
+ *    documented Spark pattern for bounded-replay semantics (SURVEY §2.1 A4).
+ */
+object OnlineStreaming {
+
+  /** Event-time epoch-millis long -> timestamp col + watermark. */
+  def withRowtime(ds: DataFrame, timeCol: String, delay: String): DataFrame =
+    ds.withColumn("rowtime", timestamp_millis(col(timeCol)))
+      .withWatermark("rowtime", delay)
+
+  /**
+   * Streaming OnlineAHP: per tumbling event-time window, buffer rows until
+   * the watermark passes the window end, then run the in-window AHP+entropy
+   * scoring (k = 1/ln(numCols), OnlineAHP.java:151) over the buffer and
+   * emit one ScoredRow per input row.
+   *
+   * @param ds streaming Dataset with `tms: Long` epoch millis and
+   *           `features: Array[Double]`, already watermarked via withRowtime
+   */
+  def onlineAhpStream(ds: DataFrame, judgment: Array[Array[Double]],
+                      indicatorType: Array[Int], windowSpec: String,
+                      watermarkDelay: String = "0 seconds"): Dataset[ScoredRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val ahpW = AHP.weightVector(judgment)
+    val cr = AHP.consistencyRatio(judgment, ahpW)
+    require(cr < 0.1, f"CR $cr%.4f is too large, please check your judgment matrix")
+    val winMs = EventWindows.durationMs(windowSpec)
+
+    val typed = withRowtime(ds, "tms", watermarkDelay)
+      .select(col("tms"), col("features"), col("rowtime"))
+      .as[(Long, Array[Double], java.sql.Timestamp)]
+
+    typed
+      .groupByKey { case (tms, _, _) => (tms / winMs) * winMs }
+      .flatMapGroupsWithState[Array[EvRow], ScoredRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (wstart, rows, state: GroupState[Array[EvRow]]) =>
+          if (state.hasTimedOut) {
+            // watermark passed window end -> score the whole window
+            // (the Flink trigger point, OnlineAHP.java:63-71)
+            val buf = state.getOption.getOrElse(Array.empty[EvRow])
+            state.remove()
+            scoreWindow(buf, ahpW, indicatorType).iterator
+          } else {
+            val buf = state.getOption.getOrElse(Array.empty[EvRow]) ++
+              rows.map { case (tms, f, _) => EvRow(tms, f) }
+            state.update(buf)
+            state.setTimeoutTimestamp(wstart + winMs - 1)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** The in-window scoring of OnlineAHP.java:94-175, verbatim semantics:
+    * per-column min/max -> min-max normalize by indicator direction ->
+    * entropy weights with k = 1/ln(numCols) -> score. */
+  private[streaming] def scoreWindow(buf: Array[EvRow], ahpW: Array[Double],
+                                     indicatorType: Array[Int]): Array[ScoredRow] = {
+    if (buf.isEmpty) return Array.empty
+    val n = indicatorType.length
+    val mn = Array.fill(n)(Double.MaxValue); val mx = Array.fill(n)(Double.MinValue)
+    buf.foreach { r =>
+      var i = 0
+      while (i < n) {
+        if (r.features(i) < mn(i)) mn(i) = r.features(i)
+        if (r.features(i) > mx(i)) mx(i) = r.features(i)
+        i += 1
+      }
+    }
+    val norm = buf.map { r =>
+      Array.tabulate(n) { i =>
+        if (indicatorType(i) == 1) (r.features(i) - mn(i)) / (mx(i) - mn(i))
+        else (mx(i) - r.features(i)) / (mx(i) - mn(i))
+      }
+    }
+    val colSum = Array.fill(n)(0.0)
+    norm.foreach { t => var i = 0; while (i < n) { colSum(i) += t(i); i += 1 } }
+    val e = Array.fill(n)(0.0)
+    norm.foreach { t =>
+      var i = 0
+      while (i < n) {
+        val p = t(i) / colSum(i)
+        e(i) += (if (p == 0.0) 0.0 else p * math.log(p))
+        i += 1
+      }
+    }
+    val k = 1.0 / math.log(n.toDouble)
+    val d = e.map(ei => 1.0 - (-k * ei))
+    val dTot = d.sum
+    buf.indices.map { ri =>
+      var s = 0.0; var i = 0
+      while (i < n) { s += norm(ri)(i) * ahpW(i) * (d(i) / dTot); i += 1 }
+      ScoredRow(buf(ri).tms, buf(ri).features, s)
+    }.toArray
+  }
+
+  /**
+   * Streaming OnlineTopsis fit: window means as an append-mode watermarked
+   * aggregation; per micro-batch, TOPSIS over the batch's emitted means.
+   * `sink(batchDf)` receives (data, timestamp, minTimestamp, score) rows.
+   * Returns the StreamingQuery (caller awaits/stops).
+   */
+  def onlineTopsisFitStream(ds: DataFrame, windowSpec: String,
+                            weights: Array[Double], criteriaTypes: Array[Int],
+                            watermarkDelay: String = "0 seconds")(
+                            sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val winMs = EventWindows.durationMs(windowSpec)
+    val means = withRowtime(ds, "tms", watermarkDelay)
+      .select(col("tms"), col("rowtime"), posexplode(col("features")).as(Seq("__pos", "__v")))
+      .groupBy(window(col("rowtime"), s"$winMs milliseconds"), col("__pos"))
+      .agg(avg(col("__v")).as("__avg"), min(col("tms")).as("__mnts"))
+      .groupBy(col("window"))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__avg"))))
+          .getField("__avg").as("data"),
+        min(col("__mnts")).as("minTimestamp"))
+      .select(col("data"),
+        (unix_millis(col("window.end")) - 1).as("timestamp"), col("minTimestamp"))
+
+    means.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) {
+          sink(Topsis.score(batch.toDF(), "data", weights, criteriaTypes,
+            0.0, Array(0.0, 0.0), "score"))
+        }
+      }
+      .start()
+  }
+}

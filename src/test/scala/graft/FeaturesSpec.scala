@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Specs for A10-A13 feature transformers. */
+class FeaturesSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("MeanImputer: null -> mean of non-nulls (MeanImputer.java:41-58)") {
+    val df = Seq(Some(1.0), None, Some(3.0), Some(5.0)).toDF("v")
+    val model = new MeanImputer().setInputCol("v").fit(df)
+    assert(model.mean == 3.0)
+    val out = model.transform(df)
+    assert(out.columns.toSeq == Seq("imputed_value"))
+    assert(out.as[Double].collect().sorted.toSeq == Seq(1.0, 3.0, 3.0, 5.0))
+  }
+
+  test("StandardScaler: real (x-mu)/sd, not the reference identity stub") {
+    val df = Seq(2.0, 4.0, 6.0).toDF("v")
+    val model = new StandardScalerEst().setInputCol("v").fit(df)
+    assert(model.mean == 4.0 && math.abs(model.std - 2.0) < 1e-12)
+    val out = model.transform(df).as[Double].collect().sorted
+    assertApprox(out.toSeq, Seq(-1.0, 0.0, 1.0), 1e-12)
+  }
+
+  test("TimeFeatureExtractor: yyyy-MM-dd -> (year INT, month/day %02d strings); junk -> nulls") {
+    val df = Seq("2021-03-07", "bad-date", null, "2021-3-7").toDF("d")
+    val out = new TimeFeatureExtractor().setInputCol("d").transform(df)
+    assert(out.schema == new StructType()
+      .add("year", IntegerType).add("month", StringType).add("day", StringType))
+    val rows = out.collect()
+    assert(rows(0) == Row(2021, "03", "07"))
+    rows.drop(1).foreach(r => assert(r == Row(null, null, null)))
+  }
+
+  test("AutoFeatureTransformer: double col, null AND 0.0 both imputed (reference quirk)") {
+    val df = Seq(Some(2.0), None, Some(0.0), Some(4.0)).toDF("x")
+    val out = new AutoFeatureTransformer().transform(df)
+    // non-"missing" values 2.0, 4.0 -> mean 3.0 fills both null and 0.0
+    assert(out.select("newValue").as[Double].collect().sorted.toSeq ==
+      Seq(2.0, 3.0, 3.0, 4.0))
+  }
+
+  test("AutoFeatureTransformer: schema-driven dispatch plan") {
+    val t = new AutoFeatureTransformer()
+    val schema = new StructType().add("s", StringType).add("d", DoubleType)
+      .add("i", IntegerType).add("b", BinaryType)
+    assert(t.plan(schema) == Map("s" -> "time", "d" -> "mean_impute_zero_as_missing",
+      "i" -> "one_hot", "b" -> "passthrough"))
+  }
+}

