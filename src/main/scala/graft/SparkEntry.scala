@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AHP, Apriori, Canopy, FCMModel, MeanImputer, OnlineAHP, OnlineTopsis, StandardScalerEst, Topsis}
+import graft.operators.{AHP, Apriori, Canopy, Dedup, FCMModel, MeanImputer, OnlineAHP, OnlineTopsis, Similarity, StandardScalerEst, TextAnalysis, Topsis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -59,6 +59,13 @@ object SparkEntry {
     tbl(s, dir, "events").selectExpr(
       "event_id", "ts div 1000000 AS tms", "CAST(value AS DOUBLE) AS x0",
       "CAST(user_id % 100 AS DOUBLE) AS x1", "CAST(event_id % 50 AS DOUBLE) AS x2")
+
+  // MinHash LSH query config: 16 hashes in 8 bands of 2; params seeded so
+  // the DuckDB oracle can inline the exact same (a, b) pairs.
+  private val mhHashes = 16
+  private val mhBands = 8
+  private val mhSeed = 42L
+  private lazy val mhParams: Array[(Long, Long)] = Dedup.hashParams(mhHashes, mhSeed)
 
   private val topsisWeights = Array(0.4, 0.3, 0.2, 0.1)
   private val topsisTypes = Array(1, 2, 3, 4) // quantity↑, price↓, discount≈0.05, tax∈[0.02,0.06]
@@ -184,6 +191,70 @@ object SparkEntry {
         .fit(ev)
       model.transform(ev)
         .select(col("event_id"), round(col("prediction"), 6).as("score"))
+    }),
+
+    // ---- training-data pipeline extensions (documents / embeddings) ----
+
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      // normalize: first 3 lowercase words — creates real duplicate groups
+      val key = concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 3))
+      Dedup.exact(docs.withColumn("__k", key), col("__k"), "doc_id")
+        .select(col("doc_id"))
+    }),
+
+    "q_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashCandidatePairs(tbl(s, dir, "documents"), "text", "doc_id",
+        mhHashes, mhBands, mhSeed)
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      // full near-dup pipeline: LSH candidates -> min-id label propagation;
+      // iterative clustering has no single-query SQL oracle (rows-only check)
+      val pairs = Dedup.minhashCandidatePairs(tbl(s, dir, "documents"),
+        "text", "doc_id", mhHashes, mhBands, mhSeed)
+      Dedup.clusters(pairs).select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
+    "q_simhash" -> ((s, dir) => {
+      Dedup.simhash(tbl(s, dir, "documents"), "text", "doc_id", bits = 16)
+    }),
+
+    "q_jaccard_pairs" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = d.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      val pairs = a.join(b, col("id_b") === col("id_a") + 1)
+      pairs.select(col("id_a"), col("id_b"),
+        round(Dedup.ngramJaccard(pairs, col("ta"), col("tb"), 1), 6).as("jaccard"))
+    }),
+
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3)
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      // LSH-bucketed ANN (scale path); approximate by design -> rows-only
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshTopK(emb, "vec_id", "embedding",
+        queries, "qid", "qvec", k = 3, nbits = 8, dims = 64)
+    }),
+
+    "q_text_stats" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
+        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
 
     "q_time_features" -> ((s, dir) => {
@@ -433,6 +504,102 @@ object SparkEntry {
          |  FROM z)
          |SELECT x.event_id, round(sc.score, 6) AS score
          |FROM x JOIN sc ON x.ws = sc.ws""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id FROM documents
+        |GROUP BY array_to_string(list_slice(string_split_regex(lower(text), '\s+'), 1, 3), ' ')""".stripMargin,
+
+    "q_minhash_pairs" -> {
+      val sigCols = mhParams.zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * hm + $b) % ${Dedup.P}) AS m$i"
+      }.mkString(", ")
+      val bandRows = mhHashes / mhBands
+      val bandSelects = (0 until mhBands).map { bnd =>
+        val parts = (0 until bandRows)
+          .map(r => s"CAST(m${bnd * bandRows + r} AS VARCHAR)")
+          .mkString(" || '_' || ")
+        s"SELECT doc_id, $bnd AS band, $parts AS bsig FROM sig"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS t
+         |  FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % ${Dedup.P} AS hm FROM tok),
+         |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         |FROM bands l JOIN bands r ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id""".stripMargin
+    },
+
+    "q_simhash" -> {
+      val bitSums = (0 until 16).map(j => s"sum((h >> $j) % 2 * 2 - 1) AS b$j").mkString(", ")
+      val fp = (0 until 16).map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS t
+         |  FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+         |s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM s""".stripMargin
+    },
+
+    "q_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split_regex(lower(text), '\s+')) AS w
+        |           FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+        |      / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) AS jaccard
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |flat AS (
+        |  SELECT q.qid, e.vec_id, unnest(q.qe) AS qa, unnest(e.embedding) AS ca
+        |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+        |s AS (SELECT qid, vec_id,
+        |        sum(CAST(qa AS DOUBLE) * CAST(ca AS DOUBLE)) AS dot,
+        |        sum(CAST(qa AS DOUBLE) * CAST(qa AS DOUBLE)) AS na,
+        |        sum(CAST(ca AS DOUBLE) * CAST(ca AS DOUBLE)) AS nb
+        |      FROM flat GROUP BY qid, vec_id),
+        |sc AS (SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS score,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 4) DESC, vec_id) AS rank
+        |       FROM s)
+        |SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, score FROM sc WHERE rank <= 3""".stripMargin,
+
+    "q_text_stats" -> {
+      def ratio(langWords: Seq[String]): String = {
+        val inList = langWords.map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(w, t -> t IN ($inList))) AS DOUBLE) / greatest(len(w), 1)"
+      }
+      val en = ratio(TextAnalysis.stopwords("en")); val de = ratio(TextAnalysis.stopwords("de"))
+      val fr = ratio(TextAnalysis.stopwords("fr")); val es = ratio(TextAnalysis.stopwords("es"))
+      s"""WITH d AS (SELECT doc_id, text, n_chars,
+         |    string_split_regex(lower(text), '\\s+') AS w FROM documents),
+         |r AS (SELECT doc_id, text, n_chars, w,
+         |    $en AS r_en, $de AS r_de, $fr AS r_fr, $es AS r_es FROM d),
+         |base AS (SELECT doc_id, text, n_chars, w, r_en,
+         |    CASE WHEN greatest(r_en, r_de, r_fr, r_es) < 0.05 THEN 'und'
+         |         WHEN r_fr >= r_en AND r_fr >= r_de AND r_fr >= r_es THEN 'fr'
+         |         WHEN r_es >= r_en AND r_es >= r_de THEN 'es'
+         |         WHEN r_en >= r_de THEN 'en' ELSE 'de' END AS lang_pred,
+         |    len(w) AS n_tokens,
+         |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1) AS punct,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(w, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % ${Dedup.P})),
+         |      (acc, h) -> (acc * 31 + h) % ${Dedup.P}) AS fingerprint,
+         |    CAST(len(list_filter(w, t -> length(t) >= 0)) AS DOUBLE) AS nw,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t -> CAST(length(t) AS BIGINT))),
+         |      (acc, h) -> acc + h) AS sumlen
+         |  FROM r)
+         |SELECT doc_id, lang_pred, CAST(n_tokens AS INTEGER) AS n_tokens,
+         |  round(punct, 6) AS punct_ratio, round(r_en, 6) AS stopword_ratio,
+         |  CAST(round((CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.3 END) * 0.3
+         |      + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.25
+         |      + (CASE WHEN sumlen / nw BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25
+         |      + (CASE WHEN r_en >= 0.01 THEN 1.0 ELSE 0.6 END) * 0.2, 4) AS DOUBLE) AS quality,
+         |  fingerprint
+         |FROM base""".stripMargin
+    },
 
     "q_time_features" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS year,

@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.core.VecOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (Array[Float]/Array[Double]). Training-data-pipeline extension (not in
+ * the reference). Three tiers:
+ *
+ *  - `bruteForceTopK`: exact cosine top-k. The query set is broadcast
+ *    (it is small by construction); the corpus is scanned once, fully
+ *    parallel, no shuffle except the per-query top-k — correct baseline
+ *    at any corpus size, cost O(|corpus| * |queries| * d).
+ *  - `lshBuckets` + `lshTopK`: random-hyperplane signatures; only
+ *    bucket-colliding candidates are scored. The scale path: candidate
+ *    generation is a hash join on the signature.
+ *  - `ivfTopK`: inverted-file — corpus partitioned by nearest coarse
+ *    centroid, queries probe only the nprobe nearest cells.
+ *
+ * The cosine kernel is built-in higher-order functions (zip_with +
+ * aggregate), fully codegen'd — no UDF in the hot path.
+ */
+object Similarity {
+
+  /** Cosine similarity between two array columns, in doubles. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast(DoubleType) * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast(DoubleType) * v))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k by cosine for each query row. Queries: (qid, qvec). */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col(qidCol) =!= col(idCol))
+      .withColumn("score", cosine(col(qvecCol), col(vecCol)))
+    // deterministic under float noise: rank on rounded score, then id
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(round(col("score"), 4).desc, col(idCol).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("rank"), round(col("score"), 4).as("score"))
+  }
+
+  /** Seeded random hyperplanes (Gaussian components). */
+  def hyperplanes(nbits: Int, dims: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(nbits)(Array.fill(dims)(rng.nextGaussian()))
+  }
+
+  /** Sign-pattern LSH signature as a long bucket id. */
+  def lshBuckets(df: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(planes)
+    val sigUdf = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      var sig = 0L
+      var i = 0
+      while (i < bc.value.length) {
+        if (VecOps.dot(arr, bc.value(i)) >= 0) sig |= (1L << i)
+        i += 1
+      }
+      sig
+    }
+    df.withColumn("bucket", sigUdf(col(vecCol).cast(ArrayType(DoubleType))))
+  }
+
+  /** ANN top-k searching only same-bucket candidates. */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, nbits: Int, dims: Int, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nbits, dims, seed)
+    val cb = lshBuckets(corpus, vecCol, planes)
+    val qb = lshBuckets(queries, qvecCol, planes).withColumnRenamed("bucket", "qbucket")
+    val joined = cb.join(broadcast(qb), col("bucket") === col("qbucket") &&
+        col(qidCol) =!= col(idCol))
+      .withColumn("score", cosine(col(qvecCol), col(vecCol)))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(round(col("score"), 4).desc, col(idCol).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("rank"), round(col("score"), 4).as("score"))
+  }
+
+  /** IVF coarse cells: seeded sample of corpus vectors as centroids. */
+  def ivfCentroids(corpus: DataFrame, vecCol: String, cells: Int, seed: Long): Array[Array[Double]] = {
+    import org.apache.spark.sql.Encoders
+    corpus.select(col(vecCol).cast(ArrayType(DoubleType)))
+      .map(_.getSeq[Double](0).toArray)(Encoders.kryo[Array[Double]])
+      .rdd.takeSample(withReplacement = false, cells, seed)
+  }
+
+  /** ANN top-k probing the nprobe nearest coarse cells per query. */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qidCol: String, qvecCol: String,
+              k: Int, cells: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+    val centroids = ivfCentroids(corpus, vecCol, cells, seed)
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellUdf = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      var best = 0; var bestD = Double.MaxValue
+      var i = 0
+      while (i < bc.value.length) {
+        val d = VecOps.sqDist(arr, bc.value(i))
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+    val probeUdf = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      bc.value.indices.map(i => (VecOps.sqDist(arr, bc.value(i)), i))
+        .sorted.take(nprobe).map(_._2)
+    }
+    val cb = corpus.withColumn("cell", cellUdf(col(vecCol).cast(ArrayType(DoubleType))))
+    val qb = queries.withColumn("cell",
+      explode(probeUdf(col(qvecCol).cast(ArrayType(DoubleType)))))
+    val joined = cb.join(broadcast(qb), Seq("cell"))
+      .filter(col(qidCol) =!= col(idCol))
+      .withColumn("score", cosine(col(qvecCol), col(vecCol)))
+    val w = Window.partitionBy(col(qidCol))
+      .orderBy(round(col("score"), 4).desc, col(idCol).asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("rank"), round(col("score"), 4).as("score"))
+  }
+}

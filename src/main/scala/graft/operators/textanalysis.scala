@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis operators for training-data pipelines (100 TB documents
+ * case). Everything is a pure Column expression — codegen'd, no UDFs, no
+ * shuffles; each op composes into a scan-only projection so a full-corpus
+ * pass is one map stage.
+ */
+object TextAnalysis {
+
+  /** Tiny built-in stopword profiles for the language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es", "un", "una", "que", "por"))
+
+  private def words(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Fraction of a document's tokens found in `list`. */
+  private def hitRatio(text: Column, list: Seq[String]): Column = {
+    val w = words(text)
+    size(filter(w, t => t.isin(list: _*))) / greatest(size(w), lit(1)).cast(DoubleType)
+  }
+
+  /**
+   * Language-ID heuristic: highest stopword hit-ratio wins; 'und'
+   * (undetermined) when no profile scores above `minRatio`.
+   */
+  def langId(text: Column, minRatio: Double = 0.05): Column = {
+    val scored = stopwords.toSeq.map { case (lang, list) => (lang, hitRatio(text, list)) }
+    val best = scored.map { case (lang, s) => struct(s.as("s"), lit(lang).as("l")) }
+    val top = greatest(best: _*)
+    when(top.getField("s") >= minRatio, top.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(words(text))
+
+  /** BPE-ish token count: alnum runs and individual punctuation marks each
+    * count as one token — the usual pre-tokenizer upper bound. */
+  def tokenCountBpe(text: Column): Column =
+    size(filter(split(lower(text), "(?=[^a-z0-9])|(?<=[^a-z0-9])"),
+      t => t.rlike("\\S")))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast(DoubleType) /
+      greatest(length(text), lit(1)).cast(DoubleType)
+
+  /** English stopword ratio — a common quality signal. */
+  def stopwordRatio(text: Column): Column = hitRatio(text, stopwords("en"))
+
+  /** Mean word length. */
+  def meanWordLen(text: Column): Column =
+    aggregate(words(text), lit(0.0), (acc, w) => acc + length(w).cast(DoubleType)) /
+      greatest(size(words(text)), lit(1)).cast(DoubleType)
+
+  /**
+   * Composite quality score in [0,1]: length band + low punctuation +
+   * reasonable mean word length + stopword presence. Heuristic in the
+   * spirit of C4/Gopher text-quality filters (weights are explicit and
+   * deterministic, scoring logic all in one scan).
+   */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val lenOk = when(nChars.between(100, 20000), 1.0).otherwise(0.3)
+    val punctOk = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.4)
+    val wordOk = when(meanWordLen(text).between(2.0, 12.0), 1.0).otherwise(0.5)
+    val stopOk = when(stopwordRatio(text) >= 0.01, 1.0).otherwise(0.6)
+    round(lenOk * 0.3 + punctOk * 0.25 + wordOk * 0.25 + stopOk * 0.2, 4)
+  }
+
+  /**
+   * Document fingerprint: polynomial rolling hash over normalized tokens,
+   * base 31 mod 2^31-1 — an order-sensitive analog of the simhash content
+   * key, one `aggregate` fold per document.
+   */
+  def fingerprint(text: Column): Column =
+    aggregate(words(text), lit(0L),
+      (acc, w) => (acc * 31L + Dedup.md5Long(w) % Dedup.P) % Dedup.P)
+}

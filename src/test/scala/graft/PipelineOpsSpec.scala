@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline extensions: dedup, ANN, text analysis. */
+class PipelineOpsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (5L, "unrelated short text")).toDF("doc_id", "text")
+
+  test("exact dedup keeps the min-id row per key") {
+    val kept = Dedup.exact(docs, col("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("minhash: identical docs always collide, near-dups usually, distinct never-ish") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+      numHashes = 16, bands = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact dup must collide in every band")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)),
+      "8/9-word-overlap near-dups should collide in some band")
+    assert(!pairs.contains((3L, 5L)), "disjoint docs must not collide")
+  }
+
+  test("cluster resolution: min-id label propagation") {
+    val pairs = Seq((1L, 4L), (1L, 2L), (2L, 4L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("simhash: exact dups share fingerprints, near-dups are Hamming-close") {
+    val fp = Dedup.simhash(docs, "text", "doc_id", bits = 60).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(4L))
+    val hammingNear = java.lang.Long.bitCount(fp(1L) ^ fp(2L))
+    val hammingFar = java.lang.Long.bitCount(fp(1L) ^ fp(3L))
+    assert(hammingNear < hammingFar,
+      s"near-dup hamming $hammingNear should beat unrelated $hammingFar")
+  }
+
+  test("ngram jaccard: hand-computed value") {
+    val pairs = Seq((
+      "the quick brown fox",  // bigrams: {the quick, quick brown, brown fox}
+      "the quick brown cat")) // bigrams: {the quick, quick brown, brown cat}
+      .toDF("a", "b")
+    val sim = pairs.select(
+      Dedup.ngramJaccard(pairs, col("a"), col("b"), 2).as("j"))
+      .as[Double].head()
+    assert(math.abs(sim - 2.0 / 4.0) < 1e-12) // 2 shared of 4 distinct
+  }
+
+  test("brute-force ANN: self-similar vectors rank first") {
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.9, 0.1, 0.0)),
+      (3L, Array(0.0, 1.0, 0.0)), (4L, Array(0.0, 0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0, 0.0, 0.0))).toDF("qid", "qvec")
+    val got = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 2).collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("LSH ANN recalls the exact top-1 on separated clusters") {
+    val rng = new java.util.Random(7)
+    def near(base: Array[Double]) = base.map(_ + rng.nextGaussian() * 0.01)
+    val a = Array.fill(16)(rng.nextGaussian())
+    val b = Array.fill(16)(rng.nextGaussian())
+    val corpus = ((1 to 20).map(i => (i.toLong, near(a))) ++
+      (21 to 40).map(i => (i.toLong, near(b)))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, near(a))).toDF("qid", "qvec")
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", 1).collect()(0).getLong(1)
+    val approx = Similarity.lshTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", 1, nbits = 4, dims = 16).collect()
+    assert(approx.nonEmpty && approx(0).getLong(1) == exact)
+  }
+
+  test("IVF ANN finds cluster-local neighbors") {
+    val rng = new java.util.Random(11)
+    def near(base: Array[Double]) = base.map(_ + rng.nextGaussian() * 0.01)
+    val a = Array.fill(8)(rng.nextGaussian())
+    val b = Array.fill(8)(rng.nextGaussian())
+    val corpus = ((1 to 10).map(i => (i.toLong, near(a))) ++
+      (11 to 20).map(i => (i.toLong, near(b)))).toDF("vec_id", "embedding")
+    val queries = Seq((100L, near(b))).toDF("qid", "qvec")
+    val got = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 3, cells = 2, nprobe = 1).collect()
+    assert(got.length == 3 && got.forall(_.getLong(1) >= 11L),
+      s"all neighbors must come from cluster b: ${got.mkString(",")}")
+  }
+
+  test("text analysis: langid, token counts, quality, fingerprint") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is a fine day for the fox"),
+      (2L, "der hund ist nicht auf der couch und das ist gut"),
+      (3L, "xyzzy qwerty plugh")).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.langId(col("text")).as("lang"),
+      TextAnalysis.tokenCountWs(col("text")).as("ws"),
+      TextAnalysis.tokenCountBpe(concat(col("text"), lit(", end."))).as("bpe"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).collect()
+    assert(out(0).getString(1) == "en")
+    assert(out(1).getString(1) == "de")
+    assert(out(2).getString(1) == "und")
+    assert(out(0).getInt(2) == 15)
+    // ", end." adds tokens: ',' 'end' '.'
+    assert(out(2).getInt(3) == 3 + 3)
+    // deterministic fingerprints, distinct across docs
+    assert(out.map(_.getLong(4)).distinct.length == 3)
+
+    val q = df.withColumn("n_chars", length(col("text")))
+      .select(TextAnalysis.qualityScore(col("text"), col("n_chars")))
+      .as[Double].collect()
+    assert(q.forall(s => s >= 0.0 && s <= 1.0))
+  }
+}
