@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AHP, Apriori, Canopy, Dedup, FCMModel, MeanImputer, OnlineAHP, OnlineTopsis, Similarity, StandardScalerEst, TextAnalysis, Topsis}
+import graft.operators.{AHP, Apriori, Canopy, Dedup, FCMModel, MeanImputer, Multimodal, OnlineAHP, OnlineTopsis, Similarity, StandardScalerEst, TextAnalysis, Topsis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -255,6 +255,17 @@ object SparkEntry {
         round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
         TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    "q_multimodal" -> ((s, dir) => {
+      // blobs synthesized from text bytes (no codecs in this container —
+      // decode is the documented StubCodecs layer); exercises the batched
+      // mapPartitions feature-extraction path end-to-end. Rows-only check.
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      Multimodal.extractImageFeatures(docs, "doc_id", "blob", dims = 8, batchSize = 32)
+        .select(col("media_id"),
+          round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 4).as("feat_sum"))
     }),
 
     "q_time_features" -> ((s, dir) => {
