@@ -1,0 +1,17 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ExplainCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (q <- Seq("q3_join", "q1_agg", "q_topsis", "q_dedup_exact")) {
+      println(s"===== $q =====")
+      println(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}

@@ -60,11 +60,15 @@ object SparkEntry {
       "event_id", "ts div 1000000 AS tms", "CAST(value AS DOUBLE) AS x0",
       "CAST(user_id % 100 AS DOUBLE) AS x1", "CAST(event_id % 50 AS DOUBLE) AS x2")
 
-  // MinHash LSH query config: 16 hashes in 8 bands of 2; params seeded so
-  // the DuckDB oracle can inline the exact same (a, b) pairs.
+  // MinHash LSH query config: 3-gram shingles, 16 hashes in 4 bands of 4.
+  // Shingling matters on shared-vocabulary corpora: unigram Jaccard between
+  // unrelated docs here is ~0.6, 3-gram Jaccard ~0 — shingles make LSH
+  // candidates mean something. Params seeded so the DuckDB oracle inlines
+  // the exact same (a, b) pairs.
   private val mhHashes = 16
-  private val mhBands = 8
+  private val mhBands = 4
   private val mhSeed = 42L
+  private val mhShingle = 3
   private lazy val mhParams: Array[(Long, Long)] = Dedup.hashParams(mhHashes, mhSeed)
 
   private val topsisWeights = Array(0.4, 0.3, 0.2, 0.1)
@@ -205,15 +209,25 @@ object SparkEntry {
 
     "q_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashCandidatePairs(tbl(s, dir, "documents"), "text", "doc_id",
-        mhHashes, mhBands, mhSeed)
+        mhHashes, mhBands, mhSeed, mhShingle)
     }),
 
     "q_dedup_minhash" -> ((s, dir) => {
-      // full near-dup pipeline: LSH candidates -> min-id label propagation;
-      // iterative clustering has no single-query SQL oracle (rows-only check)
-      val pairs = Dedup.minhashCandidatePairs(tbl(s, dir, "documents"),
-        "text", "doc_id", mhHashes, mhBands, mhSeed)
-      Dedup.clusters(pairs).select(col("id").as("doc_id"), col("cluster_id"))
+      // full near-dup pipeline: LSH candidates -> exact Jaccard verify ->
+      // min-id label propagation; iterative clustering has no single-query
+      // SQL oracle (rows-only check). The verify pass prunes the edge list
+      // before the iterative step — at scale that's the difference between
+      // propagating over true near-dups and over every vocab collision.
+      val docs = tbl(s, dir, "documents")
+      val cand = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
+        mhHashes, mhBands, mhSeed, mhShingle)
+      val a = docs.select(col("doc_id").as("id_a"), col("text").as("__ta"))
+      val b = docs.select(col("doc_id").as("id_b"), col("text").as("__tb"))
+      val joined = cand.join(a, "id_a").join(b, "id_b")
+      val verified = joined
+        .filter(Dedup.ngramJaccard(joined, col("__ta"), col("__tb"), mhShingle) >= 0.8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.clusters(verified).select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
     "q_simhash" -> ((s, dir) => {
@@ -531,10 +545,15 @@ object SparkEntry {
           .mkString(" || '_' || ")
         s"SELECT doc_id, $bnd AS band, $parts AS bsig FROM sig"
       }.mkString("\nUNION ALL\n")
-      s"""WITH tok AS (
-         |  SELECT DISTINCT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS t
+      s"""WITH w AS (SELECT doc_id,
+         |    list_transform(string_split_regex(lower(text), '\\s+'),
+         |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % ${Dedup.P}) AS wh
          |  FROM documents),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % ${Dedup.P} AS hm FROM tok),
+         |h AS (
+         |  SELECT DISTINCT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(wh) - ${mhShingle - 2}, 1)),
+         |      i -> ((wh[i] * ${Dedup.B} + wh[i+1]) % ${Dedup.P} * ${Dedup.B} + wh[i+2]) % ${Dedup.P}))) AS hm
+         |  FROM w),
          |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
          |bands AS ($bandSelects)
          |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b

@@ -33,14 +33,18 @@ object Dedup {
   /** Distinct lowercase whitespace tokens of a text column. */
   def tokens(c: Column): Column = array_distinct(split(lower(c), "\\s+"))
 
-  /** Word n-gram shingles (space-joined), distinct. */
+  /** Word n-gram shingles (space-joined), distinct. Docs with fewer than
+    * n words produce an empty array (Spark's sequence(0, -1) would count
+    * DOWN, so the short case is guarded explicitly). */
   def shingles(c: Column, n: Int): Column = {
     if (n == 1) tokens(c)
     else {
       val words = split(lower(c), "\\s+")
-      val count = greatest(size(words) - (n - 1), lit(0))
-      array_distinct(transform(sequence(lit(0), count - 1), i =>
-        concat_ws(" ", transform(sequence(i, i + (n - 1)), j => element_at(words, j + 1)))))
+      val count = size(words) - (n - 1)
+      when(count > 0,
+        array_distinct(transform(sequence(lit(0), count - 1), i =>
+          concat_ws(" ", transform(sequence(i, i + (n - 1)), j => element_at(words, j + 1))))))
+        .otherwise(array().cast(ArrayType(StringType)))
     }
   }
 
@@ -60,13 +64,36 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** k-function minhash signature over a distinct-token array column. */
-  def minhashSignature(tok: Column, k: Int, seed: Long): Column = {
+  /** k-function minhash signature over a PRE-HASHED token array column
+    * (see hashedTokens) — md5 runs once per token, not once per hash fn. */
+  def minhashSignature(hashedTok: Column, k: Int, seed: Long): Column = {
     val params = hashParams(k, seed)
     array(params.map { case (a, b) =>
-      array_min(transform(tok, t =>
-        (lit(a) * (md5Long(t) % P) + lit(b)) % P))
+      array_min(transform(hashedTok, h => (lit(a) * h + lit(b)) % P))
     }: _*)
+  }
+
+  /** Rolling-combine base for shingle hashes. */
+  val B: Long = 1000003L
+
+  /** Shingles reduced to 31-bit hashes — ONE md5 per word, shingle hashes
+    * combined arithmetically (h_i*B + h_{i+1})*B + … mod P, never
+    * materializing shingle strings. Word n-grams (n >= 2) are the right
+    * unit for natural-language near-dup detection: random same-domain docs
+    * share vocabulary (unigram Jaccard can sit at 0.5+) but not 3-gram
+    * sequences. */
+  def hashedTokens(textCol: Column, shingleN: Int = 1): Column = {
+    if (shingleN == 1) array_distinct(transform(split(lower(textCol), "\\s+"), t => md5Long(t) % P))
+    else {
+      val wh = transform(split(lower(textCol), "\\s+"), t => md5Long(t) % P)
+      val count = size(wh) - (shingleN - 1)
+      val rolled = transform(sequence(lit(0), count - 1), i =>
+        (1 until shingleN).foldLeft(element_at(wh, i + 1)) { (acc, j) =>
+          (acc * B + element_at(wh, i + j + 1)) % P
+        })
+      when(count > 0, array_distinct(rolled))
+        .otherwise(array().cast(ArrayType(LongType)))
+    }
   }
 
   /**
@@ -75,13 +102,67 @@ object Dedup {
    * only shuffle; within-bucket pairing explodes only bucket-local ids
    * (buckets are small when bands*rows is sized to the corpus).
    */
+  /** md5Long as plain Scala — bit-identical to the Column form (first 15
+    * hex digits of md5 = first 7 bytes + the high nibble of the 8th). */
+  def md5LongJvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /**
+   * Whole minhash signature in one pass of tight JVM loops: split, one md5
+   * per word, rolling shingle combine, k minima. A single UDF call per row
+   * beats the equivalent nested higher-order functions by ~10x here:
+   * Catalyst does not CSE subexpressions inside lambda functions, so the
+   * expression form re-hashes the word array once per element access.
+   */
+  private def signatureUdf(numHashes: Int, bands: Int, seed: Long, shingleN: Int) = {
+    val params = hashParams(numHashes, seed)
+    udf { (text: String) =>
+      val words = text.toLowerCase.split("\\s+")
+      val wh = words.map(w => md5LongJvm(w) % P)
+      val sh: Array[Long] =
+        if (shingleN == 1) wh.distinct
+        else if (wh.length < shingleN) Array.empty[Long]
+        else {
+          val out = new Array[Long](wh.length - shingleN + 1)
+          var i = 0
+          while (i < out.length) {
+            var acc = wh(i)
+            var j = 1
+            while (j < shingleN) { acc = (acc * B + wh(i + j)) % P; j += 1 }
+            out(i) = acc
+            i += 1
+          }
+          out.distinct
+        }
+      if (sh.isEmpty) Array.empty[Long]
+      else params.map { case (a, b) =>
+        var mn = Long.MaxValue
+        var i = 0
+        while (i < sh.length) {
+          val h = (a * sh(i) + b) % P
+          if (h < mn) mn = h
+          i += 1
+        }
+        mn
+      }
+    }
+  }
+
   def minhashCandidatePairs(df: DataFrame, textCol: String, idCol: String,
-                            numHashes: Int, bands: Int, seed: Long = 42L): DataFrame = {
+                            numHashes: Int, bands: Int, seed: Long = 42L,
+                            shingleN: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sig = minhashSignature(tokens(col(textCol)), numHashes, seed)
     val banded = df
-      .select(col(idCol).as("__id"), sig.as("__sig"))
+      .select(col(idCol).as("__id"),
+        signatureUdf(numHashes, bands, seed, shingleN)(col(textCol)).as("__sig"))
+      .filter(size(col("__sig")) > 0)
       .select(col("__id"), posexplode(
         array((0 until bands).map(b =>
           concat_ws("_", (0 until rows).map(r => element_at(col("__sig"), b * rows + r + 1)): _*)
@@ -94,12 +175,46 @@ object Dedup {
   }
 
   /**
-   * Duplicate-cluster resolution: iterative min-id label propagation over
-   * the candidate-pair edge list (distributed connected components —
-   * each round is one join + one min-aggregate; converges in
-   * O(log(diameter)) rounds). Returns (id, cluster_id = min id reachable).
+   * Duplicate-cluster resolution: (id, cluster_id = min id reachable) over
+   * the verified-pair edge list. Hybrid strategy: a verified near-dup edge
+   * list is sparse by construction (dedup implies few duplicates), so up
+   * to `driverEdgeLimit` edges it is union-found on the driver in one
+   * collect — no iterative jobs. Above the limit it falls back to
+   * distributed min-id label propagation (one join + one min-aggregate per
+   * round, O(log diameter) rounds), which is the 100 TB path.
    */
-  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def clusters(rawPairs: DataFrame, maxIter: Int = 20,
+               driverEdgeLimit: Long = 5000000L): DataFrame = {
+    val spark = rawPairs.sparkSession
+    import spark.implicits._
+    // cache: the size probe and the collect/propagation both consume the
+    // full candidate lineage (signature UDF + joins) otherwise twice
+    val pairs = rawPairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = pairs.limit((driverEdgeLimit + 1).toInt).count()
+    if (n <= driverEdgeLimit) {
+      val edges = pairs.select(col("id_a").cast(LongType), col("id_b").cast(LongType))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.map(id => (id, find(id)))
+      pairs.unpersist(blocking = false)
+      rows.toDF("id", "cluster_id")
+    } else clustersDistributed(pairs, maxIter)
+  }
+
+  /** Distributed min-id label propagation (the above-limit path). */
+  def clustersDistributed(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").cache()
