@@ -169,7 +169,7 @@ class AutoFeatureTransformer(override val uid: String) extends Transformer
     val doubles = df.schema.fields.collect {
       case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
     }
-    doubles.headOption match {
+    val imputed = doubles.headOption match {
       case Some(c) =>
         // Reference parity: null -> 0.0 first, then 0.0 -> mean of the
         // non-zero values; result appended as `newValue`.
@@ -178,6 +178,20 @@ class AutoFeatureTransformer(override val uid: String) extends Transformer
         zeroed.withColumn("newValue",
           when(col("__v") === 0.0, lit(mean)).otherwise(col("__v"))).drop("__v")
       case None => df
+    }
+    // Integer columns -> one-hot indicator arrays over the observed value
+    // domain (the reference routes these to Flink ML's OneHotEncoder,
+    // AutoFeatureTransformer.java:67-75). Domain collected once
+    // (one distinct agg), encoding is a pure expression.
+    val ints = df.schema.fields.collect {
+      case f if f.dataType == IntegerType || f.dataType == LongType => f.name
+    }
+    ints.foldLeft(imputed) { (acc, c) =>
+      val domain = df.select(col(c).cast(LongType)).na.drop()
+        .distinct().orderBy(col(c)).collect().map(_.getLong(0))
+      require(domain.length <= 1000, s"one-hot domain of '$c' too large (${domain.length})")
+      acc.withColumn(s"${c}_onehot",
+        array(domain.map(v => when(col(c) === v, 1).otherwise(0)): _*))
     }
   }
 

@@ -164,4 +164,27 @@ object OnlineStreaming {
       }
       .start()
   }
+
+  /**
+   * Streaming OnlineTopsisModel scoring (the A5 gate,
+   * OnlineTopsisModel.java:131-163): each streaming row with event time t
+   * is scored by the fitted window model satisfying
+   * minTimestamp <= t - maxAllowedModelDelayMs <= timestamp. The reference
+   * buffers early rows in ListState and drains on model arrival; with a
+   * FITTED (static) model table the same outcome is a stream-static range
+   * join — rows whose model is missing get a null score, exactly the rows
+   * the reference would still be buffering when the stream ends. Returns a
+   * streaming DataFrame (input columns + `score`).
+   */
+  def onlineTopsisScoreStream(ds: DataFrame, modelData: DataFrame,
+                              maxAllowedModelDelayMs: Long = 0L): DataFrame = {
+    val md = broadcast(modelData.select(col("timestamp").as("__m_ts"),
+      col("minTimestamp").as("__m_mnts"), col("score").as("__m_score")))
+    ds.join(md,
+        (col("tms") - maxAllowedModelDelayMs) <= col("__m_ts") &&
+          (col("tms") - maxAllowedModelDelayMs) >= col("__m_mnts"),
+        "left")
+      .withColumn("score", col("__m_score"))
+      .drop("__m_ts", "__m_mnts", "__m_score")
+  }
 }

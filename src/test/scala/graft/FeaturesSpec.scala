@@ -43,6 +43,13 @@ class FeaturesSpec extends GraftSpec {
       Seq(2.0, 3.0, 3.0, 4.0))
   }
 
+  test("AutoFeatureTransformer: integer columns one-hot over observed domain") {
+    val df = Seq((1, 2.0), (3, 0.0), (1, 4.0)).toDF("cat", "x")
+    val out = new AutoFeatureTransformer().transform(df)
+    val oh = out.select("cat_onehot").collect().map(_.getSeq[Int](0).toList)
+    assert(oh.toList == List(List(1, 0), List(0, 1), List(1, 0))) // domain [1,3]
+  }
+
   test("AutoFeatureTransformer: schema-driven dispatch plan") {
     val t = new AutoFeatureTransformer()
     val schema = new StructType().add("s", StringType).add("d", DoubleType)

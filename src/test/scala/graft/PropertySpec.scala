@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{AHP, Apriori, FCM, Topsis}
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants (SURVEY §5): random inputs, structural truths.
+  * Spark jobs per case are expensive — a handful of seeded samples per
+  * property (the scalatestplus bridge is not in the offline cache, so
+  * sampling is driven directly off scalacheck Gens). */
+class PropertySpec extends GraftSpec {
+  import spark.implicits._
+
+  /** Run `f` over `n` deterministic samples of `g`. */
+  private def forSamples[T](g: Gen[T], n: Int = 5)(f: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default.withSize(12), Seed(1000L + i))
+        .foreach(f)
+    }
+
+  private val rowGen = Gen.listOfN(4, Gen.choose(0.1, 100.0))
+  private val dataGen = Gen.choose(4, 15).flatMap(n => Gen.listOfN(n, rowGen))
+
+  test("TOPSIS scores always land in [0,1] for type-1/2 criteria") {
+    forSamples(dataGen) { data =>
+      val df = data.map(r => Tuple1(r.toArray)).toDF("features")
+      val scores = Topsis.score(df, "features", Array(0.4, 0.3, 0.2, 0.1),
+        Array(1, 2, 1, 2), 0.0, Array(0.0, 0.0), "score")
+        .select("score").as[Double].collect()
+      scores.foreach { s =>
+        assert(s.isNaN || (s >= -1e-9 && s <= 1.0 + 1e-9), s"score $s out of range")
+      }
+    }
+  }
+
+  test("AHP score is invariant under row permutation") {
+    val judgment = Array(
+      Array(1.0, 2.0, 4.0, 8.0), Array(0.5, 1.0, 2.0, 4.0),
+      Array(0.25, 0.5, 1.0, 2.0), Array(0.125, 0.25, 0.5, 1.0))
+    forSamples(dataGen) { data =>
+      val cols = Array("a", "b", "c", "d")
+      def score(rows: List[List[Double]]): Map[List[Double], Double] = {
+        val df = rows.map { case List(a, b, c, d) => (a, b, c, d) }.toDF(cols: _*)
+        AHP.score(df, cols, judgment, Array(1, 1, 0, 0), "s").collect()
+          .map(r => List(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)) -> r.getDouble(4))
+          .toMap
+      }
+      val fwd = score(data)
+      val rev = score(data.reverse)
+      fwd.foreach { case (k, v) =>
+        val w = rev(k)
+        assert((v.isNaN && w.isNaN) || math.abs(v - w) < 1e-9,
+          s"row-order dependence: $v vs $w")
+      }
+    }
+  }
+
+  test("FCM membership vectors sum to 1 and predictions are in [0,k)") {
+    forSamples(Gen.zip(Gen.choose(5, 12), Gen.choose(2, 4))) { case (n, k) =>
+      val rng = new java.util.Random(n * 31 + k)
+      val data = List.fill(n)(Array(rng.nextDouble() * 10, rng.nextDouble() * 10))
+      val df = data.map(Tuple1(_)).toDF("features")
+      val model = new FCM().setK(k).setMaxIter(5).setSeed(1).fit(df)
+      val m = model.membershipMatrix(df)
+        .select("membership").collect()
+        .map(_.getAs[scala.collection.Seq[Double]](0))
+      m.foreach(u => assert(math.abs(u.sum - 1.0) < 1e-9))
+      val preds = model.transform(df).select("prediction").as[Int].collect()
+      preds.foreach(p => assert(p >= 0 && p < k))
+    }
+  }
+
+  test("Apriori support anti-monotonicity: subset support >= superset support") {
+    val txGen = Gen.choose(3, 8).flatMap(n => Gen.listOfN(n,
+      Gen.someOf("A", "B", "C", "D").map(_.toList.sorted)))
+      .map(_.filter(_.nonEmpty))
+    forSamples(txGen) { txs =>
+      if (txs.nonEmpty) {
+        val df = txs.map(_.mkString("/")).toDF("items")
+        val out = new Apriori().setMinSupport(0.01).setMinConfidence(0.0)
+          .setLift(0.0).setItemSeparator("/").setInputCols("items")
+          .transform(df)
+        val sup = out.collect()
+          .map(r => r.getAs[scala.collection.Seq[String]](0).toSet -> r.getDouble(2))
+          .toMap
+        for ((s1, v1) <- sup; (s2, v2) <- sup if s1.subsetOf(s2) && s1 != s2)
+          assert(v1 >= v2 - 1e-12,
+            s"anti-monotonicity violated: $s1=$v1 < $s2=$v2")
+      }
+    }
+  }
+}

@@ -89,4 +89,37 @@ class StreamingSpec extends GraftSpec {
       assert(collected.nonEmpty)
     } finally query.stop()
   }
+
+  test("streaming model-gated scoring: rows stream against a fitted model table") {
+    implicit val sqlCtx = spark.sqlContext
+    // fit in batch (same fixture as OnlineSpec), score a STREAM of rows
+    val batchDf = rows.toDF("tms", "features")
+    val model = new graft.operators.OnlineTopsis()
+      .setCriteriaTypes(1, 1, 1, 2, 2, 2)
+      .setWeights(0.1, 0.1, 0.1, 0.1, 0.1, 0.1)
+      .setTimeCol("tms").setWindowDuration("3 days")
+      .fit(batchDf)
+    val mem = MemoryStream[(Long, Array[Double])]
+    val scored = OnlineStreaming.onlineTopsisScoreStream(
+      mem.toDF().toDF("tms", "features"), model.getModelData)
+    val query = scored.writeStream
+      .format("memory").queryName("topsis_scored").outputMode("append").start()
+    try {
+      mem.addData(rows)
+      query.processAllAvailable()
+      val got = spark.table("topsis_scored")
+        .select("tms", "score").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+      assert(got.size == rows.size - 1) // two rows share tms 1602518400000
+      // every streamed row found its window model (delay 0, tumbling)
+      assert(got.values.forall(!_.isNaN))
+      // scores equal the batch model's per-window scores
+      val batchScores = model.getModelData.collect()
+        .map(r => (r.getAs[Long]("minTimestamp"), r.getAs[Double]("score")))
+      batchScores.foreach { case (mnts, s) =>
+        assert(math.abs(got(mnts) - s) < 1e-12,
+          s"window starting at min ts $mnts: ${got(mnts)} vs $s")
+      }
+    } finally query.stop()
+  }
 }
