@@ -261,14 +261,17 @@ object SparkEntry {
     }),
 
     "q_text_stats" -> ((s, dir) => {
-      tbl(s, dir, "documents").select(
-        col("doc_id"),
-        TextAnalysis.langId(col("text")).as("lang_pred"),
-        TextAnalysis.tokenCountWs(col("text")).as("n_tokens"),
-        round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
-        round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-        TextAnalysis.qualityScore(col("text"), col("n_chars")).as("quality"),
-        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      // fused single-pass scan (see TextAnalysis.statsUdf; the per-op
+      // Column forms are the documented API and spec-tested equivalents)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.statsUdf()(col("text"), col("n_chars")).as("st"))
+        .select(col("doc_id"), col("st.lang_pred").as("lang_pred"),
+          col("st.n_tokens").as("n_tokens"),
+          round(col("st.punct_ratio"), 6).as("punct_ratio"),
+          round(col("st.stopword_ratio"), 6).as("stopword_ratio"),
+          col("st.quality").as("quality"),
+          col("st.fingerprint").as("fingerprint"))
     }),
 
     "q_multimodal" -> ((s, dir) => {

