@@ -113,9 +113,13 @@ object SparkEntry {
       val bySupp = tbl(s, dir, "lineitem")
         .groupBy(col("l_suppkey"))
         .agg(sum(col("l_extendedprice")).as("total"))
+      // global top-k via orderBy+limit -> TakeOrderedAndProject (each
+      // partition keeps k, driver merges k·p rows) — NOT row_number over
+      // an unpartitioned window, which drags every row to one task.
+      // The rank is then assigned over just the k survivors.
+      val top = bySupp.orderBy(col("total").desc, col("l_suppkey")).limit(10)
       val w = Window.orderBy(col("total").desc, col("l_suppkey"))
-      bySupp.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
+      top.withColumn("rn", row_number().over(w))
         .select(col("l_suppkey"), col("rn"), round(col("total"), 2).as("total"))
     }),
 

@@ -52,6 +52,20 @@ class MeanImputerModel(override val uid: String, val mean: Double)
 
   override def copy(extra: ParamMap): MeanImputerModel =
     copyValues(new MeanImputerModel(uid, mean), extra).setParent(parent)
+
+  /** Parquet model layout (reference persisted via ReadWriteUtils,
+    * MeanImputer.java:60-66). */
+  def save(path: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    Seq(mean).toDF("mean").coalesce(1).write.mode("overwrite").parquet(s"$path/data")
+  }
+}
+
+object MeanImputerModel {
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): MeanImputerModel =
+    new MeanImputerModel(Identifiable.randomUID("meanImputerModel"),
+      spark.read.parquet(s"$path/data").head().getDouble(0))
 }
 
 /**
@@ -98,6 +112,21 @@ class StandardScalerModel(override val uid: String, val mean: Double, val std: D
 
   override def copy(extra: ParamMap): StandardScalerModel =
     copyValues(new StandardScalerModel(uid, mean, std), extra).setParent(parent)
+
+  def save(path: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    Seq((mean, std)).toDF("mean", "std").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/data")
+  }
+}
+
+object StandardScalerModel {
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): StandardScalerModel = {
+    val r = spark.read.parquet(s"$path/data").head()
+    new StandardScalerModel(Identifiable.randomUID("stdScalerModel"),
+      r.getDouble(0), r.getDouble(1))
+  }
 }
 
 /**

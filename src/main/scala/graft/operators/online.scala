@@ -246,6 +246,10 @@ class OnlineTopsisModel(override val uid: String) extends Model[OnlineTopsisMode
   def setModelData(value: DataFrame): this.type = { modelData = value; this }
   def getModelData: DataFrame = modelData
 
+  def setTimeCol(value: String): this.type = set(timeCol, value)
+  def setPredictionCol(value: String): this.type = set(predictionCol, value)
+  def setMaxAllowedModelDelayMs(value: Long): this.type = set(maxAllowedModelDelayMs, value)
+
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
     val delay = $(maxAllowedModelDelayMs)
@@ -271,4 +275,16 @@ class OnlineTopsisModel(override val uid: String) extends Model[OnlineTopsisMode
 
   override def copy(extra: ParamMap): OnlineTopsisModel =
     copyValues(new OnlineTopsisModel(uid).setModelData(modelData), extra).setParent(parent)
+
+  /** Model data (data, timestamp, score, minTimestamp) as parquet —
+    * replaces the reference's custom byte encoders
+    * (TopsisModelData.java:88-142). */
+  def save(path: String): Unit =
+    modelData.coalesce(1).write.mode("overwrite").parquet(s"$path/data")
+}
+
+object OnlineTopsisModel {
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): OnlineTopsisModel =
+    new OnlineTopsisModel(Identifiable.randomUID("onlineTopsisModel"))
+      .setModelData(spark.read.parquet(s"$path/data"))
 }

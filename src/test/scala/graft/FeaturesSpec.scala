@@ -43,6 +43,20 @@ class FeaturesSpec extends GraftSpec {
       Seq(2.0, 3.0, 3.0, 4.0))
   }
 
+  test("model save/load round-trips (testSaveLoadAndTransform parity)") {
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    val mi = new MeanImputer().setInputCol("v").fit(df)
+    val d1 = java.nio.file.Files.createTempDirectory("mi").toString
+    mi.save(d1)
+    assert(MeanImputerModel.load(spark, d1).mean == mi.mean)
+
+    val sc = new StandardScalerEst().setInputCol("v").fit(df)
+    val d2 = java.nio.file.Files.createTempDirectory("sc").toString
+    sc.save(d2)
+    val sl = StandardScalerModel.load(spark, d2)
+    assert(sl.mean == sc.mean && sl.std == sc.std)
+  }
+
   test("AutoFeatureTransformer: integer columns one-hot over observed domain") {
     val df = Seq((1, 2.0), (3, 0.0), (1, 4.0)).toDF("cat", "x")
     val out = new AutoFeatureTransformer().transform(df)

@@ -113,6 +113,19 @@ class OnlineSpec extends GraftSpec {
     }
   }
 
+  test("OnlineTopsisModel save/load + setModelData (OnlineTopsisTest.java:277-291)") {
+    val (df, model) = fitTopsis()
+    val dir = java.nio.file.Files.createTempDirectory("ot-model").toString
+    model.save(dir)
+    val loaded = OnlineTopsisModel.load(spark, dir)
+      .setTimeCol("id")
+    val got = loaded.transform(df).select("id", "prediction").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    topsisGolden.foreach { case (id, want) =>
+      assert(math.abs(got(id) - want) <= 1e-4, s"id $id after reload: ${got(id)}")
+    }
+  }
+
   test("OnlineTopsis param defaults (OnlineTopsisTest.java:128-158)") {
     val ot = new OnlineTopsis()
     assert(ot.getFeaturesCol == "features")
