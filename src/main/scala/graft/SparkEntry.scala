@@ -159,6 +159,27 @@ object SparkEntry {
           col("__canopy_id").as("canopy_id"))
     }),
 
+    "q_fcm_fit" -> ((s, dir) => {
+      // the real iterative fit path (driver loop + treeAggregate) on data
+      // scaled to comparable magnitudes; seeded but partitioning-dependent
+      // init -> rows-only check (goldens live in FCMSpec)
+      val li = tbl(s, dir, "lineitem").select(
+        array(col("l_quantity") / 50, col("l_discount") * 10, col("l_tax") * 10)
+          .as("features"))
+      val model = new graft.operators.FCM().setK(4).setMaxIter(10).setSeed(42).fit(li)
+      model.modelData(s)
+    }),
+
+    "q_canopy_full" -> ((s, dir) => {
+      // full sequential center selection + assignment (deterministic by
+      // input order); rows-only check, invariants covered in CanopySpec
+      val li = tbl(s, dir, "lineitem").select(
+        array(col("l_quantity"), col("l_tax") * 100).as("features"))
+      new Canopy().setT1(20.0).setT2(10.0).setMaxIter(50)
+        .transform(li)
+        .select(col("centroids"), size(col("prediction")).as("n_members"))
+    }),
+
     "q_apriori" -> ((s, dir) => {
       // Market-basket over lineitem: transaction = order, item = partkey
       // bucket; items sorted so itemset identity is canonical in both
