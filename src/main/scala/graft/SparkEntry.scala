@@ -285,6 +285,17 @@ object SparkEntry {
         queries, "qid", "qvec", k = 3, nbits = 8, dims = 64)
     }),
 
+    "q_embed_neardup" -> ((s, dir) => {
+      // embedding-space similar-pair mining: LSH-bucketed candidates +
+      // exact cosine verify (hyperplanes are seeded gaussians -> rows-only
+      // check). The synthetic embeddings have no true clones (max pairwise
+      // cosine ~0.39), so the threshold demonstrates the pipeline at the
+      // corpus's actual similarity scale; production near-dup would run
+      // 0.95+ (clone recovery is covered in PipelineOpsSpec).
+      Dedup.embeddingNearDupPairs(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.25, nbits = 4, dims = 64)
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       // fused single-pass scan (see TextAnalysis.statsUdf; the per-op
       // Column forms are the documented API and spec-tested equivalents)

@@ -260,6 +260,30 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  // --------------------------------------------- embedding-cosine near-dup
+
+  /**
+   * Embedding-space near-duplicate pairs: random-hyperplane LSH buckets
+   * (Similarity.lshBuckets) restrict candidates, then exact cosine >=
+   * `threshold` verifies. Same shape as the MinHash pipeline — banded
+   * candidates, exact verify, feed `clusters` — but over vectors, so it
+   * catches semantic dups that share no tokens. Candidate generation is a
+   * hash join on the bucket id; no O(n^2) pairing.
+   */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, nbits: Int, dims: Int,
+                            seed: Long = 42L): DataFrame = {
+    val planes = Similarity.hyperplanes(nbits, dims, seed)
+    val b = Similarity.lshBuckets(df.select(col(idCol), col(vecCol)), vecCol, planes)
+    b.as("l").join(b.as("r"),
+        col("l.bucket") === col("r.bucket") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .withColumn("__cos", Similarity.cosine(col(s"l.$vecCol"), col(s"r.$vecCol")))
+      .filter(col("__cos") >= threshold)
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        round(col("__cos"), 4).as("cosine"))
+  }
+
   // ------------------------------------------------------- n-gram jaccard
 
   /**

@@ -99,6 +99,20 @@ class PipelineOpsSpec extends GraftSpec {
       s"all neighbors must come from cluster b: ${got.mkString(",")}")
   }
 
+  test("embedding near-dup pairs: clones found, unrelated vectors not") {
+    val rng = new java.util.Random(3)
+    val base = Array.fill(16)(rng.nextGaussian())
+    val clone = base.map(_ + 1e-4)
+    val other = Array.fill(16)(rng.nextGaussian())
+    val df = Seq((1L, base), (2L, clone), (3L, other))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+      threshold = 0.99, nbits = 4, dims = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "clone pair must survive bucket+verify")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated vector must not pair")
+  }
+
   test("text analysis: langid, token counts, quality, fingerprint") {
     val df = Seq(
       (1L, "the cat sat on the mat and it is a fine day for the fox"),
