@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{FCM, Skew}
+import org.apache.spark.sql.functions._
+
+/** Plan-quality regression tests: the optimizations SCALE.md promises must
+  * stay visible in the physical plans, and skew/distance variants work. */
+class PlanSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("q3_join: filters pushed to scans, dimension join broadcast") {
+    val p = plan("q3_join")
+    assert(p.contains("BroadcastHashJoin"), "customer join must broadcast")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate")
+      || p.contains("GreaterThan(l_shipdate"), s"lineitem filter not pushed:\n$p")
+  }
+
+  test("q1_agg: column pruning reaches the parquet scan") {
+    val p = plan("q1_agg")
+    // only the 6 needed columns, not all 16 lineitem columns
+    assert(!p.contains("l_partkey") && !p.contains("l_comment"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q_window: global top-k is TakeOrderedAndProject, not a 1-partition sort") {
+    val p = plan("q_window")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("salted join spreads a hot key and preserves inner-join semantics") {
+    val big = (Seq.fill(500)(1) ++ (2 to 50)).toDF("k")
+      .withColumn("v", monotonically_increasing_id())
+    val small = (1 to 50).map(i => (i, s"name_$i")).toDF("k", "name")
+    val plainCount = big.join(small, "k").count()
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8)
+    assert(salted.count() == plainCount)
+    // hot-key report flags key 1
+    val hot = Skew.hotKeys(big, col("k"), 1).head()
+    assert(hot.getInt(0) == 1 && hot.getDouble(2) > 0.9)
+  }
+
+  test("FCM with cosine distance converges and predicts on direction clusters") {
+    // two angular clusters: along x-axis and along y-axis (cosine distance
+    // separates by direction, not magnitude)
+    val data = Seq(
+      Array(1.0, 0.01), Array(5.0, 0.1), Array(10.0, 0.05),
+      Array(0.01, 1.0), Array(0.1, 6.0), Array(0.02, 12.0))
+    val df = data.map(Tuple1(_)).toDF("features")
+    val model = new FCM().setK(2).setMaxIter(30).setSeed(5)
+      .setDistanceMeasure("cosine").fit(df)
+    val preds = model.transform(df).collect()
+      .map(r => (r.getAs[scala.collection.Seq[Double]](0).head > r.getAs[scala.collection.Seq[Double]](0)(1), r.getInt(1)))
+    val byDir = preds.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDir(true).size == 1 && byDir(false).size == 1 && byDir(true) != byDir(false),
+      s"angular clusters must separate: $preds")
+  }
+}
