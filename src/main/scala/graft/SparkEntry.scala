@@ -211,6 +211,21 @@ object SparkEntry {
         .select(col("event_id"), round(col("score"), 6).as("score"))
     }),
 
+    "q_online_ahp_sliding" -> ((s, dir) => {
+      // sliding windows (3-day window, 1-day slide): each event scored in
+      // each of its 3 overlapping windows — a capability extension over
+      // the reference's tumbling/global windows
+      new OnlineAHP()
+        .setInputCols("x0", "x1", "x2")
+        .setJudgmentMatrix(onlineJudgment)
+        .setIndicatorType(Array(1, 0, 1))
+        .setTimeCol("tms").setWindowDuration("3 days").setSlideDuration("1 day")
+        .setOutputCol("score")
+        .transform(eventFeatures(s, dir))
+        .select(col("event_id"), col("window_start"),
+          round(col("score"), 6).as("score"))
+    }),
+
     "q_online_topsis" -> ((s, dir) => {
       val ev = eventFeatures(s, dir)
         .withColumn("features", array(col("x0"), col("x1"), col("x2")))
@@ -537,6 +552,43 @@ object SparkEntry {
          |  1 - (-(1.0/ln(3)) * (e2/t2 - ln(t2))) AS d2
          |  FROM s2)
          |SELECT nrm.event_id,
+         |  round(n0 * ${j(0)} * (d0/(d0+d1+d2)) + n1 * ${j(1)} * (d1/(d0+d1+d2))
+         |      + n2 * ${j(2)} * (d2/(d0+d1+d2)), 6) AS score
+         |FROM nrm JOIN d ON nrm.ws = d.ws""".stripMargin
+    },
+
+    "q_online_ahp_sliding" -> {
+      val j = onlineAhpW
+      val day = 86400000L
+      s"""WITH x0 AS (
+         |  SELECT event_id, CAST(value AS DOUBLE) AS x0,
+         |    CAST(user_id % 100 AS DOUBLE) AS x1, CAST(event_id % 50 AS DOUBLE) AS x2,
+         |    epoch_ms(ts) AS tms
+         |  FROM events),
+         |x AS (
+         |  SELECT event_id, x0, x1, x2, unnest(range(
+         |    (tms // $day) * $day - $onlineWindowMs + $day,
+         |    (tms // $day) * $day + 1, $day)) AS ws
+         |  FROM x0),
+         |s1 AS (SELECT ws, min(x0) AS mn0, max(x0) AS mx0, min(x1) AS mn1,
+         |              max(x1) AS mx1, min(x2) AS mn2, max(x2) AS mx2
+         |       FROM x GROUP BY ws),
+         |nrm AS (
+         |  SELECT x.event_id, x.ws,
+         |    (x0 - mn0) / (mx0 - mn0) AS n0, (mx1 - x1) / (mx1 - mn1) AS n1,
+         |    (x2 - mn2) / (mx2 - mn2) AS n2
+         |  FROM x JOIN s1 ON x.ws = s1.ws),
+         |s2 AS (SELECT ws, sum(n0) AS t0, sum(n1) AS t1, sum(n2) AS t2,
+         |   sum(CASE WHEN n0 > 0 THEN n0*ln(n0) ELSE 0 END) AS e0,
+         |   sum(CASE WHEN n1 > 0 THEN n1*ln(n1) ELSE 0 END) AS e1,
+         |   sum(CASE WHEN n2 > 0 THEN n2*ln(n2) ELSE 0 END) AS e2
+         |  FROM nrm GROUP BY ws),
+         |d AS (SELECT ws,
+         |  1 - (-(1.0/ln(3)) * (e0/t0 - ln(t0))) AS d0,
+         |  1 - (-(1.0/ln(3)) * (e1/t1 - ln(t1))) AS d1,
+         |  1 - (-(1.0/ln(3)) * (e2/t2 - ln(t2))) AS d2
+         |  FROM s2)
+         |SELECT nrm.event_id, nrm.ws AS window_start,
          |  round(n0 * ${j(0)} * (d0/(d0+d1+d2)) + n1 * ${j(1)} * (d1/(d0+d1+d2))
          |      + n2 * ${j(2)} * (d2/(d0+d1+d2)), 6) AS score
          |FROM nrm JOIN d ON nrm.ws = d.ws""".stripMargin

@@ -51,6 +51,19 @@ object EventWindows {
   def maxTimestampCol(spec: String): Column =
     if (spec.isEmpty) lit(Long.MaxValue)
     else lit(EventWindows.durationMs(spec)) + col("__wstart") - 1
+
+  /** All sliding-window starts containing the event: starts are epoch-
+    * aligned multiples of `slide`; a timestamp t belongs to every start in
+    * (t - win, t]. Requires win % slide == 0. Explode this to assign rows
+    * to their ceil(win/slide) overlapping windows. */
+  def slidingStartsCol(df: DataFrame, timeCol: String, winSpec: String,
+                       slideSpec: String): Column = {
+    val win = durationMs(winSpec); val slide = durationMs(slideSpec)
+    require(win % slide == 0, s"window ($win ms) must be a multiple of slide ($slide ms)")
+    val t = millis(df, timeCol)
+    val startMax = (t / slide).cast(LongType) * slide
+    sequence(startMax - win + slide, startMax, lit(slide))
+  }
 }
 
 /**
@@ -84,6 +97,13 @@ class OnlineAHP(override val uid: String) extends Transformer
       (a: Array[Int]) => a.nonEmpty && a.forall(t => t == 0 || t == 1))
   def setIndicatorType(value: Array[Int]): this.type = set(indicatorType, value)
 
+  /** Slide duration; empty = tumbling (the reference supports only
+    * tumbling/global — sliding is a capability extension). */
+  final val slideDuration: Param[String] =
+    new Param[String](this, "slideDuration", "slide duration; '' = tumbling")
+  setDefault(slideDuration -> "")
+  def setSlideDuration(value: String): this.type = set(slideDuration, value)
+
   def setInputCols(value: String*): this.type = set(inputCols, value.toArray)
   def setOutputCol(value: String): this.type = set(outputCol, value)
   def setTimeCol(value: String): this.type = set(timeCol, value)
@@ -91,7 +111,7 @@ class OnlineAHP(override val uid: String) extends Transformer
 
   override def transform(ds: Dataset[_]): DataFrame =
     OnlineAHP.score(ds.toDF(), $(inputCols), getJudgmentMatrix, $(indicatorType),
-      $(timeCol), $(windowDuration), $(outputCol))
+      $(timeCol), $(windowDuration), $(outputCol), $(slideDuration))
 
   override def transformSchema(schema: StructType): StructType =
     schema.add($(outputCol), DoubleType, nullable = false)
@@ -103,7 +123,7 @@ object OnlineAHP extends DefaultParamsReadable[OnlineAHP] {
 
   def score(df: DataFrame, inputCols: Array[String], judgment: Array[Array[Double]],
             indicatorType: Array[Int], timeCol: String, windowSpec: String,
-            outputCol: String): DataFrame = {
+            outputCol: String, slideSpec: String = ""): DataFrame = {
     AHP.checkMatrix(judgment, inputCols.length)
     val ahpW = AHP.weightVector(judgment)
     val cr = AHP.consistencyRatio(judgment, ahpW)
@@ -111,7 +131,14 @@ object OnlineAHP extends DefaultParamsReadable[OnlineAHP] {
 
     val n = inputCols.length
     def x(i: Int): Column = col(inputCols(i)).cast(DoubleType)
-    val withW = df.withColumn("__wstart", EventWindows.startCol(df, timeCol, windowSpec))
+    // sliding windows: each row joins all its overlapping windows (one
+    // output row per membership, disambiguated by __wstart)
+    val withW =
+      if (slideSpec.nonEmpty)
+        df.withColumn("__wstart",
+          explode(EventWindows.slidingStartsCol(df, timeCol, windowSpec, slideSpec)))
+      else
+        df.withColumn("__wstart", EventWindows.startCol(df, timeCol, windowSpec))
 
     // Pass 1: per-window per-column min/max (OnlineAHP.java:102-117).
     val aggs1 = (0 until n).flatMap(i =>
@@ -146,9 +173,12 @@ object OnlineAHP extends DefaultParamsReadable[OnlineAHP] {
     val dTotal = (0 until n).map(dW).reduce(_ + _)
 
     val score = (0 until n).map(i => norm(i) * lit(ahpW(i)) * (dW(i) / dTotal)).reduce(_ + _)
-    j1.join(broadcast(s2), "__wstart")
-      .withColumn(outputCol, score)
-      .select(df.columns.map(col) :+ col(outputCol): _*)
+    val scored = j1.join(broadcast(s2), "__wstart").withColumn(outputCol, score)
+    val outCols =
+      if (slideSpec.nonEmpty)
+        df.columns.map(col) :+ col("__wstart").as("window_start") :+ col(outputCol)
+      else df.columns.map(col) :+ col(outputCol)
+    scored.select(outCols: _*)
   }
 }
 

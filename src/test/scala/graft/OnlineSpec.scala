@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators._
+import org.apache.spark.sql.functions.col
 
 /** Golden tests for the Online* operators, ported from
   * test/java/cn/swust/algorithms/ahp/OnlineAHPTest.java and
@@ -132,6 +133,39 @@ class OnlineSpec extends GraftSpec {
     assert(ot.getPredictionCol == "prediction")
     assert(ot.getWindowDuration == "") // GlobalWindows analog
     assert(ot.getMaxAllowedModelDelayMs == 0L)
+  }
+
+  test("sliding windows: each row scored in win/slide overlapping windows") {
+    val df = ahpRows.toDF("id", "High", "Low", "Open", "Close", "Volume", "Marketcap")
+    val out = new OnlineAHP()
+      .setInputCols("High", "Low", "Open", "Close", "Volume", "Marketcap")
+      .setJudgmentMatrix(ahpJudgment)
+      .setIndicatorType(ahpTypes)
+      .setTimeCol("id")
+      .setWindowDuration("3 days").setSlideDuration("1 day")
+      .setOutputCol("output")
+      .transform(df)
+    assert(out.columns.contains("window_start"))
+    assert(out.count() == ahpRows.size * 3L, "3-day window / 1-day slide = 3 memberships")
+    // every (row, window) pair is consistent: window contains the row's ts
+    out.select("id", "window_start").collect().foreach { r =>
+      val (t, ws) = (r.getLong(0), r.getLong(1))
+      assert(ws <= t && t < ws + 3L * 86400000L)
+    }
+    // a tumbling-aligned window's scores must match the tumbling run
+    val tumbling = new OnlineAHP()
+      .setInputCols("High", "Low", "Open", "Close", "Volume", "Marketcap")
+      .setJudgmentMatrix(ahpJudgment).setIndicatorType(ahpTypes)
+      .setTimeCol("id").setWindowDuration("3 days").setOutputCol("output")
+      .transform(df).select("id", "output").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(1)).toSet).toMap
+    val slidingAligned = out
+      .filter(col("window_start") % (3L * 86400000L) === 0)
+      .select("id", "output").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(1)).toSet).toMap
+    slidingAligned.foreach { case (id, scores) =>
+      assert(scores == tumbling(id), s"id $id: $scores vs ${tumbling(id)}")
+    }
   }
 
   test("global window = one window over everything (GlobalWindows default)") {
