@@ -226,6 +226,17 @@ object SparkEntry {
           round(col("score"), 6).as("score"))
     }),
 
+    "q_sessionize" -> ((s, dir) => {
+      // session windows (1-hour gap) per user: id + per-session aggregates
+      val ev = tbl(s, dir, "events").selectExpr(
+        "event_id", "user_id", "ts div 1000000 AS tms", "CAST(value AS DOUBLE) AS v")
+      graft.operators.EventWindows.sessionize(ev, "tms", Seq("user_id"), 3600000L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("tms")) - min(col("tms"))).as("duration_ms"),
+          round(sum(col("v").cast("decimal(18,6)")), 4).cast("double").as("value_sum"))
+    }),
+
     "q_online_topsis" -> ((s, dir) => {
       val ev = eventFeatures(s, dir)
         .withColumn("features", array(col("x0"), col("x1"), col("x2")))
@@ -593,6 +604,19 @@ object SparkEntry {
          |      + n2 * ${j(2)} * (d2/(d0+d1+d2)), 6) AS score
          |FROM nrm JOIN d ON nrm.ws = d.ws""".stripMargin
     },
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS tms,
+        |    CAST(value AS DOUBLE) AS v FROM events),
+        |g AS (SELECT *, CASE WHEN tms - lag(tms) OVER w > 3600000
+        |         OR lag(tms) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+        |        ROWS UNBOUNDED PRECEDING) - 1 AS session_id FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  max(tms) - min(tms) AS duration_ms,
+        |  CAST(round(sum(CAST(v AS DECIMAL(18,6))), 4) AS DOUBLE) AS value_sum
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "q_online_topsis" ->
       s"""WITH x AS (

@@ -52,6 +52,25 @@ object EventWindows {
     if (spec.isEmpty) lit(Long.MaxValue)
     else lit(EventWindows.durationMs(spec)) + col("__wstart") - 1
 
+  /**
+   * Session windows: per key, a new session starts whenever the gap since
+   * the previous event exceeds `gapMs`. Appends `session_id` (0-based per
+   * key, in event-time order). Pure window functions — lag + a running sum
+   * of gap-breaks — so one shuffle on the key and identical semantics in
+   * any SQL engine. The 100 TB shape: partitions by key, sorts within
+   * partitions only.
+   */
+  def sessionize(df: DataFrame, timeCol: String, keyCols: Seq[String],
+                 gapMs: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(millis(df, timeCol))
+    val t = millis(df, timeCol)
+    val newSession = when(
+      t - lag(t, 1).over(w) > gapMs || lag(t, 1).over(w).isNull, 1).otherwise(0)
+    df.withColumn("session_id",
+      (sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+        .cast(LongType))
+  }
+
   /** All sliding-window starts containing the event: starts are epoch-
     * aligned multiples of `slide`; a timestamp t belongs to every start in
     * (t - win, t]. Requires win % slide == 0. Explode this to assign rows

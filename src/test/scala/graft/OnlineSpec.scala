@@ -168,6 +168,21 @@ class OnlineSpec extends GraftSpec {
     }
   }
 
+  test("session windows: gap threshold starts new sessions per key") {
+    val ev = Seq(
+      (1L, 0L), (1L, 1000L), (1L, 2000L),      // session 0 (1s gaps)
+      (1L, 10000L), (1L, 10500L),              // session 1 (8s gap > 5s)
+      (1L, 30000L),                            // session 2
+      (2L, 0L), (2L, 20000L))                  // user 2: sessions 0, 1
+      .toDF("user_id", "tms")
+    val out = EventWindows.sessionize(ev, "tms", Seq("user_id"), gapMs = 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 0L)) == 0 && out((1L, 2000L)) == 0)
+    assert(out((1L, 10000L)) == 1 && out((1L, 10500L)) == 1)
+    assert(out((1L, 30000L)) == 2)
+    assert(out((2L, 0L)) == 0 && out((2L, 20000L)) == 1)
+  }
+
   test("global window = one window over everything (GlobalWindows default)") {
     val df = topsisRows.toDF("id", "features")
     val model = new OnlineTopsis()
