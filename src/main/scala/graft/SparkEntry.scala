@@ -322,6 +322,14 @@ object SparkEntry {
         "vec_id", "embedding", threshold = 0.25, nbits = 4, dims = 64)
     }),
 
+    "q_chunk" -> ((s, dir) => {
+      // 64-token chunks with 16-token overlap over the documents corpus
+      TextAnalysis.chunk(tbl(s, dir, "documents").select("doc_id", "text"),
+        "text", chunkTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_index"), col("n_chunk_tokens"),
+          substring(col("chunk_text"), 1, 40).as("chunk_head"))
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       // fused single-pass scan (see TextAnalysis.statsUdf; the per-op
       // Column forms are the documented API and spec-tested equivalents)
@@ -709,6 +717,14 @@ object SparkEntry {
         |           ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 4) DESC, vec_id) AS rank
         |       FROM s)
         |SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, score FROM sc WHERE rank <= 3""".stripMargin,
+
+    "q_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |s AS (SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 48)) AS st FROM d)
+        |SELECT doc_id, CAST(st / 48 AS INTEGER) AS chunk_index,
+        |  CAST(least(len(w) - st, 64) AS INTEGER) AS n_chunk_tokens,
+        |  substr(array_to_string(list_slice(w, st + 1, st + 64), ' '), 1, 40) AS chunk_head
+        |FROM s WHERE st = 0 OR st < len(w)""".stripMargin,
 
     "q_text_stats" -> {
       def ratio(langWords: Seq[String]): String = {

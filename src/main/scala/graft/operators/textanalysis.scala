@@ -83,6 +83,30 @@ object TextAnalysis {
     aggregate(words(text), lit(0L),
       (acc, w) => (acc * 31L + Dedup.md5Long(w) % Dedup.P) % Dedup.P)
 
+  /**
+   * Document chunking: fixed-size token windows with overlap — the
+   * standard pre-training/RAG segmentation op. Emits one row per chunk
+   * (chunk_index, chunk_text, n_chunk_tokens). Stride = chunkTokens -
+   * overlap; the final partial chunk is kept. Pure expressions (sequence +
+   * slice + explode), so chunking a 100 TB corpus is one generator-shaped
+   * scan with no shuffle.
+   */
+  def chunk(df: org.apache.spark.sql.DataFrame, textCol: String,
+            chunkTokens: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val w = words(col(textCol))
+    // start offsets 0, stride, 2*stride, ... < len
+    val starts = sequence(lit(0), greatest(size(w) - 1, lit(0)), lit(stride))
+    df.withColumn("__w", w)
+      .withColumn("__start", explode(starts))
+      .filter(col("__start") === 0 || col("__start") < size(col("__w")))
+      .select(df.columns.map(col) :+
+        (col("__start") / stride).cast(IntegerType).as("chunk_index") :+
+        concat_ws(" ", slice(col("__w"), col("__start") + 1, lit(chunkTokens))).as("chunk_text") :+
+        least(size(col("__w")) - col("__start"), lit(chunkTokens)).as("n_chunk_tokens"): _*)
+  }
+
   /** All stats of a full-corpus text scan, fused. */
   case class TextStats(lang_pred: String, n_tokens: Int, punct_ratio: Double,
                        stopword_ratio: Double, quality: Double, fingerprint: Long)

@@ -113,6 +113,21 @@ class PipelineOpsSpec extends GraftSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated vector must not pair")
   }
 
+  test("chunking: fixed windows with overlap, final partial kept") {
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, "text", chunkTokens = 4, overlap = 1)
+      .orderBy("chunk_index").collect()
+    // stride 3: starts 0,3,6,9 -> chunks w1-4, w4-7, w7-10, w10
+    assert(out.length == 4)
+    assert(out(0).getAs[String]("chunk_text") == "w1 w2 w3 w4")
+    assert(out(1).getAs[String]("chunk_text") == "w4 w5 w6 w7")
+    assert(out(3).getAs[String]("chunk_text") == "w10")
+    assert(out(3).getAs[Int]("n_chunk_tokens") == 1)
+    // overlap invariant: consecutive chunks share `overlap` tokens
+    assert(out(0).getAs[String]("chunk_text").split(" ").last ==
+      out(1).getAs[String]("chunk_text").split(" ").head)
+  }
+
   test("text analysis: langid, token counts, quality, fingerprint") {
     val df = Seq(
       (1L, "the cat sat on the mat and it is a fine day for the fox"),
