@@ -274,14 +274,34 @@ object Dedup {
                             threshold: Double, nbits: Int, dims: Int,
                             seed: Long = 42L): DataFrame = {
     val planes = Similarity.hyperplanes(nbits, dims, seed)
-    val b = Similarity.lshBuckets(df.select(col(idCol), col(vecCol)), vecCol, planes)
-    b.as("l").join(b.as("r"),
-        col("l.bucket") === col("r.bucket") &&
-          col(s"l.$idCol") < col(s"r.$idCol"))
-      .withColumn("__cos", Similarity.cosine(col(s"l.$vecCol"), col(s"r.$vecCol")))
-      .filter(col("__cos") >= threshold)
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
-        round(col("__cos"), 4).as("cosine"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    // One shuffle of the VECTORS on their bucket id, then bucket-local
+    // quadratic pairing in primitive arrays — candidate pair rows are
+    // never materialized, only survivors are emitted. A bucket must fit
+    // in executor memory, which is the LSH contract anyway (tune nbits).
+    val b = Similarity
+      .lshBuckets(df.select(col(idCol), col(vecCol)), vecCol, planes)
+      .select(col(idCol).cast(LongType), col(vecCol).cast(ArrayType(DoubleType)),
+        col("bucket"))
+      .as[(Long, Array[Double], Long)]
+    b.groupByKey(_._3)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val norms = rows.map(r => graft.core.VecOps.norm2(r._2))
+        for {
+          i <- rows.indices.iterator
+          j <- (i + 1) until rows.length
+          cos = graft.core.VecOps.dot(rows(i)._2, rows(j)._2) / (norms(i) * norms(j))
+          if cos >= threshold
+        } yield {
+          val (a, bb) = if (rows(i)._1 < rows(j)._1) (i, j) else (j, i)
+          (rows(a)._1, rows(bb)._1,
+            BigDecimal(graft.core.VecOps.dot(rows(a)._2, rows(bb)._2) / (norms(a) * norms(bb)))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      .toDF("id_a", "id_b", "cosine")
   }
 
   // ------------------------------------------------------- n-gram jaccard
