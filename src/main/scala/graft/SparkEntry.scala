@@ -330,6 +330,21 @@ object SparkEntry {
           substring(col("chunk_text"), 1, 40).as("chunk_head"))
     }),
 
+    "q_pipeline" -> ((s, dir) => {
+      // the composed training-data pipeline a user of this engine runs:
+      // quality-filter -> exact-dedup (first-3-words key) -> chunk
+      val docs = tbl(s, dir, "documents")
+      val scored = docs
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.statsUdf()(col("text"), col("n_chars")).getField("quality").as("q"))
+        .filter(col("q") >= 0.8)
+      val key = concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 3))
+      val deduped = Dedup.exact(scored.withColumn("__k", key), col("__k"), "doc_id")
+        .select("doc_id", "text")
+      TextAnalysis.chunk(deduped, "text", chunkTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_index"), col("n_chunk_tokens"))
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       // fused single-pass scan (see TextAnalysis.statsUdf; the per-op
       // Column forms are the documented API and spec-tested equivalents)
@@ -725,6 +740,32 @@ object SparkEntry {
         |  CAST(least(len(w) - st, 64) AS INTEGER) AS n_chunk_tokens,
         |  substr(array_to_string(list_slice(w, st + 1, st + 64), ' '), 1, 40) AS chunk_head
         |FROM s WHERE st = 0 OR st < len(w)""".stripMargin,
+
+    "q_pipeline" -> {
+      val inList = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, text, n_chars,
+         |    string_split_regex(lower(text), '\\s+') AS w FROM documents),
+         |q AS (SELECT doc_id, text, w,
+         |    CAST(len(list_filter(w, t -> t IN ($inList))) AS DOUBLE) / greatest(len(w), 1) AS r_en,
+         |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1) AS punct,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t -> CAST(length(t) AS BIGINT))),
+         |      (acc, h) -> acc + h) AS sumlen, CAST(len(w) AS DOUBLE) AS nw, n_chars AS nc
+         |  FROM d),
+         |f AS (SELECT doc_id, text, w FROM q
+         |  WHERE CAST(round((CASE WHEN nc BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.3 END) * 0.3
+         |      + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.25
+         |      + (CASE WHEN sumlen / nw BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25
+         |      + (CASE WHEN r_en >= 0.01 THEN 1.0 ELSE 0.6 END) * 0.2, 4) AS DOUBLE) >= 0.8),
+         |dd AS (SELECT doc_id, w FROM (
+         |    SELECT doc_id, w, row_number() OVER (
+         |      PARTITION BY array_to_string(list_slice(w, 1, 3), ' ') ORDER BY doc_id) AS rn
+         |    FROM f) WHERE rn = 1),
+         |s AS (SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 48)) AS st FROM dd)
+         |SELECT doc_id, CAST(st / 48 AS INTEGER) AS chunk_index,
+         |  CAST(least(len(w) - st, 64) AS INTEGER) AS n_chunk_tokens
+         |FROM s WHERE st = 0 OR st < len(w)""".stripMargin
+    },
 
     "q_text_stats" -> {
       def ratio(langWords: Seq[String]): String = {
