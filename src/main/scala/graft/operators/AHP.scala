@@ -118,6 +118,7 @@ object AHP extends DefaultParamsReadable[AHP] {
     // Pass 1: per-column min/max (AHP.java:72-99).
     val aggs1 = (0 until n).flatMap(i => Seq(min(x(i)).as(s"mn_$i"), max(x(i)).as(s"mx_$i")))
     val s1 = df.agg(aggs1.head, aggs1.tail: _*).head()
+    require(!s1.isNullAt(0), "cannot score an empty dataset")
     val mn = (0 until n).map(i => s1.getDouble(2 * i)).toArray
     val mx = (0 until n).map(i => s1.getDouble(2 * i + 1)).toArray
 

@@ -105,6 +105,7 @@ object Topsis extends DefaultParamsReadable[Topsis] {
         max(abs(x(i) - lit(bestValue))).as(s"dev_$i"))
     }
     val s1 = df.agg(statAggs.head, statAggs.tail: _*).head()
+    require(!s1.isNullAt(0), "cannot score an empty dataset")
     val colMin = (0 until dims).map(i => s1.getDouble(3 * i)).toArray
     val colMax = (0 until dims).map(i => s1.getDouble(3 * i + 1)).toArray
     val devMax = (0 until dims).map(i => s1.getDouble(3 * i + 2)).toArray
