@@ -38,6 +38,14 @@ class FCM(override val uid: String) extends Estimator[FCMModel]
 
   def this() = this(Identifiable.randomUID("fcm"))
 
+  private var initialCentroids: Option[Array[Array[Double]]] = None
+  /** Seed fit with explicit centroids (e.g. Canopy centers — canopy
+    * pre-clustering feeding FCM is the intended composition of the two
+    * reference operators); overrides k and random sampling. */
+  def setInitialCentroids(value: Array[Array[Double]]): this.type = {
+    initialCentroids = Some(value); set(k, value.length); this
+  }
+
   def setK(value: Int): this.type = set(k, value)
   def setM(value: Double): this.type = set(m, value)
   def setTol(value: Double): this.type = set(tol, value)
@@ -56,7 +64,7 @@ class FCM(override val uid: String) extends Estimator[FCMModel]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val centroids = FCM.run(points, $(k), $(m), $(tol), $(maxIter), $(seed),
-        $(distanceMeasure))
+        $(distanceMeasure), initialCentroids)
       copyValues(new FCMModel(Identifiable.randomUID("fcmModel"))
         .setCentroids(centroids)).setParent(this)
     } finally points.unpersist(blocking = false)
@@ -128,10 +136,13 @@ object FCM extends DefaultParamsReadable[FCM] {
 
   /** Driver loop; returns final centroids. */
   def run(points: org.apache.spark.rdd.RDD[Array[Double]], k: Int, m: Double,
-          tol: Double, maxIter: Int, seed: Long, measure: String): Array[Array[Double]] = {
+          tol: Double, maxIter: Int, seed: Long, measure: String,
+          init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
     val sc = points.sparkContext
-    // Init centroids: k points sampled without replacement (FCM.java:71).
-    var curr: Array[Array[Double]] = points.takeSample(withReplacement = false, k, seed)
+    // Init centroids: explicit seeds (e.g. Canopy centers) or k points
+    // sampled without replacement (FCM.java:71).
+    var curr: Array[Array[Double]] =
+      init.getOrElse(points.takeSample(withReplacement = false, k, seed))
     require(curr.nonEmpty, "cannot fit FCM on an empty dataset")
     // Degenerate input (fewer rows than k): pad by repeating samples, like
     // the reference's selectRandomCentroids on duplicate-heavy data.

@@ -59,6 +59,19 @@ class FCMSpec extends GraftSpec {
     assert(preds == 1L, "identical points must land in one cluster")
   }
 
+  test("canopy centers seed FCM (Canopy -> FCM composition)") {
+    val centers = graft.operators.Canopy.selectCenters(
+      df, "features", t1 = 6.0, t2 = 3.0, maxIter = 20, measure = "euclidean")
+    assert(centers.nonEmpty)
+    val model = new FCM().setMaxIter(100).setInitialCentroids(centers).fit(df)
+    assert(model.getCentroids.length == centers.length)
+    // The tight bottom-left trio must share a cluster regardless of k.
+    val out = model.transform(df).collect()
+      .map(r => (r.getAs[scala.collection.Seq[Double]](0).head, r.getInt(1)))
+    val trio = out.filter(_._1 <= 1.5).map(_._2).toSet
+    assert(trio.size == 1)
+  }
+
   test("membership rows sum to 1 and model save/load round-trips") {
     val model = new FCM().setMaxIter(100).setSeed(42).fit(df)
     val sums = model.membershipMatrix(df)
