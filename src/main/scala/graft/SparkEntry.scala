@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AHP, Apriori, Canopy, Dedup, FCMModel, MeanImputer, Multimodal, OnlineAHP, OnlineTopsis, Similarity, StandardScalerEst, TextAnalysis, Topsis}
+import graft.operators.{AHP, Apriori, AutoFeatureTransformer, Canopy, Dedup, FCMModel, MeanImputer, Multimodal, OnlineAHP, OnlineTopsis, Similarity, StandardScalerEst, TextAnalysis, Topsis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -390,6 +390,23 @@ object SparkEntry {
         when(col("event_type") === "error", lit(null).cast("double")).otherwise(col("value")))
       val model = new MeanImputer().setInputCol("v").fit(ev)
       ev.select(col("event_id"), round(coalesce(col("v"), lit(model.mean)), 6).as("value_imputed"))
+    }),
+
+    // A13: schema-walk dispatch — double col gets the reference's
+    // 0.0-as-missing mean impute (appended as newValue), int col gets a
+    // one-hot array; checked via the one-hot's set-bit index so the
+    // domain-ordering contract is oracle-visible.
+    "q_autofeature" -> ((s, dir) => {
+      val p = tbl(s, dir, "part").select(
+        col("p_partkey").cast("string").as("pk"),
+        col("p_size"),
+        when(col("p_partkey") % 10 === 0, lit(0.0))
+          .otherwise(col("p_retailprice")).as("price"))
+      val out = new AutoFeatureTransformer().transform(p)
+      out.select(
+        col("pk").cast("long").as("p_partkey"),
+        round(col("newValue"), 6).as("price_imputed"),
+        (array_position(col("p_size_onehot"), 1) - 1).cast("int").as("size_index"))
     }),
   )
 
@@ -818,5 +835,15 @@ object SparkEntry {
         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events),
         |m AS (SELECT avg(v) AS mu FROM ev)
         |SELECT event_id, round(coalesce(v, mu), 6) AS value_imputed FROM ev, m""".stripMargin,
+
+    "q_autofeature" ->
+      """WITH p AS (SELECT p_partkey, p_size,
+        |  CASE WHEN p_partkey % 10 = 0 THEN 0.0 ELSE p_retailprice END AS price FROM part),
+        |m AS (SELECT avg(CASE WHEN price <> 0.0 THEN price END) AS mu FROM p),
+        |d AS (SELECT p_size AS sz, dense_rank() OVER (ORDER BY p_size) - 1 AS idx
+        |      FROM (SELECT DISTINCT p_size FROM p))
+        |SELECT p.p_partkey, round(CASE WHEN p.price = 0.0 THEN m.mu ELSE p.price END, 6) AS price_imputed,
+        |  CAST(d.idx AS INTEGER) AS size_index
+        |FROM p CROSS JOIN m JOIN d ON p.p_size = d.sz""".stripMargin,
   )
 }
