@@ -187,4 +187,63 @@ object OnlineStreaming {
       .withColumn("score", col("__m_score"))
       .drop("__m_ts", "__m_mnts", "__m_score")
   }
+
+  /**
+   * Stream-stream model-gated scoring: BOTH the data rows and the model
+   * records arrive as streams. This is the full analog of the reference's
+   * two-input operator (OnlineTopsisModel.java:131-163): a data row whose
+   * model has not arrived yet waits in join state and is emitted when a
+   * suitable model-data row lands — Spark's stateful symmetric hash join
+   * provides exactly that buffering, with watermark-driven state cleanup
+   * instead of the reference's unbounded ListState.
+   *
+   * Stream-stream joins need an equality key, so the range condition
+   * `minTimestamp <= t - delay <= timestamp` is bucketized: each model
+   * window is exploded to the fixed-width time buckets it spans (one
+   * bucket for tumbling windows) and a data row joins its own bucket.
+   * At scale both sides hash-partition by bucket — no broadcast, state
+   * per executor is one window-span of rows.
+   *
+   * @param data     streaming `tms: Long` (epoch millis) + payload cols
+   * @param models   streaming model rows (timestamp, minTimestamp, score)
+   * @param windowMs model window width; must be >= timestamp - minTimestamp
+   *                 for every model row (true for tumbling-window fits)
+   * @param delayMs  maxAllowedModelDelayMs
+   */
+  def onlineTopsisScoreStreamStream(data: DataFrame, models: DataFrame,
+                                    windowMs: Long, delayMs: Long = 0L,
+                                    lateness: String = "10 seconds"): DataFrame = {
+    val d = data
+      .withColumn("__bucket", floor((col("tms") - delayMs) / windowMs))
+      .withColumn("__d_time", timestamp_millis(col("tms")))
+      .withWatermark("__d_time", lateness)
+      .alias("d")
+    val m = models
+      .select(col("timestamp").as("__m_ts"), col("minTimestamp").as("__m_mnts"),
+        col("score").as("__m_score"))
+      .withColumn("__bucket",
+        explode(sequence(floor(col("__m_mnts") / windowMs),
+          floor(col("__m_ts") / windowMs))))
+      .withColumn("__m_time", timestamp_millis(col("__m_ts")))
+      .withWatermark("__m_time", lateness)
+      .alias("m")
+    // The join condition may hold ONLY the equi-key plus inequalities
+    // between the two WATERMARKED columns: StreamingJoinHelper derives
+    // state-eviction bounds by eval'ing every other term in a time
+    // conjunct, and any non-watermark attribute there is Unevaluable
+    // (internal error). `__m_time >= __d_time - delay` is the exact upper
+    // range bound (t - delay <= timestamp); the width bound is implied and
+    // only ages state out.
+    val joined = d.join(m,
+      col("d.__bucket") === col("m.__bucket") &&
+        col("__m_time") >= col("__d_time") - expr(s"INTERVAL $delayMs MILLISECOND") &&
+        col("__m_time") <= col("__d_time") + expr(s"INTERVAL ${windowMs + delayMs} MILLISECOND"))
+    // Exact lower range bound (minTimestamp <= t - delay) as a TYPED filter:
+    // opaque to the optimizer, so it cannot be pushed back into the join
+    // condition where the planner would trip on the non-watermark column.
+    joined.filter((r: Row) =>
+        r.getAs[Long]("tms") - delayMs >= r.getAs[Long]("__m_mnts"))
+      .withColumn("score", col("__m_score"))
+      .drop("__bucket", "__d_time", "__m_time", "__m_ts", "__m_mnts", "__m_score")
+  }
 }

@@ -122,4 +122,46 @@ class StreamingSpec extends GraftSpec {
       }
     } finally query.stop()
   }
+
+  test("stream-stream gating: data rows wait in join state until their model arrives") {
+    implicit val sqlCtx = spark.sqlContext
+    val windowMs = 3L * 86400000L
+    val batchDf = rows.toDF("tms", "features")
+    val model = new graft.operators.OnlineTopsis()
+      .setCriteriaTypes(1, 1, 1, 2, 2, 2)
+      .setWeights(0.1, 0.1, 0.1, 0.1, 0.1, 0.1)
+      .setTimeCol("tms").setWindowDuration("3 days")
+      .fit(batchDf)
+    val modelRows = model.getModelData
+      .select("timestamp", "minTimestamp", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    val dataMem = MemoryStream[(Long, Array[Double])]
+    val modelMem = MemoryStream[(Long, Long, Double)]
+    val scored = OnlineStreaming.onlineTopsisScoreStreamStream(
+      dataMem.toDF().toDF("tms", "features"),
+      modelMem.toDF().toDF("timestamp", "minTimestamp", "score"),
+      windowMs)
+    val query = scored.writeStream
+      .format("memory").queryName("ss_scored").outputMode("append").start()
+    try {
+      // data first: no model yet -> rows buffer in join state, nothing emits
+      dataMem.addData(rows)
+      query.processAllAvailable()
+      assert(spark.table("ss_scored").count() == 0L,
+        "rows must wait for their model")
+      // models arrive -> buffered rows drain with their window's score
+      modelMem.addData(modelRows)
+      query.processAllAvailable()
+      val got = spark.table("ss_scored")
+        .select("tms", "score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.size == rows.size - 1) // two rows share tms 1602518400000
+      val batchScores = modelRows.map { case (_, mnts, s) => mnts -> s }
+      batchScores.foreach { case (mnts, s) =>
+        assert(math.abs(got(mnts) - s) < 1e-12,
+          s"window starting at min ts $mnts: ${got(mnts)} vs $s")
+      }
+    } finally query.stop()
+  }
 }
