@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-up data generator for scaling measurements: replicates the driver's
+ * sf0.1 tables N× with disjoint key ranges so joins keep constant fan-out
+ * and dedup/ANN workloads scale linearly instead of quadratically:
+ *
+ *  - every key/id column is offset by copy × (max+1);
+ *  - document text gets a per-copy token suffix (copies are NOT near-dups
+ *    of each other, but the near-dup structure WITHIN a copy is preserved
+ *    exactly — token-level edits rewrite every shingle);
+ *  - embeddings are circularly rotated per copy (rotation preserves all
+ *    pairwise cosines within a copy, decorrelates across copies);
+ *  - region/nation stay fixed (dimension tables don't grow with fact data).
+ *
+ * Usage: runMain graft.ScaleData <srcDir> <outDir> <factor>
+ */
+object ScaleData {
+
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "region" -> Nil,
+    "nation" -> Nil)
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args.take(3)
+    val factor = factorS.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    keyCols.foreach { case (table, keys) =>
+      val df = spark.read.parquet(s"$src/$table.parquet")
+      val copies = if (keys.isEmpty) 1 else factor
+      val steps: Map[String, Long] = keys.map { k =>
+        k -> (df.agg(max(col(k).cast("long"))).head().getLong(0) + 1L)
+      }.toMap
+      val scaled = (0 until copies).map { i =>
+        var c = df
+        keys.foreach { k =>
+          c = c.withColumn(k, (col(k) + lit(i.toLong * steps(k))).cast(df.schema(k).dataType))
+        }
+        if (table == "documents" && i > 0)
+          c = c.withColumn("text",
+            array_join(transform(split(col("text"), " "),
+              w => concat(w, lit(s"_$i"))), " "))
+        if (table == "embeddings" && i > 0)
+          c = c.withColumn("embedding", expr(
+            s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), slice(embedding, 1, $i))"))
+        c
+      }.reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[scale] $table x$copies -> $out/$table.parquet")
+    }
+    spark.stop()
+  }
+}
