@@ -180,6 +180,20 @@ object SparkEntry {
         .select(col("centroids"), size(col("prediction")).as("n_members"))
     }),
 
+    "q_canopy_fcm" -> ((s, dir) => {
+      // the intended composition of the two reference clusterers: cheap
+      // canopy pre-clustering picks k and the starting centroids, FCM
+      // refines them (one treeAggregate per round); rows-only check
+      val li = tbl(s, dir, "lineitem").select(
+        array(col("l_quantity") / 50, col("l_discount") * 10, col("l_tax") * 10)
+          .as("features"))
+      val centers = Canopy.selectCenters(li, "features",
+        t1 = 0.6, t2 = 0.3, maxIter = 8, measure = "euclidean")
+      val model = new graft.operators.FCM().setMaxIter(10)
+        .setInitialCentroids(centers).fit(li)
+      model.modelData(s)
+    }),
+
     "q_apriori" -> ((s, dir) => {
       // Market-basket over lineitem: transaction = order, item = partkey
       // bucket; items sorted so itemset identity is canonical in both
