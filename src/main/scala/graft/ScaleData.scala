@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
  *  - document text gets a per-copy token suffix (copies are NOT near-dups
  *    of each other, but the near-dup structure WITHIN a copy is preserved
  *    exactly — token-level edits rewrite every shingle);
- *  - embeddings are circularly rotated per copy (rotation preserves all
+ *  - embeddings get a per-copy Rademacher sign flip (preserves all
  *    pairwise cosines within a copy, decorrelates across copies);
  *  - region/nation stay fixed (dimension tables don't grow with fact data).
  *
@@ -59,8 +59,12 @@ object ScaleData {
             array_join(transform(split(col("text"), " "),
               w => concat(w, lit(s"_$i"))), " "))
         if (table == "embeddings" && i > 0)
+          // per-copy Rademacher signs: dot(a∘s, b∘s) = dot(a, b), so all
+          // within-copy cosines are preserved bit-for-bit while copies
+          // decorrelate; valid for any factor (a rotation would need
+          // factor < dim)
           c = c.withColumn("embedding", expr(
-            s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), slice(embedding, 1, $i))"))
+            s"transform(embedding, (x, j) -> CAST(x * (1 - 2 * pmod(hash($i, j), 2)) AS FLOAT))"))
         c
       }.reduce(_ unionByName _)
       scaled.write.mode("overwrite").parquet(s"$out/$table.parquet")

@@ -101,25 +101,40 @@ object FCM extends DefaultParamsReadable[FCM] {
 
   /** u_ik = 1 / sum_j (d_ik/d_jk)^(2/(m-1)), 1e-10 guard (FCM.java:527-553). */
   def membership(point: Array[Double], centroids: Array[Array[Double]],
-                 measure: String, m: Double): Array[Double] = {
-    val dist = VecOps.distance(measure) _
+                 measure: String, m: Double): Array[Double] =
+    membershipImpl(point, centroids, VecOps.distance(measure) _, m)
+
+  /** Hot-path membership: algebraically equal to the reference's
+    * u_i = 1/Σ_j (d_i/d_j)^(2/(m-1)) (FCM.java:527-553) but O(k) instead
+    * of O(k²) — u_i = (d_i/dmin)^-p / Σ_j (d_j/dmin)^-p. Normalizing by
+    * the min distance keeps every pow argument ≥ 1, so nothing overflows
+    * even as m → 1; the m=2 default skips pow entirely. */
+  private[operators] def membershipImpl(
+      point: Array[Double], centroids: Array[Array[Double]],
+      dist: (Array[Double], Array[Double]) => Double, m: Double): Array[Double] = {
     val k = centroids.length
     val dis = new Array[Double](k)
+    var dmin = Double.MaxValue
     var i = 0
     while (i < k) {
-      dis(i) = dist(point, centroids(i))
-      if (dis(i) == 0.0) dis(i) = 1e-10
+      var d = dist(point, centroids(i))
+      if (d == 0.0) d = 1e-10
+      dis(i) = d
+      if (d < dmin) dmin = d
       i += 1
     }
-    val u = new Array[Double](k)
     val exp = 2.0 / (m - 1.0)
+    val u = new Array[Double](k)
+    var s = 0.0
     i = 0
     while (i < k) {
-      var s = 0.0; var j = 0
-      while (j < k) { s += math.pow(dis(i) / dis(j), exp); j += 1 }
-      u(i) = 1.0 / s
+      val r = dmin / dis(i) // in (0, 1]
+      val w = if (exp == 2.0) r * r else math.pow(r, exp)
+      u(i) = w; s += w
       i += 1
     }
+    i = 0
+    while (i < k) { u(i) /= s; i += 1 }
     u
   }
 
@@ -151,6 +166,7 @@ object FCM extends DefaultParamsReadable[FCM] {
 
     var iter = 0
     var converged = false
+    val dist = VecOps.distance(measure) _
     while (iter < maxIter && !converged) {
       val bPrev = sc.broadcast(prev)
       val bCurr = sc.broadcast(curr)
@@ -163,12 +179,12 @@ object FCM extends DefaultParamsReadable[FCM] {
         seqOp = { case ((cs, pc, d0), p) =>
           val uCurr =
             if (iter == 0) dirichletRow(p, k, seed)
-            else membership(p, bCurr.value, measure, m)
+            else membershipImpl(p, bCurr.value, dist, m)
           var d = d0
           if (iter > 0) {
             val uPrev =
               if (iter == 1) dirichletRow(p, k, seed)
-              else membership(p, bPrev.value, measure, m)
+              else membershipImpl(p, bPrev.value, dist, m)
             var i = 0
             while (i < k) {
               val t = math.abs(uCurr(i) - uPrev(i)); if (t > d) d = t; i += 1
@@ -176,7 +192,8 @@ object FCM extends DefaultParamsReadable[FCM] {
           }
           var i = 0
           while (i < k) {
-            val um = math.pow(uCurr(i), m)
+            val u = uCurr(i)
+            val um = if (m == 2.0) u * u else math.pow(u, m)
             cs(i) += um
             VecOps.axpy(um, p, pc(i))
             i += 1
