@@ -332,8 +332,11 @@ object SparkEntry {
       // cosine ~0.39), so the threshold demonstrates the pipeline at the
       // corpus's actual similarity scale; production near-dup would run
       // 0.95+ (clone recovery is covered in PipelineOpsSpec).
+      // nbits=0 auto-sizes bits per table to the corpus (~256-vector
+      // buckets at any scale); 4 OR'd tables keep recall up
       Dedup.embeddingNearDupPairs(tbl(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.25, nbits = 4, dims = 64)
+        "vec_id", "embedding", threshold = 0.25, nbits = 0, dims = 64,
+        tables = 4)
     }),
 
     "q_chunk" -> ((s, dir) => {

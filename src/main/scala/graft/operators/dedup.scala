@@ -270,38 +270,67 @@ object Dedup {
    * catches semantic dups that share no tokens. Candidate generation is a
    * hash join on the bucket id; no O(n^2) pairing.
    */
+  /** @param nbits  bits per table; 0 = auto-size so the expected bucket
+    *               holds ~`targetBucket` vectors (log2(n/targetBucket)) —
+    *               bucket-local pairing stays O(n·targetBucket) at ANY
+    *               corpus size instead of going quadratic as n grows past
+    *               a fixed bucket count
+    * @param tables OR over this many independent hyperplane tables — the
+    *               standard LSH recall knob (recall = 1-(1-p^nbits)^tables
+    *               where p = 1-θ/π); pairs found by several tables are
+    *               deduped before emit */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, nbits: Int, dims: Int,
-                            seed: Long = 42L): DataFrame = {
-    val planes = Similarity.hyperplanes(nbits, dims, seed)
+                            seed: Long = 42L, tables: Int = 1,
+                            targetBucket: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // One shuffle of the VECTORS on their bucket id, then bucket-local
+    val src = df.select(col(idCol).cast(LongType),
+      col(vecCol).cast(ArrayType(DoubleType))).as[(Long, Array[Double])]
+    val b =
+      if (nbits > 0) nbits
+      else {
+        val n = src.count()
+        math.max(2, math.ceil(
+          math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2)).toInt)
+      }
+    require(b * tables <= 62, s"bits per table ($b) x tables ($tables) must fit a long")
+    val planes = Similarity.hyperplanes(b * tables, dims, seed)
+    val bc = spark.sparkContext.broadcast(planes)
+    // One shuffle of the VECTORS on (table, bucket), then bucket-local
     // quadratic pairing in primitive arrays — candidate pair rows are
     // never materialized, only survivors are emitted. A bucket must fit
-    // in executor memory, which is the LSH contract anyway (tune nbits).
-    val b = Similarity
-      .lshBuckets(df.select(col(idCol), col(vecCol)), vecCol, planes)
-      .select(col(idCol).cast(LongType), col(vecCol).cast(ArrayType(DoubleType)),
-        col("bucket"))
-      .as[(Long, Array[Double], Long)]
-    b.groupByKey(_._3)
+    // in executor memory, which auto-sizing guarantees in expectation.
+    val keyed = src.flatMap { case (id, v) =>
+      var sig = 0L
+      var i = 0
+      while (i < bc.value.length) {
+        if (graft.core.VecOps.dot(v, bc.value(i)) >= 0) sig |= 1L << i
+        i += 1
+      }
+      val mask = (1L << b) - 1
+      (0 until tables).iterator.map { t =>
+        ((t.toLong << b) | ((sig >>> (t * b)) & mask), id, v)
+      }
+    }
+    val pairs = keyed.groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray
-        val norms = rows.map(r => graft.core.VecOps.norm2(r._2))
+        val norms = rows.map(r => graft.core.VecOps.norm2(r._3))
         for {
           i <- rows.indices.iterator
           j <- (i + 1) until rows.length
-          cos = graft.core.VecOps.dot(rows(i)._2, rows(j)._2) / (norms(i) * norms(j))
+          cos = graft.core.VecOps.dot(rows(i)._3, rows(j)._3) / (norms(i) * norms(j))
           if cos >= threshold
         } yield {
-          val (a, bb) = if (rows(i)._1 < rows(j)._1) (i, j) else (j, i)
-          (rows(a)._1, rows(bb)._1,
-            BigDecimal(graft.core.VecOps.dot(rows(a)._2, rows(bb)._2) / (norms(a) * norms(bb)))
+          val (a, bb) = if (rows(i)._2 < rows(j)._2) (i, j) else (j, i)
+          (rows(a)._2, rows(bb)._2,
+            BigDecimal(graft.core.VecOps.dot(rows(a)._3, rows(bb)._3) / (norms(a) * norms(bb)))
               .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
         }
       }
       .toDF("id_a", "id_b", "cosine")
+    if (tables == 1) pairs else pairs.distinct()
   }
 
   // ------------------------------------------------------- n-gram jaccard
