@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
  */
 object ScaleData {
 
-  private val keyCols: Map[String, Seq[String]] = Map(
+  val keyCols: Map[String, Seq[String]] = Map(
     "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
     "orders" -> Seq("o_orderkey", "o_custkey"),
     "customer" -> Seq("c_custkey"),
@@ -31,6 +31,34 @@ object ScaleData {
     "embeddings" -> Seq("vec_id"),
     "region" -> Nil,
     "nation" -> Nil)
+
+  /** N disjoint-key copies of one table (see object doc for the per-table
+    * content transforms). factor is ignored for key-less dimension tables. */
+  def replicate(df: DataFrame, table: String, keys: Seq[String],
+                factor: Int): DataFrame = {
+    val copies = if (keys.isEmpty) 1 else factor
+    val steps: Map[String, Long] = keys.map { k =>
+      k -> (df.agg(max(col(k).cast("long"))).head().getLong(0) + 1L)
+    }.toMap
+    (0 until copies).map { i =>
+      var c = df
+      keys.foreach { k =>
+        c = c.withColumn(k, (col(k) + lit(i.toLong * steps(k))).cast(df.schema(k).dataType))
+      }
+      if (table == "documents" && i > 0)
+        c = c.withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(s"_$i"))), " "))
+      if (table == "embeddings" && i > 0)
+        // per-copy Rademacher signs: dot(a∘s, b∘s) = dot(a, b), so all
+        // within-copy cosines are preserved bit-for-bit while copies
+        // decorrelate; valid for any factor (a rotation would need
+        // factor < dim)
+        c = c.withColumn("embedding", expr(
+          s"transform(embedding, (x, j) -> CAST(x * (1 - 2 * pmod(hash($i, j), 2)) AS FLOAT))"))
+      c
+    }.reduce(_ unionByName _)
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
@@ -45,30 +73,9 @@ object ScaleData {
 
     keyCols.foreach { case (table, keys) =>
       val df = spark.read.parquet(s"$src/$table.parquet")
-      val copies = if (keys.isEmpty) 1 else factor
-      val steps: Map[String, Long] = keys.map { k =>
-        k -> (df.agg(max(col(k).cast("long"))).head().getLong(0) + 1L)
-      }.toMap
-      val scaled = (0 until copies).map { i =>
-        var c = df
-        keys.foreach { k =>
-          c = c.withColumn(k, (col(k) + lit(i.toLong * steps(k))).cast(df.schema(k).dataType))
-        }
-        if (table == "documents" && i > 0)
-          c = c.withColumn("text",
-            array_join(transform(split(col("text"), " "),
-              w => concat(w, lit(s"_$i"))), " "))
-        if (table == "embeddings" && i > 0)
-          // per-copy Rademacher signs: dot(a∘s, b∘s) = dot(a, b), so all
-          // within-copy cosines are preserved bit-for-bit while copies
-          // decorrelate; valid for any factor (a rotation would need
-          // factor < dim)
-          c = c.withColumn("embedding", expr(
-            s"transform(embedding, (x, j) -> CAST(x * (1 - 2 * pmod(hash($i, j), 2)) AS FLOAT))"))
-        c
-      }.reduce(_ unionByName _)
-      scaled.write.mode("overwrite").parquet(s"$out/$table.parquet")
-      println(s"[scale] $table x$copies -> $out/$table.parquet")
+      replicate(df, table, keys, factor)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[scale] $table x${if (keys.isEmpty) 1 else factor} -> $out/$table.parquet")
     }
     spark.stop()
   }
