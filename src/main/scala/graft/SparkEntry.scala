@@ -284,14 +284,10 @@ object SparkEntry {
       // before the iterative step — at scale that's the difference between
       // propagating over true near-dups and over every vocab collision.
       val docs = tbl(s, dir, "documents")
-      val cand = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
-        mhHashes, mhBands, mhSeed, mhShingle)
-      val a = docs.select(col("doc_id").as("id_a"), col("text").as("__ta"))
-      val b = docs.select(col("doc_id").as("id_b"), col("text").as("__tb"))
-      val joined = cand.join(a, "id_a").join(b, "id_b")
-      val verified = joined
-        .filter(Dedup.ngramJaccard(joined, col("__ta"), col("__tb"), mhShingle) >= 0.8)
-        .select(col("id_a"), col("id_b"))
+      // fused bucket-local candidates + Jaccard verify (one shuffle; no
+      // text join-backs), then cluster resolution
+      val verified = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+        mhHashes, mhBands, mhSeed, mhShingle, threshold = 0.8)
       Dedup.clusters(verified).select(col("id").as("doc_id"), col("cluster_id"))
     }),
 

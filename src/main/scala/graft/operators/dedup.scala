@@ -120,26 +120,31 @@ object Dedup {
    * Catalyst does not CSE subexpressions inside lambda functions, so the
    * expression form re-hashes the word array once per element access.
    */
+  /** Distinct hashed word-shingles of a text (the set both the minhash
+    * signature and exact Jaccard are computed over). */
+  private[operators] def shingleHashes(text: String, shingleN: Int): Array[Long] = {
+    val words = text.toLowerCase.split("\\s+")
+    val wh = words.map(w => md5LongJvm(w) % P)
+    if (shingleN == 1) wh.distinct
+    else if (wh.length < shingleN) Array.empty[Long]
+    else {
+      val out = new Array[Long](wh.length - shingleN + 1)
+      var i = 0
+      while (i < out.length) {
+        var acc = wh(i)
+        var j = 1
+        while (j < shingleN) { acc = (acc * B + wh(i + j)) % P; j += 1 }
+        out(i) = acc
+        i += 1
+      }
+      out.distinct
+    }
+  }
+
   private def signatureUdf(numHashes: Int, bands: Int, seed: Long, shingleN: Int) = {
     val params = hashParams(numHashes, seed)
     udf { (text: String) =>
-      val words = text.toLowerCase.split("\\s+")
-      val wh = words.map(w => md5LongJvm(w) % P)
-      val sh: Array[Long] =
-        if (shingleN == 1) wh.distinct
-        else if (wh.length < shingleN) Array.empty[Long]
-        else {
-          val out = new Array[Long](wh.length - shingleN + 1)
-          var i = 0
-          while (i < out.length) {
-            var acc = wh(i)
-            var j = 1
-            while (j < shingleN) { acc = (acc * B + wh(i + j)) % P; j += 1 }
-            out(i) = acc
-            i += 1
-          }
-          out.distinct
-        }
+      val sh = shingleHashes(text, shingleN)
       if (sh.isEmpty) Array.empty[Long]
       else params.map { case (a, b) =>
         var mn = Long.MaxValue
@@ -172,6 +177,77 @@ object Dedup {
           col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .distinct()
+  }
+
+  /**
+   * Fused LSH candidates + exact Jaccard verify: one shuffle of
+   * (band-bucket, id, shingle-hash set), then bucket-local pairwise
+   * verification over sorted primitive arrays — unverified candidate
+   * pairs are never materialized and the corpus is never re-joined to
+   * fetch texts (the join-back version shuffles the full text column
+   * twice). Jaccard is over the same hashed shingle sets the signature
+   * minima come from; survivors are deduped across bands. This is the
+   * scale path behind q_dedup_minhash; `minhashCandidatePairs` +
+   * `ngramJaccard` remain the oracle-checked reference form.
+   */
+  def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          numHashes: Int, bands: Int, seed: Long = 42L,
+                          shingleN: Int = 1, threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val spark = df.sparkSession
+    import spark.implicits._
+    val params = hashParams(numHashes, seed)
+    val sigShUdf = udf { (text: String) =>
+      val sh = shingleHashes(text, shingleN)
+      if (sh.isEmpty) (Array.empty[Long], Array.empty[Long])
+      else {
+        val sig = params.map { case (a, b) =>
+          var mn = Long.MaxValue
+          var i = 0
+          while (i < sh.length) {
+            val h = (a * sh(i) + b) % P
+            if (h < mn) mn = h
+            i += 1
+          }
+          mn
+        }
+        java.util.Arrays.sort(sh)
+        (sig, sh)
+      }
+    }
+    val withSig = df
+      .select(col(idCol).cast(LongType).as("__id"), sigShUdf(col(textCol)).as("__s"))
+      .filter(size(col("__s._1")) > 0)
+    val banded = withSig.select(col("__id"), col("__s._2").as("__sh"),
+      explode(array((0 until bands).map(b =>
+        concat_ws("_", (lit(b) +: (0 until rows).map(r =>
+          element_at(col("__s._1"), b * rows + r + 1))): _*)): _*)).as("__bucket"))
+    banded.select(col("__bucket"), col("__id"), col("__sh"))
+      .as[(String, Long, Array[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val docs = it.toArray.sortBy(_._2)
+        for {
+          i <- docs.indices.iterator
+          j <- (i + 1) until docs.length
+          if jaccardSorted(docs(i)._3, docs(j)._3) >= threshold
+        } yield (docs(i)._2, docs(j)._2)
+      }
+      .toDF("id_a", "id_b")
+      .distinct()
+  }
+
+  /** |A ∩ B| / |A ∪ B| over sorted distinct arrays (linear merge). */
+  private[operators] def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
   }
 
   /**

@@ -30,6 +30,28 @@ class PipelineOpsSpec extends GraftSpec {
     assert(!pairs.contains((3L, 5L)), "disjoint docs must not collide")
   }
 
+  test("fused minhash near-dup pairs match candidates + ngramJaccard verify") {
+    // the fused bucket-local form must emit exactly the candidate pairs
+    // that survive the expression-form Jaccard verify (hashed-shingle vs
+    // string-shingle Jaccard agree absent md5 collisions)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val threshold = 0.5
+    val fused = Dedup.minhashNearDupPairs(real, "text", "doc_id",
+        numHashes = 16, bands = 4, seed = 42L, shingleN = 3, threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashCandidatePairs(real, "text", "doc_id",
+      numHashes = 16, bands = 4, seed = 42L, shingleN = 3)
+    val a = real.select(col("doc_id").as("id_a"), col("text").as("__ta"))
+    val b = real.select(col("doc_id").as("id_b"), col("text").as("__tb"))
+    val joined = cand.join(a, "id_a").join(b, "id_b")
+    val reference = joined
+      .filter(Dedup.ngramJaccard(joined, col("__ta"), col("__tb"), 3) >= threshold)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reference.nonEmpty, "fixture must exercise the verify pass")
+    assert(fused == reference)
+  }
+
   test("cluster resolution: min-id label propagation") {
     val pairs = Seq((1L, 4L), (1L, 2L), (2L, 4L), (7L, 9L)).toDF("id_a", "id_b")
     val got = Dedup.clusters(pairs).collect()
