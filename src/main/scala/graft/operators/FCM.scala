@@ -59,15 +59,23 @@ class FCM(override val uid: String) extends Estimator[FCMModel]
     val df = ds.toDF()
     val spark = df.sparkSession
     import spark.implicits._
-    val points = df.select(Features.asArray(df, $(featuresCol)))
+    val rows = df.select(Features.asArray(df, $(featuresCol)))
       .as[Array[Double]].rdd
+    // Init BEFORE blocking so the sample is row-exact (same RDD content
+    // and partitioning as the pre-block layout -> identical seeds).
+    val init = initialCentroids.getOrElse(
+      rows.takeSample(withReplacement = false, $(k), $(seed)))
+    // Iterations run over flat per-block arrays: ~15k cached block objects
+    // instead of tens of millions of boxed Array[Double] rows — sequential
+    // scans, no old-gen pointer chasing.
+    val blocks = FCM.blockify(rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val centroids = FCM.run(points, $(k), $(m), $(tol), $(maxIter), $(seed),
-        $(distanceMeasure), initialCentroids)
+      val centroids = FCM.runBlocks(blocks, init, $(k), $(m), $(tol),
+        $(maxIter), $(seed), $(distanceMeasure))
       copyValues(new FCMModel(Identifiable.randomUID("fcmModel"))
         .setCentroids(centroids)).setParent(this)
-    } finally points.unpersist(blocking = false)
+    } finally blocks.unpersist(blocking = false)
   }
 
   override def transformSchema(schema: StructType): StructType =
@@ -101,41 +109,59 @@ object FCM extends DefaultParamsReadable[FCM] {
 
   /** u_ik = 1 / sum_j (d_ik/d_jk)^(2/(m-1)), 1e-10 guard (FCM.java:527-553). */
   def membership(point: Array[Double], centroids: Array[Array[Double]],
-                 measure: String, m: Double): Array[Double] =
-    membershipImpl(point, centroids, VecOps.distance(measure) _, m)
+                 measure: String, m: Double): Array[Double] = {
+    val k = centroids.length
+    val u = new Array[Double](k)
+    membershipInto(point, centroids, measure, m, new Array[Double](k), u)
+    u
+  }
 
   /** Hot-path membership: algebraically equal to the reference's
     * u_i = 1/Σ_j (d_i/d_j)^(2/(m-1)) (FCM.java:527-553) but O(k) instead
     * of O(k²) — u_i = (d_i/dmin)^-p / Σ_j (d_j/dmin)^-p. Normalizing by
     * the min distance keeps every pow argument ≥ 1, so nothing overflows
-    * even as m → 1; the m=2 default skips pow entirely. */
-  private[operators] def membershipImpl(
-      point: Array[Double], centroids: Array[Array[Double]],
-      dist: (Array[Double], Array[Double]) => Double, m: Double): Array[Double] = {
+    * even as m → 1. Euclidean runs inlined on SQUARED distances (the ratio
+    * exponent halves, so the m=2 default needs no pow and no sqrt) with
+    * caller-provided scratch — no per-row allocation, no virtual dispatch. */
+  private[operators] def membershipInto(
+      point: Array[Double], centroids: Array[Array[Double]], measure: String,
+      m: Double, dis: Array[Double], u: Array[Double]): Unit = {
     val k = centroids.length
-    val dis = new Array[Double](k)
     var dmin = Double.MaxValue
     var i = 0
-    while (i < k) {
-      var d = dist(point, centroids(i))
-      if (d == 0.0) d = 1e-10
-      dis(i) = d
-      if (d < dmin) dmin = d
-      i += 1
+    if (measure == "euclidean") {
+      while (i < k) {
+        val c = centroids(i)
+        var s = 0.0
+        var j = 0
+        while (j < c.length) { val t = point(j) - c(j); s += t * t; j += 1 }
+        if (s == 0.0) s = 1e-20 // (1e-10)^2 — the reference's zero guard, squared
+        dis(i) = s
+        if (s < dmin) dmin = s
+        i += 1
+      }
+    } else {
+      val dist = VecOps.distance(measure) _
+      while (i < k) {
+        var d = dist(point, centroids(i))
+        if (d == 0.0) d = 1e-10
+        d = d * d
+        dis(i) = d
+        if (d < dmin) dmin = d
+        i += 1
+      }
     }
-    val exp = 2.0 / (m - 1.0)
-    val u = new Array[Double](k)
+    val exp = 1.0 / (m - 1.0) // (2/(m-1)) / 2: dis holds squared distances
     var s = 0.0
     i = 0
     while (i < k) {
       val r = dmin / dis(i) // in (0, 1]
-      val w = if (exp == 2.0) r * r else math.pow(r, exp)
+      val w = if (exp == 1.0) r else math.pow(r, exp)
       u(i) = w; s += w
       i += 1
     }
     i = 0
     while (i < k) { u(i) /= s; i += 1 }
-    u
   }
 
   /** Symmetric Dirichlet(1) row keyed by a per-point hash — deterministic
@@ -149,15 +175,25 @@ object FCM extends DefaultParamsReadable[FCM] {
     e.map(_ / s)
   }
 
-  /** Driver loop; returns final centroids. */
-  def run(points: org.apache.spark.rdd.RDD[Array[Double]], k: Int, m: Double,
-          tol: Double, maxIter: Int, seed: Long, measure: String,
-          init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
-    val sc = points.sparkContext
-    // Init centroids: explicit seeds (e.g. Canopy centers) or k points
-    // sampled without replacement (FCM.java:71).
-    var curr: Array[Array[Double]] =
-      init.getOrElse(points.takeSample(withReplacement = false, k, seed))
+  /** Rows -> flat (rowCount, values) blocks for the iteration cache. */
+  def blockify(rows: org.apache.spark.rdd.RDD[Array[Double]],
+               blockSize: Int = 4096): org.apache.spark.rdd.RDD[(Int, Array[Double])] =
+    rows.mapPartitions { it =>
+      it.grouped(blockSize).map { g =>
+        val d = g.head.length
+        val flat = new Array[Double](g.length * d)
+        var i = 0
+        g.foreach { r => System.arraycopy(r, 0, flat, i * d, d); i += 1 }
+        (g.length, flat)
+      }
+    }
+
+  /** Driver loop over row blocks; returns final centroids. */
+  def runBlocks(blocks: org.apache.spark.rdd.RDD[(Int, Array[Double])],
+                init: Array[Array[Double]], k: Int, m: Double, tol: Double,
+                maxIter: Int, seed: Long, measure: String): Array[Array[Double]] = {
+    val sc = blocks.sparkContext
+    var curr: Array[Array[Double]] = init
     require(curr.nonEmpty, "cannot fit FCM on an empty dataset")
     // Degenerate input (fewer rows than k): pad by repeating samples, like
     // the reference's selectRandomCentroids on duplicate-heavy data.
@@ -166,7 +202,6 @@ object FCM extends DefaultParamsReadable[FCM] {
 
     var iter = 0
     var converged = false
-    val dist = VecOps.distance(measure) _
     while (iter < maxIter && !converged) {
       val bPrev = sc.broadcast(prev)
       val bCurr = sc.broadcast(curr)
@@ -174,29 +209,39 @@ object FCM extends DefaultParamsReadable[FCM] {
       // One pass: membership under curr (epoch i) and prev (epoch i-1, or
       // the regenerated Dirichlet init), accumulating the centroid update
       // and max |delta u| exactly as FCM.java:422-503 does across tasks.
-      val (sums, contrib, delta) = points.treeAggregate(
+      val (sums, contrib, delta) = blocks.treeAggregate(
         (new Array[Double](k), Array.fill(k)(new Array[Double](dims)), -1.0))(
-        seqOp = { case ((cs, pc, d0), p) =>
-          val uCurr =
-            if (iter == 0) dirichletRow(p, k, seed)
-            else membershipImpl(p, bCurr.value, dist, m)
+        seqOp = { case ((cs, pc, d0), (n, flat)) =>
+          // per-block scratch: row + distance/membership buffers
+          val p = new Array[Double](dims)
+          val dis = new Array[Double](k)
+          val uC = new Array[Double](k)
+          val uP = new Array[Double](k)
           var d = d0
-          if (iter > 0) {
-            val uPrev =
-              if (iter == 1) dirichletRow(p, k, seed)
-              else membershipImpl(p, bPrev.value, dist, m)
+          var r = 0
+          while (r < n) {
+            System.arraycopy(flat, r * dims, p, 0, dims)
+            val uCurr =
+              if (iter == 0) dirichletRow(p, k, seed)
+              else { membershipInto(p, bCurr.value, measure, m, dis, uC); uC }
+            if (iter > 0) {
+              val uPrev =
+                if (iter == 1) dirichletRow(p, k, seed)
+                else { membershipInto(p, bPrev.value, measure, m, dis, uP); uP }
+              var i = 0
+              while (i < k) {
+                val t = math.abs(uCurr(i) - uPrev(i)); if (t > d) d = t; i += 1
+              }
+            }
             var i = 0
             while (i < k) {
-              val t = math.abs(uCurr(i) - uPrev(i)); if (t > d) d = t; i += 1
+              val u = uCurr(i)
+              val um = if (m == 2.0) u * u else math.pow(u, m)
+              cs(i) += um
+              VecOps.axpy(um, p, pc(i))
+              i += 1
             }
-          }
-          var i = 0
-          while (i < k) {
-            val u = uCurr(i)
-            val um = if (m == 2.0) u * u else math.pow(u, m)
-            cs(i) += um
-            VecOps.axpy(um, p, pc(i))
-            i += 1
+            r += 1
           }
           (cs, pc, d)
         },
@@ -214,6 +259,14 @@ object FCM extends DefaultParamsReadable[FCM] {
       iter += 1
     }
     curr
+  }
+
+  /** Row-RDD convenience wrapper (init sampling + blocking). */
+  def run(points: org.apache.spark.rdd.RDD[Array[Double]], k: Int, m: Double,
+          tol: Double, maxIter: Int, seed: Long, measure: String,
+          init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
+    val curr = init.getOrElse(points.takeSample(withReplacement = false, k, seed))
+    runBlocks(blockify(points), curr, k, m, tol, maxIter, seed, measure)
   }
 }
 
