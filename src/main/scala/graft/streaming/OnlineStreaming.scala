@@ -12,6 +12,10 @@ case class EvRow(tms: Long, features: Array[Double])
 /** Scored output row. */
 case class ScoredRow(tms: Long, features: Array[Double], score: Double)
 
+/** Sliding-window scored row: one output per (window, input row). */
+case class SlidingScoredRow(wstart: Long, tms: Long, features: Array[Double],
+                            score: Double)
+
 /**
  * Structured Streaming forms of the Online* operators.
  *
@@ -82,6 +86,55 @@ object OnlineStreaming {
           } else {
             val buf = state.getOption.getOrElse(Array.empty[EvRow]) ++
               rows.map { case (tms, f, _) => EvRow(tms, f) }
+            state.update(buf)
+            state.setTimeoutTimestamp(wstart + winMs - 1)
+            Iterator.empty
+          }
+      }
+  }
+
+  /**
+   * Sliding-window streaming OnlineAHP (capability extension — the
+   * reference supports only tumbling/global): each row is assigned to
+   * every window containing it, windows buffer independently in keyed
+   * state and score when the watermark passes their end. Output is one
+   * SlidingScoredRow per (window, row) membership, matching the batch
+   * `OnlineAHP.setSlideDuration` form.
+   */
+  def onlineAhpStreamSliding(ds: DataFrame, judgment: Array[Array[Double]],
+                             indicatorType: Array[Int], windowSpec: String,
+                             slideSpec: String,
+                             watermarkDelay: String = "0 seconds"): Dataset[SlidingScoredRow] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val ahpW = AHP.weightVector(judgment)
+    val cr = AHP.consistencyRatio(judgment, ahpW)
+    require(cr < 0.1, f"CR $cr%.4f is too large, please check your judgment matrix")
+    val winMs = EventWindows.durationMs(windowSpec)
+
+    // Window starts exploded as a COLUMN (not a typed flatMap): object-level
+    // maps re-serialize and drop the watermark tag from `rowtime`, which
+    // EventTimeTimeout requires downstream.
+    val wm = withRowtime(ds, "tms", watermarkDelay)
+    val typed = wm
+      .withColumn("__wstart",
+        explode(EventWindows.slidingStartsCol(wm, "tms", windowSpec, slideSpec)))
+      .select(col("__wstart"), col("tms"), col("features"), col("rowtime"))
+      .as[(Long, Long, Array[Double], java.sql.Timestamp)]
+
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Array[EvRow], SlidingScoredRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (wstart, rows, state: GroupState[Array[EvRow]]) =>
+          if (state.hasTimedOut) {
+            val buf = state.getOption.getOrElse(Array.empty[EvRow])
+            state.remove()
+            scoreWindow(buf, ahpW, indicatorType).iterator
+              .map(sr => SlidingScoredRow(wstart, sr.tms, sr.features, sr.score))
+          } else {
+            val buf = state.getOption.getOrElse(Array.empty[EvRow]) ++
+              rows.map { case (_, tms, f, _) => EvRow(tms, f) }
             state.update(buf)
             state.setTimeoutTimestamp(wstart + winMs - 1)
             Iterator.empty

@@ -123,6 +123,69 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("streaming sliding OnlineAHP matches the batch sliding operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = new graft.operators.OnlineAHP()
+      .setInputCols("x0", "x1", "x2", "x3", "x4", "x5")
+      .setJudgmentMatrix(judgment).setIndicatorType(types)
+      .setTimeCol("tms").setWindowDuration("3 days").setSlideDuration("1 day")
+      .setOutputCol("score")
+      .transform(rows.zipWithIndex
+        .map { case ((t, f), _) => (t, f(0), f(1), f(2), f(3), f(4), f(5)) }
+        .toDF("tms", "x0", "x1", "x2", "x3", "x4", "x5"))
+      .select(col("window_start"), col("tms"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    val mem = MemoryStream[(Long, Array[Double])]
+    val scored = OnlineStreaming.onlineAhpStreamSliding(
+      mem.toDF().toDF("tms", "features"), judgment, types, "3 days", "1 day")
+    val query = scored.writeStream
+      .format("memory").queryName("ahp_sliding").outputMode("append").start()
+    try {
+      mem.addData(rows)
+      query.processAllAvailable()
+      mem.addData((1603000000000L, Array(1.0, 1.0, 1.0, 1.0, 1.0, 1.0))) // push watermark
+      query.processAllAvailable()
+      val got = spark.table("ahp_sliding")
+        .select("wstart", "tms", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // every batch (window, row) score the watermark has passed must match;
+      // two rows share tms 1602518400000 so compare on distinct keys only
+      assert(got.nonEmpty)
+      got.foreach { case (key, s) =>
+        batch.get(key).foreach { want =>
+          assert(s.isNaN == want.isNaN)
+          if (!want.isNaN)
+            assert(math.abs(s - want) < 1e-9, s"window/tms $key: $s vs $want")
+        }
+      }
+      // all 3-day windows covering the 9 fixture rows eventually scored
+      assert(got.keys.map(_._1).toSet.size >= 8)
+    } finally query.stop()
+  }
+
+  test("stream-stream gating: rows with no suitable model never emit") {
+    implicit val sqlCtx = spark.sqlContext
+    val windowMs = 3L * 86400000L
+    val dataMem = MemoryStream[(Long, Array[Double])]
+    val modelMem = MemoryStream[(Long, Long, Double)]
+    val scored = OnlineStreaming.onlineTopsisScoreStreamStream(
+      dataMem.toDF().toDF("tms", "features"),
+      modelMem.toDF().toDF("timestamp", "minTimestamp", "score"), windowMs)
+    val query = scored.writeStream
+      .format("memory").queryName("ss_nomodel").outputMode("append").start()
+    try {
+      dataMem.addData((1601913600000L, Array(1.0)), (1602518400000L, Array(2.0)))
+      // model window covers only the FIRST row's timestamp
+      modelMem.addData((1602000000000L, 1601913600000L, 0.5))
+      query.processAllAvailable()
+      val got = spark.table("ss_nomodel").select("tms", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq == Seq((1601913600000L, 0.5)),
+        "only the covered row may emit; the uncovered row stays buffered")
+    } finally query.stop()
+  }
+
   test("stream-stream gating: data rows wait in join state until their model arrives") {
     implicit val sqlCtx = spark.sqlContext
     val windowMs = 3L * 86400000L
