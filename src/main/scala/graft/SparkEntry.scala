@@ -291,6 +291,20 @@ object SparkEntry {
       Dedup.clusters(verified).select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
+    // vocabulary stats per source: explode -> multi-distinct agg (the one
+    // relational shape no other oracle query exercises); exact
+    // count_distinct here, approx_count_distinct is the documented swap
+    // at 100 TB (same plan shape, partial-mergeable HLL sketch)
+    "q_vocab" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("token"))
+        .groupBy("source")
+        .agg(countDistinct(col("token")).as("vocab"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"))
+    }),
+
     "q_simhash" -> ((s, dir) => {
       Dedup.simhash(tbl(s, dir, "documents"), "text", "doc_id", bits = 16)
     }),
@@ -848,6 +862,14 @@ object SparkEntry {
         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events),
         |m AS (SELECT avg(v) AS mu FROM ev)
         |SELECT event_id, round(coalesce(v, mu), 6) AS value_imputed FROM ev, m""".stripMargin,
+
+    "q_vocab" ->
+      """SELECT source, count(DISTINCT token) AS vocab,
+        |  count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens
+        |FROM (SELECT source, doc_id,
+        |        unnest(string_split_regex(lower(text), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY source""".stripMargin,
 
     "q_autofeature" ->
       """WITH p AS (SELECT p_partkey, p_size,

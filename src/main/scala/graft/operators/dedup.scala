@@ -62,6 +62,20 @@ object Dedup {
       .drop("__rn")
   }
 
+  /**
+   * Streaming exact dedup: first row per key wins within the watermark
+   * horizon (`dropDuplicatesWithinWatermark` keeps key state only until
+   * the watermark passes — bounded state, the 100 TB streaming-ingest
+   * dedup primitive). Batch `exact` keeps min-id instead of first-seen;
+   * on a stream ordered by event time they coincide.
+   */
+  def exactStream(ds: DataFrame, keyCols: Seq[String], timeCol: String,
+                  delay: String): DataFrame =
+    ds.withColumn("__rowtime", timestamp_millis(col(timeCol)))
+      .withWatermark("__rowtime", delay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+      .drop("__rowtime")
+
   // -------------------------------------------------------------- minhash
 
   /** k-function minhash signature over a PRE-HASHED token array column

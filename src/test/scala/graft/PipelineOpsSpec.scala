@@ -30,6 +30,25 @@ class PipelineOpsSpec extends GraftSpec {
     assert(!pairs.contains((3L, 5L)), "disjoint docs must not collide")
   }
 
+  test("streaming exact dedup: first row per key wins, later dups dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Long, String)]
+    val out = Dedup.exactStream(
+      mem.toDF().toDF("doc_id", "tms", "text"), Seq("text"), "tms", "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1000L, "aa"), (2L, 2000L, "aa"), (3L, 3000L, "bb"))
+      q.processAllAvailable()
+      mem.addData((4L, 4000L, "bb"), (5L, 5000L, "cc"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("doc_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("fused minhash near-dup pairs match candidates + ngramJaccard verify") {
     // the fused bucket-local form must emit exactly the candidate pairs
     // that survive the expression-form Jaccard verify (hashed-shingle vs
