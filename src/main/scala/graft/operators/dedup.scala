@@ -300,10 +300,17 @@ object Dedup {
       val rows = parent.keys.toSeq.map(id => (id, find(id)))
       pairs.unpersist(blocking = false)
       rows.toDF("id", "cluster_id")
-    } else clustersDistributed(pairs, maxIter)
+    } else {
+      val labels = clustersDistributed(pairs, maxIter)
+      pairs.unpersist(blocking = false) // labels are cached + materialized
+      labels
+    }
   }
 
-  /** Distributed min-id label propagation (the above-limit path). */
+  /** Distributed min-id label propagation (the above-limit path). Only the
+    * newest label generation stays cached — stale generations and the edge
+    * list are unpersisted as the loop advances (at scale a leaked cache
+    * per round would crowd out executor storage). */
   def clustersDistributed(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b"), col("id_a")))
@@ -314,16 +321,20 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = edges.join(labels, edges("dst") === labels("id"))
+      val prev = labels
+      labels = edges.join(prev, edges("dst") === prev("id"))
         .select(edges("src").as("id"), col("cluster_id"))
-        .union(labels.select(col("id"), col("cluster_id")))
+        .union(prev.select(col("id"), col("cluster_id")))
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-      val changed = next.as("n").join(labels.as("o"), "id")
+        .cache()
+      // materializes the new generation, so prev can be dropped after
+      val changed = labels.as("n").join(prev.as("o"), "id")
         .filter(col("n.cluster_id") =!= col("o.cluster_id")).limit(1).count()
-      labels = next.cache()
+      prev.unpersist(blocking = false)
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist(blocking = false)
     labels
   }
 

@@ -30,6 +30,19 @@ class PipelineOpsSpec extends GraftSpec {
     assert(!pairs.contains((3L, 5L)), "disjoint docs must not collide")
   }
 
+  test("distributed label propagation matches driver union-find") {
+    val pairs = Seq((1L, 4L), (1L, 2L), (2L, 4L), (7L, 9L), (9L, 11L))
+      .toDF("id_a", "id_b")
+    val viaDriver = Dedup.clusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driverEdgeLimit = 0 forces the distributed path through the same API
+    val viaDistributed = Dedup.clusters(pairs, driverEdgeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDistributed == viaDriver)
+    assert(viaDriver == Set((1L, 1L), (2L, 1L), (4L, 1L),
+      (7L, 7L), (9L, 7L), (11L, 7L)))
+  }
+
   test("streaming exact dedup: first row per key wins, later dups dropped") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
