@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AHP, Apriori, AutoFeatureTransformer, Canopy, Dedup, FCMModel, MeanImputer, Multimodal, OnlineAHP, OnlineTopsis, Similarity, StandardScalerEst, TextAnalysis, Topsis}
+import graft.operators.{AHP, Apriori, AutoFeatureTransformer, Canopy, Dedup, FCMModel, MeanImputer, Multimodal, OnlineAHP, OnlineTopsis, Sampling, Similarity, StandardScalerEst, TextAnalysis, Topsis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -289,6 +289,16 @@ object SparkEntry {
       val verified = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
         mhHashes, mhBands, mhSeed, mhShingle, threshold = 0.8)
       Dedup.clusters(verified).select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
+    // deterministic stratified sampling (data-mixture weighting): md5
+    // bucket under a per-language threshold — reproducible at any scale /
+    // partitioning / engine, which RNG sampling is not
+    "q_sample" -> ((s, dir) => {
+      Sampling.stratifiedHashSample(tbl(s, dir, "documents"),
+        col("lang"), col("doc_id"),
+        Map("en" -> 0.5, "de" -> 0.2), default = 0.1)
+        .select(col("doc_id"), col("lang"))
     }),
 
     // vocabulary stats per source: explode -> multi-distinct agg (the one
@@ -862,6 +872,11 @@ object SparkEntry {
         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events),
         |m AS (SELECT avg(v) AS mu FROM ev)
         |SELECT event_id, round(coalesce(v, mu), 6) AS value_imputed FROM ev, m""".stripMargin,
+
+    "q_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
+        |  CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2000 ELSE 1000 END""".stripMargin,
 
     "q_vocab" ->
       """SELECT source, count(DISTINCT token) AS vocab,

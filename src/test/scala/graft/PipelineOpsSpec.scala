@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline extensions: dedup, ANN, text analysis. */
@@ -28,6 +28,25 @@ class PipelineOpsSpec extends GraftSpec {
     assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)),
       "8/9-word-overlap near-dups should collide in some band")
     assert(!pairs.contains((3L, 5L)), "disjoint docs must not collide")
+  }
+
+  test("hash sampling is deterministic and hits the target fractions") {
+    val df = spark.range(20000).toDF("id")
+      .withColumn("stratum", when(col("id") % 2 === 0, "a").otherwise("b"))
+    val s1 = Sampling.hashSample(df, col("id"), 0.3).select("id").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(df, col("id"), 0.3).select("id").as[Long].collect().toSet
+    assert(s1 == s2, "same predicate, same rows — no RNG state")
+    assert(math.abs(s1.size / 20000.0 - 0.3) < 0.02)
+    // nested property: a smaller fraction selects a subset of a larger one
+    val s3 = Sampling.hashSample(df, col("id"), 0.1).select("id").as[Long].collect().toSet
+    assert(s3.subsetOf(s1))
+
+    val strat = Sampling.stratifiedHashSample(df, col("stratum"), col("id"),
+      Map("a" -> 0.5), default = 0.05)
+    val byStratum = strat.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byStratum("a") / 10000.0 - 0.5) < 0.03)
+    assert(math.abs(byStratum.getOrElse("b", 0L) / 10000.0 - 0.05) < 0.02)
   }
 
   test("distributed label propagation matches driver union-find") {
