@@ -98,11 +98,74 @@ object Similarity {
       .rdd.takeSample(withReplacement = false, cells, seed)
   }
 
-  /** ANN top-k probing the nprobe nearest coarse cells per query. */
+  /** Lloyd-refined coarse quantizer: random seeds + a few k-means rounds
+    * over the blockified corpus (one treeAggregate per round — the same
+    * cached-block iteration shape as FCM). Balanced cells beat raw random
+    * seeds on probe recall; empty cells keep their previous centroid. */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String, cells: Int,
+                      iters: Int, seed: Long): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rows = corpus.select(col(vecCol).cast(ArrayType(DoubleType)))
+      .as[Array[Double]].rdd
+    var centroids = rows.takeSample(withReplacement = false, cells, seed)
+    if (centroids.isEmpty) return centroids
+    val blocks = FCM.blockify(rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val k = centroids.length
+      val dims = centroids(0).length
+      var it = 0
+      while (it < iters) {
+        val bc = spark.sparkContext.broadcast(centroids)
+        val (sums, counts) = blocks.treeAggregate(
+          (Array.fill(k)(new Array[Double](dims)), new Array[Long](k)))(
+          seqOp = { case ((s, c), (n, flat)) =>
+            var r = 0
+            while (r < n) {
+              var best = 0; var bestD = Double.MaxValue
+              var i = 0
+              while (i < k) {
+                var d = 0.0; var j = 0
+                while (j < dims) {
+                  val t = flat(r * dims + j) - bc.value(i)(j); d += t * t; j += 1
+                }
+                if (d < bestD) { bestD = d; best = i }
+                i += 1
+              }
+              var j = 0
+              while (j < dims) { s(best)(j) += flat(r * dims + j); j += 1 }
+              c(best) += 1
+              r += 1
+            }
+            (s, c)
+          },
+          combOp = { case ((s1, c1), (s2, c2)) =>
+            var i = 0
+            while (i < k) {
+              VecOps.axpy(1.0, s2(i), s1(i)); c1(i) += c2(i); i += 1
+            }
+            (s1, c1)
+          })
+        bc.destroy()
+        centroids = Array.tabulate(k) { i =>
+          if (counts(i) == 0L) centroids(i) else VecOps.scal(1.0 / counts(i), sums(i))
+        }
+        it += 1
+      }
+      centroids
+    } finally blocks.unpersist(blocking = false)
+  }
+
+  /** ANN top-k probing the nprobe nearest coarse cells per query.
+    * trainIters > 0 refines the coarse quantizer with Lloyd rounds. */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
-              k: Int, cells: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
-    val centroids = ivfCentroids(corpus, vecCol, cells, seed)
+              k: Int, cells: Int, nprobe: Int, seed: Long = 42L,
+              trainIters: Int = 0): DataFrame = {
+    val centroids =
+      if (trainIters > 0) kmeansCentroids(corpus, vecCol, cells, trainIters, seed)
+      else ivfCentroids(corpus, vecCol, cells, seed)
     val spark = corpus.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
     val cellUdf = udf { (v: Seq[Double]) =>

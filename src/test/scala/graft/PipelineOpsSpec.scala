@@ -1,5 +1,6 @@
 package graft
 
+import graft.core.VecOps
 import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
@@ -170,6 +171,16 @@ class PipelineOpsSpec extends GraftSpec {
       queries, "qid", "qvec", k = 3, cells = 2, nprobe = 1).collect()
     assert(got.length == 3 && got.forall(_.getLong(1) >= 11L),
       s"all neighbors must come from cluster b: ${got.mkString(",")}")
+
+    // Lloyd-trained quantizer: centroids land on the true cluster means
+    val cents = Similarity.kmeansCentroids(corpus, "embedding",
+        cells = 2, iters = 5, seed = 7L)
+      .sortBy(c => VecOps.sqDist(c, a))
+    assert(math.sqrt(VecOps.sqDist(cents(0), a)) < 0.1)
+    assert(math.sqrt(VecOps.sqDist(cents(1), b)) < 0.1)
+    val trained = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      queries, "qid", "qvec", k = 3, cells = 2, nprobe = 1, trainIters = 3).collect()
+    assert(trained.length == 3 && trained.forall(_.getLong(1) >= 11L))
   }
 
   test("embedding near-dup pairs: clones found, unrelated vectors not") {
