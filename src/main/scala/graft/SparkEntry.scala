@@ -123,6 +123,19 @@ object SparkEntry {
         .select(col("l_suppkey"), col("rn"), round(col("total"), 2).as("total"))
     }),
 
+    // set operations (SURVEY §2.2 set-ops row): customers with BOTH an
+    // urgent and a high order but NO low order — intersect/except are
+    // hash-agg-based distinct set ops in Spark (no sort), same semantics
+    // as SQL INTERSECT/EXCEPT
+    "q_setops" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      def custsWith(p: String) =
+        o.filter(col("o_orderpriority") === p).select(col("o_custkey"))
+      custsWith("1-URGENT")
+        .intersect(custsWith("2-HIGH"))
+        .except(custsWith("5-LOW"))
+    }),
+
     "q_topsis" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
@@ -872,6 +885,13 @@ object SparkEntry {
         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events),
         |m AS (SELECT avg(v) AS mu FROM ev)
         |SELECT event_id, round(coalesce(v, mu), 6) AS value_imputed FROM ev, m""".stripMargin,
+
+    "q_setops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin,
 
     "q_sample" ->
       """SELECT doc_id, lang FROM documents
