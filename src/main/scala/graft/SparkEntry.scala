@@ -123,6 +123,19 @@ object SparkEntry {
         .select(col("l_suppkey"), col("rn"), round(col("total"), 2).as("total"))
     }),
 
+    // hierarchical totals via ROLLUP (beyond the reference's kit): per
+    // (flag, status), per flag, and grand total in ONE pass — Spark plans
+    // a single Expand + hash agg, not three scans
+    "q_rollup" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).as("revenue"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), round(col("revenue"), 2).as("revenue"))
+    }),
+
     // set operations (SURVEY §2.2 set-ops row): customers with BOTH an
     // urgent and a high order but NO low order — intersect/except are
     // hash-agg-based distinct set ops in Spark (no sort), same semantics
@@ -885,6 +898,14 @@ object SparkEntry {
         |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events),
         |m AS (SELECT avg(v) AS mu FROM ev)
         |SELECT event_id, round(coalesce(v, mu), 6) AS value_imputed FROM ev, m""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS n,
+        |  round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS revenue
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_setops" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
