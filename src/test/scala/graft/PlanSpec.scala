@@ -30,6 +30,19 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
   }
 
+  test("q_rollup: all grouping levels in one pass (Expand + single shuffle)") {
+    val p = plan("q_rollup")
+    assert(p.contains("Expand"), s"rollup should plan one Expand:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected one shuffle (+optional AQE read), got $exchanges:\n$p")
+  }
+
+  test("q_sample: scan pruned to the two projected columns") {
+    val p = plan("q_sample")
+    assert(!p.contains("text") && !p.contains("n_chars"),
+      s"sampling must not read the text payload:\n$p")
+  }
+
   test("salted join spreads a hot key and preserves inner-join semantics") {
     val big = (Seq.fill(500)(1) ++ (2 to 50)).toDF("k")
       .withColumn("v", monotonically_increasing_id())
