@@ -317,6 +317,18 @@ object SparkEntry {
       Dedup.clusters(verified).select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
+    // per-source corpus profiling: counts + mean + EXACT interpolated
+    // percentiles (Spark `percentile` ≡ DuckDB quantile_cont; the 100 TB
+    // swap is percentile_approx — same plan shape, mergeable sketch)
+    "q_profile" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 6).as("mean_chars"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"))
+    }),
+
     // deterministic stratified sampling (data-mixture weighting): md5
     // bucket under a per-language threshold — reproducible at any scale /
     // partitioning / engine, which RNG sampling is not
@@ -913,6 +925,13 @@ object SparkEntry {
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin,
+
+    "q_profile" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(avg(n_chars), 6) AS mean_chars,
+        |  CAST(round(quantile_cont(n_chars, 0.5), 4) AS DOUBLE) AS p50_chars,
+        |  CAST(round(quantile_cont(n_chars, 0.9), 4) AS DOUBLE) AS p90_chars
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q_sample" ->
       """SELECT doc_id, lang FROM documents
