@@ -20,12 +20,15 @@ object Bench {
     // min of 2 runs per query: the first pays JIT/codegen compilation,
     // which otherwise dominates sub-second queries and adds ±50% noise
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+        }
       }
-      name -> times.min
+      // min over SUCCESSFUL runs only; -1 marks a query that never ran
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

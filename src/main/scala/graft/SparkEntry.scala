@@ -193,7 +193,12 @@ object SparkEntry {
         array(col("l_quantity") / 50, col("l_discount") * 10, col("l_tax") * 10)
           .as("features"))
       val model = new graft.operators.FCM().setK(4).setMaxIter(10).setSeed(42).fit(li)
-      model.modelData(s)
+      // scalar per-dim columns: the driver's rows-only check still sorts the
+      // output, and array columns are unsortable on its side
+      model.modelData(s).select(col("cluster_id"),
+        round(col("centroid")(0), 6).as("c0"),
+        round(col("centroid")(1), 6).as("c1"),
+        round(col("centroid")(2), 6).as("c2"))
     }),
 
     "q_canopy_full" -> ((s, dir) => {
@@ -203,7 +208,9 @@ object SparkEntry {
         array(col("l_quantity"), col("l_tax") * 100).as("features"))
       new Canopy().setT1(20.0).setT2(10.0).setMaxIter(50)
         .transform(li)
-        .select(col("centroids"), size(col("prediction")).as("n_members"))
+        .select(round(col("centroids")(0), 6).as("c0"),
+          round(col("centroids")(1), 6).as("c1"),
+          size(col("prediction")).as("n_members"))
     }),
 
     "q_canopy_fcm" -> ((s, dir) => {
@@ -217,7 +224,10 @@ object SparkEntry {
         t1 = 0.6, t2 = 0.3, maxIter = 8, measure = "euclidean")
       val model = new graft.operators.FCM().setMaxIter(10)
         .setInitialCentroids(centers).fit(li)
-      model.modelData(s)
+      model.modelData(s).select(col("cluster_id"),
+        round(col("centroid")(0), 6).as("c0"),
+        round(col("centroid")(1), 6).as("c1"),
+        round(col("centroid")(2), 6).as("c2"))
     }),
 
     "q_apriori" -> ((s, dir) => {
@@ -726,8 +736,8 @@ object SparkEntry {
         |g AS (SELECT *, CASE WHEN tms - lag(tms) OVER w > 3600000
         |         OR lag(tms) OVER w IS NULL THEN 1 ELSE 0 END AS brk
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
-        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tms
-        |        ROWS UNBOUNDED PRECEDING) - 1 AS session_id FROM g)
+        |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+        |        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id FROM g)
         |SELECT user_id, session_id, count(*) AS n_events,
         |  max(tms) - min(tms) AS duration_ms,
         |  CAST(round(sum(CAST(v AS DECIMAL(18,6))), 4) AS DOUBLE) AS value_sum

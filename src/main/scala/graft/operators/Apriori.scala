@@ -100,8 +100,12 @@ class Apriori(override val uid: String) extends Transformer
     // Subset counting: one flatMap + one hash-aggregated groupBy.
     val counts = tx.flatMap { line =>
       val items = line.split(sep)
+      // index combinations, not value combinations: the reference's
+      // positional nchoosek (Apriori.java:320-365) counts each subset once
+      // per index tuple, so repeated items within a transaction contribute
+      // one count per occurrence
       (1 to math.min(items.length, cap)).iterator
-        .flatMap(k => items.toSeq.combinations(k))
+        .flatMap(k => items.indices.combinations(k).map(_.map(items).toSeq))
     }.groupBy(col("value").as("itemSet")).count()
 
     val minSup = $(minSupport)

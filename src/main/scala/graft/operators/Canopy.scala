@@ -70,12 +70,22 @@ class Canopy(override val uid: String) extends Transformer
     // Canopy row = center + strict members; duplicates of the center are
     // dropped like the reference's `dis <= 1e-6 -> continue`, and the
     // center itself appears exactly once, prepended (Canopy.java:416-423).
-    Canopy.assign(df, $(featuresCol), centers, $(t1), $(distanceMeasure))
+    // Seeding from the full center list keeps isolated centers: the
+    // reference emits one row per center even when `belongs` is empty
+    // (Canopy.java:93-109 adds centroidValues[0] before the members), so a
+    // singleton canopy must not vanish from the grouped assignment.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seed = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("__canopy_id", "centroids")
+    val grouped = Canopy.assign(df, $(featuresCol), centers, $(t1), $(distanceMeasure))
       .groupBy(col("__canopy_id"))
-      .agg(first(col("__center")).as("centroids"),
-        collect_list(col("__member")).as("__members"))
+      .agg(collect_list(col("__member")).as("__members"))
+    seed.join(grouped, Seq("__canopy_id"), "left")
       .withColumn($(predictionCol),
-        concat(array(col("centroids")), col("__members")))
+        concat(array(col("centroids")),
+          coalesce(col("__members"), array().cast("array<array<double>>"))))
       .select(col("centroids"), col($(predictionCol)))
   }
 

@@ -72,7 +72,8 @@ class FCM(override val uid: String) extends Estimator[FCMModel]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val centroids = FCM.runBlocks(blocks, init, $(k), $(m), $(tol),
-        $(maxIter), $(seed), $(distanceMeasure))
+        $(maxIter), $(seed), $(distanceMeasure),
+        explicitInit = initialCentroids.isDefined)
       copyValues(new FCMModel(Identifiable.randomUID("fcmModel"))
         .setCentroids(centroids)).setParent(this)
     } finally blocks.unpersist(blocking = false)
@@ -188,10 +189,14 @@ object FCM extends DefaultParamsReadable[FCM] {
       }
     }
 
-  /** Driver loop over row blocks; returns final centroids. */
+  /** Driver loop over row blocks; returns final centroids. With
+    * `explicitInit` the epoch-0 memberships are computed from the provided
+    * centroids (so Canopy seeding actually shapes the fit); the Dirichlet
+    * row init is the random-init path, matching FCM.java:74-81. */
   def runBlocks(blocks: org.apache.spark.rdd.RDD[(Int, Array[Double])],
                 init: Array[Array[Double]], k: Int, m: Double, tol: Double,
-                maxIter: Int, seed: Long, measure: String): Array[Array[Double]] = {
+                maxIter: Int, seed: Long, measure: String,
+                explicitInit: Boolean = false): Array[Array[Double]] = {
     val sc = blocks.sparkContext
     var curr: Array[Array[Double]] = init
     require(curr.nonEmpty, "cannot fit FCM on an empty dataset")
@@ -222,11 +227,11 @@ object FCM extends DefaultParamsReadable[FCM] {
           while (r < n) {
             System.arraycopy(flat, r * dims, p, 0, dims)
             val uCurr =
-              if (iter == 0) dirichletRow(p, k, seed)
+              if (iter == 0 && !explicitInit) dirichletRow(p, k, seed)
               else { membershipInto(p, bCurr.value, measure, m, dis, uC); uC }
             if (iter > 0) {
               val uPrev =
-                if (iter == 1) dirichletRow(p, k, seed)
+                if (iter == 1 && !explicitInit) dirichletRow(p, k, seed)
                 else { membershipInto(p, bPrev.value, measure, m, dis, uP); uP }
               var i = 0
               while (i < k) {
@@ -266,7 +271,8 @@ object FCM extends DefaultParamsReadable[FCM] {
           tol: Double, maxIter: Int, seed: Long, measure: String,
           init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
     val curr = init.getOrElse(points.takeSample(withReplacement = false, k, seed))
-    runBlocks(blockify(points), curr, k, m, tol, maxIter, seed, measure)
+    runBlocks(blockify(points), curr, k, m, tol, maxIter, seed, measure,
+      explicitInit = init.isDefined)
   }
 }
 

@@ -346,7 +346,7 @@ object Dedup {
    * Pure expressions (explode + groupBy + bit fold) — near-dup docs land
    * on fingerprints within small Hamming distance.
    */
-  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 64): DataFrame = {
+  def simhash(df: DataFrame, textCol: String, idCol: String, bits: Int = 60): DataFrame = {
     require(bits <= 60, "md5Long carries 60 bits") // 64-bit variant would need 16 more hex digits
     val exploded = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
       .withColumn("__h", md5Long(col("__t")))
