@@ -71,6 +71,37 @@ object SparkEntry {
   private val mhShingle = 3
   private lazy val mhParams: Array[(Long, Long)] = Dedup.hashParams(mhHashes, mhSeed)
 
+  // Shared DuckDB CTE block for the minhash queries: hashed 3-gram
+  // shingles (one md5 per word, rolling combine mod P — Dedup.hashedTokens
+  // semantics), 16-function signatures, 4 banded buckets, candidate pairs.
+  private lazy val mhCandidateCtes: String = {
+    val sigCols = mhParams.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * hm + $b) % ${Dedup.P}) AS m$i"
+    }.mkString(", ")
+    val bandRows = mhHashes / mhBands
+    val bandSelects = (0 until mhBands).map { bnd =>
+      val parts = (0 until bandRows)
+        .map(r => s"CAST(m${bnd * bandRows + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band, $parts AS bsig FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""w AS (SELECT doc_id,
+       |    list_transform(string_split_regex(lower(text), '\\s+'),
+       |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % ${Dedup.P}) AS wh
+       |  FROM documents),
+       |h AS (
+       |  SELECT DISTINCT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, greatest(len(wh) - ${mhShingle - 2}, 1)),
+       |      i -> ((wh[i] * ${Dedup.B} + wh[i+1]) % ${Dedup.P} * ${Dedup.B} + wh[i+2]) % ${Dedup.P}))) AS hm
+       |  FROM w),
+       |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM bands l JOIN bands r
+       |    ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id)""".stripMargin
+  }
+
   private val topsisWeights = Array(0.4, 0.3, 0.2, 0.1)
   private val topsisTypes = Array(1, 2, 3, 4) // quantity↑, price↓, discount≈0.05, tax∈[0.02,0.06]
   private val topsisBest = 0.05
@@ -774,31 +805,39 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY array_to_string(list_slice(string_split_regex(lower(text), '\s+'), 1, 3), ' ')""".stripMargin,
 
-    "q_minhash_pairs" -> {
-      val sigCols = mhParams.zipWithIndex.map { case ((a, b), i) =>
-        s"min(($a * hm + $b) % ${Dedup.P}) AS m$i"
-      }.mkString(", ")
-      val bandRows = mhHashes / mhBands
-      val bandSelects = (0 until mhBands).map { bnd =>
-        val parts = (0 until bandRows)
-          .map(r => s"CAST(m${bnd * bandRows + r} AS VARCHAR)")
-          .mkString(" || '_' || ")
-        s"SELECT doc_id, $bnd AS band, $parts AS bsig FROM sig"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH w AS (SELECT doc_id,
-         |    list_transform(string_split_regex(lower(text), '\\s+'),
-         |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % ${Dedup.P}) AS wh
-         |  FROM documents),
-         |h AS (
-         |  SELECT DISTINCT doc_id, unnest(list_distinct(
-         |    list_transform(range(1, greatest(len(wh) - ${mhShingle - 2}, 1)),
-         |      i -> ((wh[i] * ${Dedup.B} + wh[i+1]) % ${Dedup.P} * ${Dedup.B} + wh[i+2]) % ${Dedup.P}))) AS hm
-         |  FROM w),
-         |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
-         |bands AS ($bandSelects)
-         |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-         |FROM bands l JOIN bands r ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id""".stripMargin
-    },
+    "q_minhash_pairs" ->
+      s"""WITH $mhCandidateCtes
+         |SELECT id_a, id_b FROM cand""".stripMargin,
+
+    // full near-dup pipeline oracle: the same banded candidates, exact
+    // Jaccard over the hashed 3-gram shingle sets (>= 0.8), then
+    // connected components as a recursive transitive closure with min-id
+    // labels — small by construction at oracle scale (dup groups are
+    // tiny), while the Spark side runs union-find / label propagation
+    "q_dedup_minhash" ->
+      s"""WITH RECURSIVE $mhCandidateCtes,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(*) AS i
+         |  FROM cand c
+         |  JOIN h ha ON ha.doc_id = c.id_a
+         |  JOIN h hb ON hb.doc_id = c.id_b AND hb.hm = ha.hm
+         |  GROUP BY c.id_a, c.id_b),
+         |ver AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c
+         |  JOIN sizes sa ON sa.doc_id = c.id_a
+         |  JOIN sizes sb ON sb.doc_id = c.id_b
+         |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |  WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.8),
+         |sym AS (SELECT id_a AS a, id_b AS b FROM ver
+         |        UNION SELECT id_b, id_a FROM ver),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
 
     "q_simhash" -> {
       val bitSums = (0 until 16).map(j => s"sum((h >> $j) % 2 * 2 - 1) AS b$j").mkString(", ")
@@ -903,6 +942,28 @@ object SparkEntry {
          |      + (CASE WHEN r_en >= 0.01 THEN 1.0 ELSE 0.6 END) * 0.2, 4) AS DOUBLE) AS quality,
          |  fingerprint
          |FROM base""".stripMargin
+    },
+
+    "q_multimodal" -> {
+      val d = 8
+      val dimSums = (0 until d).map(j =>
+        s"coalesce(sum(CASE WHEN i % $d = $j THEN v END), 0) AS s$j").mkString(", ")
+      val feats = (0 until d).map(j =>
+        s"CAST(s$j / 255.0 / n AS REAL) AS f$j").mkString(", ")
+      // start the fold from a DOUBLE so each float term promotes (DuckDB's
+      // bare 0.0 is DECIMAL and would keep the sum in float32)
+      val fold = (0 until d).map(j => s"f$j").mkString("CAST(0.0 AS DOUBLE) + ", " + ", "")
+      s"""WITH b AS (SELECT doc_id, encode(text) AS blob FROM documents),
+         |bytes AS (
+         |  SELECT doc_id, unnest(range(octet_length(blob))) AS i,
+         |    blob FROM b),
+         |bv AS (SELECT doc_id, i,
+         |    ('0x' || substr(hex(blob), CAST(i * 2 + 1 AS INTEGER), 2))::BIGINT AS v
+         |  FROM bytes),
+         |s AS (SELECT doc_id, $dimSums FROM bv GROUP BY doc_id),
+         |n AS (SELECT doc_id, greatest(octet_length(blob) // $d, 1) AS n FROM b),
+         |f AS (SELECT s.doc_id, $feats FROM s JOIN n ON s.doc_id = n.doc_id)
+         |SELECT doc_id AS media_id, round($fold, 4) AS feat_sum FROM f""".stripMargin
     },
 
     "q_time_features" ->

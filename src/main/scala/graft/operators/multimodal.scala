@@ -50,16 +50,19 @@ object Multimodal {
   /** STUB codec layer — deterministic fakes in place of real decoders. */
   object StubCodecs {
     /** "Decode" a blob into a d-dim float feature vector: stable moments
-      * of the byte stream (a real impl would run a vision encoder). */
+      * of the byte stream (a real impl would run a vision encoder).
+      * Accumulates in double with ONE terminal float cast — float32
+      * round-to-nearest is engine-portable, float accumulation order is
+      * not, and this keeps the output SQL-oracle-exact. */
     def imageFeatures(blob: Array[Byte], d: Int): Array[Float] = {
-      val out = new Array[Float](d)
+      val out = new Array[Double](d)
       var i = 0
       while (i < blob.length) {
-        out(i % d) += (blob(i) & 0xff) / 255.0f
+        out(i % d) += (blob(i) & 0xff)
         i += 1
       }
       val n = math.max(blob.length / d, 1)
-      out.map(_ / n)
+      out.map(s => (s / 255.0 / n).toFloat)
     }
 
     /** "Parse" metadata from a fake 12-byte header (w, h, c as ints). */
