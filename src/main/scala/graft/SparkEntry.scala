@@ -39,6 +39,15 @@ object SparkEntry {
     Array(25.0, 50000.0, 0.05, 0.04),
     Array(40.0, 80000.0, 0.08, 0.06))
 
+  // Explicit FCM-fit seeds over (l_quantity/50, l_discount*10, l_tax*10):
+  // deterministic init + tol=0 pins the fit to exactly maxIter rounds, so
+  // the whole iterative path has an unrolled SQL oracle (the seeded-sample
+  // init path is golden-tested in FCMSpec — sampling is partition-layout-
+  // dependent and has no SQL equivalent).
+  private val fcmFitInit = Array(
+    Array(0.2, 0.02, 0.1), Array(0.5, 0.5, 0.3),
+    Array(0.9, 0.9, 0.6), Array(1.0, 0.1, 0.8))
+
   // Fixed canopy centers over (l_quantity, l_tax*100) with T1 = 15: the
   // broadcast-assignment path has a DuckDB oracle (center *selection* is
   // order-sequential and covered by CanopySpec invariants instead).
@@ -218,12 +227,13 @@ object SparkEntry {
 
     "q_fcm_fit" -> ((s, dir) => {
       // the real iterative fit path (driver loop + treeAggregate) on data
-      // scaled to comparable magnitudes; seeded but partitioning-dependent
-      // init -> rows-only check (goldens live in FCMSpec)
+      // scaled to comparable magnitudes; explicit init + tol=0 make all
+      // 10 rounds deterministic -> exact unrolled SQL oracle
       val li = tbl(s, dir, "lineitem").select(
         array(col("l_quantity") / 50, col("l_discount") * 10, col("l_tax") * 10)
           .as("features"))
-      val model = new graft.operators.FCM().setK(4).setMaxIter(10).setSeed(42).fit(li)
+      val model = new graft.operators.FCM().setMaxIter(10).setTol(0.0)
+        .setInitialCentroids(fcmFitInit).fit(li)
       // scalar per-dim columns: the driver's rows-only check still sorts the
       // output, and array columns are unsortable on its side
       model.modelData(s).select(col("cluster_id"),
@@ -416,7 +426,8 @@ object SparkEntry {
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed ANN (scale path); approximate by design -> rows-only
+      // LSH-bucketed ANN (scale path); approximate vs brute force but
+      // deterministic — md5-derived hyperplanes give it an exact oracle
       val emb = tbl(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
@@ -426,8 +437,8 @@ object SparkEntry {
 
     "q_embed_neardup" -> ((s, dir) => {
       // embedding-space similar-pair mining: LSH-bucketed candidates +
-      // exact cosine verify (hyperplanes are seeded gaussians -> rows-only
-      // check). The synthetic embeddings have no true clones (max pairwise
+      // exact cosine verify (md5-derived hyperplanes -> exact oracle).
+      // The synthetic embeddings have no true clones (max pairwise
       // cosine ~0.39), so the threshold demonstrates the pipeline at the
       // corpus's actual similarity scale; production near-dup would run
       // 0.95+ (clone recovery is covered in PipelineOpsSpec).
@@ -693,6 +704,46 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM r2)
         |WHERE confidence >= 0.1 AND lift >= 1.0""".stripMargin,
 
+    // unrolled 10-round FCM (m=2): each round is a membership CTE (squared
+    // distances with the reference's zero guard, u_i = (dmin/d_i)/Σ) and a
+    // centroid CTE ((1/Σu²)·Σu²x, mirroring the scal-by-reciprocal in
+    // FCM.runBlocks); tol=0 on the Spark side pins exactly 10 rounds
+    "q_fcm_fit" -> {
+      val k = fcmFitInit.length; val dim = fcmFitInit(0).length; val iters = 10
+      val c0 = fcmFitInit.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (v, j) => s"CAST($v AS DOUBLE) AS c${i}_$j" }
+      }.mkString(", ")
+      def round(t: Int): String = {
+        val ds = (0 until k).map { i =>
+          val s = (0 until dim).map(j => s"(x$j - c${i}_$j)*(x$j - c${i}_$j)").mkString(" + ")
+          s"CASE WHEN $s = 0 THEN 1e-20 ELSE $s END AS d$i"
+        }.mkString(",\n    ")
+        val dmin = s"least(${(0 until k).map(i => s"d$i").mkString(", ")})"
+        val rsum = (0 until k).map(i => s"($dmin/d$i)").mkString(" + ")
+        val us = (0 until k).map(i => s"($dmin/d$i) / ($rsum) AS u$i").mkString(",\n    ")
+        val cs = (0 until k).flatMap(i => (0 until dim).map(j =>
+          s"(1.0/sum(u$i*u$i)) * sum(u$i*u$i*x$j) AS c${i}_$j")).mkString(",\n    ")
+        s"""d$t AS (SELECT x0, x1, x2,
+           |    $ds
+           |  FROM x, c${t - 1}),
+           |u$t AS (SELECT x0, x1, x2,
+           |    $us
+           |  FROM d$t),
+           |c$t AS (SELECT
+           |    $cs
+           |  FROM u$t)""".stripMargin
+      }
+      val finalRows = (0 until k).map { i =>
+        s"SELECT $i AS cluster_id, round(c${i}_0, 6) AS c0, round(c${i}_1, 6) AS c1, round(c${i}_2, 6) AS c2 FROM c$iters"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH x AS (
+         |  SELECT l_quantity / 50 AS x0, l_discount * 10 AS x1, l_tax * 10 AS x2
+         |  FROM lineitem),
+         |c0 AS (SELECT $c0),
+         |${(1 to iters).map(round).mkString(",\n")}
+         |$finalRows""".stripMargin
+    },
+
     "q_online_ahp" -> {
       val j = onlineAhpW
       s"""WITH x AS (
@@ -873,6 +924,87 @@ object SparkEntry {
         |           ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 4) DESC, vec_id) AS rank
         |       FROM s)
         |SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, score FROM sc WHERE rank <= 3""".stripMargin,
+
+    // sign-LSH ANN: hyperplane components are md5-derived uniforms, so the
+    // oracle recomputes the exact planes, buckets, and bucket-local top-k
+    "q_ann_lsh" ->
+      s"""WITH flat AS (
+         |  SELECT vec_id, d, CAST(list_extract(embedding, CAST(d + 1 AS INTEGER)) AS DOUBLE) AS x
+         |  FROM embeddings, range(64) td(d)),
+         |planes AS (
+         |  SELECT b, d,
+         |    2.0 * (('0x' || substr(md5('hp_42_' || CAST(b AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15))::BIGINT
+         |      % ${Dedup.P}) / ${Dedup.P} - 1.0 AS w
+         |  FROM range(8) tb(b), range(64) td(d)),
+         |dots AS (
+         |  SELECT f.vec_id, p.b, sum(f.x * p.w) AS dp
+         |  FROM flat f JOIN planes p ON f.d = p.d
+         |  GROUP BY f.vec_id, p.b),
+         |sig AS (
+         |  SELECT vec_id,
+         |    sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE 0 END) AS bucket
+         |  FROM dots GROUP BY vec_id),
+         |n2 AS (SELECT vec_id, sum(x * x) AS s FROM flat GROUP BY vec_id),
+         |cand AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS vec_id
+         |  FROM sig q JOIN sig c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5),
+         |dp AS (
+         |  SELECT cd.qid, cd.vec_id, sum(fa.x * fb.x) AS dot
+         |  FROM cand cd
+         |  JOIN flat fa ON fa.vec_id = cd.qid
+         |  JOIN flat fb ON fb.vec_id = cd.vec_id AND fb.d = fa.d
+         |  GROUP BY cd.qid, cd.vec_id),
+         |sc AS (
+         |  SELECT dp.qid, dp.vec_id, round(dp.dot / (sqrt(na.s) * sqrt(nb.s)), 4) AS score
+         |  FROM dp JOIN n2 na ON na.vec_id = dp.qid JOIN n2 nb ON nb.vec_id = dp.vec_id),
+         |rk AS (SELECT qid, vec_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |  FROM sc)
+         |SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, score FROM rk WHERE rank <= 3""".stripMargin,
+
+    // multi-table embedding near-dup: bits-per-table auto-sizes from the
+    // corpus count with the same formula as the Scala side; per-table
+    // buckets, distinct candidate pairs, exact cosine verify
+    "q_embed_neardup" ->
+      s"""WITH nb AS (
+         |  SELECT greatest(2, CAST(ceil(ln(greatest(1.0, count(*) / 256.0)) / ln(2)) AS INTEGER)) AS b
+         |  FROM embeddings),
+         |flat AS (
+         |  SELECT vec_id, d, CAST(list_extract(embedding, CAST(d + 1 AS INTEGER)) AS DOUBLE) AS x
+         |  FROM embeddings, range(64) td(d)),
+         |planes AS (
+         |  SELECT i, d,
+         |    2.0 * (('0x' || substr(md5('hp_42_' || CAST(i AS VARCHAR) || '_' || CAST(d AS VARCHAR)), 1, 15))::BIGINT
+         |      % ${Dedup.P}) / ${Dedup.P} - 1.0 AS w
+         |  FROM range(62) ti(i), range(64) td(d), nb WHERE i < 4 * nb.b),
+         |dots AS (
+         |  SELECT f.vec_id, p.i, sum(f.x * p.w) AS dp
+         |  FROM flat f JOIN planes p ON f.d = p.d
+         |  GROUP BY f.vec_id, p.i),
+         |sig AS (
+         |  SELECT vec_id,
+         |    sum(CASE WHEN dp >= 0 THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER) ELSE 0 END) AS sig
+         |  FROM dots GROUP BY vec_id),
+         |buckets AS (
+         |  SELECT vec_id,
+         |    t * (CAST(1 AS BIGINT) << nb.b)
+         |      + ((sig >> CAST(t * nb.b AS INTEGER)) & ((CAST(1 AS BIGINT) << nb.b) - 1)) AS bucket
+         |  FROM sig, range(4) tt(t), nb),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+         |  FROM buckets a JOIN buckets c ON a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         |n2 AS (SELECT vec_id, sum(x * x) AS s FROM flat GROUP BY vec_id),
+         |dp AS (
+         |  SELECT cd.id_a, cd.id_b, sum(fa.x * fb.x) AS dot
+         |  FROM cand cd
+         |  JOIN flat fa ON fa.vec_id = cd.id_a
+         |  JOIN flat fb ON fb.vec_id = cd.id_b AND fb.d = fa.d
+         |  GROUP BY cd.id_a, cd.id_b)
+         |SELECT dp.id_a, dp.id_b,
+         |  round(dp.dot / (sqrt(na.s) * sqrt(nb2.s)), 4) AS cosine
+         |FROM dp JOIN n2 na ON na.vec_id = dp.id_a JOIN n2 nb2 ON nb2.vec_id = dp.id_b
+         |WHERE dp.dot / (sqrt(na.s) * sqrt(nb2.s)) >= 0.25""".stripMargin,
 
     "q_chunk" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),

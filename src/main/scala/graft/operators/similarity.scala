@@ -50,11 +50,15 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("rank"), round(col("score"), 4).as("score"))
   }
 
-  /** Seeded random hyperplanes (Gaussian components). */
-  def hyperplanes(nbits: Int, dims: Int, seed: Long): Array[Array[Double]] = {
-    val rng = new java.util.Random(seed)
-    Array.fill(nbits)(Array.fill(dims)(rng.nextGaussian()))
-  }
+  /** Seeded random hyperplanes. Components are md5-derived uniforms in
+    * [-1, 1) rather than JVM RNG gaussians: h = md5("hp_seed_bit_dim")
+    * mod p, w = 2h/p - 1 — reproducible from any engine (the DuckDB
+    * oracle recomputes the identical planes), partition-independent, and
+    * for sign LSH a symmetric cube distribution separates angles just as
+    * a gaussian does in practice. */
+  def hyperplanes(nbits: Int, dims: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nbits)(b => Array.tabulate(dims)(d =>
+      2.0 * (Dedup.md5LongJvm(s"hp_${seed}_${b}_${d}") % Dedup.P).toDouble / Dedup.P - 1.0))
 
   /** Sign-pattern LSH signature as a long bucket id. */
   def lshBuckets(df: DataFrame, vecCol: String, planes: Array[Array[Double]]): DataFrame = {
