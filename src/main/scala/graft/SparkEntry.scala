@@ -111,6 +111,36 @@ object SparkEntry {
        |    ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id)""".stripMargin
   }
 
+  // Shared DuckDB CTE block for the windowed-TOPSIS queries: per-window
+  // mean vectors, positiveization, L2-normalize x weights, ideal-point
+  // score per window (sc). x carries both the window start and the raw
+  // event millis so the gating oracle can range-join.
+  private lazy val onlineTopsisCtes: String =
+    s"""x AS (
+       |  SELECT event_id, CAST(value AS DOUBLE) AS x0,
+       |    CAST(user_id % 100 AS DOUBLE) AS x1, CAST(event_id % 50 AS DOUBLE) AS x2,
+       |    epoch_ms(ts) AS tms,
+       |    (epoch_ms(ts) // $onlineWindowMs) * $onlineWindowMs AS ws
+       |  FROM events),
+       |m AS (SELECT ws, avg(x0) AS m0, avg(x1) AS m1, avg(x2) AS m2 FROM x GROUP BY ws),
+       |s1 AS (SELECT max(m1) AS mx1 FROM m),
+       |p AS (SELECT ws, m0 AS p0, mx1 - m1 AS p1, m2 AS p2 FROM m, s1),
+       |s2 AS (SELECT
+       |  sum(p0*p0) AS ss0, min(p0) AS pn0, max(p0) AS px0,
+       |  sum(p1*p1) AS ss1, min(p1) AS pn1, max(p1) AS px1,
+       |  sum(p2*p2) AS ss2, min(p2) AS pn2, max(p2) AS px2 FROM p),
+       |z AS (SELECT ws,
+       |    p0/sqrt(ss0)*0.5 AS z0, p1/sqrt(ss1)*0.3 AS z1, p2/sqrt(ss2)*0.2 AS z2,
+       |    pn0/sqrt(ss0)*0.5 AS zl0, px0/sqrt(ss0)*0.5 AS zh0,
+       |    pn1/sqrt(ss1)*0.3 AS zl1, px1/sqrt(ss1)*0.3 AS zh1,
+       |    pn2/sqrt(ss2)*0.2 AS zl2, px2/sqrt(ss2)*0.2 AS zh2
+       |  FROM p, s2),
+       |sc AS (SELECT ws,
+       |  sqrt((zl0-z0)*(zl0-z0) + (zl1-z1)*(zl1-z1) + (zl2-z2)*(zl2-z2))
+       |   / (sqrt((zh0-z0)*(zh0-z0) + (zh1-z1)*(zh1-z1) + (zh2-z2)*(zh2-z2))
+       |    + sqrt((zl0-z0)*(zl0-z0) + (zl1-z1)*(zl1-z1) + (zl2-z2)*(zl2-z2))) AS score
+       |  FROM z)""".stripMargin
+
   private val topsisWeights = Array(0.4, 0.3, 0.2, 0.1)
   private val topsisTypes = Array(1, 2, 3, 4) // quantity↑, price↓, discount≈0.05, tax∈[0.02,0.06]
   private val topsisBest = 0.05
@@ -497,6 +527,47 @@ object SparkEntry {
           round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 4).as("feat_sum"))
     }),
 
+    "q_frames" -> ((s, dir) => {
+      // video-blob frame sampling: every 4th 32-byte frame slice; the
+      // generator (explode) shape of a real ffmpeg splitter
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      Multimodal.sampleFrames(docs, "doc_id", "blob", frameBytes = 32, stride = 4)
+        .select(col("media_id"), col("frame_index"),
+          hex(col("frame")).as("frame_hex"))
+    }),
+
+    "q_model_gate" -> ((s, dir) => {
+      // A5 batch form: model-readiness gating as an event-time range join
+      // (minTimestamp <= t - delay <= timestamp, earliest model wins);
+      // rows with no suitable model score null — the batch collapse of the
+      // reference's buffer-and-drain state machine
+      val ev = eventFeatures(s, dir)
+        .withColumn("features", array(col("x0"), col("x1"), col("x2")))
+      val model = new OnlineTopsis()
+        .setCriteriaTypes(1, 2, 1).setWeights(0.5, 0.3, 0.2)
+        .setTimeCol("tms").setWindowDuration("3 days")
+        .fit(ev)
+      model.setMaxAllowedModelDelayMs(86400000L)
+        .transform(ev)
+        .select(col("event_id"), round(col("prediction"), 6).as("score"))
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF ANN: explicit coarse centroids (the first 16 corpus vectors)
+      // make cell assignment + probing deterministic -> exact oracle; the
+      // Lloyd-trained quantizer path is spec-tested instead (sampling is
+      // partition-dependent)
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cents = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+        k = 3, cells = 16, nprobe = 2, initCentroids = Some(cents))
+    }),
+
     "q_time_features" -> ((s, dir) => {
       tbl(s, dir, "orders").select(
         col("o_orderkey"),
@@ -826,31 +897,23 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "q_online_topsis" ->
-      s"""WITH x AS (
-         |  SELECT event_id, CAST(value AS DOUBLE) AS x0,
-         |    CAST(user_id % 100 AS DOUBLE) AS x1, CAST(event_id % 50 AS DOUBLE) AS x2,
-         |    (epoch_ms(ts) // $onlineWindowMs) * $onlineWindowMs AS ws
-         |  FROM events),
-         |m AS (SELECT ws, avg(x0) AS m0, avg(x1) AS m1, avg(x2) AS m2 FROM x GROUP BY ws),
-         |s1 AS (SELECT max(m1) AS mx1 FROM m),
-         |p AS (SELECT ws, m0 AS p0, mx1 - m1 AS p1, m2 AS p2 FROM m, s1),
-         |s2 AS (SELECT
-         |  sum(p0*p0) AS ss0, min(p0) AS pn0, max(p0) AS px0,
-         |  sum(p1*p1) AS ss1, min(p1) AS pn1, max(p1) AS px1,
-         |  sum(p2*p2) AS ss2, min(p2) AS pn2, max(p2) AS px2 FROM p),
-         |z AS (SELECT ws,
-         |    p0/sqrt(ss0)*0.5 AS z0, p1/sqrt(ss1)*0.3 AS z1, p2/sqrt(ss2)*0.2 AS z2,
-         |    pn0/sqrt(ss0)*0.5 AS zl0, px0/sqrt(ss0)*0.5 AS zh0,
-         |    pn1/sqrt(ss1)*0.3 AS zl1, px1/sqrt(ss1)*0.3 AS zh1,
-         |    pn2/sqrt(ss2)*0.2 AS zl2, px2/sqrt(ss2)*0.2 AS zh2
-         |  FROM p, s2),
-         |sc AS (SELECT ws,
-         |  sqrt((zl0-z0)*(zl0-z0) + (zl1-z1)*(zl1-z1) + (zl2-z2)*(zl2-z2))
-         |   / (sqrt((zh0-z0)*(zh0-z0) + (zh1-z1)*(zh1-z1) + (zh2-z2)*(zh2-z2))
-         |    + sqrt((zl0-z0)*(zl0-z0) + (zl1-z1)*(zl1-z1) + (zl2-z2)*(zl2-z2))) AS score
-         |  FROM z)
+      s"""WITH $onlineTopsisCtes
          |SELECT x.event_id, round(sc.score, 6) AS score
          |FROM x JOIN sc ON x.ws = sc.ws""".stripMargin,
+
+    // A5 gating oracle: per-window model records (timestamp = window end-1,
+    // minTimestamp = min event ts) range-joined back to events; earliest
+    // suitable model wins, unmatched events get a null score
+    "q_model_gate" ->
+      s"""WITH $onlineTopsisCtes,
+         |mn AS (SELECT ws, min(tms) AS mnts FROM x GROUP BY ws),
+         |models AS (SELECT sc.ws, sc.ws + $onlineWindowMs - 1 AS mts, mn.mnts, sc.score
+         |           FROM sc JOIN mn ON sc.ws = mn.ws),
+         |j AS (SELECT x.event_id, m.score,
+         |        row_number() OVER (PARTITION BY x.event_id ORDER BY m.mts ASC) AS rn
+         |      FROM x LEFT JOIN models m
+         |        ON x.tms - 86400000 >= m.mnts AND x.tms - 86400000 <= m.mts)
+         |SELECT event_id, round(score, 6) AS score FROM j WHERE rn = 1""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents
@@ -1097,6 +1160,50 @@ object SparkEntry {
          |f AS (SELECT s.doc_id, $feats FROM s JOIN n ON s.doc_id = n.doc_id)
          |SELECT doc_id AS media_id, round($fold, 4) AS feat_sum FROM f""".stripMargin
     },
+
+    // frame sampling: every 4th 32-byte slice; frames compared as hex
+    // (both engines' hex() is uppercase and DuckDB lacks blob md5)
+    "q_frames" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS blob FROM documents),
+        |f AS (SELECT doc_id, blob,
+        |        unnest(range(0, octet_length(blob) // 32, 4)) AS fi FROM b)
+        |SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_index,
+        |  substr(hex(blob), CAST(fi * 64 + 1 AS INTEGER), 64) AS frame_hex
+        |FROM f""".stripMargin,
+
+    // IVF: cells = first 16 corpus vectors; argmin cell assignment
+    // (first-wins ties), 2-cell probe per query, cosine top-3
+    "q_ann_ivf" ->
+      s"""WITH flat AS (
+         |  SELECT vec_id, d, CAST(list_extract(embedding, CAST(d + 1 AS INTEGER)) AS DOUBLE) AS x
+         |  FROM embeddings, range(64) td(d)),
+         |cent AS (SELECT vec_id AS cell, d, x FROM flat WHERE vec_id < 16),
+         |dist AS (
+         |  SELECT f.vec_id, c.cell, sum((f.x - c.x) * (f.x - c.x)) AS dd
+         |  FROM flat f JOIN cent c ON f.d = c.d
+         |  GROUP BY f.vec_id, c.cell),
+         |rkd AS (SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+         |  FROM dist),
+         |assign AS (SELECT vec_id, cell FROM rkd WHERE rn = 1),
+         |probe AS (SELECT vec_id AS qid, cell FROM rkd WHERE vec_id < 5 AND rn <= 2),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id
+         |  FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid),
+         |n2 AS (SELECT vec_id, sum(x * x) AS s FROM flat GROUP BY vec_id),
+         |dp AS (
+         |  SELECT cd.qid, cd.vec_id, sum(fa.x * fb.x) AS dot
+         |  FROM cand cd
+         |  JOIN flat fa ON fa.vec_id = cd.qid
+         |  JOIN flat fb ON fb.vec_id = cd.vec_id AND fb.d = fa.d
+         |  GROUP BY cd.qid, cd.vec_id),
+         |sc2 AS (
+         |  SELECT dp.qid, dp.vec_id, round(dp.dot / (sqrt(na.s) * sqrt(nb.s)), 4) AS score
+         |  FROM dp JOIN n2 na ON na.vec_id = dp.qid JOIN n2 nb ON nb.vec_id = dp.vec_id),
+         |rk AS (SELECT qid, vec_id, score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+         |  FROM sc2)
+         |SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, score FROM rk WHERE rank <= 3""".stripMargin,
 
     "q_time_features" ->
       """SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS year,

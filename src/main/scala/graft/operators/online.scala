@@ -303,20 +303,30 @@ class OnlineTopsisModel(override val uid: String) extends Model[OnlineTopsisMode
     val df = ds.toDF()
     val delay = $(maxAllowedModelDelayMs)
     val t = EventWindows.millis(df, $(timeCol))
-    val md = modelData.select(col("timestamp").as("__m_ts"),
-      col("minTimestamp").as("__m_mnts"), col("score").as("__m_score"))
-    val withId = df.withColumn("__rid", monotonically_increasing_id())
-    val joined = withId
-      .join(broadcast(md),
-        (t - delay) <= col("__m_ts") && (t - delay) >= col("__m_mnts"),
-        "left")
-    // earliest suitable model wins (stream arrival order); __rid keeps
-    // duplicate input rows distinct.
-    val w = Window.partitionBy(col("__rid")).orderBy(col("__m_ts").asc)
-    joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .withColumn($(predictionCol), col("__m_score"))
-      .select(df.columns.map(col) :+ col($(predictionCol)): _*)
+    // The model table is one row per time window — small by construction —
+    // so the range join collapses to a broadcast scan of the timestamp-
+    // sorted models: the first (= earliest, stream arrival order) window
+    // with minTimestamp <= t - delay <= timestamp wins; no match scores
+    // null. Scoring stays a pure projection: no shuffle, no per-row window.
+    val models = modelData
+      .select(col("timestamp").cast(LongType),
+        col("minTimestamp").cast(LongType), col("score").cast(DoubleType))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val bc = df.sparkSession.sparkContext.broadcast(models)
+    val gateUdf = udf { (tm: Long) =>
+      val ms = bc.value
+      val te = tm - delay
+      var i = 0
+      var res: Option[Double] = None
+      while (i < ms.length && res.isEmpty) {
+        if (te <= ms(i)._1 && te >= ms(i)._2) res = Some(ms(i)._3)
+        i += 1
+      }
+      res
+    }
+    df.withColumn($(predictionCol), gateUdf(t))
   }
 
   override def transformSchema(schema: StructType): StructType =

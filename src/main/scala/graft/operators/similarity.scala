@@ -162,14 +162,17 @@ object Similarity {
   }
 
   /** ANN top-k probing the nprobe nearest coarse cells per query.
-    * trainIters > 0 refines the coarse quantizer with Lloyd rounds. */
+    * trainIters > 0 refines the coarse quantizer with Lloyd rounds;
+    * `initCentroids` bypasses sampling entirely (deterministic cells —
+    * the oracle-checkable path). */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qidCol: String, qvecCol: String,
               k: Int, cells: Int, nprobe: Int, seed: Long = 42L,
-              trainIters: Int = 0): DataFrame = {
-    val centroids =
+              trainIters: Int = 0,
+              initCentroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    val centroids = initCentroids.getOrElse(
       if (trainIters > 0) kmeansCentroids(corpus, vecCol, cells, trainIters, seed)
-      else ivfCentroids(corpus, vecCol, cells, seed)
+      else ivfCentroids(corpus, vecCol, cells, seed))
     val spark = corpus.sparkSession
     val bc = spark.sparkContext.broadcast(centroids)
     val cellUdf = udf { (v: Seq[Double]) =>
