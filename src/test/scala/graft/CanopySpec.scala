@@ -44,6 +44,22 @@ class CanopySpec extends GraftSpec {
     assert(centers.length == 3)
   }
 
+  test("isolated center keeps its singleton canopy row (Canopy.java:93-109)") {
+    // a far-outlier becomes a center with no strict members; the reference
+    // still emits one row per center, so the canopy must not vanish
+    val withOutlier = (data :+ Array(100.0, 100.0)).map(Tuple1(_))
+      .toDF("features").repartition(2)
+    val out = new Canopy().setT1(2.0).setT2(1.0).setMaxIter(100)
+      .transform(withOutlier).collect()
+    val singleton = out.filter(r =>
+      r.getAs[scala.collection.Seq[Double]]("centroids").toArray
+        .sameElements(Array(100.0, 100.0)))
+    assert(singleton.length == 1, "outlier center row missing")
+    val members = singleton.head
+      .getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("prediction")
+    assert(members.length == 1 && members.head.toArray.sameElements(Array(100.0, 100.0)))
+  }
+
   test("transform output shape: (centroids, prediction=members incl center first)") {
     val out = new Canopy().setT1(2.0).setT2(1.0).setMaxIter(100).transform(df)
     assert(out.columns.toSeq == Seq("centroids", "prediction"))

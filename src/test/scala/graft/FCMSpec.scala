@@ -72,6 +72,31 @@ class FCMSpec extends GraftSpec {
     assert(trio.size == 1)
   }
 
+  test("explicit initial centroids drive the epoch-0 memberships") {
+    // one round from a known init must equal the hand-computed update:
+    // u from the PROVIDED centroids (not the Dirichlet random init),
+    // centroid_i = (1/sum u^2) * sum u^2 x
+    val init = Array(Array(1.0, 1.0), Array(9.0, 10.0))
+    val model = new FCM().setMaxIter(1).setTol(0.0)
+      .setInitialCentroids(init).fit(df)
+    val k = init.length
+    val sums = Array.fill(k)(0.0)
+    val contrib = Array.fill(k)(Array(0.0, 0.0))
+    data.foreach { p =>
+      val u = FCM.membership(p, init, "euclidean", 2.0)
+      for (i <- 0 until k) {
+        val um = u(i) * u(i)
+        sums(i) += um
+        graft.core.VecOps.axpy(um, p, contrib(i))
+      }
+    }
+    val expected = Array.tabulate(k)(i =>
+      graft.core.VecOps.scal(1.0 / sums(i), contrib(i)))
+    model.getCentroids.zip(expected).foreach { case (got, exp) =>
+      got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
+    }
+  }
+
   test("membership rows sum to 1 and model save/load round-trips") {
     val model = new FCM().setMaxIter(100).setSeed(42).fit(df)
     val sums = model.membershipMatrix(df)
