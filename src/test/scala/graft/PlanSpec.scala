@@ -43,6 +43,30 @@ class PlanSpec extends GraftSpec {
       s"sampling must not read the text payload:\n$p")
   }
 
+  test("q_dedup_exact: partial-aggregated min_by, no per-row window rank") {
+    val p = plan("q_dedup_exact")
+    assert(!p.contains("Window"), s"exact dedup must not plan a window:\n$p")
+    // the scale win: a partial min_by runs BEFORE the exchange, so the
+    // shuffle carries ~|keys| candidate rows, not every input row
+    // (struct-valued min_by plans as SortAggregate — still partial+final)
+    assert(p.contains("partial_min_by"),
+      s"expected map-side partial aggregation:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"expected one shuffle on the dedup key:\n$p")
+  }
+
+  test("q_model_gate: scoring is a pure projection (no join, no window)") {
+    val p = plan("q_model_gate")
+    assert(!p.contains("Window"), s"gating must not rank per row:\n$p")
+    assert(!p.contains("Join"), s"gating must not join the model table:\n$p")
+  }
+
+  test("q_frames: scan pruned to id + text") {
+    val p = plan("q_frames")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"frame sampling must only read (doc_id, text):\n$p")
+  }
+
   test("salted join spreads a hot key and preserves inner-join semantics") {
     val big = (Seq.fill(500)(1) ++ (2 to 50)).toDF("k")
       .withColumn("v", monotonically_increasing_id())
