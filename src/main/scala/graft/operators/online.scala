@@ -71,6 +71,33 @@ object EventWindows {
         .cast(LongType))
   }
 
+  /**
+   * Streaming session windows: Spark's native `session_window` keyed by
+   * `keyCols` — the same gap semantics as the batch `sessionize` (a
+   * session closes when the next event is more than `gap` after the
+   * previous one), but with watermark-driven state eviction: closed
+   * sessions emit in append mode and their state is dropped, so state
+   * stays bounded by the number of OPEN sessions regardless of stream
+   * length — the 100 TB streaming-ingest shape. Emits one row per closed
+   * session: key cols, session_start/session_end millis, n_events,
+   * duration_ms.
+   */
+  def sessionizeStream(ds: DataFrame, timeCol: String, keyCols: Seq[String],
+                       gap: String, delay: String): DataFrame = {
+    val withTime = ds
+      .withColumn("__rowtime", timestamp_millis(millis(ds, timeCol)))
+      .withWatermark("__rowtime", delay)
+    withTime
+      .groupBy(keyCols.map(col) :+ session_window(col("__rowtime"), gap): _*)
+      .agg(count(lit(1)).as("n_events"),
+        (unix_millis(max(col("__rowtime"))) - unix_millis(min(col("__rowtime"))))
+          .as("duration_ms"))
+      .select(keyCols.map(col) ++ Seq(
+        unix_millis(col("session_window.start")).as("session_start"),
+        unix_millis(col("session_window.end")).as("session_end"),
+        col("n_events"), col("duration_ms")): _*)
+  }
+
   /** All sliding-window starts containing the event: starts are epoch-
     * aligned multiples of `slide`; a timestamp t belongs to every start in
     * (t - win, t]. Requires win % slide == 0. Explode this to assign rows

@@ -66,6 +66,44 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("streaming session windows close on watermark and match batch sessionize") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val h = 3600000L // 1h gap
+    // user 1: two sessions (10:00-10:30, 13:00); user 2: one session
+    val events = Seq(
+      (1L, 1000000000000L, 1L), (2L, 1000000000000L + 30 * 60000L, 1L),
+      (3L, 1000000000000L + 3 * h, 1L),
+      (4L, 1000000000000L + 10 * 60000L, 2L), (5L, 1000000000000L + 50 * 60000L, 2L))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val sessions = graft.operators.EventWindows.sessionizeStream(
+      mem.toDF().toDF("event_id", "tms", "user_id"), "tms", Seq("user_id"),
+      gap = "1 hour", delay = "0 seconds")
+    val query = sessions.writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      mem.addData(events)
+      query.processAllAvailable()
+      // watermark sentinel closes every session
+      mem.addData(Seq((99L, 2000000000000L, 9L)))
+      query.processAllAvailable()
+      val got = spark.table("sess_out")
+        .filter(col("user_id") < 9)
+        .select("user_id", "n_events", "duration_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 2L, 30 * 60000L), (1L, 1L, 0L), (2L, 2L, 40 * 60000L)),
+        s"got $got")
+      // batch parity: same (user, n_events, duration) multiset
+      val batch = graft.operators.EventWindows.sessionize(
+        events.toDF("event_id", "tms", "user_id"), "tms", Seq("user_id"), h)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n"), (max(col("tms")) - min(col("tms"))).as("d"))
+        .select("user_id", "n", "d")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch == got, s"batch $batch != stream $got")
+    } finally query.stop()
+  }
+
   test("streaming OnlineTopsis fit: window means + per-batch TOPSIS reach the sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Array[Double])]
