@@ -15,7 +15,11 @@ object Bench {
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (targeted re-timing)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries
+    // fixed (sorted) execution order: Map iteration order is arbitrary,
+    // and run order matters at large SFs (one query's cache pressure
+    // lands on whichever query follows it) — sorted order makes rounds
+    // comparable run-to-run
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // min of 2 runs per query: the first pays JIT/codegen compilation,
     // which otherwise dominates sub-second queries and adds ±50% noise
@@ -32,7 +36,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
