@@ -83,6 +83,20 @@ object SparkEntry {
   // Shared DuckDB CTE block for the minhash queries: hashed 3-gram
   // shingles (one md5 per word, rolling combine mod P — Dedup.hashedTokens
   // semantics), 16-function signatures, 4 banded buckets, candidate pairs.
+  // Hashed 3-gram shingle set per document (Dedup.hashedTokens semantics:
+  // one md5 per word, rolling combine mod P) — shared by the minhash and
+  // decontamination oracles.
+  private lazy val mhShingleCtes: String =
+    s"""w AS (SELECT doc_id,
+       |    list_transform(string_split_regex(lower(text), '\\s+'),
+       |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % ${Dedup.P}) AS wh
+       |  FROM documents),
+       |h AS (
+       |  SELECT DISTINCT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, greatest(len(wh) - ${mhShingle - 2}, 1)),
+       |      i -> ((wh[i] * ${Dedup.B} + wh[i+1]) % ${Dedup.P} * ${Dedup.B} + wh[i+2]) % ${Dedup.P}))) AS hm
+       |  FROM w)""".stripMargin
+
   private lazy val mhCandidateCtes: String = {
     val sigCols = mhParams.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * hm + $b) % ${Dedup.P}) AS m$i"
@@ -94,15 +108,7 @@ object SparkEntry {
         .mkString(" || '_' || ")
       s"SELECT doc_id, $bnd AS band, $parts AS bsig FROM sig"
     }.mkString("\nUNION ALL\n")
-    s"""w AS (SELECT doc_id,
-       |    list_transform(string_split_regex(lower(text), '\\s+'),
-       |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % ${Dedup.P}) AS wh
-       |  FROM documents),
-       |h AS (
-       |  SELECT DISTINCT doc_id, unnest(list_distinct(
-       |    list_transform(range(1, greatest(len(wh) - ${mhShingle - 2}, 1)),
-       |      i -> ((wh[i] * ${Dedup.B} + wh[i+1]) % ${Dedup.P} * ${Dedup.B} + wh[i+2]) % ${Dedup.P}))) AS hm
-       |  FROM w),
+    s"""$mhShingleCtes,
        |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
        |bands AS ($bandSelects),
        |cand AS (
@@ -433,6 +439,37 @@ object SparkEntry {
         .agg(countDistinct(col("token")).as("vocab"),
           countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_tokens"))
+    }),
+
+    // epoch weighting in a data mixture: en 2.5 epochs, de 1.0, rest 0.3;
+    // floor(w) deterministic copies + hash-fraction extra, copy_id keeps
+    // replicas distinct
+    "q_upsample" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val w = when(col("lang") === "en", 2.5)
+        .when(col("lang") === "de", 1.0).otherwise(0.3)
+      Sampling.weightedResample(docs.withColumn("__w", w), col("doc_id"), col("__w"))
+        .select(col("doc_id"), col("copy_id"))
+    }),
+
+    // mixture construction to a per-source token budget: keep docs in
+    // doc_id order while the running token total stays <= 2000
+    "q_token_budget" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .withColumn("n_tokens", size(split(lower(col("text")), "\\s+")).cast("long"))
+      Sampling.tokenBudget(docs, col("source"), col("doc_id"), col("n_tokens"), budget = 2000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
+
+    // eval-set decontamination: 3-gram shingle overlap of every document
+    // against the benchmark set (docs 0-4); the benchmark's own docs
+    // score 1.0 by construction
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 5)
+      Dedup.contamination(docs, "text", "doc_id", bench, "text", mhShingle)
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+          round(col("contamination"), 6).as("contamination"))
     }),
 
     "q_simhash" -> ((s, dir) => {
@@ -977,6 +1014,41 @@ object SparkEntry {
          |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a)
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a""".stripMargin,
+
+    "q_upsample" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 2.5 WHEN lang = 'de' THEN 1.0 ELSE 0.3 END AS w,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS b
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(floor(w) AS BIGINT)
+        |      + CASE WHEN b < (w - floor(w)) * 10000 THEN 1 ELSE 0 END AS n
+        |  FROM d)
+        |SELECT doc_id, unnest(range(0, n)) AS copy_id FROM c WHERE n > 0""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+        |SELECT doc_id, source, n_tokens FROM c WHERE cum <= 2000""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH $mhShingleCtes,
+         |bench AS (SELECT DISTINCT hm FROM h WHERE doc_id < 5),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id),
+         |hits AS (SELECT h.doc_id, count(*) AS c
+         |         FROM h JOIN bench ON h.hm = bench.hm GROUP BY h.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(s.sz, 0) AS INTEGER) AS n_shingles,
+         |  CAST(coalesce(t.c, 0) AS INTEGER) AS n_contaminated,
+         |  CASE WHEN coalesce(s.sz, 0) > 0
+         |    THEN round(CAST(coalesce(t.c, 0) AS DOUBLE) / s.sz, 6) ELSE 0.0 END
+         |    AS contamination
+         |FROM documents d
+         |LEFT JOIN sizes s ON s.doc_id = d.doc_id
+         |LEFT JOIN hits t ON t.doc_id = d.doc_id""".stripMargin,
 
     "q_simhash" -> {
       val bitSums = (0 until 16).map(j => s"sum((h >> $j) % 2 * 2 - 1) AS b$j").mkString(", ")

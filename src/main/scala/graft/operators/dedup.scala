@@ -436,6 +436,44 @@ object Dedup {
     if (tables == 1) pairs else pairs.distinct()
   }
 
+  // -------------------------------------------------- decontamination
+
+  /**
+   * Benchmark decontamination: per document, the fraction of its hashed
+   * n-gram shingle set that appears in ANY benchmark document — the
+   * eval-set overlap check a training-data pipeline runs before mixing.
+   * The benchmark shingle set is collected and broadcast (eval sets are
+   * small by construction — if yours isn't, it's a corpus, not a
+   * benchmark); each corpus document then scores in one scan via binary
+   * search, no join, no shuffle.
+   */
+  def contamination(docs: DataFrame, textCol: String, idCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    shingleN: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val benchSh = bench
+      .select(explode(hashedTokens(col(benchTextCol), shingleN)).as("h"))
+      .distinct().as[Long].collect().sorted
+    val bc = spark.sparkContext.broadcast(benchSh)
+    val hitUdf = udf { (text: String) =>
+      val sh = shingleHashes(text, shingleN)
+      var hits = 0
+      var i = 0
+      while (i < sh.length) {
+        if (java.util.Arrays.binarySearch(bc.value, sh(i)) >= 0) hits += 1
+        i += 1
+      }
+      (sh.length, hits)
+    }
+    docs.select(col(idCol), hitUdf(col(textCol)).as("__c"))
+      .select(col(idCol), col("__c._1").as("n_shingles"),
+        col("__c._2").as("n_contaminated"))
+      .withColumn("contamination", when(col("n_shingles") > 0,
+        col("n_contaminated").cast(DoubleType) / col("n_shingles"))
+        .otherwise(lit(0.0)))
+  }
+
   // ------------------------------------------------------- n-gram jaccard
 
   /**

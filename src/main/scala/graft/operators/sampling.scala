@@ -41,4 +41,38 @@ object Sampling {
     }
     df.filter(bucket(idCol) < threshold)
   }
+
+  /**
+   * Weighted up/down-sampling (epoch weighting in a data mixture): each
+   * row is emitted floor(w) times plus one more with probability frac(w),
+   * decided by the row's hash bucket — deterministic at any scale or
+   * partitioning, unlike RNG resampling. Appends `copy_id` (0-based) so
+   * replicas stay distinct downstream. w < 1 down-samples, w > 1
+   * up-samples; generator-shaped (explode), so output size follows the
+   * weights with no driver involvement.
+   */
+  def weightedResample(df: DataFrame, idCol: Column, weight: Column): DataFrame = {
+    val copies = floor(weight).cast(LongType) +
+      when(bucket(idCol) < (weight - floor(weight)) * 10000, 1L).otherwise(0L)
+    df.withColumn("copy_id",
+      explode(when(copies > 0, sequence(lit(0L), copies - 1))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
+  /**
+   * Token-budget selection: per group (source/language), keep rows in
+   * ascending `idCol` order while the running token total (inclusive)
+   * stays within `budget` — the "take the first N tokens of each source"
+   * step of mixture construction, reproducible because the order is a
+   * stable column, not arrival order. One shuffle on the group key; the
+   * within-group cumulative sum sorts only within partitions.
+   */
+  def tokenBudget(df: DataFrame, groupCol: Column, idCol: Column,
+                  tokensCol: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(idCol.asc)
+    df.withColumn("__cum", sum(tokensCol).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
 }

@@ -83,6 +83,16 @@ object TextAnalysis {
     aggregate(words(text), lit(0L),
       (acc, w) => (acc * 31L + Dedup.md5Long(w) % Dedup.P) % Dedup.P)
 
+  /** PII scrubbing: mask emails, then 7+-digit runs (phone/account
+    * shapes). Patterns are RE2-compatible (no lookarounds, no
+    * backreferences) so any engine replays them identically. Pure
+    * codegen'd expressions — scrubbing is scan-bound at any scale. */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{7,}", "<NUM>")
+
   /**
    * Document chunking: fixed-size token windows with overlap — the
    * standard pre-training/RAG segmentation op. Emits one row per chunk

@@ -15,6 +15,53 @@ class PipelineOpsSpec extends GraftSpec {
     (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
     (5L, "unrelated short text")).toDF("doc_id", "text")
 
+  test("PII scrub masks emails and long digit runs, leaves clean text alone") {
+    val rows = Seq(
+      (1L, "contact me at jane.doe+spam@mail.example.org today"),
+      (2L, "call 5551234567 or 555 123"),
+      (3L, "nothing sensitive here")).toDF("id", "t")
+    val got = rows.select(col("id"), TextAnalysis.scrub(col("t")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "contact me at <EMAIL> today")
+    assert(got(2L) == "call <NUM> or 555 123")
+    assert(got(3L) == "nothing sensitive here")
+  }
+
+  test("weighted resample: floor(w) copies + hash fraction, distinct copy ids") {
+    val df = (0L until 1000L).toDF("id").withColumn("w", lit(2.5))
+    val out = Sampling.weightedResample(df, col("id"), col("w"))
+    val n = out.count()
+    // 2.5 epochs over 1000 rows: 2000 certain + ~500 hash-selected
+    assert(n >= 2300 && n <= 2700, s"expected ~2500 rows, got $n")
+    val perRow = out.groupBy("id").count().select("count").as[Long].collect()
+    assert(perRow.forall(c => c == 2 || c == 3))
+    // zero-weight rows vanish
+    assert(Sampling.weightedResample(df.withColumn("w", lit(0.0)), col("id"), col("w")).count() == 0)
+  }
+
+  test("token budget keeps a prefix per group and never exceeds the budget") {
+    val df = Seq(
+      (1L, "a", 500L), (2L, "a", 900L), (3L, "a", 700L), (4L, "a", 100L),
+      (10L, "b", 1900L), (11L, "b", 200L)).toDF("id", "src", "tok")
+    val kept = Sampling.tokenBudget(df, col("src"), col("id"), col("tok"), 2000L)
+      .select("id").as[Long].collect().toSet
+    // a: 500+900 = 1400, +700 = 2100 > 2000 stops doc 3; doc 4 is AFTER the
+    // cut in id order so the running total already passed the budget
+    assert(kept == Set(1L, 2L, 10L), s"got $kept")
+    val sums = Sampling.tokenBudget(df, col("src"), col("id"), col("tok"), 2000L)
+      .groupBy("src").agg(sum("tok").as("s")).select("s").as[Long].collect()
+    assert(sums.forall(_ <= 2000L))
+  }
+
+  test("contamination: benchmark docs score 1.0, disjoint docs 0.0") {
+    val bench = docs.filter(col("doc_id") === 1L)
+    val out = Dedup.contamination(docs, "text", "doc_id", bench, "text", 3)
+      .select("doc_id", "contamination").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 1.0 && out(4L) == 1.0, "benchmark + its exact dup must be fully contaminated")
+    assert(out(3L) == 0.0 && out(5L) == 0.0, "disjoint docs must score 0")
+    assert(out(2L) > 0.0 && out(2L) < 1.0, "near-dup must score partial overlap")
+  }
+
   test("exact dedup keeps the min-id row per key") {
     val kept = Dedup.exact(docs, col("text"), "doc_id")
       .select("doc_id").as[Long].collect().sorted
