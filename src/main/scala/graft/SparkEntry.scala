@@ -517,6 +517,25 @@ object SparkEntry {
         tables = 4)
     }),
 
+    // int8 embedding quantization (the ANN memory lever): per-vector
+    // scale + code stats — checksum-style output keeps the oracle scalar
+    "q_quantize" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.quantizeInt8(emb, "embedding")
+        .select(col("vec_id"), round(col("scale"), 8).as("scale"),
+          aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+          array_min(col("codes")).cast("int").as("code_min"),
+          array_max(col("codes")).cast("int").as("code_max"))
+    }),
+
+    // deterministic training-shard assembly: 8 shards, stable in-shard
+    // pseudo-shuffle by an independent hash
+    "q_shards" -> ((s, dir) => {
+      Sampling.shardAssignment(
+        tbl(s, dir, "documents").select("doc_id"), col("doc_id"), nShards = 8)
+        .select(col("doc_id"), col("shard"), col("shard_pos"))
+    }),
+
     "q_chunk" -> ((s, dir) => {
       // 64-token chunks with 16-token overlap over the documents corpus
       TextAnalysis.chunk(tbl(s, dir, "documents").select("doc_id", "text"),
@@ -1165,6 +1184,33 @@ object SparkEntry {
          |  round(dp.dot / (sqrt(na.s) * sqrt(nb2.s)), 4) AS cosine
          |FROM dp JOIN n2 na ON na.vec_id = dp.id_a JOIN n2 nb2 ON nb2.vec_id = dp.id_b
          |WHERE dp.dot / (sqrt(na.s) * sqrt(nb2.s)) >= 0.25""".stripMargin,
+
+    "q_quantize" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |    list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+        |      (a, x) -> greatest(a, x)) / 127.0 AS scale FROM v),
+        |c AS (SELECT vec_id, scale,
+        |    CASE WHEN scale > 0
+        |      THEN list_transform(v, x -> CAST(round(x / scale) AS TINYINT))
+        |      ELSE list_transform(v, x -> CAST(0 AS TINYINT)) END AS codes
+        |  FROM s)
+        |SELECT vec_id, round(scale, 8) AS scale,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(codes, x -> CAST(x AS BIGINT))), (a, x) -> a + x) AS code_sum,
+        |  CAST(list_min(codes) AS INTEGER) AS code_min,
+        |  CAST(list_max(codes) AS INTEGER) AS code_max
+        |FROM c""".stripMargin,
+
+    "q_shards" ->
+      """WITH d AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+        |    ('0x' || substr(md5('pos_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000007 AS ord
+        |  FROM documents)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) - 1 AS shard_pos
+        |FROM d""".stripMargin,
 
     "q_chunk" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),

@@ -75,4 +75,22 @@ object Sampling {
       .filter(col("__cum") <= budget)
       .drop("__cum")
   }
+
+  /**
+   * Deterministic shard assembly for training-data writes: shard = hash
+   * bucket of the id, position = rank of a SECOND, independent hash
+   * within the shard — a stable pseudo-shuffle (training wants documents
+   * decorrelated from their natural order, and wants the same shard
+   * layout on every rerun). Write with `partitionBy("shard")` sorted by
+   * `shard_pos`; one shuffle on the shard key, rank sorts only within
+   * shards.
+   */
+  def shardAssignment(df: DataFrame, idCol: Column, nShards: Int): DataFrame = {
+    val order = pmod(conv(substring(md5(concat(lit("pos_"), idCol.cast("string"))), 1, 15), 16, 10)
+      .cast(LongType), lit(1000000007L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(order.asc, idCol.asc)
+    df.withColumn("shard", bucket(idCol, nShards))
+      .withColumn("shard_pos", row_number().over(w).cast(LongType) - 1)
+  }
 }

@@ -94,6 +94,24 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("rank"), round(col("score"), 4).as("score"))
   }
 
+  /**
+   * Per-vector symmetric int8 quantization: scale = max|x|/127, codes =
+   * round(x/scale) in [-127, 127] (zero vectors keep scale 0 and all-zero
+   * codes). The 100 TB ANN memory lever: a 64-dim float32 corpus drops
+   * 4x to one byte per dim + one float scale, and dot products on codes
+   * approximate the real ones to ~1% — good enough for candidate
+   * generation, with exact re-scoring on the float column for the top-k.
+   * Pure codegen'd expressions.
+   */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val scale = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0
+    df.withColumn("scale", scale)
+      .withColumn("codes", when(col("scale") > 0,
+        transform(v, x => round(x / col("scale")).cast("tinyint")))
+        .otherwise(transform(v, _ => lit(0).cast("tinyint"))))
+  }
+
   /** IVF coarse cells: seeded sample of corpus vectors as centroids. */
   def ivfCentroids(corpus: DataFrame, vecCol: String, cells: Int, seed: Long): Array[Array[Double]] = {
     import org.apache.spark.sql.Encoders

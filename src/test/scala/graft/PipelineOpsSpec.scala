@@ -53,6 +53,49 @@ class PipelineOpsSpec extends GraftSpec {
     assert(sums.forall(_ <= 2000L))
   }
 
+  test("int8 quantization: codes bounded, dequantized cosine within 1% of exact") {
+    val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
+      .filter(col("vec_id") < 50)
+    val q = Similarity.quantizeInt8(emb, "embedding")
+    val rows = q.select(col("vec_id"),
+        col("embedding").cast("array<double>"), col("scale"), col("codes"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2),
+        r.getSeq[Byte](3).map(_.toDouble).toArray))
+    rows.foreach { case (_, _, _, codes) =>
+      assert(codes.forall(c => c >= -127 && c <= 127))
+    }
+    for (i <- 0 until 10; j <- (i + 1) until 10) {
+      val (_, va, sa, ca) = rows(i); val (_, vb, sb, cb) = rows(j)
+      val exact = VecOps.dot(va, vb) / (VecOps.norm2(va) * VecOps.norm2(vb))
+      val deq = (x: (Array[Double], Double)) => x._1.map(_ * x._2)
+      val (da, db) = (deq((ca, sa)), deq((cb, sb)))
+      val approx = VecOps.dot(da, db) / (VecOps.norm2(da) * VecOps.norm2(db))
+      assert(math.abs(approx - exact) <= 0.01,
+        s"pair ($i,$j): quantized cosine $approx vs exact $exact")
+    }
+  }
+
+  test("shard assignment: stable, balanced-ish, positions contiguous per shard") {
+    val df = (0L until 2000L).toDF("id")
+    val a = Sampling.shardAssignment(df, col("id"), 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = Sampling.shardAssignment(df.repartition(7), col("id"), 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSet == b.toSet, "assignment must not depend on partitioning")
+    val byShard = a.groupBy(_._2)
+    assert(byShard.size == 8)
+    byShard.values.foreach { rows =>
+      assert(rows.length > 150 && rows.length < 350, s"skewed shard: ${rows.length}")
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        "positions must be a contiguous 0-based range")
+    }
+    // in-shard order is decorrelated from id order (a pseudo-shuffle):
+    // the position sequence must not be monotone in id
+    val oneShard = byShard.head._2.sortBy(_._1).map(_._3)
+    assert(oneShard.zip(oneShard.tail).exists { case (x, y) => x > y })
+  }
+
   test("contamination: benchmark docs score 1.0, disjoint docs 0.0") {
     val bench = docs.filter(col("doc_id") === 1L)
     val out = Dedup.contamination(docs, "text", "doc_id", bench, "text", 3)
