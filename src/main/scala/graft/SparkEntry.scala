@@ -225,6 +225,22 @@ object SparkEntry {
         .except(custsWith("5-LOW"))
     }),
 
+    // semi/anti join coverage: per-nation counts of customers with at
+    // least one order (left semi) and with none (left anti) — both plan
+    // as hash joins that never materialize the matched orders
+    "q_semi_anti" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("with_orders"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("no_orders"))
+      semi.join(anti, Seq("c_nationkey"), "full")
+        .select(col("c_nationkey"),
+          coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+          coalesce(col("no_orders"), lit(0L)).as("no_orders"))
+    }),
+
     "q_topsis" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
@@ -696,6 +712,15 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY sum(l_extendedprice) DESC, l_suppkey) AS rn
         |  FROM lineitem GROUP BY l_suppkey)
         |WHERE rn <= 10""".stripMargin,
+
+    "q_semi_anti" ->
+      """WITH f AS (SELECT c_nationkey, c_custkey,
+        |    EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_o
+        |  FROM customer c)
+        |SELECT c_nationkey,
+        |  CAST(sum(CASE WHEN has_o THEN 1 ELSE 0 END) AS BIGINT) AS with_orders,
+        |  CAST(sum(CASE WHEN has_o THEN 0 ELSE 1 END) AS BIGINT) AS no_orders
+        |FROM f GROUP BY c_nationkey""".stripMargin,
 
     "q_topsis" -> {
       val Array(w0, w1, w2, w3) = topsisWeights
