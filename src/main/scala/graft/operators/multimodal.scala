@@ -110,6 +110,27 @@ object Multimodal {
   }
 
   /**
+   * Batched resize: maps every blob to a fixed w×h byte payload through
+   * the (stub) codec — the normalize-before-encode step of an image
+   * pipeline. Same batched mapPartitions shape as feature extraction;
+   * output schema (media_id, resized binary) keeps downstream row sizes
+   * uniform, which is what makes `maxPartitionBytes` sizing predictable.
+   */
+  def resizeImages(df: DataFrame, idCol: String, blobCol: String,
+                   w: Int, h: Int, batchSize: Int = 64): DataFrame = {
+    val schema = new StructType()
+      .add("media_id", LongType, nullable = false)
+      .add("resized", BinaryType, nullable = false)
+    val src = df.select(col(idCol).cast(LongType), col(blobCol))
+    val enc = RowEncoder.encoderFor(schema)
+    src.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map(r => Row(r.getLong(0), StubCodecs.resize(r.getAs[Array[Byte]](1), w, h)))
+      }
+    }(enc)
+  }
+
+  /**
    * Frame sampling for video blobs: emit every `stride`-th fixed-size
    * frame slice with its index. Generator-shaped (explode), output rows
    * >> input rows — exactly the shape a real ffmpeg splitter has.

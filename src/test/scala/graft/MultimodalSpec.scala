@@ -37,6 +37,17 @@ class MultimodalSpec extends GraftSpec {
       "features must not depend on batch size or partitioning")
   }
 
+  test("resize emits uniform fixed-size payloads, deterministic per blob") {
+    val out = Multimodal.resizeImages(media, "media_id", "blob", w = 4, h = 4)
+    val rows = out.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    assert(rows.length == 10)
+    rows.foreach { case (_, b) => assert(b.length == 16) }
+    // deterministic: same blob -> same resized bytes regardless of batching
+    val again = Multimodal.resizeImages(media.repartition(1), "media_id", "blob", 4, 4, batchSize = 2)
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    rows.foreach { case (id, b) => assert(again(id) == b.toSeq) }
+  }
+
   test("frame sampling: stride-spaced generator output") {
     val frames = Multimodal.sampleFrames(media, "media_id", "blob",
       frameBytes = 10, stride = 2)
