@@ -100,19 +100,29 @@ class Canopy(override val uid: String) extends Transformer
 object Canopy extends DefaultParamsReadable[Canopy] {
 
   /** Sequential canopy-center selection over an ordered sweep
-    * (Canopy.java:384-435): keep a candidate if d > 1e-6 and d >= T2. */
+    * (Canopy.java:384-435). Implemented as a single greedy pass — output-
+    * identical to the reference's round structure (pick head, filter,
+    * repeat): selected centers are strictly increasing in input order, so
+    * "first remaining candidate after r filter rounds" equals "first
+    * point surviving (d > 1e-6 && d >= T2) against every center selected
+    * so far". The streaming form retains nothing but the centers (the
+    * round form materialized the whole partition and re-filtered it per
+    * center — 60M boxed rows of transient garbage at the 100x point, and
+    * the GC debt taxed everything scheduled after it). */
   def localCenters(points: Iterator[Array[Double]], t1: Double, t2: Double,
                    maxIter: Int, measure: String): Seq[Array[Double]] = {
     val dist = VecOps.distance(measure) _
-    var candidates = points.to(ArrayBuffer)
     val centers = ArrayBuffer.empty[Array[Double]]
-    while (candidates.nonEmpty && centers.length < maxIter) {
-      val c = candidates.head
-      centers += c
-      candidates = candidates.filter { p =>
-        val d = dist(p, c)
-        d > 1e-6 && d >= t2
+    while (points.hasNext && centers.length < maxIter) {
+      val p = points.next()
+      var ok = true
+      var i = 0
+      while (ok && i < centers.length) {
+        val d = dist(p, centers(i))
+        if (!(d > 1e-6 && d >= t2)) ok = false
+        i += 1
       }
+      if (ok) centers += p
     }
     centers.toSeq
   }

@@ -76,7 +76,10 @@ class FCM(override val uid: String) extends Estimator[FCMModel]
         explicitInit = initialCentroids.isDefined)
       copyValues(new FCMModel(Identifiable.randomUID("fcmModel"))
         .setCentroids(centroids)).setParent(this)
-    } finally blocks.unpersist(blocking = false)
+    // blocking: release executor storage deterministically before the
+    // caller's next job — sequential fits (canopy->FCM composition, bench
+    // reruns) must not stack block caches in constrained memory
+    } finally blocks.unpersist(blocking = true)
   }
 
   override def transformSchema(schema: StructType): StructType =

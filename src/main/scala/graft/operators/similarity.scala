@@ -176,7 +176,7 @@ object Similarity {
         it += 1
       }
       centroids
-    } finally blocks.unpersist(blocking = false)
+    } finally blocks.unpersist(blocking = true)
   }
 
   /** ANN top-k probing the nprobe nearest coarse cells per query.
