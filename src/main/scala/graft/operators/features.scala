@@ -32,7 +32,7 @@ class MeanImputer(override val uid: String) extends Estimator[MeanImputerModel]
   }
 
   override def transformSchema(schema: StructType): StructType =
-    new StructType().add($(outputCol), DoubleType)
+    schema.add($(outputCol), DoubleType)
 
   override def copy(extra: ParamMap): MeanImputer = defaultCopy(extra)
 }
@@ -43,12 +43,16 @@ class MeanImputerModel(override val uid: String, val mean: Double)
   def this(uid: String) = this(uid, Double.NaN)
   setDefault(outputCol -> "imputed_value")
 
+  // APPEND the imputed column (idiomatic spark.ml: stages compose in a
+  // Pipeline). The reference emitted a single-column replacement table
+  // (MeanImputerModel.java:46-65) — an artifact of its demo wiring, and
+  // fatal to stage composition; the q_mean_impute oracle pins the values.
   override def transform(ds: Dataset[_]): DataFrame =
-    ds.toDF().select(
-      coalesce(col($(inputCol)).cast(DoubleType), lit(mean)).as($(outputCol)))
+    ds.toDF().withColumn($(outputCol),
+      coalesce(col($(inputCol)).cast(DoubleType), lit(mean)))
 
   override def transformSchema(schema: StructType): StructType =
-    new StructType().add($(outputCol), DoubleType)
+    schema.add($(outputCol), DoubleType)
 
   override def copy(extra: ParamMap): MeanImputerModel =
     copyValues(new MeanImputerModel(uid, mean), extra).setParent(parent)
@@ -92,7 +96,7 @@ class StandardScalerEst(override val uid: String)
   }
 
   override def transformSchema(schema: StructType): StructType =
-    new StructType().add($(outputCol), DoubleType)
+    schema.add($(outputCol), DoubleType)
 
   override def copy(extra: ParamMap): StandardScalerEst = defaultCopy(extra)
 }
@@ -103,12 +107,13 @@ class StandardScalerModel(override val uid: String, val mean: Double, val std: D
   def this(uid: String) = this(uid, 0.0, 1.0)
   setDefault(outputCol -> "scaled_value")
 
+  // append, not replace — see MeanImputerModel.transform
   override def transform(ds: Dataset[_]): DataFrame =
-    ds.toDF().select(
-      ((col($(inputCol)).cast(DoubleType) - lit(mean)) / lit(std)).as($(outputCol)))
+    ds.toDF().withColumn($(outputCol),
+      (col($(inputCol)).cast(DoubleType) - lit(mean)) / lit(std))
 
   override def transformSchema(schema: StructType): StructType =
-    new StructType().add($(outputCol), DoubleType)
+    schema.add($(outputCol), DoubleType)
 
   override def copy(extra: ParamMap): StandardScalerModel =
     copyValues(new StandardScalerModel(uid, mean, std), extra).setParent(parent)

@@ -13,15 +13,17 @@ class FeaturesSpec extends GraftSpec {
     val model = new MeanImputer().setInputCol("v").fit(df)
     assert(model.mean == 3.0)
     val out = model.transform(df)
-    assert(out.columns.toSeq == Seq("imputed_value"))
-    assert(out.as[Double].collect().sorted.toSeq == Seq(1.0, 3.0, 3.0, 5.0))
+    // append contract (spark.ml composability): input cols stay
+    assert(out.columns.toSeq == Seq("v", "imputed_value"))
+    assert(out.select("imputed_value").as[Double].collect().sorted.toSeq
+      == Seq(1.0, 3.0, 3.0, 5.0))
   }
 
   test("StandardScaler: real (x-mu)/sd, not the reference identity stub") {
     val df = Seq(2.0, 4.0, 6.0).toDF("v")
     val model = new StandardScalerEst().setInputCol("v").fit(df)
     assert(model.mean == 4.0 && math.abs(model.std - 2.0) < 1e-12)
-    val out = model.transform(df).as[Double].collect().sorted
+    val out = model.transform(df).select("scaled_value").as[Double].collect().sorted
     assertApprox(out.toSeq, Seq(-1.0, 0.0, 1.0), 1e-12)
   }
 
