@@ -642,11 +642,13 @@ object SparkEntry {
     }),
 
     "q_time_features" -> ((s, dir) => {
-      tbl(s, dir, "orders").select(
-        col("o_orderkey"),
-        year(col("o_orderdate")).as("year"),
-        format_string("%02d", month(col("o_orderdate"))).as("month"),
-        format_string("%02d", dayofmonth(col("o_orderdate"))).as("day"))
+      // runs the ACTUAL operator (A12) over stringified dates, so the
+      // oracle checks its strict-pattern parse + %02d formatting
+      val o = tbl(s, dir, "orders").select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      new graft.operators.TimeFeatureExtractor().setInputCol("d")
+        .transform(o)
+        .select(col("o_orderkey"), col("year"), col("month"), col("day"))
     }),
 
     "q_stdscale" -> ((s, dir) => {

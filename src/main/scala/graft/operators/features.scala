@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
  * MeanImputerModel.java:46-65). The reference collects the whole column to
  * the driver to average it (executeAndCollect, MeanImputer.java:44); here it
  * is one `avg` aggregate — a single partial+final HashAggregate at any scale.
- * Output keeps the reference's single-column shape (outputCol only).
+ * The imputed column is appended (spark.ml composability).
  */
 class MeanImputer(override val uid: String) extends Estimator[MeanImputerModel]
     with HasInputCol with HasOutputCol with DefaultParamsWritable {
@@ -139,7 +139,8 @@ object StandardScalerModel {
  * (year INT, month STRING "%02d", day STRING "%02d"); a null or unparsable
  * input yields an all-null row (featureGeneration/time/
  * TimeFeatureExtractor2.java:41-89 — string-typed month/day kept for
- * parity). Output replaces the input with exactly the three columns.
+ * parity). The three columns are APPENDED (the reference emitted a
+ * replacement table — demo wiring, not composable in a Pipeline).
  */
 class TimeFeatureExtractor(override val uid: String) extends Transformer
     with HasInputCol with HasOutputCols with DefaultParamsWritable {
@@ -157,15 +158,15 @@ class TimeFeatureExtractor(override val uid: String) extends Transformer
     // (TimeFeatureExtractor2.java:78-87).
     val parsed = when(col($(inputCol)).rlike("^\\d{4}-\\d{2}-\\d{2}$"),
       to_date(col($(inputCol)), "yyyy-MM-dd"))
-    ds.toDF().select(
-      year(parsed).as(y),
-      when(parsed.isNotNull, format_string("%02d", month(parsed))).as(m),
-      when(parsed.isNotNull, format_string("%02d", dayofmonth(parsed))).as(d))
+    ds.toDF()
+      .withColumn(y, year(parsed))
+      .withColumn(m, when(parsed.isNotNull, format_string("%02d", month(parsed))))
+      .withColumn(d, when(parsed.isNotNull, format_string("%02d", dayofmonth(parsed))))
   }
 
   override def transformSchema(schema: StructType): StructType = {
     val Array(y, m, d) = $(outputCols)
-    new StructType().add(y, IntegerType).add(m, StringType).add(d, StringType)
+    schema.add(y, IntegerType).add(m, StringType).add(d, StringType)
   }
 
   override def copy(extra: ParamMap): TimeFeatureExtractor = defaultCopy(extra)

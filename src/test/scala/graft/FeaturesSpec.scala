@@ -30,6 +30,7 @@ class FeaturesSpec extends GraftSpec {
   test("TimeFeatureExtractor: yyyy-MM-dd -> (year INT, month/day %02d strings); junk -> nulls") {
     val df = Seq("2021-03-07", "bad-date", null, "2021-3-7").toDF("d")
     val out = new TimeFeatureExtractor().setInputCol("d").transform(df)
+      .select("year", "month", "day") // appended next to the input col
     assert(out.schema == new StructType()
       .add("year", IntegerType).add("month", StringType).add("day", StringType))
     val rows = out.collect()
