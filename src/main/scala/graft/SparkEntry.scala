@@ -654,15 +654,16 @@ object SparkEntry {
     "q_stdscale" -> ((s, dir) => {
       val c = tbl(s, dir, "customer")
       val model = new StandardScalerEst().setInputCol("c_acctbal").fit(c)
-      c.select(col("c_custkey"),
-        round((col("c_acctbal") - lit(model.mean)) / lit(model.std), 6).as("acctbal_scaled"))
+      model.transform(c)
+        .select(col("c_custkey"), round(col("scaled_value"), 6).as("acctbal_scaled"))
     }),
 
     "q_mean_impute" -> ((s, dir) => {
       val ev = tbl(s, dir, "events").withColumn("v",
         when(col("event_type") === "error", lit(null).cast("double")).otherwise(col("value")))
       val model = new MeanImputer().setInputCol("v").fit(ev)
-      ev.select(col("event_id"), round(coalesce(col("v"), lit(model.mean)), 6).as("value_imputed"))
+      model.transform(ev)
+        .select(col("event_id"), round(col("imputed_value"), 6).as("value_imputed"))
     }),
 
     // A13: schema-walk dispatch — double col gets the reference's
