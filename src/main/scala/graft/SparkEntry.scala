@@ -488,6 +488,15 @@ object SparkEntry {
           round(col("contamination"), 6).as("contamination"))
     }),
 
+    // simhash near-dup pairing: 60-bit 3-gram-shingled fingerprints,
+    // 4x15-bit bands (pigeonhole-exact candidates for hamming <= 3),
+    // bit_count verify. Shingles matter twice here: they make the
+    // fingerprints distinguish documents AND keep band buckets small
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashNearDupPairs(tbl(s, dir, "documents"), "text", "doc_id",
+        bits = 60, radius = 3, shingleN = 3)
+    }),
+
     "q_simhash" -> ((s, dir) => {
       Dedup.simhash(tbl(s, dir, "documents"), "text", "doc_id", bits = 16)
     }),
@@ -1096,6 +1105,32 @@ object SparkEntry {
          |FROM documents d
          |LEFT JOIN sizes s ON s.doc_id = d.doc_id
          |LEFT JOIN hits t ON t.doc_id = d.doc_id""".stripMargin,
+
+    "q_simhash_pairs" -> {
+      val bits = 60; val radius = 3; val bands = 4; val width = 15
+      val bitSums = (0 until bits).map(j => s"sum((h >> $j) % 2 * 2 - 1) AS b$j").mkString(", ")
+      val fp = (0 until bits).map(j =>
+        s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END").mkString(" + ")
+      val bandSelects = (0 until bands).map(b =>
+        s"SELECT doc_id, fp, $b AS band, (fp >> ${b * width}) & ${(1L << width) - 1} AS bval FROM f")
+        .mkString("\nUNION ALL\n")
+      s"""WITH dw AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+         |  FROM documents),
+         |tok AS (
+         |  SELECT DISTINCT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, greatest(len(w) - 1, 1)),
+         |      i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS t
+         |  FROM dw),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+         |s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+         |f AS (SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM s),
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         |  CAST(bit_count(xor(l.fp, r.fp)) AS INTEGER) AS hamming
+         |FROM bands l JOIN bands r
+         |  ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id
+         |WHERE bit_count(xor(l.fp, r.fp)) <= $radius""".stripMargin
+    },
 
     "q_simhash" -> {
       val bitSums = (0 until 16).map(j => s"sum((h >> $j) % 2 * 2 - 1) AS b$j").mkString(", ")
