@@ -84,20 +84,47 @@ object SparkEntry {
   // shingles (one md5 per word, rolling combine mod P — Dedup.hashedTokens
   // semantics), 16-function signatures, 4 banded buckets, candidate pairs.
   // Hashed 3-gram shingle set per document (Dedup.hashedTokens semantics:
-  // one md5 per word, rolling combine mod P) — shared by the minhash and
-  // decontamination oracles.
-  private lazy val mhShingleCtes: String =
+  // one md5 per word, rolling combine mod P) — shared by the minhash,
+  // decontamination, and curation oracles; `src` is the doc relation.
+  private def mhShingleCtesFor(src: String): String =
     s"""w AS (SELECT doc_id,
        |    list_transform(string_split_regex(lower(text), '\\s+'),
        |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % ${Dedup.P}) AS wh
-       |  FROM documents),
+       |  FROM $src),
        |h AS (
        |  SELECT DISTINCT doc_id, unnest(list_distinct(
        |    list_transform(range(1, greatest(len(wh) - ${mhShingle - 2}, 1)),
        |      i -> ((wh[i] * ${Dedup.B} + wh[i+1]) % ${Dedup.P} * ${Dedup.B} + wh[i+2]) % ${Dedup.P}))) AS hm
        |  FROM w)""".stripMargin
 
-  private lazy val mhCandidateCtes: String = {
+  private lazy val mhShingleCtes: String = mhShingleCtesFor("documents")
+
+  // Banded candidates + Jaccard verify + symmetric verified edges — the
+  // near-dup core, over whatever `h` the caller's shingle CTEs define.
+  private lazy val mhVerifiedEdgeCtes: String =
+    s"""sizes AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM cand c
+       |  JOIN h ha ON ha.doc_id = c.id_a
+       |  JOIN h hb ON hb.doc_id = c.id_b AND hb.hm = ha.hm
+       |  GROUP BY c.id_a, c.id_b),
+       |ver AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c
+       |  JOIN sizes sa ON sa.doc_id = c.id_a
+       |  JOIN sizes sb ON sb.doc_id = c.id_b
+       |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+       |  WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.8),
+       |sym AS (SELECT id_a AS a, id_b AS b FROM ver
+       |        UNION SELECT id_b, id_a FROM ver),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a)""".stripMargin
+
+  // Signature + banded-bucket + candidate-pair CTEs over `h`.
+  private lazy val mhSigCandCtes: String = {
     val sigCols = mhParams.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * hm + $b) % ${Dedup.P}) AS m$i"
     }.mkString(", ")
@@ -108,14 +135,15 @@ object SparkEntry {
         .mkString(" || '_' || ")
       s"SELECT doc_id, $bnd AS band, $parts AS bsig FROM sig"
     }.mkString("\nUNION ALL\n")
-    s"""$mhShingleCtes,
-       |sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+    s"""sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
        |bands AS ($bandSelects),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
        |  FROM bands l JOIN bands r
        |    ON l.band = r.band AND l.bsig = r.bsig AND l.doc_id < r.doc_id)""".stripMargin
   }
+
+  private lazy val mhCandidateCtes: String = s"$mhShingleCtes,\n$mhSigCandCtes"
 
   // Shared DuckDB CTE block for the windowed-TOPSIS queries: per-window
   // mean vectors, positiveization, L2-normalize x weights, ideal-point
@@ -584,6 +612,36 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_index"), col("n_chunk_tokens"))
     }),
 
+    // the full curation pipeline a training-data user runs end-to-end:
+    // quality filter -> exact dedup -> minhash NEAR-dup removal (keep the
+    // min-id cluster representative) -> per-source token budget. Every
+    // stage is the already-oracled operator; the composition is checked
+    // exactly too.
+    "q_curate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val scored = docs
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.statsUdf()(col("text"), col("n_chars")).getField("quality").as("q"))
+        .filter(col("q") >= 0.8)
+      val key = concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 3))
+      // cache the survivor relation: three consumers (near-dup pairing,
+      // the cluster resolve's second pass, the keep anti-join) would each
+      // recompute the quality scan + dedup shuffle otherwise (24.6s ->
+      // 9.6s at the 100x point). CacheManager dedups by plan on reruns.
+      val exact = Dedup.exact(scored.withColumn("__k", key), col("__k"), "doc_id")
+        .select("doc_id", "source", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = Dedup.minhashNearDupPairs(exact, "text", "doc_id",
+        mhHashes, mhBands, mhSeed, mhShingle, threshold = 0.8)
+      val dropIds = Dedup.clusters(pairs)
+        .filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      val kept = exact.join(dropIds, Seq("doc_id"), "left_anti")
+        .withColumn("n_tokens", size(split(lower(col("text")), "\\s+")).cast("long"))
+      Sampling.tokenBudget(kept, col("source"), col("doc_id"), col("n_tokens"), 3000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       // fused single-pass scan (see TextAnalysis.statsUdf; the per-op
       // Column forms are the documented API and spec-tested equivalents)
@@ -1048,26 +1106,7 @@ object SparkEntry {
     // tiny), while the Spark side runs union-find / label propagation
     "q_dedup_minhash" ->
       s"""WITH RECURSIVE $mhCandidateCtes,
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.id_a, c.id_b, count(*) AS i
-         |  FROM cand c
-         |  JOIN h ha ON ha.doc_id = c.id_a
-         |  JOIN h hb ON hb.doc_id = c.id_b AND hb.hm = ha.hm
-         |  GROUP BY c.id_a, c.id_b),
-         |ver AS (
-         |  SELECT c.id_a, c.id_b
-         |  FROM cand c
-         |  JOIN sizes sa ON sa.doc_id = c.id_a
-         |  JOIN sizes sb ON sb.doc_id = c.id_b
-         |  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-         |  WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.8),
-         |sym AS (SELECT id_a AS a, id_b AS b FROM ver
-         |        UNION SELECT id_b, id_a FROM ver),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM sym
-         |  UNION
-         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a)
+         |$mhVerifiedEdgeCtes
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a""".stripMargin,
 
@@ -1307,6 +1346,43 @@ object SparkEntry {
          |SELECT doc_id, CAST(st / 48 AS INTEGER) AS chunk_index,
          |  CAST(least(len(w) - st, 64) AS INTEGER) AS n_chunk_tokens
          |FROM s WHERE st = 0 OR st < len(w)""".stripMargin
+    },
+
+    // curation oracle: quality filter + exact dedup (as in q_pipeline),
+    // then the verified-edge CTEs over the SURVIVOR relation, recursive
+    // components -> drop non-representatives, then the running token
+    // budget per source
+    "q_curate" -> {
+      val inList = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE d0 AS (SELECT doc_id, source, text, n_chars,
+         |    string_split_regex(lower(text), '\\s+') AS w FROM documents),
+         |q0 AS (SELECT doc_id, source, text, w,
+         |    CAST(len(list_filter(w, t -> t IN ($inList))) AS DOUBLE) / greatest(len(w), 1) AS r_en,
+         |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1) AS punct,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t -> CAST(length(t) AS BIGINT))),
+         |      (acc, x) -> acc + x) AS sumlen, CAST(len(w) AS DOUBLE) AS nw, n_chars AS nc
+         |  FROM d0),
+         |f0 AS (SELECT doc_id, source, text, w FROM q0
+         |  WHERE CAST(round((CASE WHEN nc BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.3 END) * 0.3
+         |      + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.25
+         |      + (CASE WHEN sumlen / nw BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25
+         |      + (CASE WHEN r_en >= 0.01 THEN 1.0 ELSE 0.6 END) * 0.2, 4) AS DOUBLE) >= 0.8),
+         |dd0 AS (SELECT doc_id, source, text, w FROM (
+         |    SELECT doc_id, source, text, w, row_number() OVER (
+         |      PARTITION BY array_to_string(list_slice(w, 1, 3), ' ') ORDER BY doc_id) AS rn
+         |    FROM f0) WHERE rn = 1),
+         |${mhShingleCtesFor("dd0")},
+         |$mhSigCandCtes,
+         |$mhVerifiedEdgeCtes,
+         |dropped AS (SELECT a AS doc_id FROM reach GROUP BY a
+         |            HAVING least(a, min(b)) <> a),
+         |kept AS (SELECT dd0.doc_id, dd0.source, dd0.w FROM dd0
+         |         WHERE NOT EXISTS (SELECT 1 FROM dropped WHERE dropped.doc_id = dd0.doc_id)),
+         |tok AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens FROM kept),
+         |cum AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS c FROM tok)
+         |SELECT doc_id, source, n_tokens FROM cum WHERE c <= 3000""".stripMargin
     },
 
     "q_text_stats" -> {
