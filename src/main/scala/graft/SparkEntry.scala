@@ -624,13 +624,13 @@ object SparkEntry {
           TextAnalysis.statsUdf()(col("text"), col("n_chars")).getField("quality").as("q"))
         .filter(col("q") >= 0.8)
       val key = concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 3))
-      // cache the survivor relation: three consumers (near-dup pairing,
-      // the cluster resolve's second pass, the keep anti-join) would each
-      // recompute the quality scan + dedup shuffle otherwise (24.6s ->
-      // 9.6s at the 100x point). CacheManager dedups by plan on reruns.
+      // NOT cached: the survivor relation is consumed twice (near-dup
+      // pairing — whose own result Dedup.clusters caches — and the keep
+      // anti-join), and a persist here cannot be unpersisted from a lazy
+      // query builder; the leaked cache cost the rest of the suite more
+      // than the one extra upstream pass costs this query.
       val exact = Dedup.exact(scored.withColumn("__k", key), col("__k"), "doc_id")
         .select("doc_id", "source", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.minhashNearDupPairs(exact, "text", "doc_id",
         mhHashes, mhBands, mhSeed, mhShingle, threshold = 0.8)
       val dropIds = Dedup.clusters(pairs)
