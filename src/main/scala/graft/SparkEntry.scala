@@ -240,6 +240,18 @@ object SparkEntry {
           col("n"), round(col("revenue"), 2).as("revenue"))
     }),
 
+    // full CUBE (all 4 grouping sets in one Expand pass, complementing
+    // q_rollup's hierarchy)
+    "q_cube" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("qty"))
+    }),
+
     // set operations (SURVEY §2.2 set-ops row): customers with BOTH an
     // urgent and a high order but NO low order — intersect/except are
     // hash-agg-based distinct set ops in Spark (no sort), same semantics
@@ -1510,6 +1522,13 @@ object SparkEntry {
         |  round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS revenue
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_setops" ->
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
