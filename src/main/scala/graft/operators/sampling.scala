@@ -64,16 +64,62 @@ object Sampling {
    * ascending `idCol` order while the running token total (inclusive)
    * stays within `budget` — the "take the first N tokens of each source"
    * step of mixture construction, reproducible because the order is a
-   * stable column, not arrival order. One shuffle on the group key; the
-   * within-group cumulative sum sorts only within partitions.
+   * stable column, not arrival order.
+   *
+   * Scale shape — a two-phase prefix sum, NOT one window per group (that
+   * put a whole source on one task: ~20 TB/task with 5 sources at
+   * 100 TB). Each group is cut into `nBlocks` ordered id-range blocks
+   * (equal-width over the group's [min, max] id — min/max are
+   * order-independent aggregates, so both plan branches below compute
+   * identical bounds; balance is perfect for dense ids and degrades only
+   * to imbalance, never incorrectness, for clustered ones). Phase 1
+   * aggregates one token subtotal per (group, block) and turns it into
+   * per-block cumulative offsets — a window over the TINY subtotal
+   * table only. Phase 2 broadcast-joins the offsets back and computes
+   * the running sum inside each bounded (group, block) partition, so
+   * parallelism is #groups * nBlocks and no task ever holds a full
+   * group. Blocks whose offset already exceeds the budget are dropped
+   * before the sort — at 100 TB with a fixed budget that prunes almost
+   * everything (requires non-negative token counts, true by
+   * construction).
+   *
+   * `idCol` must be numeric (the block cut is range arithmetic).
    */
   def tokenBudget(df: DataFrame, groupCol: Column, idCol: Column,
-                  tokensCol: Column, budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCol).orderBy(idCol.asc)
-    df.withColumn("__cum", sum(tokensCol).over(w))
+                  tokensCol: Column, budget: Long, nBlocks: Int = 64): DataFrame = {
+    require(nBlocks > 0, "nBlocks must be positive")
+    val outCols = df.columns.map(col)
+    // per-group id range; deterministic under any partitioning, so the
+    // two consumers of `blocked` below agree on every block boundary
+    val bounds = df.groupBy(groupCol.as("__g"))
+      .agg(min(idCol).as("__mn"), max(idCol).as("__mx"))
+    // monotone in idCol (IEEE multiply/divide by positive constants are
+    // order-preserving), so blocks are ordered id ranges within the group
+    val blk = least(
+      floor((idCol.cast("double") - col("__mn").cast("double")) * nBlocks /
+        (col("__mx").cast("double") - col("__mn").cast("double") + 1.0)).cast(LongType),
+      lit(nBlocks - 1L))
+    val blocked = df.join(broadcast(bounds), groupCol <=> col("__g"))
+      .withColumn("__blk", blk)
+    // phase 1: one row per (group, block); the cumulative window runs
+    // over at most #groups * nBlocks rows
+    val offsets = blocked.groupBy(col("__g").as("__g2"), col("__blk").as("__blk2"))
+      .agg(sum(tokensCol).as("__sub"))
+      .withColumn("__off", coalesce(
+        sum(col("__sub")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__g2")).orderBy(col("__blk2").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__g2"), col("__blk2"), col("__off"))
+    // phase 2: bounded per-(group, block) running sum + block-level prune
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"), col("__blk")).orderBy(idCol.asc)
+    blocked
+      .join(broadcast(offsets), col("__g") <=> col("__g2") && col("__blk") === col("__blk2"))
+      .filter(col("__off") <= budget)
+      .withColumn("__cum", col("__off") + sum(tokensCol).over(wLoc))
       .filter(col("__cum") <= budget)
-      .drop("__cum")
+      .select(outCols: _*)
   }
 
   /**
@@ -82,15 +128,59 @@ object Sampling {
    * within the shard — a stable pseudo-shuffle (training wants documents
    * decorrelated from their natural order, and wants the same shard
    * layout on every rerun). Write with `partitionBy("shard")` sorted by
-   * `shard_pos`; one shuffle on the shard key, rank sorts only within
-   * shards.
+   * `shard_pos`; one shuffle on the shard key.
+   *
+   * Scale shape — same two-phase rank as [[tokenBudget]]: the order hash
+   * is uniform in [0, 1e9+7) by construction, so each shard is cut into
+   * `nBlocks` FIXED-width hash ranges (deterministic and balanced with
+   * no data statistics at all); per-(shard, block) counts become
+   * cumulative offsets via a window over the tiny count table, and
+   * `row_number` runs only inside a (shard, block) — parallelism is
+   * nShards * nBlocks instead of one task sorting a whole shard.
    */
-  def shardAssignment(df: DataFrame, idCol: Column, nShards: Int): DataFrame = {
+  def shardAssignment(df: DataFrame, idCol: Column, nShards: Int,
+                      nBlocks: Int = 64): DataFrame = {
+    require(nBlocks > 0, "nBlocks must be positive")
+    // cap the offset table at ~4M cells: with many shards, fewer blocks
+    // per shard still gives ample parallelism (nShards * blocks tasks)
+    val blocks = math.max(1, math.min(nBlocks, (1 << 22) / math.max(1, nShards)))
+    val P = 1000000007L
     val order = pmod(conv(substring(md5(concat(lit("pos_"), idCol.cast("string"))), 1, 15), 16, 10)
-      .cast(LongType), lit(1000000007L))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(order.asc, idCol.asc)
-    df.withColumn("shard", bucket(idCol, nShards))
-      .withColumn("shard_pos", row_number().over(w).cast(LongType) - 1)
+      .cast(LongType), lit(P))
+    // ord < 1e9+7, blocks <= ~4M: ord * blocks < 2^53, so the double
+    // division is monotone and consistent across both phases; the clamp
+    // absorbs any boundary rounding
+    val blk = least(floor(order * blocks / P).cast(LongType), lit(blocks - 1L))
+    val blocked = df.withColumn("shard", bucket(idCol, nShards))
+      .withColumn("__ord", order)
+      .withColumn("__blk", blk)
+    // phase 1: per-(shard, block) counts — a tiny partial-aggregated
+    // count (nShards * blocks cells), collected once at build time; both
+    // phases derive shard/block from the same pure hash of the id, so
+    // they agree under any partitioning. Offsets become an O(1)-indexed
+    // array literal: no join, no second exchange in the data path.
+    val counts = blocked.groupBy(col("shard"), col("__blk"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getLong(0) * blocks + r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toMap
+    val offArr = new Array[Long](nShards * blocks)
+    var s = 0
+    while (s < nShards) {
+      var acc = 0L; var b = 0
+      while (b < blocks) {
+        offArr(s * blocks + b) = acc
+        acc += counts.getOrElse(s.toLong * blocks + b, 0L)
+        b += 1
+      }
+      s += 1
+    }
+    // phase 2: rank only inside a (shard, block) — bounded partitions
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("__blk")).orderBy(col("__ord").asc, idCol.asc)
+    blocked
+      .withColumn("__off", element_at(typedlit(offArr),
+        (col("shard") * blocks + col("__blk") + 1).cast("int")))
+      .withColumn("shard_pos", col("__off") + row_number().over(wLoc).cast(LongType) - 1)
+      .select(df.columns.map(col) :+ col("shard") :+ col("shard_pos"): _*)
   }
 }

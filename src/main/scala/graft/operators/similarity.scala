@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.core.VecOps
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -31,21 +30,76 @@ object Similarity {
     * functions, so the zip_with/aggregate form paid interpreted-lambda
     * overhead per element — the dominant cost of the brute-force scan at
     * the 100x point (14.8s -> ~1s). Same left-fold arithmetic order, so
-    * results are bit-identical to the expression form. */
+    * results are bit-identical to the expression form — including its
+    * null semantics: a null pair yields null (a length mismatch is a
+    * caller bug, surfaced as null rather than an executor crash). */
   private val cosineKernel = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    val n = a.length
-    var i = 0
-    while (i < n) {
-      val x = a(i); val y = b(i)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
+    if (a == null || b == null || a.length != b.length) Option.empty[Double]
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val n = a.length
+      var i = 0
+      while (i < n) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      Some(dot / (math.sqrt(na) * math.sqrt(nb)))
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   def cosine(a: Column, b: Column): Column =
     cosineKernel(a.cast(ArrayType(DoubleType)), b.cast(ArrayType(DoubleType)))
+
+  /**
+   * Per-query top-k over scored candidate rows — the TakeOrderedAndProject
+   * pattern per key, replacing the old `row_number().over(partitionBy
+   * (qid))` which shuffled EVERY scored candidate into |queries| tasks
+   * (the bottleneck at 1B vectors x 1k queries). Each input partition
+   * keeps a bounded heap per query (<= k entries), so the shuffle carries
+   * at most k * nPartitions rows per query; a typed merge then takes the
+   * global top-k. Ranking is on (round(score, 4) desc, id asc) —
+   * deterministic under float noise — and the rounding happens in a
+   * Catalyst expression BEFORE the kernel, so the JVM side only compares
+   * doubles and stays bit-identical to the old window form. Ids are
+   * compared (and grouped) as longs; original column types are restored
+   * on output.
+   */
+  private[graft] def topKPerQuery(scored: DataFrame, qidCol: String, idCol: String,
+                                  k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val qidType = scored.schema(qidCol).dataType
+    val idType = scored.schema(idCol).dataType
+    val triples = scored.select(col(qidCol).cast(LongType), col(idCol).cast(LongType),
+      round(col("score"), 4).cast(DoubleType)).as[(Long, Long, Double)]
+    // "worse" = smaller rounded score, then larger id; heap head = worst kept
+    val worstFirst: Ordering[(Long, Double)] = new Ordering[(Long, Double)] {
+      def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+      }
+    }
+    val partial = triples.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.PriorityQueue[(Long, Double)]]
+      it.foreach { case (qid, id, r) =>
+        val h = heaps.getOrElseUpdate(qid,
+          scala.collection.mutable.PriorityQueue.empty[(Long, Double)](worstFirst))
+        if (h.size < k) h.enqueue((id, r))
+        else if (worstFirst.compare((id, r), h.head) < 0) { h.dequeue(); h.enqueue((id, r)) }
+      }
+      heaps.iterator.flatMap { case (qid, h) => h.iterator.map(c => (qid, c._1, c._2)) }
+    }
+    val merged = partial.groupByKey(_._1).flatMapGroups { (qid, rows) =>
+      rows.map(t => (t._2, t._3)).toArray
+        .sorted(worstFirst) // ascending "worseness" = best first
+        .take(k).iterator.zipWithIndex
+        .map { case ((id, r), i) => (qid, id, i + 1, r) }
+    }
+    merged.toDF(qidCol, idCol, "rank", "score")
+      .withColumn(qidCol, col(qidCol).cast(qidType))
+      .withColumn(idCol, col(idCol).cast(idType))
+  }
 
   /** Exact top-k by cosine for each query row. Queries: (qid, qvec). */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
@@ -54,12 +108,7 @@ object Similarity {
     val joined = corpus.crossJoin(broadcast(queries))
       .filter(col(qidCol) =!= col(idCol))
       .withColumn("score", cosine(col(qvecCol), col(vecCol)))
-    // deterministic under float noise: rank on rounded score, then id
-    val w = Window.partitionBy(col(qidCol))
-      .orderBy(round(col("score"), 4).desc, col(idCol).asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol), col("rank"), round(col("score"), 4).as("score"))
+    topKPerQuery(joined, qidCol, idCol, k)
   }
 
   /** Seeded random hyperplanes. Components are md5-derived uniforms in
@@ -99,11 +148,7 @@ object Similarity {
     val joined = cb.join(broadcast(qb), col("bucket") === col("qbucket") &&
         col(qidCol) =!= col(idCol))
       .withColumn("score", cosine(col(qvecCol), col(vecCol)))
-    val w = Window.partitionBy(col(qidCol))
-      .orderBy(round(col("score"), 4).desc, col(idCol).asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol), col("rank"), round(col("score"), 4).as("score"))
+    topKPerQuery(joined, qidCol, idCol, k)
   }
 
   /**
@@ -227,10 +272,6 @@ object Similarity {
     val joined = cb.join(broadcast(qb), Seq("cell"))
       .filter(col(qidCol) =!= col(idCol))
       .withColumn("score", cosine(col(qvecCol), col(vecCol)))
-    val w = Window.partitionBy(col(qidCol))
-      .orderBy(round(col("score"), 4).desc, col(idCol).asc)
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol), col("rank"), round(col("score"), 4).as("score"))
+    topKPerQuery(joined, qidCol, idCol, k)
   }
 }

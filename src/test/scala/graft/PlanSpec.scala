@@ -55,6 +55,51 @@ class PlanSpec extends GraftSpec {
       s"expected one shuffle on the dedup key:\n$p")
   }
 
+  private def windowNodes(q: String) = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    p.collect { case w: WindowExec => w }
+  }
+
+  private def overAggregated(w: org.apache.spark.sql.execution.window.WindowExec): Boolean =
+    w.child.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.isDefined
+
+  test("q_token_budget: no single-partition-per-group window over the data") {
+    // the two-phase prefix sum: any window over raw rows must partition by
+    // (group, block) — never by the group alone (that was one task per
+    // source); group-only windows are allowed only over the tiny
+    // aggregated offsets table
+    val ws = windowNodes("q_token_budget")
+    assert(ws.nonEmpty, "expected the bounded per-(group, block) window")
+    ws.foreach { w =>
+      assert(w.partitionSpec.size >= 2 || overAggregated(w),
+        s"window over raw data partitions by a single key:\n$w")
+    }
+  }
+
+  test("q_shards: per-shard rank runs inside bounded (shard, block) partitions") {
+    val ws = windowNodes("q_shards")
+    assert(ws.nonEmpty, "expected the bounded per-(shard, block) window")
+    ws.foreach { w =>
+      assert(w.partitionSpec.size >= 2 || overAggregated(w),
+        s"window over raw data partitions by a single key:\n$w")
+    }
+  }
+
+  test("ANN top-k paths plan no window at all (partial heap + typed merge)") {
+    for (q <- Seq("q_ann_topk", "q_ann_lsh", "q_ann_ivf")) {
+      assert(windowNodes(q).isEmpty, s"$q must not plan a Window")
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q must not plan a Window:\n$p")
+    }
+  }
+
   test("q_model_gate: scoring is a pure projection (no join, no window)") {
     val p = plan("q_model_gate")
     assert(!p.contains("Window"), s"gating must not rank per row:\n$p")
