@@ -48,6 +48,68 @@ object SparkEntry {
     Array(0.2, 0.02, 0.1), Array(0.5, 0.5, 0.3),
     Array(0.9, 0.9, 0.6), Array(1.0, 0.1, 0.8))
 
+  /** Unrolled-FCM oracle generator (m=2, explicit-init semantics): each
+    * round is a membership CTE (squared distances with the reference's
+    * zero guard, u_i = (dmin/d_i)/Σ) and a centroid CTE ((1/Σu²)·Σu²x,
+    * mirroring the scal-by-reciprocal in FCM.runBlocks). The tol-based
+    * early stop is emulated: dd$t = max |u$t - u$(t-1)| per round, and
+    * the final centroids come from the first round whose delta <= tol —
+    * exactly FCM.runBlocks' loop. Shared by q_fcm_fit (literal init) and
+    * q_fcm_fit_hash (hash-sample init); `xCte` must expose rid plus
+    * x0..x{dim-1}, `c0Cte` a one-row c0 with c{i}_{j} columns. */
+  private def fcmFitOracle(xCte: String, c0Cte: String, k: Int, dim: Int,
+                           iters: Int, tol: Double): String = {
+    val xs = (0 until dim).map(j => s"x$j").mkString(", ")
+    def round(t: Int): String = {
+      val ds = (0 until k).map { i =>
+        val s = (0 until dim).map(j => s"(x$j - c${i}_$j)*(x$j - c${i}_$j)").mkString(" + ")
+        s"CASE WHEN $s = 0 THEN 1e-20 ELSE $s END AS d$i"
+      }.mkString(",\n    ")
+      val dmin = s"least(${(0 until k).map(i => s"d$i").mkString(", ")})"
+      val rsum = (0 until k).map(i => s"($dmin/d$i)").mkString(" + ")
+      val us = (0 until k).map(i => s"($dmin/d$i) / ($rsum) AS u$i").mkString(",\n    ")
+      val cs = (0 until k).flatMap(i => (0 until dim).map(j =>
+        s"(1.0/sum(u$i*u$i)) * sum(u$i*u$i*x$j) AS c${i}_$j")).mkString(",\n    ")
+      s"""d$t AS (SELECT rid, $xs,
+         |    $ds
+         |  FROM x, c${t - 1}),
+         |u$t AS (SELECT rid, $xs,
+         |    $us
+         |  FROM d$t),
+         |c$t AS (SELECT
+         |    $cs
+         |  FROM u$t)""".stripMargin
+    }
+    // dd$t joins consecutive membership generations on rid (x is
+    // MATERIALIZED so row_number is assigned once)
+    def delta(t: Int): String = {
+      val terms = (0 until k).map(i => s"abs(a.u$i - b.u$i)").mkString(", ")
+      s"""dd$t AS (SELECT max(greatest($terms)) AS v
+         |  FROM u$t a JOIN u${t - 1} b ON a.rid = b.rid)""".stripMargin
+    }
+    val pick = (0 until k).flatMap { i =>
+      (0 until dim).map { j =>
+        val cases = (2 until iters)
+          .map(t => s"WHEN dd$t.v <= $tol THEN c$t.c${i}_$j").mkString(" ")
+        s"CASE $cases ELSE c$iters.c${i}_$j END AS c${i}_$j"
+      }
+    }.mkString(",\n    ")
+    val srcs = ((2 until iters).map(t => s"dd$t") ++ (2 to iters).map(t => s"c$t")).mkString(", ")
+    val finalRows = (0 until k).map { i =>
+      val cols = (0 until dim).map(j => s"round(c${i}_$j, 6) AS c$j").mkString(", ")
+      s"SELECT $i AS cluster_id, $cols FROM fin"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH x AS MATERIALIZED (
+       |$xCte),
+       |$c0Cte,
+       |${(1 to iters).map(round).mkString(",\n")},
+       |${(2 until iters).map(delta).mkString(",\n")},
+       |fin AS (SELECT
+       |    $pick
+       |  FROM $srcs)
+       |$finalRows""".stripMargin
+  }
+
   // Fixed canopy centers over (l_quantity, l_tax*100) with T1 = 15: the
   // broadcast-assignment path has a DuckDB oracle (center *selection* is
   // order-sequential and covered by CanopySpec invariants instead).
@@ -341,6 +403,39 @@ object SparkEntry {
       val li = tbl(s, dir, "lineitem").select(
         array(col("l_quantity"), col("l_tax") * 100).as("features"))
       new Canopy().setT1(20.0).setT2(10.0).setMaxIter(50)
+        .transform(li)
+        .select(round(col("centroids")(0), 6).as("c0"),
+          round(col("centroids")(1), 6).as("c1"),
+          size(col("prediction")).as("n_members"))
+    }),
+
+    "q_fcm_fit_hash" -> ((s, dir) => {
+      // the deterministic "sample k rows" init: smallest-k by md5(id) —
+      // partition-independent AND replayable by the oracle, unlike an RDD
+      // takeSample; same unrolled-round oracle shape as q_fcm_fit
+      val li = tbl(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("init_id"),
+        array(col("l_quantity") / 50, col("l_discount") * 10, col("l_tax") * 10)
+          .as("features"))
+      val model = new graft.operators.FCM().setK(3).setMaxIter(10)
+        .setInitIdCol("init_id").fit(li)
+      model.modelData(s).select(col("cluster_id"),
+        round(col("centroid")(0), 6).as("c0"),
+        round(col("centroid")(1), 6).as("c1"),
+        round(col("centroid")(2), 6).as("c2"))
+    }),
+
+    "q_canopy_sweep" -> ((s, dir) => {
+      // the deterministic-order sweep: globally sorted by the stable
+      // (l_orderkey, l_linenumber) key, so center selection is partition-
+      // layout-independent and the DuckDB oracle replays it exactly as a
+      // recursive CTE (the order-dependent reference default stays
+      // showcased rows-only in q_canopy_full)
+      val li = tbl(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        array(col("l_quantity"), col("l_tax") * 100).as("features"))
+      new Canopy().setT1(20.0).setT2(10.0).setMaxIter(50)
+        .setOrderCols("l_orderkey", "l_linenumber")
         .transform(li)
         .select(round(col("centroids")(0), 6).as("c0"),
           round(col("centroids")(1), 6).as("c1"),
@@ -907,6 +1002,43 @@ object SparkEntry {
          |${conds.mkString("\nUNION ALL\n")}""".stripMargin
     },
 
+    // deterministic canopy sweep replayed as a recursive CTE: iteration r
+    // appends the first point (stable rid order) surviving
+    // (d > 1e-6 AND d >= T2) against every selected center; stops when no
+    // survivor remains or at maxIter. n_members = center + strict members.
+    "q_canopy_sweep" ->
+      """WITH RECURSIVE x AS (
+        |  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rid,
+        |         CAST(l_quantity AS DOUBLE) AS x0, CAST(l_tax AS DOUBLE)*100 AS x1
+        |  FROM lineitem),
+        |sel(iter, centers) AS (
+        |  SELECT 0, CAST([] AS STRUCT(a DOUBLE, b DOUBLE)[])
+        |  UNION ALL
+        |  SELECT iter + 1,
+        |    list_append(centers, (
+        |      SELECT {'a': x0, 'b': x1} FROM x
+        |      WHERE len(list_filter(sel.centers, c ->
+        |        NOT (sqrt((x0-c.a)*(x0-c.a) + (x1-c.b)*(x1-c.b)) > 1e-6
+        |         AND sqrt((x0-c.a)*(x0-c.a) + (x1-c.b)*(x1-c.b)) >= 10.0))) = 0
+        |      ORDER BY rid LIMIT 1))
+        |  FROM sel
+        |  WHERE iter < 50 AND EXISTS (
+        |      SELECT 1 FROM x
+        |      WHERE len(list_filter(sel.centers, c ->
+        |        NOT (sqrt((x0-c.a)*(x0-c.a) + (x1-c.b)*(x1-c.b)) > 1e-6
+        |         AND sqrt((x0-c.a)*(x0-c.a) + (x1-c.b)*(x1-c.b)) >= 10.0))) = 0)
+        |),
+        |cent AS (
+        |  SELECT c.a AS ca, c.b AS cb
+        |  FROM (SELECT centers FROM sel ORDER BY iter DESC LIMIT 1) t,
+        |       UNNEST(t.centers) AS u(c))
+        |SELECT round(ca, 6) AS c0, round(cb, 6) AS c1,
+        |  CAST(1 + (SELECT count(*) FROM x
+        |        WHERE sqrt((x.x0-ca)*(x.x0-ca) + (x.x1-cb)*(x.x1-cb)) > 1e-6
+        |          AND sqrt((x.x0-ca)*(x.x0-ca) + (x.x1-cb)*(x.x1-cb)) < 20.0)
+        |    AS INTEGER) AS n_members
+        |FROM cent""".stripMargin,
+
     "q_apriori" ->
       """WITH it AS (SELECT DISTINCT l_orderkey,
         |    'i' || CAST(l_partkey % 12 AS VARCHAR) AS item FROM lineitem),
@@ -939,68 +1071,36 @@ object SparkEntry {
         |  UNION ALL SELECT * FROM r2)
         |WHERE confidence >= 0.1 AND lift >= 1.0""".stripMargin,
 
-    // unrolled FCM (m=2): each round is a membership CTE (squared
-    // distances with the reference's zero guard, u_i = (dmin/d_i)/Σ) and
-    // a centroid CTE ((1/Σu²)·Σu²x, mirroring the scal-by-reciprocal in
-    // FCM.runBlocks). The tol-based early stop is emulated too: dd$t =
-    // max |u$t - u${t-1}| per round, and the final centroids come from
-    // the first round whose delta <= tol — exactly FCM.runBlocks' loop
-    // (stop after the update of the round whose delta converged).
     "q_fcm_fit" -> {
-      val k = fcmFitInit.length; val dim = fcmFitInit(0).length; val iters = 10
-      val tol = 1e-4
       val c0 = fcmFitInit.zipWithIndex.flatMap { case (c, i) =>
         c.zipWithIndex.map { case (v, j) => s"CAST($v AS DOUBLE) AS c${i}_$j" }
       }.mkString(", ")
-      def round(t: Int): String = {
-        val ds = (0 until k).map { i =>
-          val s = (0 until dim).map(j => s"(x$j - c${i}_$j)*(x$j - c${i}_$j)").mkString(" + ")
-          s"CASE WHEN $s = 0 THEN 1e-20 ELSE $s END AS d$i"
-        }.mkString(",\n    ")
-        val dmin = s"least(${(0 until k).map(i => s"d$i").mkString(", ")})"
-        val rsum = (0 until k).map(i => s"($dmin/d$i)").mkString(" + ")
-        val us = (0 until k).map(i => s"($dmin/d$i) / ($rsum) AS u$i").mkString(",\n    ")
-        val cs = (0 until k).flatMap(i => (0 until dim).map(j =>
-          s"(1.0/sum(u$i*u$i)) * sum(u$i*u$i*x$j) AS c${i}_$j")).mkString(",\n    ")
-        s"""d$t AS (SELECT rid, x0, x1, x2,
-           |    $ds
-           |  FROM x, c${t - 1}),
-           |u$t AS (SELECT rid, x0, x1, x2,
-           |    $us
-           |  FROM d$t),
-           |c$t AS (SELECT
-           |    $cs
-           |  FROM u$t)""".stripMargin
-      }
-      // dd$t joins consecutive membership generations on rid (x is
-      // MATERIALIZED so row_number is assigned once)
-      def delta(t: Int): String = {
-        val terms = (0 until k).map(i => s"abs(a.u$i - b.u$i)").mkString(", ")
-        s"""dd$t AS (SELECT max(greatest($terms)) AS v
-           |  FROM u$t a JOIN u${t - 1} b ON a.rid = b.rid)""".stripMargin
-      }
-      val pick = (0 until k).flatMap { i =>
-        (0 until dim).map { j =>
-          val cases = (2 until iters)
-            .map(t => s"WHEN dd$t.v <= $tol THEN c$t.c${i}_$j").mkString(" ")
-          s"CASE $cases ELSE c$iters.c${i}_$j END AS c${i}_$j"
-        }
-      }.mkString(",\n    ")
-      val srcs = ((2 until iters).map(t => s"dd$t") ++ (2 to iters).map(t => s"c$t")).mkString(", ")
-      val finalRows = (0 until k).map { i =>
-        s"SELECT $i AS cluster_id, round(c${i}_0, 6) AS c0, round(c${i}_1, 6) AS c1, round(c${i}_2, 6) AS c2 FROM fin"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH x AS MATERIALIZED (
-         |  SELECT row_number() OVER () AS rid,
-         |    l_quantity / 50 AS x0, l_discount * 10 AS x1, l_tax * 10 AS x2
-         |  FROM lineitem),
-         |c0 AS (SELECT $c0),
-         |${(1 to iters).map(round).mkString(",\n")},
-         |${(2 until iters).map(delta).mkString(",\n")},
-         |fin AS (SELECT
-         |    $pick
-         |  FROM $srcs)
-         |$finalRows""".stripMargin
+      fcmFitOracle(
+        xCte = """  SELECT row_number() OVER () AS rid,
+          |    l_quantity / 50 AS x0, l_discount * 10 AS x1, l_tax * 10 AS x2
+          |  FROM lineitem""".stripMargin,
+        c0Cte = s"c0 AS (SELECT $c0)",
+        k = fcmFitInit.length, dim = fcmFitInit(0).length, iters = 10, tol = 1e-4)
+    },
+
+    // hash-sample init: c0 = the 3 rows with smallest 60-bit md5(id)
+    // (ties by id) — the engine-reproducible form of "sample k rows",
+    // then the identical unrolled rounds
+    "q_fcm_fit_hash" -> {
+      val k = 3; val dim = 3
+      val agg = (0 until k).flatMap(i => (0 until dim).map(j =>
+        s"max(CASE WHEN rn = ${i + 1} THEN x$j END) AS c${i}_$j")).mkString(",\n    ")
+      fcmFitOracle(
+        xCte = """  SELECT row_number() OVER () AS rid,
+          |    l_orderkey * 10 + l_linenumber AS id,
+          |    l_quantity / 50 AS x0, l_discount * 10 AS x1, l_tax * 10 AS x2
+          |  FROM lineitem""".stripMargin,
+        c0Cte = s"""c0 AS (SELECT
+          |    $agg
+          |  FROM (SELECT x0, x1, x2, row_number() OVER (
+          |      ORDER BY ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT, id) AS rn
+          |    FROM x) WHERE rn <= $k)""".stripMargin,
+        k = k, dim = dim, iters = 10, tol = 1e-4)
     },
 
     "q_online_ahp" -> {

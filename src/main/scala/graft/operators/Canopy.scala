@@ -55,6 +55,18 @@ class Canopy(override val uid: String) extends Transformer
   def getT2: Double = $(t2)
   def setT2(value: Double): this.type = set(t2, value)
 
+  /** Stable sort columns for a DETERMINISTIC sweep: when non-empty, the
+    * sequential center selection runs over the data globally sorted by
+    * these columns instead of partition order — partition-layout-
+    * independent and exactly reproducible by any engine (the DuckDB
+    * oracle replays it as a recursive CTE). Empty (default) keeps the
+    * reference's order-dependent two-level sweep (Canopy.java:163-212). */
+  final val orderCols: StringArrayParam =
+    new StringArrayParam(this, "orderCols",
+      "stable sort columns for a deterministic sweep; empty = input order")
+  setDefault(orderCols -> Array.empty[String])
+  def setOrderCols(value: String*): this.type = set(orderCols, value.toArray)
+
   def setMaxIter(value: Int): this.type = set(maxIter, value)
   def setDistanceMeasure(value: String): this.type = set(distanceMeasure, value)
   def setFeaturesCol(value: String): this.type = set(featuresCol, value)
@@ -65,8 +77,12 @@ class Canopy(override val uid: String) extends Transformer
   override def transform(ds: Dataset[_]): DataFrame = {
     require($(t1) > $(t2), s"T1 (${$(t1)}) must be > T2 (${$(t2)})")
     val df = ds.toDF()
-    val centers = Canopy.selectCenters(df, $(featuresCol), $(t1), $(t2),
-      $(maxIter), $(distanceMeasure))
+    val centers =
+      if ($(orderCols).nonEmpty)
+        Canopy.selectCentersSequential(df, $(featuresCol), $(orderCols).toSeq,
+          $(t1), $(t2), $(maxIter), $(distanceMeasure))
+      else Canopy.selectCenters(df, $(featuresCol), $(t1), $(t2),
+        $(maxIter), $(distanceMeasure))
     // Canopy row = center + strict members; duplicates of the center are
     // dropped like the reference's `dis <= 1e-6 -> continue`, and the
     // center itself appears exactly once, prepended (Canopy.java:416-423).
@@ -142,6 +158,25 @@ object Canopy extends DefaultParamsReadable[Canopy] {
     // Merge in partition order then local order — deterministic.
     val ordered = local.sortBy(_._1).iterator.map(_._2)
     localCenters(ordered, t1, t2, maxIter, measure).toArray
+  }
+
+  /** Deterministic flat sweep: the SAME sequential selection, but over
+    * the data globally sorted by `orderCols` — independent of partition
+    * layout, hence exactly reproducible from SQL (recursive CTE). The
+    * sort is distributed; the sweep streams sorted partitions through
+    * the driver one at a time (toLocalIterator) and early-exits once
+    * maxIter centers are selected, so only a prefix is usually fetched.
+    * Inherently sequential semantics — the two-level [[selectCenters]]
+    * stays the default when exact order-reproducibility isn't needed. */
+  def selectCentersSequential(df: DataFrame, featuresCol: String,
+                              orderCols: Seq[String], t1: Double, t2: Double,
+                              maxIter: Int, measure: String): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val sorted = df.orderBy(orderCols.map(col): _*)
+      .select(Features.asArray(df, featuresCol)).as[Array[Double]]
+    localCenters(sorted.toLocalIterator().asScala, t1, t2, maxIter, measure).toArray
   }
 
   /** Exploded assignment: (canopy_id, center, member) rows, one per strict

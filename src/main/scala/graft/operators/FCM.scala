@@ -46,6 +46,10 @@ class FCM(override val uid: String) extends Estimator[FCMModel]
     initialCentroids = Some(value); set(k, value.length); this
   }
 
+  /** Column whose md5 hash orders the deterministic init sample; empty
+    * (default) keeps the Dirichlet random-init path. */
+  def setInitIdCol(value: String): this.type = set(initIdCol, value)
+
   def setK(value: Int): this.type = set(k, value)
   def setM(value: Double): this.type = set(m, value)
   def setTol(value: Double): this.type = set(tol, value)
@@ -61,10 +65,28 @@ class FCM(override val uid: String) extends Estimator[FCMModel]
     import spark.implicits._
     val rows = df.select(Features.asArray(df, $(featuresCol)))
       .as[Array[Double]].rdd
-    // Init BEFORE blocking so the sample is row-exact (same RDD content
-    // and partitioning as the pre-block layout -> identical seeds).
-    val init = initialCentroids.getOrElse(
-      rows.takeSample(withReplacement = false, $(k), $(seed)))
+    // Hash-sample init: the k rows with the smallest 60-bit md5 of the id
+    // column (ties broken by id) — a deterministic, partition-independent,
+    // ENGINE-REPRODUCIBLE sample (the DuckDB oracle replays the identical
+    // ordering), planned as a distributed TakeOrderedAndProject. Behaves
+    // like explicit centroids: epoch-0 memberships derive from them.
+    val hashInit: Option[Array[Array[Double]]] =
+      if (initialCentroids.isEmpty && $(initIdCol).nonEmpty) Some {
+        val h = conv(substring(md5(col($(initIdCol)).cast("string")), 1, 15), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType)
+        df.orderBy(h.asc, col($(initIdCol)).asc)
+          .limit($(k))
+          .select(Features.asArray(df, $(featuresCol)))
+          .as[Array[Double]].collect()
+      } else None
+    val explicit = initialCentroids.orElse(hashInit)
+    // Default (no explicit/hash init): the epoch-0 state is the content-
+    // hash-keyed Dirichlet membership matrix inside runBlocks — already
+    // partition-independent — and the init centroids are never consulted
+    // on that path, so a single-row dims probe replaces the old
+    // takeSample (which cost a pass and was partition-dependent for
+    // nothing).
+    val init = explicit.getOrElse(Array(rows.first()))
     // Iterations run over flat per-block arrays: ~15k cached block objects
     // instead of tens of millions of boxed Array[Double] rows — sequential
     // scans, no old-gen pointer chasing.
@@ -73,7 +95,7 @@ class FCM(override val uid: String) extends Estimator[FCMModel]
     try {
       val centroids = FCM.runBlocks(blocks, init, $(k), $(m), $(tol),
         $(maxIter), $(seed), $(distanceMeasure),
-        explicitInit = initialCentroids.isDefined)
+        explicitInit = explicit.isDefined)
       copyValues(new FCMModel(Identifiable.randomUID("fcmModel"))
         .setCentroids(centroids)).setParent(this)
     // blocking: release executor storage deterministically before the
@@ -107,6 +129,17 @@ trait FCMParams extends HasFeaturesCol with HasPredictionCol with HasMaxIter
     new DoubleParam(this, "tol", "convergence tolerance", ParamValidators.gtEq(0.0))
   setDefault(tol -> 1e-4)
   final def getTol: Double = $(tol)
+
+  /** Deterministic init: when non-empty, the k initial centroids are the
+    * rows with the SMALLEST 60-bit md5 of this column (ties by the column
+    * value) — partition-independent and replayable by any engine, unlike
+    * an RDD sample. Capability extension over the reference's unseeded
+    * selectRandomCentroids (FCM.java:71). */
+  final val initIdCol: Param[String] =
+    new Param[String](this, "initIdCol",
+      "id column for the deterministic hash-sample init; '' = random init")
+  setDefault(initIdCol -> "")
+  final def getInitIdCol: String = $(initIdCol)
 }
 
 object FCM extends DefaultParamsReadable[FCM] {

@@ -60,6 +60,23 @@ class CanopySpec extends GraftSpec {
     assert(members.length == 1 && members.head.toArray.sameElements(Array(100.0, 100.0)))
   }
 
+  test("sequential sweep with orderCols is partition-layout-independent") {
+    // the deterministic sweep must select the same centers, in the same
+    // order, whatever the partitioning — that's the property that makes
+    // it oracle-checkable (and the in-memory flat sweep is its spec)
+    val pts = (1 to 200).map(i => (i.toLong, Array((i % 17).toDouble, (i % 23).toDouble)))
+    val expected = Canopy.localCenters(
+      pts.sortBy(_._1).iterator.map(_._2), 6.0, 3.0, 50, "euclidean")
+    for (parts <- Seq(1, 3, 8)) {
+      val df = pts.toDF("id", "features").repartition(parts)
+      val got = Canopy.selectCentersSequential(df, "features", Seq("id"),
+        6.0, 3.0, 50, "euclidean")
+      assert(got.length == expected.length &&
+        got.zip(expected).forall { case (a, b) => a.sameElements(b) },
+        s"parts=$parts: ${got.map(_.toSeq).toSeq} vs ${expected.map(_.toSeq)}")
+    }
+  }
+
   test("transform output shape: (centroids, prediction=members incl center first)") {
     val out = new Canopy().setT1(2.0).setT2(1.0).setMaxIter(100).transform(df)
     assert(out.columns.toSeq == Seq("centroids", "prediction"))

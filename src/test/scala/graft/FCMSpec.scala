@@ -97,6 +97,45 @@ class FCMSpec extends GraftSpec {
     }
   }
 
+  test("default random-init fit is partition-layout-independent") {
+    // the epoch-0 state is the content-hash Dirichlet matrix, so the SAME
+    // centroids (up to treeAggregate fp-summation noise) must come out of
+    // any partitioning — the round-2 verdict's determinism criterion
+    val pts = (1 to 90).map(i => Tuple1(Array((i % 5).toDouble, (i % 7).toDouble)))
+    def fit(parts: Int): Array[Array[Double]] =
+      new FCM().setK(3).setMaxIter(15).setSeed(7)
+        .fit(pts.toDF("features").repartition(parts)).getCentroids
+    val ref = fit(1)
+    for (parts <- Seq(3, 8)) {
+      fit(parts).zip(ref).foreach { case (g, e) =>
+        assertApprox(g.toSeq, e.toSeq, 1e-9)
+      }
+    }
+  }
+
+  test("hash-sample init (initIdCol) picks the smallest-md5 rows at any layout") {
+    val pts = (1 to 90).map(i => (i.toLong, Array((i % 5).toDouble, (i % 7).toDouble)))
+    // expected init: k rows by (60-bit md5 of id-string, id)
+    def h(id: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val expectedInit = pts.sortBy { case (id, _) => (h(id), id) }.take(3).map(_._2)
+    // fitting via initIdCol must equal fitting via the explicitly computed
+    // hash sample — pinning both the selection and its layout-independence
+    for (parts <- Seq(1, 4)) {
+      val df2 = pts.toDF("id", "features").repartition(parts)
+      val viaHash = new FCM().setK(3).setMaxIter(5).setInitIdCol("id")
+        .fit(df2).getCentroids
+      val viaExplicit = new FCM().setMaxIter(5)
+        .setInitialCentroids(expectedInit.toArray).fit(df2).getCentroids
+      viaHash.zip(viaExplicit).foreach { case (g, e) =>
+        assertApprox(g.toSeq, e.toSeq, 1e-9)
+      }
+    }
+  }
+
   test("membership rows sum to 1 and model save/load round-trips") {
     val model = new FCM().setMaxIter(100).setSeed(42).fit(df)
     val sums = model.membershipMatrix(df)
