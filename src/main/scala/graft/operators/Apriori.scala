@@ -84,6 +84,21 @@ class Apriori(override val uid: String) extends Transformer
   def getMaxItemsetSize: Int = $(maxItemsetSize)
   def setMaxItemsetSize(value: Int): this.type = set(maxItemsetSize, value)
 
+  /** Per-transaction item cap — scale guard against pathological baskets
+    * (one 10k-item basket alone enumerates 50M pairs): longer baskets
+    * keep their first maxBasketSize items, and the truncation count is
+    * reported via [[getTruncatedBaskets]]. Int.MaxValue = reference
+    * parity (unbounded). */
+  final val maxBasketSize: IntParam = new IntParam(this, "maxBasketSize",
+    "maximum items per transaction before truncation", ParamValidators.gt(0))
+  setDefault(maxBasketSize -> Int.MaxValue)
+  def getMaxBasketSize: Int = $(maxBasketSize)
+  def setMaxBasketSize(value: Int): this.type = set(maxBasketSize, value)
+
+  private var truncatedBaskets: Long = 0L
+  /** Number of baskets truncated by maxBasketSize in the last transform. */
+  def getTruncatedBaskets: Long = truncatedBaskets
+
   def setInputCols(value: String*): this.type = set(inputCols, value.toArray)
   def setMaxIter(value: Int): this.type = set(maxIter, value)
 
@@ -105,8 +120,13 @@ class Apriori(override val uid: String) extends Transformer
     // array — `Range.combinations` boxes every index and allocates an
     // intermediate IndexedSeq per subset, which tripled this flatMap's
     // cost at the 100x scale point.
+    val basketCap = $(maxBasketSize)
+    val truncAcc = spark.sparkContext.longAccumulator("apriori.truncatedBaskets")
     val counts = tx.flatMap { line =>
-      val items = line.split(sep)
+      val all = line.split(sep)
+      val items =
+        if (all.length <= basketCap) all
+        else { truncAcc.add(1L); all.take(basketCap) }
       (1 to math.min(items.length, cap)).iterator
         .flatMap(k => Apriori.indexSubsets(items, k))
     }.groupBy(col("value").as("itemSet")).count()
@@ -120,6 +140,8 @@ class Apriori(override val uid: String) extends Transformer
         (r.getAs[scala.collection.Seq[String]]("itemSet").toList,
           r.getAs[Long]("count").toInt, r.getAs[Double]("support"))
       }
+
+    truncatedBaskets = truncAcc.value // counts materialized by the collect
 
     val rules = Apriori.generateRules(frequent, $(maxIter))
       .filter(r => r.confidence >= $(minConfidence) && r.lift >= $(lift))

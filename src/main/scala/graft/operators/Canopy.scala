@@ -144,15 +144,29 @@ object Canopy extends DefaultParamsReadable[Canopy] {
   }
 
   /** Two-level selection: per-partition local canopies, then the same
-    * sequential merge over local centers on the driver. */
+    * sequential merge over local centers on the driver.
+    *
+    * `maxCenters` is the fail-fast guard for the driver-sized-state
+    * assumption: a partition that accumulates that many centers (before
+    * the maxIter cap kicks in) means T2 is far too small for the data —
+    * nearly every point is becoming its own canopy — and collecting the
+    * local centers would flood the driver. Aborting with a clear message
+    * beats an executor-side slow death or a driver OOM. */
   def selectCenters(df: DataFrame, featuresCol: String, t1: Double, t2: Double,
-                    maxIter: Int, measure: String): Array[Array[Double]] = {
+                    maxIter: Int, measure: String,
+                    maxCenters: Int = 100000): Array[Array[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
     val pts = df.select(Features.asArray(df, featuresCol)).as[Array[Double]]
     val local = pts.rdd
       .mapPartitionsWithIndex { case (pid, it) =>
-        localCenters(it, t1, t2, maxIter, measure).iterator.map(c => (pid, c))
+        val cs = localCenters(it, t1, t2, maxIter, measure)
+        if (cs.length >= maxCenters)
+          throw new IllegalStateException(
+            s"Canopy selected $maxCenters+ centers in one partition: " +
+              s"T2=$t2 is too small for this data (nearly every point becomes " +
+              s"a center). Raise T2, lower maxIter, or raise maxCenters explicitly.")
+        cs.iterator.map(c => (pid, c))
       }
       .collect()
     // Merge in partition order then local order — deterministic.

@@ -208,7 +208,8 @@ object Dedup {
    */
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           numHashes: Int, bands: Int, seed: Long = 42L,
-                          shingleN: Int = 1, threshold: Double = 0.8): DataFrame = {
+                          shingleN: Int = 1, threshold: Double = 0.8,
+                          maxBucketSize: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val spark = df.sparkSession
@@ -244,11 +245,29 @@ object Dedup {
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val docs = it.toArray.sortBy(_._2)
-        for {
-          i <- docs.indices.iterator
-          j <- (i + 1) until docs.length
-          if jaccardSorted(docs(i)._3, docs(j)._3) >= threshold
-        } yield (docs(i)._2, docs(j)._2)
+        if (docs.length <= maxBucketSize)
+          for {
+            i <- docs.indices.iterator
+            j <- (i + 1) until docs.length
+            if jaccardSorted(docs(i)._3, docs(j)._3) >= threshold
+          } yield (docs(i)._2, docs(j)._2)
+        else {
+          // Oversized bucket (adversarial corpus: thousands of near-
+          // identical docs collide in every band). Pairwise here is
+          // O(|bucket|²) — instead verify each doc against the min-id
+          // pivot docs only: O(pivots·|bucket|), deterministic. A
+          // homogeneous bucket keeps FULL recall through cluster
+          // transitivity (every member links to the first pivot); only
+          // cross-pairs of a mixed monster bucket can be missed, and a
+          // mixed bucket this large means the band width, not the cap,
+          // needs tuning.
+          val pivots = math.min(8, docs.length)
+          for {
+            i <- (0 until pivots).iterator
+            j <- (i + 1) until docs.length
+            if jaccardSorted(docs(i)._3, docs(j)._3) >= threshold
+          } yield (docs(i)._2, docs(j)._2)
+        }
       }
       .toDF("id_a", "id_b")
       .distinct()

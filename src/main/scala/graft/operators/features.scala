@@ -31,8 +31,11 @@ class MeanImputer(override val uid: String) extends Estimator[MeanImputerModel]
       .setParent(this)
   }
 
-  override def transformSchema(schema: StructType): StructType =
+  override def transformSchema(schema: StructType): StructType = {
+    require(!schema.fieldNames.contains($(outputCol)),
+      s"output column ${$(outputCol)} already exists") // spark.ml contract
     schema.add($(outputCol), DoubleType)
+  }
 
   override def copy(extra: ParamMap): MeanImputer = defaultCopy(extra)
 }
@@ -43,6 +46,9 @@ class MeanImputerModel(override val uid: String, val mean: Double)
   def this(uid: String) = this(uid, Double.NaN)
   setDefault(outputCol -> "imputed_value")
 
+  def setInputCol(value: String): this.type = set(inputCol, value)
+  def setOutputCol(value: String): this.type = set(outputCol, value)
+
   // APPEND the imputed column (idiomatic spark.ml: stages compose in a
   // Pipeline). The reference emitted a single-column replacement table
   // (MeanImputerModel.java:46-65) — an artifact of its demo wiring, and
@@ -51,8 +57,11 @@ class MeanImputerModel(override val uid: String, val mean: Double)
     ds.toDF().withColumn($(outputCol),
       coalesce(col($(inputCol)).cast(DoubleType), lit(mean)))
 
-  override def transformSchema(schema: StructType): StructType =
+  override def transformSchema(schema: StructType): StructType = {
+    require(!schema.fieldNames.contains($(outputCol)),
+      s"output column ${$(outputCol)} already exists")
     schema.add($(outputCol), DoubleType)
+  }
 
   override def copy(extra: ParamMap): MeanImputerModel =
     copyValues(new MeanImputerModel(uid, mean), extra).setParent(parent)
@@ -95,8 +104,11 @@ class StandardScalerEst(override val uid: String)
       .setParent(this)
   }
 
-  override def transformSchema(schema: StructType): StructType =
+  override def transformSchema(schema: StructType): StructType = {
+    require(!schema.fieldNames.contains($(outputCol)),
+      s"output column ${$(outputCol)} already exists")
     schema.add($(outputCol), DoubleType)
+  }
 
   override def copy(extra: ParamMap): StandardScalerEst = defaultCopy(extra)
 }
@@ -107,13 +119,19 @@ class StandardScalerModel(override val uid: String, val mean: Double, val std: D
   def this(uid: String) = this(uid, 0.0, 1.0)
   setDefault(outputCol -> "scaled_value")
 
+  def setInputCol(value: String): this.type = set(inputCol, value)
+  def setOutputCol(value: String): this.type = set(outputCol, value)
+
   // append, not replace — see MeanImputerModel.transform
   override def transform(ds: Dataset[_]): DataFrame =
     ds.toDF().withColumn($(outputCol),
       (col($(inputCol)).cast(DoubleType) - lit(mean)) / lit(std))
 
-  override def transformSchema(schema: StructType): StructType =
+  override def transformSchema(schema: StructType): StructType = {
+    require(!schema.fieldNames.contains($(outputCol)),
+      s"output column ${$(outputCol)} already exists")
     schema.add($(outputCol), DoubleType)
+  }
 
   override def copy(extra: ParamMap): StandardScalerModel =
     copyValues(new StandardScalerModel(uid, mean, std), extra).setParent(parent)
@@ -166,6 +184,8 @@ class TimeFeatureExtractor(override val uid: String) extends Transformer
 
   override def transformSchema(schema: StructType): StructType = {
     val Array(y, m, d) = $(outputCols)
+    Seq(y, m, d).foreach(c => require(!schema.fieldNames.contains(c),
+      s"output column $c already exists"))
     schema.add(y, IntegerType).add(m, StringType).add(d, StringType)
   }
 
@@ -230,8 +250,11 @@ class AutoFeatureTransformer(override val uid: String) extends Transformer
     }
   }
 
-  override def transformSchema(schema: StructType): StructType =
+  override def transformSchema(schema: StructType): StructType = {
+    require(!schema.fieldNames.contains("newValue"),
+      "output column newValue already exists")
     schema.add("newValue", DoubleType)
+  }
 
   override def copy(extra: ParamMap): AutoFeatureTransformer = defaultCopy(extra)
 }

@@ -75,7 +75,12 @@ object EventWindows {
    * Streaming session windows: Spark's native `session_window` keyed by
    * `keyCols` — the same gap semantics as the batch `sessionize` (a
    * session closes when the next event is more than `gap` after the
-   * previous one), but with watermark-driven state eviction: closed
+   * previous one) EXCEPT at the exact boundary: an event precisely `gap`
+   * after its predecessor stays in the batch session (break requires
+   * delta > gap) but starts a new streaming session (session_window
+   * spans [t, t+gap), which excludes t+gap). Widen the stream gap by
+   * 1ms if exact-boundary parity matters. Watermark-driven state
+   * eviction: closed
    * sessions emit in append mode and their state is dropped, so state
    * stays bounded by the number of OPEN sessions regardless of stream
    * length — the 100 TB streaming-ingest shape. Emits one row per closed
@@ -284,6 +289,8 @@ class OnlineTopsis(override val uid: String) extends Estimator[OnlineTopsisModel
   override def copy(extra: ParamMap): OnlineTopsis = defaultCopy(extra)
 }
 
+object OnlineTopsis extends DefaultParamsReadable[OnlineTopsis]
+
 trait OnlineTopsisParams extends HasFeaturesCol with HasPredictionCol
     with HasTimeCol with HasWindowDuration {
   final val weights: DoubleArrayParam =
@@ -302,6 +309,18 @@ trait OnlineTopsisParams extends HasFeaturesCol with HasPredictionCol
       ParamValidators.gtEq(0))
   setDefault(maxAllowedModelDelayMs -> 0L)
   final def getMaxAllowedModelDelayMs: Long = $(maxAllowedModelDelayMs)
+
+  /** Driver-side guard: the model table is one row per time window —
+    * small by construction — but over an unbounded time range it grows
+    * without limit. Up to this many rows it is collected and scored as a
+    * pure projection (no shuffle); above it, transform falls back to a
+    * broadcast range join (default 1M rows ≈ 24 MB). */
+  final val maxCollectedModelRows: LongParam =
+    new LongParam(this, "maxCollectedModelRows",
+      "max model rows collected to the driver before the broadcast-join fallback",
+      ParamValidators.gt(0))
+  setDefault(maxCollectedModelRows -> (1L << 20))
+  final def getMaxCollectedModelRows: Long = $(maxCollectedModelRows)
 }
 
 /**
@@ -325,35 +344,70 @@ class OnlineTopsisModel(override val uid: String) extends Model[OnlineTopsisMode
   def setTimeCol(value: String): this.type = set(timeCol, value)
   def setPredictionCol(value: String): this.type = set(predictionCol, value)
   def setMaxAllowedModelDelayMs(value: Long): this.type = set(maxAllowedModelDelayMs, value)
+  def setMaxCollectedModelRows(value: Long): this.type = set(maxCollectedModelRows, value)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val df = ds.toDF()
     val delay = $(maxAllowedModelDelayMs)
     val t = EventWindows.millis(df, $(timeCol))
+    val slim = modelData.select(col("timestamp").cast(LongType),
+      col("minTimestamp").cast(LongType), col("score").cast(DoubleType))
     // The model table is one row per time window — small by construction —
-    // so the range join collapses to a broadcast scan of the timestamp-
-    // sorted models: the first (= earliest, stream arrival order) window
-    // with minTimestamp <= t - delay <= timestamp wins; no match scores
-    // null. Scoring stays a pure projection: no shuffle, no per-row window.
-    val models = modelData
-      .select(col("timestamp").cast(LongType),
-        col("minTimestamp").cast(LongType), col("score").cast(DoubleType))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .sortBy(_._1)
-    val bc = df.sparkSession.sparkContext.broadcast(models)
-    val gateUdf = udf { (tm: Long) =>
-      val ms = bc.value
-      val te = tm - delay
-      var i = 0
-      var res: Option[Double] = None
-      while (i < ms.length && res.isEmpty) {
-        if (te <= ms(i)._1 && te >= ms(i)._2) res = Some(ms(i)._3)
-        i += 1
+    // so up to the collect cap the range join collapses to a broadcast
+    // scan of the timestamp-sorted models: the first (= earliest, stream
+    // arrival order) window with minTimestamp <= t - delay <= timestamp
+    // wins; no match scores null. Scoring stays a pure projection: no
+    // shuffle, no per-row window. When minTimestamps are monotone in
+    // timestamp (always true for the tumbling windows fit() emits —
+    // disjoint ordered ranges), the per-row scan is a binary search.
+    val cap = $(maxCollectedModelRows)
+    if (slim.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count() <= cap) {
+      val models = slim.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val monotone = models.length <= 1 ||
+        models.sliding(2).forall(p => p(0)._2 <= p(1)._2)
+      val bc = df.sparkSession.sparkContext.broadcast(models)
+      val gateUdf = udf { (tm: Long) =>
+        val ms = bc.value
+        val te = tm - delay
+        if (monotone) {
+          // first i with timestamp >= te; its window matches iff its
+          // minTimestamp <= te (later windows have larger minTimestamps)
+          var lo = 0; var hi = ms.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (ms(mid)._1 >= te) hi = mid else lo = mid + 1
+          }
+          if (lo < ms.length && te >= ms(lo)._2) Some(ms(lo)._3) else None
+        } else {
+          var i = 0
+          var res: Option[Double] = None
+          while (i < ms.length && res.isEmpty) {
+            if (te <= ms(i)._1 && te >= ms(i)._2) res = Some(ms(i)._3)
+            i += 1
+          }
+          res
+        }
       }
-      res
+      df.withColumn($(predictionCol), gateUdf(t))
+    } else {
+      // Fallback past the driver cap: broadcast range join, earliest
+      // (min-timestamp) suitable window per row — same pick order as the
+      // scan. Row identity rides a transient id; original columns come
+      // back via first() (constant within each group by construction).
+      val te = t - delay
+      val joined = df.withColumn("__rowid", monotonically_increasing_id())
+        .join(broadcast(slim.withColumnRenamed("timestamp", "__mts")
+          .withColumnRenamed("minTimestamp", "__mnts")
+          .withColumnRenamed("score", "__msc")),
+          te <= col("__mts") && te >= col("__mnts"), "left")
+      val aggs = df.columns.map(c => first(col(c)).as(c)) :+
+        min_by(col("__msc"), col("__mts")).as($(predictionCol))
+      joined.groupBy(col("__rowid"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(df.columns.map(col) :+ col($(predictionCol)): _*)
     }
-    df.withColumn($(predictionCol), gateUdf(t))
   }
 
   override def transformSchema(schema: StructType): StructType =

@@ -22,6 +22,22 @@ class AprioriSpec extends GraftSpec {
     (List("E", "B"), 3, 0.75, 1.0, 1.333, List("E"), List("B")),
     (List("B", "E"), 3, 0.75, 1.0, 1.333, List("B"), List("E")))
 
+  test("maxBasketSize truncates pathological baskets and counts them") {
+    // one 200-item basket would enumerate ~20k pairs; capped at 5 items
+    // it contributes C(5,2)+5, and the truncation is reported
+    val big = (1 to 200).map(i => s"x$i").mkString("/")
+    val txs = (Seq(big) ++ Seq("A/B", "A/B")).toDF("items")
+    val ap = new Apriori().setMinSupport(0.3).setMinConfidence(0.0).setLift(0.0)
+      .setItemSeparator("/").setInputCols("items")
+      .setMaxItemsetSize(2).setMaxBasketSize(5)
+    val out = ap.transform(txs)
+    assert(out.count() > 0)
+    assert(ap.getTruncatedBaskets == 1L, s"expected 1 truncated basket, got ${ap.getTruncatedBaskets}")
+    // items past the cap never appear in any rule
+    val seen = out.collect().flatMap(_.getAs[scala.collection.Seq[String]](0)).toSet
+    assert(!seen.contains("x6") && !seen.contains("x200"))
+  }
+
   test("golden 8 rules (AprioriTest.java:43-137) within 1e-3") {
     val out = new Apriori()
       .setMinSupport(0.3).setMinConfidence(0.4).setLift(1.2)

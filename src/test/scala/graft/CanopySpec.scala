@@ -60,6 +60,19 @@ class CanopySpec extends GraftSpec {
     assert(members.length == 1 && members.head.toArray.sameElements(Array(100.0, 100.0)))
   }
 
+  test("tiny-T2 center explosion aborts fast with a clear message") {
+    // T2 below the point spacing makes every point a center; the guard
+    // must abort the partition sweep instead of flooding the driver
+    val many = (1 to 300).map(i => Tuple1(Array(i * 10.0, 0.0)))
+      .toDF("features").repartition(1)
+    val e = intercept[org.apache.spark.SparkException] {
+      Canopy.selectCenters(many, "features", t1 = 2.0, t2 = 1.0,
+        maxIter = 1000, measure = "euclidean", maxCenters = 100)
+    }
+    assert(e.getMessage.contains("T2") || e.getCause.getMessage.contains("T2"),
+      s"abort message must point at T2: ${e.getMessage}")
+  }
+
   test("sequential sweep with orderCols is partition-layout-independent") {
     // the deterministic sweep must select the same centers, in the same
     // order, whatever the partitioning — that's the property that makes

@@ -58,6 +58,20 @@ class FeaturesSpec extends GraftSpec {
     sc.save(d2)
     val sl = StandardScalerModel.load(spark, d2)
     assert(sl.mean == sc.mean && sl.std == sc.std)
+    // save -> load -> TRANSFORM golden: the reloaded model must score
+    // identically, not just carry the same coefficients
+    def vals(out: org.apache.spark.sql.DataFrame, c: String): Seq[Option[Double]] =
+      out.select(c).collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Double])).toSeq
+    val want = vals(sc.transform(df), "scaled_value")
+    val got = vals(sl.setInputCol("v").transform(df), "scaled_value")
+    assert(got == want, s"reloaded scaler scores differ: $got vs $want")
+
+    // estimator side round-trips through DefaultParams*
+    val d3 = java.nio.file.Files.createTempDirectory("sce").toString
+    new StandardScalerEst().setInputCol("v").setOutputCol("z").write.overwrite().save(d3)
+    val re = StandardScalerEst.load(d3)
+    assert(re.getOrDefault(re.inputCol) == "v" && re.getOrDefault(re.outputCol) == "z")
+    assert(vals(re.fit(df).transform(df), "z") == want)
   }
 
   test("AutoFeatureTransformer: integer columns one-hot over observed domain") {

@@ -114,6 +114,24 @@ class OnlineSpec extends GraftSpec {
     }
   }
 
+  test("model-table cap: broadcast-range-join fallback matches the collect path") {
+    // past maxCollectedModelRows the gate switches from the broadcast
+    // scan to a broadcast range join; both must pick the same (earliest
+    // suitable) window for every row, including delay-gated no-matches
+    val (df, model) = fitTopsis()
+    for (delay <- Seq(0L, 86400000L)) {
+      model.setMaxAllowedModelDelayMs(delay)
+      def scores(m: OnlineTopsisModel) =
+        m.transform(df).select("id", "prediction").collect()
+          .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double]))
+          .toMap
+      val viaScan = scores(model.setMaxCollectedModelRows(1L << 20))
+      val viaJoin = scores(model.setMaxCollectedModelRows(1L)) // 3 windows > cap
+      assert(viaScan == viaJoin, s"delay=$delay: $viaScan vs $viaJoin")
+    }
+    model.setMaxAllowedModelDelayMs(0L).setMaxCollectedModelRows(1L << 20)
+  }
+
   test("OnlineTopsisModel save/load + setModelData (OnlineTopsisTest.java:277-291)") {
     val (df, model) = fitTopsis()
     val dir = java.nio.file.Files.createTempDirectory("ot-model").toString
@@ -124,6 +142,26 @@ class OnlineSpec extends GraftSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     topsisGolden.foreach { case (id, want) =>
       assert(math.abs(got(id) - want) <= 1e-4, s"id $id after reload: ${got(id)}")
+    }
+  }
+
+  test("OnlineTopsis estimator save/load round-trip refits to the same scores") {
+    // estimator params persist via DefaultParams*; the reloaded estimator
+    // must fit an equivalent model (reference testSaveLoadAndTransform
+    // parity for the Estimator side)
+    val (df, _) = fitTopsis()
+    val est = new OnlineTopsis()
+      .setCriteriaTypes(1, 1, 1, 2, 2, 2)
+      .setWeights(0.1, 0.1, 0.1, 0.1, 0.1, 0.1)
+      .setTimeCol("id").setWindowDuration("3 days")
+    val dir = java.nio.file.Files.createTempDirectory("ot-est").toString
+    est.write.overwrite().save(dir)
+    val reloaded = OnlineTopsis.load(dir)
+    assert(reloaded.getMaxAllowedModelDelayMs == est.getMaxAllowedModelDelayMs)
+    val got = reloaded.fit(df).transform(df).select("id", "prediction").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    topsisGolden.foreach { case (id, want) =>
+      assert(math.abs(got(id) - want) <= 1e-4, s"id $id after estimator reload: ${got(id)}")
     }
   }
 

@@ -194,6 +194,27 @@ class PipelineOpsSpec extends GraftSpec {
     assert(fused == reference)
   }
 
+  test("minhash oversized-bucket cap: adversarial all-identical corpus stays bounded") {
+    // 600 identical docs collide in every band: pairwise verify would be
+    // O(n²) per bucket. Past maxBucketSize the pivot scheme does
+    // O(pivots·n) work — and for a homogeneous bucket keeps FULL recall
+    // through cluster transitivity: every doc must still land in one
+    // cluster with the min id.
+    val n = 600
+    val docs = (0 until n).map(i => (i.toLong, "the same document text repeated"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+      numHashes = 16, bands = 4, seed = 42L, shingleN = 3,
+      threshold = 0.5, maxBucketSize = 50)
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // bounded: pivots(8) * n * bands upper-bounds the emitted edges
+    assert(edges.length <= 8 * n, s"edge count ${edges.length} not bounded")
+    val clustered = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clustered.size == n && clustered.values.forall(_ == 0L),
+      "homogeneous bucket must keep full recall via pivot transitivity")
+  }
+
   test("cluster resolution: min-id label propagation") {
     val pairs = Seq((1L, 4L), (1L, 2L), (2L, 4L), (7L, 9L)).toDF("id_a", "id_b")
     val got = Dedup.clusters(pairs).collect()

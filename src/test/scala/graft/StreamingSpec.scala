@@ -224,6 +224,59 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("end-to-end streaming OnlineTopsis: fit stream feeds the stream-stream gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val windowMs = 3L * 86400000L
+    // batch reference: fit + per-window scores
+    val model = new graft.operators.OnlineTopsis()
+      .setCriteriaTypes(1, 1, 1, 2, 2, 2)
+      .setWeights(0.1, 0.1, 0.1, 0.1, 0.1, 0.1)
+      .setTimeCol("tms").setWindowDuration("3 days")
+      .fit(rows.toDF("tms", "features"))
+    val batchScores = model.getModelData.collect()
+      .map(r => (r.getAs[Long]("minTimestamp"), r.getAs[Double]("score"))).toMap
+
+    // one pipeline, two live queries: the fit stream's sink feeds the
+    // model stream that the stream-stream gate is already joining on
+    val fitMem = MemoryStream[(Long, Array[Double])]
+    val dataMem = MemoryStream[(Long, Array[Double])]
+    val modelMem = MemoryStream[(Long, Long, Double)]
+    val fitQuery = OnlineStreaming.onlineTopsisFitStream(
+      fitMem.toDF().toDF("tms", "features"), "3 days",
+      Array(0.1, 0.1, 0.1, 0.1, 0.1, 0.1), Array(1, 1, 1, 2, 2, 2)) { batch =>
+      modelMem.addData(batch.select("timestamp", "minTimestamp", "score")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+    }
+    val scored = OnlineStreaming.onlineTopsisScoreStreamStream(
+      dataMem.toDF().toDF("tms", "features"),
+      modelMem.toDF().toDF("timestamp", "minTimestamp", "score"), windowMs)
+    val gateQuery = scored.writeStream
+      .format("memory").queryName("e2e_scored").outputMode("append").start()
+    try {
+      // data rows arrive before any model exists -> they wait in join state
+      dataMem.addData(rows)
+      gateQuery.processAllAvailable()
+      assert(spark.table("e2e_scored").count() == 0L, "rows must wait for the fit")
+      // the fit stream sees the same data plus one far-future row in the
+      // same first batch: after that batch the watermark passes EVERY
+      // data window's end, so all of them flush together in the next
+      // batch — per-batch TOPSIS then normalizes over the full mean set
+      // (batch parity) — and the sink pushes the scored models into the
+      // gate's model stream
+      fitMem.addData(rows ++ Seq((1700000000000L, Array(1.0, 1.0, 1.0, 1.0, 1.0, 1.0))))
+      fitQuery.processAllAvailable()
+      gateQuery.processAllAvailable()
+      val got = spark.table("e2e_scored")
+        .select("tms", "score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.size == rows.size - 1) // two rows share tms 1602518400000
+      batchScores.foreach { case (mnts, s) =>
+        assert(math.abs(got(mnts) - s) < 1e-12,
+          s"window starting at min ts $mnts: ${got(mnts)} vs $s")
+      }
+    } finally { fitQuery.stop(); gateQuery.stop() }
+  }
+
   test("stream-stream gating: data rows wait in join state until their model arrives") {
     implicit val sqlCtx = spark.sqlContext
     val windowMs = 3L * 86400000L
