@@ -58,7 +58,9 @@ object SparkEntry {
     * q_fcm_fit_hash (hash-sample init); `xCte` must expose rid plus
     * x0..x{dim-1}, `c0Cte` a one-row c0 with c{i}_{j} columns. */
   private def fcmFitOracle(xCte: String, c0Cte: String, k: Int, dim: Int,
-                           iters: Int, tol: Double): String = {
+                           iters: Int, tol: Double,
+                           recursive: Boolean = false,
+                           preC0Ctes: String = ""): String = {
     val xs = (0 until dim).map(j => s"x$j").mkString(", ")
     def round(t: Int): String = {
       val ds = (0 until k).map { i =>
@@ -99,9 +101,11 @@ object SparkEntry {
       val cols = (0 until dim).map(j => s"round(c${i}_$j, 6) AS c$j").mkString(", ")
       s"SELECT $i AS cluster_id, $cols FROM fin"
     }.mkString("\nUNION ALL\n")
-    s"""WITH x AS MATERIALIZED (
+    val withKw = if (recursive) "WITH RECURSIVE" else "WITH"
+    val pre = if (preC0Ctes.isEmpty) "" else preC0Ctes + ",\n"
+    s"""$withKw x AS MATERIALIZED (
        |$xCte),
-       |$c0Cte,
+       |$pre$c0Cte,
        |${(1 to iters).map(round).mkString(",\n")},
        |${(2 until iters).map(delta).mkString(",\n")},
        |fin AS (SELECT
