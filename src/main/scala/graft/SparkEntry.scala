@@ -102,8 +102,14 @@ object SparkEntry {
       s"SELECT $i AS cluster_id, $cols FROM fin"
     }.mkString("\nUNION ALL\n")
     val withKw = if (recursive) "WITH RECURSIVE" else "WITH"
+    // DuckDB quirk: a MATERIALIZED CTE referenced from inside a recursive
+    // CTE's recursive half silently terminates the recursion at iter 0 —
+    // so the recursive form skips MATERIALIZED, and its caller must make
+    // rid deterministic (row_number over an explicit ORDER BY) since x
+    // may be re-evaluated per reference.
+    val xDef = if (recursive) "x AS (" else "x AS MATERIALIZED ("
     val pre = if (preC0Ctes.isEmpty) "" else preC0Ctes + ",\n"
-    s"""$withKw x AS MATERIALIZED (
+    s"""$withKw $xDef
        |$xCte),
        |$pre$c0Cte,
        |${(1 to iters).map(round).mkString(",\n")},
@@ -447,16 +453,22 @@ object SparkEntry {
     }),
 
     "q_canopy_fcm" -> ((s, dir) => {
-      // the intended composition of the two reference clusterers: cheap
-      // canopy pre-clustering picks k and the starting centroids, FCM
-      // refines them (one treeAggregate per round); rows-only check
+      // the intended composition of the two reference clusterers, made
+      // fully deterministic: the ORDERED canopy sweep picks k and the
+      // starting centroids (partition-layout-independent, maxIter caps k
+      // scale-independently), FCM refines them (one treeAggregate per
+      // round); the oracle replays the sweep as a recursive CTE feeding
+      // the same unrolled-FCM rounds. The order-dependent two-level
+      // selection stays showcased in q_canopy_full.
       val li = tbl(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
         array(col("l_quantity") / 50, col("l_discount") * 10, col("l_tax") * 10)
           .as("features"))
-      val centers = Canopy.selectCenters(li, "features",
-        t1 = 0.6, t2 = 0.3, maxIter = 8, measure = "euclidean")
+      val centers = Canopy.selectCentersSequential(li, "features",
+        Seq("l_orderkey", "l_linenumber"), t1 = 0.6, t2 = 0.3, maxIter = 4,
+        measure = "euclidean")
       val model = new graft.operators.FCM().setMaxIter(10)
-        .setInitialCentroids(centers).fit(li)
+        .setInitialCentroids(centers).fit(li.select("features"))
       model.modelData(s).select(col("cluster_id"),
         round(col("centroid")(0), 6).as("c0"),
         round(col("centroid")(1), 6).as("c1"),
@@ -1105,6 +1117,40 @@ object SparkEntry {
           |      ORDER BY ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT, id) AS rn
           |    FROM x) WHERE rn <= $k)""".stripMargin,
         k = k, dim = dim, iters = 10, tol = 1e-4)
+    },
+
+    // canopy->FCM composition: the deterministic ordered sweep (same
+    // recursive-CTE shape as q_canopy_sweep, here in 3 dims with T2=0.3
+    // and k capped at 4) yields c0, then the identical unrolled-FCM rounds
+    "q_canopy_fcm" -> {
+      val k = 4; val dim = 3; val t2 = 0.3
+      val d = (0 until dim).map(j => s"(x$j-c.f$j)*(x$j-c.f$j)").mkString(" + ")
+      val surv = s"len(list_filter(sw.centers, c -> " +
+        s"NOT (sqrt($d) > 1e-6 AND sqrt($d) >= $t2))) = 0"
+      val structT = (0 until dim).map(j => s"f$j DOUBLE").mkString(", ")
+      val structV = (0 until dim).map(j => s"'f$j': x$j").mkString(", ")
+      val c0cols = (0 until k).flatMap(i => (0 until dim).map(j =>
+        s"centers[${i + 1}].f$j AS c${i}_$j")).mkString(",\n    ")
+      fcmFitOracle(
+        xCte = """  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rid,
+          |    l_quantity / 50 AS x0, l_discount * 10 AS x1, l_tax * 10 AS x2
+          |  FROM lineitem""".stripMargin,
+        c0Cte = s"""c0 AS (SELECT
+          |    $c0cols
+          |  FROM (SELECT centers FROM sw ORDER BY iter DESC LIMIT 1) t)""".stripMargin,
+        k = k, dim = dim, iters = 10, tol = 1e-4,
+        recursive = true,
+        preC0Ctes = s"""sw(iter, centers) AS (
+          |  SELECT 0, CAST([] AS STRUCT($structT)[])
+          |  UNION ALL
+          |  SELECT iter + 1,
+          |    list_append(centers, (
+          |      SELECT {$structV} FROM x
+          |      WHERE $surv
+          |      ORDER BY rid LIMIT 1))
+          |  FROM sw
+          |  WHERE iter < $k AND EXISTS (SELECT 1 FROM x WHERE $surv)
+          |)""".stripMargin)
     },
 
     "q_online_ahp" -> {

@@ -176,21 +176,82 @@ object Canopy extends DefaultParamsReadable[Canopy] {
 
   /** Deterministic flat sweep: the SAME sequential selection, but over
     * the data globally sorted by `orderCols` — independent of partition
-    * layout, hence exactly reproducible from SQL (recursive CTE). The
-    * sort is distributed; the sweep streams sorted partitions through
-    * the driver one at a time (toLocalIterator) and early-exits once
-    * maxIter centers are selected, so only a prefix is usually fetched.
-    * Inherently sequential semantics — the two-level [[selectCenters]]
-    * stays the default when exact order-reproducibility isn't needed. */
+    * layout, hence exactly reproducible from SQL (recursive CTE).
+    *
+    * Block-pruned execution: the range-partitioned sort's partitions ARE
+    * ordered id-range blocks, processed in order, one job each (the sort
+    * shuffle runs once; later jobs reuse its map output). Before each
+    * block is fetched the centers selected so far are broadcast and the
+    * executor pre-filters the block to rows surviving
+    * (d &gt; 1e-6 &amp;&amp; d &gt;= T2) against ALL of them — so the driver only
+    * ever sees plausible next-centers, never the corpus. The sweep
+    * early-exits at maxIter, usually within the first block; when
+    * centers are sparse the pre-filter is what keeps a 100 TB sort from
+    * streaming through the driver (the old toLocalIterator form pulled
+    * every sorted row). Inherently sequential semantics — the two-level
+    * [[selectCenters]] stays the default when exact
+    * order-reproducibility isn't needed. */
   def selectCentersSequential(df: DataFrame, featuresCol: String,
                               orderCols: Seq[String], t1: Double, t2: Double,
-                              maxIter: Int, measure: String): Array[Array[Double]] = {
+                              maxIter: Int, measure: String): Array[Array[Double]] =
+    sweepWithStats(df, featuresCol, orderCols, t2, maxIter, measure)._1
+
+  /** The sweep plus its fetch diagnostic: rows actually collected to the
+    * driver across all blocks (spec hook for the pre-filter guarantee). */
+  private[graft] def sweepWithStats(df: DataFrame, featuresCol: String,
+                                    orderCols: Seq[String], t2: Double,
+                                    maxIter: Int, measure: String): (Array[Array[Double]], Long) = {
     val spark = df.sparkSession
     import spark.implicits._
-    import scala.jdk.CollectionConverters._
+    val sc = spark.sparkContext
+    // one range-partitioned sort; each per-partition job below reuses its
+    // shuffle output (skipped stages), so the data is scanned once total
     val sorted = df.orderBy(orderCols.map(col): _*)
-      .select(Features.asArray(df, featuresCol)).as[Array[Double]]
-    localCenters(sorted.toLocalIterator().asScala, t1, t2, maxIter, measure).toArray
+      .select(Features.asArray(df, featuresCol)).as[Array[Double]].rdd
+    val centers = ArrayBuffer.empty[Array[Double]]
+    var fetched = 0L
+    val nParts = sorted.partitions.length
+    var p = 0
+    while (p < nParts && centers.length < maxIter) {
+      val sel = sc.broadcast(centers.toArray)
+      val m = measure; val t2v = t2
+      val survivors: Array[Array[Double]] = sc.runJob(sorted,
+        (it: Iterator[Array[Double]]) => {
+          val dist = VecOps.distance(m) _
+          val cs = sel.value
+          it.filter { pt =>
+            var ok = true
+            var i = 0
+            while (ok && i < cs.length) {
+              val d = dist(pt, cs(i))
+              if (!(d > 1e-6 && d >= t2v)) ok = false
+              i += 1
+            }
+            ok
+          }.toArray
+        }, Seq(p)).head
+      sel.destroy()
+      fetched += survivors.length
+      // continue the sequential sweep locally: the pre-filter covered the
+      // centers known at block start; re-checking against the full list
+      // (idempotent for those) also covers centers added within this block
+      val dist = VecOps.distance(measure) _
+      var i = 0
+      while (i < survivors.length && centers.length < maxIter) {
+        val pt = survivors(i)
+        var ok = true
+        var j = 0
+        while (ok && j < centers.length) {
+          val d = dist(pt, centers(j))
+          if (!(d > 1e-6 && d >= t2)) ok = false
+          j += 1
+        }
+        if (ok) centers += pt
+        i += 1
+      }
+      p += 1
+    }
+    (centers.toArray, fetched)
   }
 
   /** Exploded assignment: (canopy_id, center, member) rows, one per strict
