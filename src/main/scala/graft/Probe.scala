@@ -33,3 +33,53 @@ object Probe {
     spark.stop()
   }
 }
+
+/** Ad-hoc phase timing for the composed curation pipeline (q_curate
+  * forensics: which stage pays for the un-cached survivor relation). */
+object CurateProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    import graft.operators._
+    for (round <- 1 to 2) {
+      println(s"[probe] --- round $round ---")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      t("warm")(docs.count())
+      val scored = docs
+        .select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.qualityUdf(col("text"), col("n_chars")).as("q"))
+        .filter(col("q") >= 0.8)
+      val key = concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 3))
+      val exact = Dedup.exact(scored.withColumn("__k", key), col("__k"), "doc_id")
+        .select("doc_id", "source", "text")
+      t("exact-dedup-count")(exact.count())
+      val pairs = t("pairs-build+count") {
+        val p = Dedup.minhashNearDupPairs(exact, "text", "doc_id",
+          16, 4, 42L, 3, threshold = 0.8)
+        p.count(); p
+      }
+      val dropIds = t("clusters") {
+        val d = Dedup.clusters(pairs)
+          .filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as("doc_id"))
+        d.count(); d
+      }
+      val kept = exact.join(dropIds, Seq("doc_id"), "left_anti")
+        .withColumn("n_tokens", size(split(lower(col("text")), "\\s+")).cast("long"))
+      t("kept-count")(kept.count())
+      val out = t("tokenBudget-build")(
+        Sampling.tokenBudget(kept, col("source"), col("doc_id"), col("n_tokens"), 3000L))
+      t("tokenBudget-count")(out.count())
+    }
+    spark.stop()
+  }
+}

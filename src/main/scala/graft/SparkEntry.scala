@@ -726,7 +726,7 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       val scored = docs
         .select(col("doc_id"), col("text"),
-          TextAnalysis.statsUdf()(col("text"), col("n_chars")).getField("quality").as("q"))
+          TextAnalysis.qualityUdf(col("text"), col("n_chars")).as("q"))
         .filter(col("q") >= 0.8)
       val key = concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 3))
       val deduped = Dedup.exact(scored.withColumn("__k", key), col("__k"), "doc_id")
@@ -744,7 +744,7 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       val scored = docs
         .select(col("doc_id"), col("source"), col("text"),
-          TextAnalysis.statsUdf()(col("text"), col("n_chars")).getField("quality").as("q"))
+          TextAnalysis.qualityUdf(col("text"), col("n_chars")).as("q"))
         .filter(col("q") >= 0.8)
       val key = concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 3))
       // NOT cached: the survivor relation is consumed twice (near-dup
@@ -777,6 +777,20 @@ object SparkEntry {
           round(col("st.stopword_ratio"), 6).as("stopword_ratio"),
           col("st.quality").as("quality"),
           col("st.fingerprint").as("fingerprint"))
+    }),
+
+    "q_pii_scrub" -> ((s, dir) => {
+      // deterministic PII synthesized from doc_id (the corpus has none):
+      // an email and a 7+-digit account-shaped run appended to the text,
+      // then scrubbed — both regexes are RE2-safe so DuckDB replays the
+      // masking exactly; tail+length keep the output row compact
+      val docs = tbl(s, dir, "documents")
+      val synth = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.com acct "),
+        (col("doc_id") + 1000000L) * 17L, lit(" end"))
+      docs.select(col("doc_id"),
+        length(TextAnalysis.scrub(synth)).as("n_scrubbed"),
+        substring(TextAnalysis.scrub(synth), -60, 60).as("tail"))
     }),
 
     "q_multimodal" -> ((s, dir) => {
@@ -1582,6 +1596,23 @@ object SparkEntry {
          |  fingerprint
          |FROM base""".stripMargin
     },
+
+    // PII masking replayed verbatim: the scrub patterns avoid lookarounds
+    // and backreferences precisely so RE2 engines replay them; DuckDB
+    // needs the 'g' flag (it defaults to first-match, Java to all)
+    "q_pii_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |        text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |          || '@mail.example.com acct '
+        |          || CAST((doc_id + 1000000) * 17 AS VARCHAR) || ' end',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{7,}', '<NUM>', 'g') AS sc
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(sc) AS INTEGER) AS n_scrubbed,
+        |  substr(sc, -60, 60) AS tail
+        |FROM s""".stripMargin,
 
     "q_multimodal" -> {
       val d = 8

@@ -95,6 +95,17 @@ class Apriori(override val uid: String) extends Transformer
   def getMaxBasketSize: Int = $(maxBasketSize)
   def setMaxBasketSize(value: Int): this.type = set(maxBasketSize, value)
 
+  /** Cap on the number of frequent itemsets collected to the driver for
+    * rule generation. Support pruning is what keeps that set driver-sized
+    * (the architecture's core assumption) — but minSupport near 0 on a
+    * wide item domain silently breaks it; this guard turns the resulting
+    * driver OOM into a fail-fast error naming the knob to turn. */
+  final val maxFrequentItemsets: IntParam = new IntParam(this, "maxFrequentItemsets",
+    "maximum frequent itemsets collected for rule generation", ParamValidators.gt(0))
+  setDefault(maxFrequentItemsets -> 10000000)
+  def getMaxFrequentItemsets: Int = $(maxFrequentItemsets)
+  def setMaxFrequentItemsets(value: Int): this.type = set(maxFrequentItemsets, value)
+
   private var truncatedBaskets: Long = 0L
   /** Number of baskets truncated by maxBasketSize in the last transform. */
   def getTruncatedBaskets: Long = truncatedBaskets
@@ -132,10 +143,22 @@ class Apriori(override val uid: String) extends Transformer
     }.groupBy(col("value").as("itemSet")).count()
 
     val minSup = $(minSupport)
-    val frequent = counts
+    // guarded collect: fetch at most cap+1 rows (limit, not a separate
+    // count pass) so a minSupport too low for the item domain fails fast
+    // instead of OOMing the driver
+    val freqCap = $(maxFrequentItemsets)
+    val collected = counts
       .withColumn("support", col("count") / lit(numTx.toDouble))
       .filter(col("support") >= minSup)
+      .limit(if (freqCap == Int.MaxValue) freqCap else freqCap + 1)
       .collect()
+    if (collected.length > freqCap)
+      throw new IllegalStateException(
+        s"Apriori found more than $freqCap frequent itemsets: minSupport=$minSup " +
+          s"is too low for this item domain (support pruning is what keeps " +
+          s"rule generation driver-sized). Raise minSupport, lower " +
+          s"maxItemsetSize, or raise maxFrequentItemsets explicitly.")
+    val frequent = collected
       .map { r =>
         (r.getAs[scala.collection.Seq[String]]("itemSet").toList,
           r.getAs[Long]("count").toInt, r.getAs[Double]("support"))

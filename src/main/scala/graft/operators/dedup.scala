@@ -118,10 +118,25 @@ object Dedup {
    * only shuffle; within-bucket pairing explodes only bucket-local ids
    * (buckets are small when bands*rows is sized to the corpus).
    */
+  /** One MessageDigest per executor thread: getInstance is a synchronized
+    * provider lookup + allocation, and the md5 kernels call this once per
+    * WORD — per-call getInstance was a measurable slice of every
+    * signature/fingerprint scan. digest() resets the instance after each
+    * use, so reuse is safe. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Shared compiled whitespace splitter: `String.split("\\s+")` compiles
+    * the pattern per CALL (the single-char fast path doesn't apply);
+    * Pattern is immutable/thread-safe. */
+  private[operators] val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
   /** md5Long as plain Scala — bit-identical to the Column form (first 15
     * hex digits of md5 = first 7 bytes + the high nibble of the 8th). */
   def md5LongJvm(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
+    val d = md5Local.get()
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var v = 0L
     var i = 0
@@ -139,7 +154,7 @@ object Dedup {
   /** Distinct hashed word-shingles of a text (the set both the minhash
     * signature and exact Jaccard are computed over). */
   private[operators] def shingleHashes(text: String, shingleN: Int): Array[Long] = {
-    val words = text.toLowerCase.split("\\s+")
+    val words = wsPattern.split(text.toLowerCase)
     val wh = words.map(w => md5LongJvm(w) % P)
     if (shingleN == 1) wh.distinct
     else if (wh.length < shingleN) Array.empty[Long]
@@ -301,10 +316,12 @@ object Dedup {
     // cache: the size probe and the collect/propagation both consume the
     // full candidate lineage (signature UDF + joins) otherwise twice
     val pairs = rawPairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = pairs.limit((driverEdgeLimit + 1).toInt).count()
-    if (n <= driverEdgeLimit) {
-      val edges = pairs.select(col("id_a").cast(LongType), col("id_b").cast(LongType))
-        .as[(Long, Long)].collect()
+    // single limited collect doubles as the size probe: limit+1 rows back
+    // means "over the driver limit" without a separate count job
+    val edges = pairs.select(col("id_a").cast(LongType), col("id_b").cast(LongType))
+      .limit((driverEdgeLimit + 1).toInt)
+      .as[(Long, Long)].collect()
+    if (edges.length <= driverEdgeLimit) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -373,7 +390,7 @@ object Dedup {
     * call per doc instead of shuffling |docs|x|units| exploded rows into
     * a `bits`-column aggregate (110s -> ~2s on the 100x corpus). */
   private[operators] def simhashFpJvm(text: String, bits: Int, shingleN: Int): Long = {
-    val words = text.toLowerCase.split("\\s+")
+    val words = wsPattern.split(text.toLowerCase)
     val votes = new Array[Int](bits)
     val seen = scala.collection.mutable.HashSet.empty[String]
     def vote(unit: String): Unit = if (seen.add(unit)) {

@@ -68,11 +68,19 @@ object Sampling {
    *
    * Scale shape — a two-phase prefix sum, NOT one window per group (that
    * put a whole source on one task: ~20 TB/task with 5 sources at
-   * 100 TB). Each group is cut into `nBlocks` ordered id-range blocks
-   * (equal-width over the group's [min, max] id — min/max are
-   * order-independent aggregates, so both plan branches below compute
-   * identical bounds; balance is perfect for dense ids and degrades only
-   * to imbalance, never incorrectness, for clustered ones). Phase 1
+   * 100 TB). Per-group bounds (min/max id + row count) are computed ONCE
+   * at build time (like [[shardAssignment]]'s counts, this makes query
+   * construction eager; the collected table is #groups rows, guarded by
+   * `maxGroups`). The counts then pick the per-group block count
+   * adaptively: a group with <= `blockRows` rows is PROVEN small enough
+   * for one bounded sort task, so when every group is small the whole
+   * two-phase machinery collapses to a single per-group running-sum
+   * window — one pass over the input instead of three, which is what a
+   * composed pipeline (q_curate shape) feeding a few-thousand-row
+   * survivor relation into tokenBudget pays for otherwise. Large groups
+   * get ceil(cnt / blockRows) blocks (capped at `nBlocks`): equal-width
+   * ordered id ranges (monotone in idCol; balance degrades only to
+   * imbalance, never incorrectness, for clustered ids). Phase 1
    * aggregates one token subtotal per (group, block) and turns it into
    * per-block cumulative offsets — a window over the TINY subtotal
    * table only. Phase 2 broadcast-joins the offsets back and computes
@@ -81,24 +89,57 @@ object Sampling {
    * group. Blocks whose offset already exceeds the budget are dropped
    * before the sort — at 100 TB with a fixed budget that prunes almost
    * everything (requires non-negative token counts, true by
-   * construction).
+   * construction). The output is invariant to the blocking, so the
+   * adaptive choice never changes results.
    *
    * `idCol` must be numeric (the block cut is range arithmetic).
    */
   def tokenBudget(df: DataFrame, groupCol: Column, idCol: Column,
-                  tokensCol: Column, budget: Long, nBlocks: Int = 64): DataFrame = {
+                  tokensCol: Column, budget: Long, nBlocks: Int = 64,
+                  blockRows: Long = 1L << 22, maxGroups: Int = 1 << 20): DataFrame = {
     require(nBlocks > 0, "nBlocks must be positive")
+    require(blockRows > 0, "blockRows must be positive")
     val outCols = df.columns.map(col)
-    // per-group id range; deterministic under any partitioning, so the
-    // two consumers of `blocked` below agree on every block boundary
-    val bounds = df.groupBy(groupCol.as("__g"))
-      .agg(min(idCol).as("__mn"), max(idCol).as("__mx"))
+    val spark = df.sparkSession
+    val W = org.apache.spark.sql.expressions.Window
+    // per-group id range + row count, collected once (guarded): the block
+    // boundaries derive from a pure aggregate, so every phase agrees on
+    // them under any partitioning
+    val aggDf = df.groupBy(groupCol.as("__g"))
+      .agg(min(idCol).as("__mn"), max(idCol).as("__mx"), count(lit(1)).as("__cnt"))
+    val boundRows = aggDf.limit(maxGroups + 1).collect()
+    if (boundRows.length > maxGroups)
+      throw new IllegalStateException(
+        s"tokenBudget saw more than $maxGroups distinct groups: the group " +
+          s"column is too fine-grained for per-group budgeting (bounds are " +
+          s"collected to the driver). Coarsen the group or raise maxGroups.")
+    val maxCnt = if (boundRows.isEmpty) 0L else boundRows.map(_.getLong(3)).max
+    if (nBlocks == 1 || maxCnt <= blockRows) {
+      // every group proven small: one bounded running-sum window per
+      // group, no joins, single pass over the input
+      val w = W.partitionBy(groupCol).orderBy(idCol.asc)
+      return df.withColumn("__cum", sum(tokensCol).over(w))
+        .filter(col("__cum") <= budget)
+        .select(outCols: _*)
+    }
+    // per-group adaptive block count, baked into a literal broadcast
+    // bounds table (no re-scan of the input for the bounds join)
+    import scala.jdk.CollectionConverters._
+    val withNb = boundRows.map { r =>
+      val nb = math.max(1L, math.min(nBlocks.toLong,
+        (r.getLong(3) + blockRows - 1) / blockRows))
+      org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), nb)
+    }
+    val boundsSchema = org.apache.spark.sql.types.StructType(
+      aggDf.schema.fields.take(3) :+
+        org.apache.spark.sql.types.StructField("__nb", LongType, nullable = false))
+    val bounds = spark.createDataFrame(withNb.toList.asJava, boundsSchema)
     // monotone in idCol (IEEE multiply/divide by positive constants are
     // order-preserving), so blocks are ordered id ranges within the group
     val blk = least(
-      floor((idCol.cast("double") - col("__mn").cast("double")) * nBlocks /
+      floor((idCol.cast("double") - col("__mn").cast("double")) * col("__nb") /
         (col("__mx").cast("double") - col("__mn").cast("double") + 1.0)).cast(LongType),
-      lit(nBlocks - 1L))
+      col("__nb") - 1L)
     val blocked = df.join(broadcast(bounds), groupCol <=> col("__g"))
       .withColumn("__blk", blk)
     // phase 1: one row per (group, block); the cumulative window runs
@@ -106,14 +147,12 @@ object Sampling {
     val offsets = blocked.groupBy(col("__g").as("__g2"), col("__blk").as("__blk2"))
       .agg(sum(tokensCol).as("__sub"))
       .withColumn("__off", coalesce(
-        sum(col("__sub")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("__g2")).orderBy(col("__blk2").asc)
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        sum(col("__sub")).over(W.partitionBy(col("__g2")).orderBy(col("__blk2").asc)
+          .rowsBetween(W.unboundedPreceding, -1)),
         lit(0L)))
       .select(col("__g2"), col("__blk2"), col("__off"))
     // phase 2: bounded per-(group, block) running sum + block-level prune
-    val wLoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__g"), col("__blk")).orderBy(idCol.asc)
+    val wLoc = W.partitionBy(col("__g"), col("__blk")).orderBy(idCol.asc)
     blocked
       .join(broadcast(offsets), col("__g") <=> col("__g2") && col("__blk") === col("__blk2"))
       .filter(col("__off") <= budget)
@@ -157,8 +196,7 @@ object Sampling {
     // phase 1: per-(shard, block) counts — a tiny partial-aggregated
     // count (nShards * blocks cells), collected once at build time; both
     // phases derive shard/block from the same pure hash of the id, so
-    // they agree under any partitioning. Offsets become an O(1)-indexed
-    // array literal: no join, no second exchange in the data path.
+    // they agree under any partitioning.
     val counts = blocked.groupBy(col("shard"), col("__blk"))
       .agg(count(lit(1)).as("__cnt"))
       .collect().map(r => (r.getLong(0) * blocks + r.getLong(1), r.getLong(2)))
@@ -174,12 +212,35 @@ object Sampling {
       }
       s += 1
     }
-    // phase 2: rank only inside a (shard, block) — bounded partitions
+    // Small offset tables become an O(1)-indexed array literal — no join,
+    // no second exchange in the data path. Above ~64k cells the literal
+    // stops being free (a 4M-cell array is ~32 MB of expression tree
+    // serialized into EVERY task binary), so large tables ship once as a
+    // broadcast-joined literal DataFrame instead.
     val wLoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"), col("__blk")).orderBy(col("__ord").asc, idCol.asc)
-    blocked
-      .withColumn("__off", element_at(typedlit(offArr),
-        (col("shard") * blocks + col("__blk") + 1).cast("int")))
+    val withOff =
+      if (offArr.length <= (1 << 16))
+        blocked.withColumn("__off", element_at(typedlit(offArr),
+          (col("shard") * blocks + col("__blk") + 1).cast("int")))
+      else {
+        import scala.jdk.CollectionConverters._
+        val spark = df.sparkSession
+        // only non-empty cells need rows; empty cells never join a row
+        val offRows = offArr.indices.iterator
+          .filter(i => counts.contains(i.toLong))
+          .map(i => org.apache.spark.sql.Row(
+            i / blocks.toLong, i % blocks.toLong, offArr(i)))
+          .toList
+        val offSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__s2", LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("__b2", LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("__off", LongType, nullable = false)))
+        blocked.join(broadcast(spark.createDataFrame(offRows.asJava, offSchema)),
+          col("shard") === col("__s2") && col("__blk") === col("__b2"))
+      }
+    // phase 2: rank only inside a (shard, block) — bounded partitions
+    withOff
       .withColumn("shard_pos", col("__off") + row_number().over(wLoc).cast(LongType) - 1)
       .select(df.columns.map(col) :+ col("shard") :+ col("shard_pos"): _*)
   }

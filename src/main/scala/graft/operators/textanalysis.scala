@@ -21,6 +21,10 @@ object TextAnalysis {
 
   private def words(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Compiled once: `String.replaceAll` recompiles its pattern per call,
+    * and the fused quality/stats kernels run it once per document. */
+  private[operators] val punctPattern = java.util.regex.Pattern.compile("[\\p{Punct}]")
+
   /** Fraction of a document's tokens found in `list`. */
   private def hitRatio(text: Column, list: Seq[String]): Column = {
     val w = words(text)
@@ -128,16 +132,40 @@ object TextAnalysis {
    * corpus scan because the expression forms each re-split the text
    * (Catalyst does not CSE across independent projections).
    */
+  /** Quality-only fused scan: byte-identical to [[statsUdf]]'s `quality`
+    * field (same arithmetic, same rounding) but skips the per-word md5
+    * fingerprint and language profiling the score never reads — the
+    * dominant cost of the full fused scan. Pipelines that only FILTER on
+    * quality (the curation shape) should use this; spec-pinned equal to
+    * statsUdf().quality. */
+  def qualityUdf = {
+    val en = stopwords("en").toSet
+    udf { (text: String, nChars: Long) =>
+      val w = Dedup.wsPattern.split(text.toLowerCase)
+      val n = math.max(w.length, 1)
+      val stopEn = w.count(en.contains).toDouble / n
+      val punct = (text.length -
+        TextAnalysis.punctPattern.matcher(text).replaceAll("").length()).toDouble / math.max(text.length, 1)
+      val meanLen = w.map(_.length.toLong).sum.toDouble / n
+      BigDecimal(
+        (if (nChars >= 100 && nChars <= 20000) 1.0 else 0.3) * 0.3 +
+          (if (punct <= 0.2) 1.0 else 0.4) * 0.25 +
+          (if (meanLen >= 2.0 && meanLen <= 12.0) 1.0 else 0.5) * 0.25 +
+          (if (stopEn >= 0.01) 1.0 else 0.6) * 0.2)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
   def statsUdf(minRatio: Double = 0.05) = {
     val profiles = stopwords.toSeq.map { case (l, ws) => (l, ws.toSet) }
     udf { (text: String, nChars: Long) =>
-      val w = text.toLowerCase.split("\\s+")
+      val w = Dedup.wsPattern.split(text.toLowerCase)
       val n = math.max(w.length, 1)
       val hits = profiles.map { case (l, set) => (w.count(set.contains).toDouble / n, l) }
       val (topScore, topLang) = hits.max
       val lang = if (topScore >= minRatio) topLang else "und"
       val punct = (text.length -
-        text.replaceAll("[\\p{Punct}]", "").length).toDouble / math.max(text.length, 1)
+        TextAnalysis.punctPattern.matcher(text).replaceAll("").length()).toDouble / math.max(text.length, 1)
       val stopEn = hits.find(_._2 == "en").get._1
       val meanLen = w.map(_.length.toLong).sum.toDouble / n
       val quality = BigDecimal(

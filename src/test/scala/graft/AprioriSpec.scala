@@ -92,4 +92,19 @@ class AprioriSpec extends GraftSpec {
       .transform(tx)
     assert(out.collect().forall(_.getAs[scala.collection.Seq[String]](0).length <= 2))
   }
+
+  test("maxFrequentItemsets fails fast on a minSupport=0 wide domain") {
+    // 200 distinct items in pairs: minSupport=0 keeps every enumerated
+    // subset frequent — the guard must abort before the driver collect,
+    // naming minSupport
+    import spark.implicits._
+    val wide = (1 to 100).map(i => s"w${2 * i}/w${2 * i + 1}").toDF("items")
+    val e = intercept[IllegalStateException] {
+      new Apriori().setMinSupport(0.0).setMinConfidence(0.0).setLift(0.0)
+        .setItemSeparator("/").setInputCols("items")
+        .setMaxFrequentItemsets(50)
+        .transform(wide)
+    }
+    assert(e.getMessage.contains("minSupport"), e.getMessage)
+  }
 }

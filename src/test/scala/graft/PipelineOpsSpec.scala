@@ -53,6 +53,38 @@ class PipelineOpsSpec extends GraftSpec {
     assert(sums.forall(_ <= 2000L))
   }
 
+  test("token budget output is invariant to the adaptive blocking") {
+    // the same data through the collapsed single-window path (groups
+    // proven small), the forced two-phase path, and mixed per-group block
+    // counts must select identical rows
+    val df = (1 to 400).map(i =>
+      ((i % 3).toString, i.toLong, (i % 7 + 1).toLong)).toDF("src", "id", "tok")
+    def ids(blockRows: Long, nBlocks: Int) =
+      Sampling.tokenBudget(df, col("src"), col("id"), col("tok"), 300L,
+          nBlocks = nBlocks, blockRows = blockRows)
+        .select("id").as[Long].collect().toSet
+    val collapsed = ids(blockRows = 1000L, nBlocks = 64) // all groups fit one block
+    val twoPhase = ids(blockRows = 10L, nBlocks = 64)    // every group blocked
+    val mixed = ids(blockRows = 10L, nBlocks = 3)        // capped block count
+    assert(collapsed == twoPhase && twoPhase == mixed,
+      s"blocking changed the selection: $collapsed vs $twoPhase vs $mixed")
+    assert(collapsed.nonEmpty)
+  }
+
+  test("shard offsets above 64k cells broadcast-join instead of a plan literal") {
+    // 600 shards x 128 blocks = 76.8k cells > 2^16 forces the broadcast
+    // path; the output must be identical to the literal path (blocking is
+    // only a parallelization of the in-shard rank)
+    val df = (0L until 2000L).toDF("id")
+    val lit = Sampling.shardAssignment(df, col("id"), 600, nBlocks = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bcast = Sampling.shardAssignment(df, col("id"), 600, nBlocks = 128)
+    assert(bcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "expected the broadcast offsets join above 64k cells")
+    val got = bcast.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == lit, "broadcast offsets changed shard positions")
+  }
+
   test("int8 quantization: codes bounded, dequantized cosine within 1% of exact") {
     val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
       .filter(col("vec_id") < 50)
@@ -346,5 +378,16 @@ class PipelineOpsSpec extends GraftSpec {
       .select(TextAnalysis.qualityScore(col("text"), col("n_chars")))
       .as[Double].collect()
     assert(q.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("qualityUdf is byte-identical to statsUdf().quality on real docs") {
+    val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
+    val both = docs.select(
+      TextAnalysis.qualityUdf(col("text"), col("n_chars")).as("q"),
+      TextAnalysis.statsUdf()(col("text"), col("n_chars")).getField("quality").as("full"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"quality diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
   }
 }

@@ -55,32 +55,50 @@ class PlanSpec extends GraftSpec {
       s"expected one shuffle on the dedup key:\n$p")
   }
 
-  private def windowNodes(q: String) = {
+  private def windowNodesOf(df: org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
-    val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan match {
+    val p = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case other => other
     }
     p.collect { case w: WindowExec => w }
   }
 
+  private def windowNodes(q: String) =
+    windowNodesOf(SparkEntry.queries(q)(spark, sf()))
+
   private def overAggregated(w: org.apache.spark.sql.execution.window.WindowExec): Boolean =
     w.child.collectFirst {
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
     }.isDefined
 
-  test("q_token_budget: no single-partition-per-group window over the data") {
-    // the two-phase prefix sum: any window over raw rows must partition by
-    // (group, block) — never by the group alone (that was one task per
-    // source); group-only windows are allowed only over the tiny
-    // aggregated offsets table
-    val ws = windowNodes("q_token_budget")
+  test("tokenBudget two-phase: no single-partition-per-group window over big groups") {
+    // when a group exceeds blockRows, any window over raw rows must
+    // partition by (group, block) — never by the group alone (that was
+    // one task per source at 100 TB); group-only windows are allowed only
+    // over the tiny aggregated offsets table
+    val df = (1 to 1000).map(i => (if (i % 2 == 0) "a" else "b", i.toLong, 3L))
+      .toDF("src", "id", "toks")
+    val out = graft.operators.Sampling.tokenBudget(
+      df, col("src"), col("id"), col("toks"), budget = 600L,
+      nBlocks = 8, blockRows = 100L)
+    val ws = windowNodesOf(out)
     assert(ws.nonEmpty, "expected the bounded per-(group, block) window")
     ws.foreach { w =>
       assert(w.partitionSpec.size >= 2 || overAggregated(w),
         s"window over raw data partitions by a single key:\n$w")
     }
+  }
+
+  test("q_token_budget: proven-small groups collapse to the single-pass plan") {
+    // the adaptive path: every documents source fits one block at this
+    // scale, so the plan must be ONE window and ZERO joins — no bounds
+    // join, no offsets join (three passes collapse to one)
+    val q = SparkEntry.queries("q_token_budget")(spark, sf())
+    assert(windowNodesOf(q).size == 1, "expected exactly the one running-sum window")
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"collapsed tokenBudget must not join:\n$p")
   }
 
   test("q_shards: per-shard rank runs inside bounded (shard, block) partitions") {
