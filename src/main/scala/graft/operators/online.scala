@@ -75,12 +75,11 @@ object EventWindows {
    * Streaming session windows: Spark's native `session_window` keyed by
    * `keyCols` — the same gap semantics as the batch `sessionize` (a
    * session closes when the next event is more than `gap` after the
-   * previous one) EXCEPT at the exact boundary: an event precisely `gap`
-   * after its predecessor stays in the batch session (break requires
-   * delta > gap) but starts a new streaming session (session_window
-   * spans [t, t+gap), which excludes t+gap). Widen the stream gap by
-   * 1ms if exact-boundary parity matters. Watermark-driven state
-   * eviction: closed
+   * previous one) INCLUDING the exact boundary: an event precisely `gap`
+   * after its predecessor stays in-session in both forms (per-event
+   * windows span [t, t+gap), but Spark merges abutting windows whose end
+   * equals the next start — parity pinned in StreamingSpec).
+   * Watermark-driven state eviction: closed
    * sessions emit in append mode and their state is dropped, so state
    * stays bounded by the number of OPEN sessions regardless of stream
    * length — the 100 TB streaming-ingest shape. Emits one row per closed

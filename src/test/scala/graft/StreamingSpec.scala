@@ -318,4 +318,89 @@ class StreamingSpec extends GraftSpec {
       }
     } finally query.stop()
   }
+
+  test("sessionize stream restarts from a checkpoint with no lost or duplicate sessions") {
+    // the production shape: durable sink + checkpointLocation; the query
+    // is stopped mid-stream (one session closed and committed, one still
+    // open in state) and restarted — the open session's state and the
+    // source offsets must come back from the checkpoint, the closed
+    // session must not re-emit (file sink exactly-once)
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ck_").toString
+    val h = 3600000L
+    val T = 1000000000000L
+    val mem = MemoryStream[(Long, Long, Long)]
+    val sessions = graft.operators.EventWindows.sessionizeStream(
+      mem.toDF().toDF("event_id", "tms", "user_id"), "tms", Seq("user_id"),
+      gap = "1 hour", delay = "0 seconds")
+    def start() = sessions.writeStream.format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+      .outputMode("append").start()
+
+    val q1 = start()
+    try {
+      // user 1: session A (2 events), then an event 3h later — the
+      // watermark jump closes A (committed to the sink) while the new
+      // session stays OPEN in state
+      mem.addData(Seq((1L, T, 1L), (2L, T + 30 * 60000L, 1L), (3L, T + 3 * h, 1L)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // data arrives while the query is down; the restart must resume from
+    // the committed source offset and restored session state
+    mem.addData(Seq(
+      (4L, T + 3 * h + 10 * 60000L, 1L), // extends user 1's OPEN session
+      (5L, T + 3 * h + 20 * 60000L, 2L))) // a brand-new user-2 session
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      mem.addData(Seq((99L, 2000000000000L, 9L))) // sentinel closes all
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val all = spark.read.parquet(s"$tmp/out").filter(col("user_id") < 9)
+      .select("user_id", "n_events", "duration_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // exactly once: session A once, the merged post-restart session
+    // (events 3+4 — state restored across the restart), user 2 once
+    assert(all.size == all.toSet.size, s"duplicate emissions: $all")
+    assert(all.toSet == Set(
+      (1L, 2L, 30 * 60000L), (1L, 2L, 10 * 60000L), (2L, 1L, 0L)),
+      s"got $all")
+  }
+
+  test("exact-gap boundary: batch AND stream keep the event in one session") {
+    // batch breaks only on delta > gap, so an event EXACTLY gap later
+    // stays in-session. session_window spans [t, t+gap) per event, but
+    // Spark merges ABUTTING windows (end == next start counts as the same
+    // session), so the stream agrees — exact parity at the boundary,
+    // pinned here because it was once documented as a divergence.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val h = 3600000L
+    val T = 1000000000000L
+    val pair = Seq((1L, T, 1L), (2L, T + h, 1L))
+    val batchSessions = graft.operators.EventWindows.sessionize(
+      pair.toDF("event_id", "tms", "user_id"), "tms", Seq("user_id"), h)
+      .select("session_id").as[Long].collect().toSet
+    assert(batchSessions == Set(0L), s"batch must keep one session: $batchSessions")
+
+    val mem = MemoryStream[(Long, Long, Long)]
+    val sessions = graft.operators.EventWindows.sessionizeStream(
+      mem.toDF().toDF("event_id", "tms", "user_id"), "tms", Seq("user_id"),
+      gap = "1 hour", delay = "0 seconds")
+    val query = sessions.writeStream
+      .format("memory").queryName("gap_out").outputMode("append").start()
+    try {
+      mem.addData(pair)
+      query.processAllAvailable()
+      mem.addData(Seq((99L, 2000000000000L, 9L)))
+      query.processAllAvailable()
+      val got = spark.table("gap_out").filter(col("user_id") < 9)
+        .select("n_events", "duration_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((2L, h)),
+        s"stream must keep the exact-gap pair in one session like batch, got $got")
+    } finally query.stop()
+  }
 }
