@@ -236,15 +236,24 @@ class AutoFeatureTransformer(override val uid: String) extends Transformer
     }
     // Integer columns -> one-hot indicator arrays over the observed value
     // domain (the reference routes these to Flink ML's OneHotEncoder,
-    // AutoFeatureTransformer.java:67-75). Domain collected once
-    // (one distinct agg), encoding is a pure expression.
+    // AutoFeatureTransformer.java:67-75). Domain collected once (one
+    // distinct agg, LIMITED so an id-like column can't flood the driver
+    // before the cap fires). One-hot only makes sense for small
+    // categorical domains; for larger ones use a StringIndexer-style
+    // frequency-ordered integer index (groupBy(c).count ordered by count
+    // desc, broadcast-joined back) — dense vectors of 1000+ indicator
+    // columns waste space even when they fit.
     val ints = df.schema.fields.collect {
       case f if f.dataType == IntegerType || f.dataType == LongType => f.name
     }
+    val maxDomain = 1000
     ints.foldLeft(imputed) { (acc, c) =>
       val domain = df.select(col(c).cast(LongType)).na.drop()
-        .distinct().orderBy(col(c)).collect().map(_.getLong(0))
-      require(domain.length <= 1000, s"one-hot domain of '$c' too large (${domain.length})")
+        .distinct().orderBy(col(c)).limit(maxDomain + 1).collect().map(_.getLong(0))
+      require(domain.length <= maxDomain,
+        s"one-hot domain of '$c' exceeds $maxDomain distinct values: one-hot " +
+          s"encoding is for small categorical domains. Drop or pre-bucket the " +
+          s"column, or index it by frequency (StringIndexer-style) instead.")
       acc.withColumn(s"${c}_onehot",
         array(domain.map(v => when(col(c) === v, 1).otherwise(0)): _*))
     }

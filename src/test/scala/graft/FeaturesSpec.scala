@@ -81,6 +81,17 @@ class FeaturesSpec extends GraftSpec {
     assert(oh.toList == List(List(1, 0), List(0, 1), List(1, 0))) // domain [1,3]
   }
 
+  test("AutoFeatureTransformer: oversized one-hot domain fails fast, names the fix") {
+    // an id-like integer column must not flood the driver with its
+    // domain; the error points at the frequency-indexing alternative
+    val wide = (1 to 1500).map(i => (i, 1.0)).toDF("user_id", "x")
+    val e = intercept[IllegalArgumentException] {
+      new AutoFeatureTransformer().transform(wide)
+    }
+    assert(e.getMessage.contains("user_id") && e.getMessage.contains("1000")
+      && e.getMessage.toLowerCase.contains("frequency"), e.getMessage)
+  }
+
   test("AutoFeatureTransformer: schema-driven dispatch plan") {
     val t = new AutoFeatureTransformer()
     val schema = new StructType().add("s", StringType).add("d", DoubleType)
