@@ -174,22 +174,29 @@ object Canopy extends DefaultParamsReadable[Canopy] {
     localCenters(ordered, t1, t2, maxIter, measure).toArray
   }
 
-  /** Deterministic flat sweep: the SAME sequential selection, but over
-    * the data globally sorted by `orderCols` — independent of partition
-    * layout, hence exactly reproducible from SQL (recursive CTE).
+  /** Deterministic flat sweep: the SAME sequential selection as a scan
+    * over the data globally sorted by `orderCols` — independent of
+    * partition layout, hence exactly reproducible from SQL (recursive
+    * CTE) — but executed WITHOUT ever building the global sort.
     *
-    * Block-pruned execution: the range-partitioned sort's partitions ARE
-    * ordered id-range blocks, processed in order, one job each (the sort
-    * shuffle runs once; later jobs reuse its map output). Before each
-    * block is fetched the centers selected so far are broadcast and the
-    * executor pre-filters the block to rows surviving
-    * (d &gt; 1e-6 &amp;&amp; d &gt;= T2) against ALL of them — so the driver only
-    * ever sees plausible next-centers, never the corpus. The sweep
-    * early-exits at maxIter, usually within the first block; when
-    * centers are sparse the pre-filter is what keeps a 100 TB sort from
-    * streaming through the driver (the old toLocalIterator form pulled
-    * every sorted row). Inherently sequential semantics — the two-level
-    * [[selectCenters]] stays the default when exact
+    * Filter-and-take rounds: each round broadcasts the selected centers,
+    * filters the raw data to survivors of (d &gt; 1e-6 &amp;&amp; d &gt;= T2)
+    * against ALL of them, and fetches only the first `batch` survivors
+    * in `orderCols` order via TakeOrderedAndProject (a bounded per-
+    * partition heap — no shuffle, no sort). The local sweep then
+    * continues over that prefix, re-checking against centers added
+    * within the round. Every point before the fetched prefix's cutoff
+    * was either selected or permanently fails some selected center, so
+    * re-collecting from the top each round skips it — output is
+    * identical to the sorted sweep. Each non-empty round selects at
+    * least one center (its first row survives everything selected so
+    * far), so the loop runs at most min(maxIter, #centers)+1 rounds of
+    * one filtered scan each, and the driver fetch is bounded by
+    * batch x rounds AT ANY DATA SIZE. (The first cut of this operator
+    * walked the partitions of a real global sort: the per-partition
+    * sorts made it 45x slower at the 100x point and the first block was
+    * still an unbounded driver fetch.) Inherently sequential semantics —
+    * the two-level [[selectCenters]] stays the default when exact
     * order-reproducibility isn't needed. */
   def selectCentersSequential(df: DataFrame, featuresCol: String,
                               orderCols: Seq[String], t1: Double, t2: Double,
@@ -197,59 +204,59 @@ object Canopy extends DefaultParamsReadable[Canopy] {
     sweepWithStats(df, featuresCol, orderCols, t2, maxIter, measure)._1
 
   /** The sweep plus its fetch diagnostic: rows actually collected to the
-    * driver across all blocks (spec hook for the pre-filter guarantee). */
+    * driver across all rounds (spec hook for the bounded-fetch
+    * guarantee). `batch` is the TakeOrdered prefix per round. */
   private[graft] def sweepWithStats(df: DataFrame, featuresCol: String,
                                     orderCols: Seq[String], t2: Double,
-                                    maxIter: Int, measure: String): (Array[Array[Double]], Long) = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val sc = spark.sparkContext
-    // one range-partitioned sort; each per-partition job below reuses its
-    // shuffle output (skipped stages), so the data is scanned once total
-    val sorted = df.orderBy(orderCols.map(col): _*)
-      .select(Features.asArray(df, featuresCol)).as[Array[Double]].rdd
+                                    maxIter: Int, measure: String,
+                                    batch: Int = 4096): (Array[Array[Double]], Long) = {
     val centers = ArrayBuffer.empty[Array[Double]]
     var fetched = 0L
-    val nParts = sorted.partitions.length
-    var p = 0
-    while (p < nParts && centers.length < maxIter) {
-      val sel = sc.broadcast(centers.toArray)
+    var done = false
+    while (!done && centers.length < maxIter) {
+      val sel = centers.toArray
       val m = measure; val t2v = t2
-      val survivors: Array[Array[Double]] = sc.runJob(sorted,
-        (it: Iterator[Array[Double]]) => {
-          val dist = VecOps.distance(m) _
-          val cs = sel.value
-          it.filter { pt =>
-            var ok = true
-            var i = 0
-            while (ok && i < cs.length) {
-              val d = dist(pt, cs(i))
-              if (!(d > 1e-6 && d >= t2v)) ok = false
-              i += 1
-            }
-            ok
-          }.toArray
-        }, Seq(p)).head
-      sel.destroy()
-      fetched += survivors.length
-      // continue the sequential sweep locally: the pre-filter covered the
-      // centers known at block start; re-checking against the full list
-      // (idempotent for those) also covers centers added within this block
-      val dist = VecOps.distance(measure) _
-      var i = 0
-      while (i < survivors.length && centers.length < maxIter) {
-        val pt = survivors(i)
+      val survives = udf { (p: Seq[Double]) =>
+        val dist = VecOps.distance(m) _
+        val arr = p.toArray
         var ok = true
-        var j = 0
-        while (ok && j < centers.length) {
-          val d = dist(pt, centers(j))
-          if (!(d > 1e-6 && d >= t2)) ok = false
-          j += 1
+        var i = 0
+        while (ok && i < sel.length) {
+          val d = dist(arr, sel(i))
+          if (!(d > 1e-6 && d >= t2v)) ok = false
+          i += 1
         }
-        if (ok) centers += pt
-        i += 1
+        ok
       }
-      p += 1
+      val cand = df
+        .withColumn("__pt", Features.asArray(df, featuresCol))
+        .filter(survives(col("__pt")))
+        .orderBy(orderCols.map(col): _*)
+        .limit(batch)
+        .select(col("__pt"))
+        .collect()
+        .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+      fetched += cand.length
+      if (cand.isEmpty) done = true
+      else {
+        val dist = VecOps.distance(measure) _
+        var i = 0
+        while (i < cand.length && centers.length < maxIter) {
+          val pt = cand(i)
+          var ok = true
+          var j = 0
+          while (ok && j < centers.length) {
+            val d = dist(pt, centers(j))
+            if (!(d > 1e-6 && d >= t2)) ok = false
+            j += 1
+          }
+          if (ok) centers += pt
+          i += 1
+        }
+        // a short page means the filter is exhausted: no survivor beyond
+        // this prefix can exist, so skip the extra empty round
+        if (cand.length < batch) done = true
+      }
     }
     (centers.toArray, fetched)
   }

@@ -90,38 +90,29 @@ class CanopySpec extends GraftSpec {
     }
   }
 
-  test("block-pruned sweep fetches only surviving candidates to the driver") {
-    // 5 tight clusters, all represented within the first few ids: once the
-    // first block selects the 5 centers, the broadcast pre-filter must
-    // drop every remaining row executor-side (d < T2 of some center), so
-    // the driver fetch stays ~ one block, not the corpus. More sort
-    // partitions than the test default make the first block small.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
-    try {
-      spark.conf.set("spark.sql.shuffle.partitions", "40")
-      // AQE would coalesce this tiny sort into ONE block (at scale it
-      // targets ~64 MB blocks, which is the intended granularity)
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      val n = 2000
-      val pts = (1 to n).map { i =>
-        val c = i % 5
-        (i.toLong, Array(c * 100.0 + (i % 7) * 0.1, (i % 11) * 0.1))
-      }
-      val df = pts.toDF("id", "features").repartition(8)
-      val (centers, fetched) = Canopy.sweepWithStats(
-        df, "features", Seq("id"), t2 = 10.0, maxIter = 50, measure = "euclidean")
-      assert(centers.length == 5, s"expected 5 cluster centers, got ${centers.length}")
-      // same output as the flat in-memory sweep
-      val expected = Canopy.localCenters(
-        pts.sortBy(_._1).iterator.map(_._2), 20.0, 10.0, 50, "euclidean")
-      assert(centers.zip(expected).forall { case (a, b) => a.sameElements(b) })
-      // T2-pruning drops >90% of rows before they reach the driver
-      assert(fetched < n / 10, s"driver fetched $fetched of $n rows")
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
+  test("filter-and-take sweep: driver fetch is bounded by batch, not data size") {
+    // 5 tight clusters, all represented within the first few ids: round 1
+    // fetches one TakeOrdered page (batch rows), selects all 5 centers
+    // from its prefix, and the round-2 filter leaves nothing — so the
+    // driver sees ~one page of a 2000-row input, independent of
+    // partitioning (no sort ever runs; at 100 TB the fetch stays
+    // batch x rounds while the old sorted-stream form pulled the corpus)
+    val n = 2000
+    val pts = (1 to n).map { i =>
+      val c = i % 5
+      (i.toLong, Array(c * 100.0 + (i % 7) * 0.1, (i % 11) * 0.1))
     }
+    val df = pts.toDF("id", "features").repartition(8)
+    val (centers, fetched) = Canopy.sweepWithStats(
+      df, "features", Seq("id"), t2 = 10.0, maxIter = 50, measure = "euclidean",
+      batch = 32)
+    assert(centers.length == 5, s"expected 5 cluster centers, got ${centers.length}")
+    // same output as the flat in-memory sweep
+    val expected = Canopy.localCenters(
+      pts.sortBy(_._1).iterator.map(_._2), 20.0, 10.0, 50, "euclidean")
+    assert(centers.zip(expected).forall { case (a, b) => a.sameElements(b) })
+    // one 32-row page selected every center; pruning left nothing to fetch
+    assert(fetched < n / 10, s"driver fetched $fetched of $n rows")
   }
 
   test("transform output shape: (centroids, prediction=members incl center first)") {
