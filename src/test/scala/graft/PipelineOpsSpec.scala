@@ -85,6 +85,20 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got == lit, "broadcast offsets changed shard positions")
   }
 
+  test("cosine propagates nulls and length mismatches as null, not a crash") {
+    // the old Catalyst-expression form yielded null on a null pair; the
+    // fused UDF must keep that contract (a mismatch is a caller bug,
+    // surfaced as null instead of an executor NPE/IndexOutOfBounds)
+    val df = Seq(
+      (1L, Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (2L, null, Seq(1.0, 0.0)),
+      (3L, Seq(1.0, 0.0, 0.5), Seq(1.0, 0.0))).toDF("id", "a", "b")
+    val got = df.select(col("id"), Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).contains(1.0))
+    assert(got(2L).isEmpty && got(3L).isEmpty, s"expected nulls: $got")
+  }
+
   test("int8 quantization: codes bounded, dequantized cosine within 1% of exact") {
     val emb = spark.read.parquet(s"${sf("sf0.001")}/embeddings.parquet")
       .filter(col("vec_id") < 50)
