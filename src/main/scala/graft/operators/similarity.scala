@@ -25,31 +25,16 @@ import org.apache.spark.sql.types._
  */
 object Similarity {
 
-  /** Cosine similarity between two array columns, in doubles. One fused
-    * primitive loop per pair: Catalyst does not codegen INSIDE lambda
-    * functions, so the zip_with/aggregate form paid interpreted-lambda
-    * overhead per element — the dominant cost of the brute-force scan at
-    * the 100x point (14.8s -> ~1s). Same left-fold arithmetic order, so
-    * results are bit-identical to the expression form — including its
-    * null semantics: a null pair yields null (a length mismatch is a
-    * caller bug, surfaced as null rather than an executor crash). */
-  private val cosineKernel = udf { (a: Seq[Double], b: Seq[Double]) =>
-    if (a == null || b == null || a.length != b.length) Option.empty[Double]
-    else {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      val n = a.length
-      var i = 0
-      while (i < n) {
-        val x = a(i); val y = b(i)
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      Some(dot / (math.sqrt(na) * math.sqrt(nb)))
-    }
-  }
-
+  /** Cosine similarity between two array columns, in doubles. The kernel
+    * has climbed the whole preference ladder on measurement: zip_with +
+    * aggregate (interpreted-lambda overhead per element, 14.8s at 100x),
+    * then a fused-loop ScalaUDF (~1s, but boxing both arrays to
+    * Seq[Double] per candidate pair), now a native codegen'd Catalyst
+    * expression ([[graft.functions.CosineSimilarity]]) reading ArrayData
+    * primitives in place inside whole-stage codegen. Identical fold order
+    * and null semantics at every step — the ANN oracles pin bit-equality. */
   def cosine(a: Column, b: Column): Column =
-    cosineKernel(a.cast(ArrayType(DoubleType)), b.cast(ArrayType(DoubleType)))
+    graft.functions.CosineSimilarity(a, b)
 
   /**
    * Per-query top-k over scored candidate rows — the TakeOrderedAndProject

@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Bridge into the sql-package-private Column ↔ Expression converters,
+ * needed since Spark 4 wrapped Column around ColumnNode: third-party
+ * native expressions (graft.functions.*) build their Column surface
+ * through this one indirection. The alternative — registering every
+ * expression in the session FunctionRegistry and round-tripping through
+ * `call_function` — adds a name-resolution hop for no benefit when the
+ * expression is only used from the typed Scala API.
+ */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.CosineSimilarity
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The native codegen'd cosine expression must be bit-identical to the
+  * ScalaUDF kernel it replaced (same fold order, same null semantics) —
+  * in BOTH the whole-stage-codegen and interpreted evaluation paths. */
+class CosineExprSpec extends GraftSpec {
+  import spark.implicits._
+
+  // the retired UDF kernel, kept here as the semantic reference
+  private val udfKernel = udf { (a: Seq[Double], b: Seq[Double]) =>
+    if (a == null || b == null || a.length != b.length) Option.empty[Double]
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = b(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      Some(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+  }
+
+  private def vecs(seed: Int): Seq[(Array[Double], Array[Double])] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(64)((Array.fill(16)(rnd.nextGaussian()), Array.fill(16)(rnd.nextGaussian())))
+  }
+
+  test("bit-identical to the UDF kernel on random vectors (codegen path)") {
+    val df = vecs(7).toDF("a", "b")
+      .withColumn("expr", Similarity.cosine(col("a"), col("b")))
+      .withColumn("udf", udfKernel(col("a"), col("b")))
+    val rows = df.select("expr", "udf").collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"expr ${r.getDouble(0)} != udf ${r.getDouble(1)}")
+    }
+  }
+
+  test("bit-identical in the interpreted (non-codegen) path") {
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+      "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val df = vecs(13).toDF("a", "b")
+        .withColumn("expr", Similarity.cosine(col("a"), col("b")))
+        .withColumn("udf", udfKernel(col("a"), col("b")))
+      df.select("expr", "udf").collect().foreach { r =>
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      }
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("null array, mismatched lengths, empty arrays") {
+    val df = Seq(
+      (Some(Array(1.0, 2.0)), Some(Array(1.0, 2.0))),   // equal → 1.0
+      (None, Some(Array(1.0, 2.0))),                     // null side → null
+      (Some(Array(1.0, 2.0)), None),                     // null side → null
+      (Some(Array(1.0, 2.0)), Some(Array(1.0, 2.0, 3.0))), // mismatch → null
+      (Some(Array.empty[Double]), Some(Array.empty[Double])) // 0/0 → NaN
+    ).toDF("a", "b").withColumn("c", Similarity.cosine(col("a"), col("b")))
+    val got = df.select("c").collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(math.abs(got(0).asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(got(1) == null && got(2) == null && got(3) == null)
+    assert(got(4).asInstanceOf[Double].isNaN)
+  }
+
+  test("float arrays cast transparently (embedding columns)") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)))
+      .toDF("a", "b").withColumn("c", Similarity.cosine(col("a"), col("b")))
+    assert(df.select("c").head().getDouble(0) == 1.0)
+  }
+
+  test("ANN brute-force plan carries no ScalaUDF — scoring is native codegen") {
+    val p = SparkEntry.queries("q_ann_topk")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("UDF("), s"scoring should be the native expression:\n$p")
+    assert(p.contains("cosine_similarity"), s"expected cosine_similarity in plan:\n$p")
+  }
+}
