@@ -86,6 +86,20 @@ class CosineExprSpec extends GraftSpec {
     assert(df.select("c").head().getDouble(0) == 1.0)
   }
 
+  test("cosine_similarity callable from plain SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_similarity(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c")
+      .head().getDouble(0)
+    assert(math.abs(got - 1.0) < 1e-12)
+    // and against a real table column
+    vecs(21).toDF("a", "b").createOrReplaceTempView("cos_pairs")
+    val n = spark.sql(
+      "SELECT cosine_similarity(a, b) AS c FROM cos_pairs WHERE cosine_similarity(a, b) IS NOT NULL")
+      .count()
+    assert(n == 64)
+  }
+
   test("ANN brute-force plan carries no ScalaUDF — scoring is native codegen") {
     val p = SparkEntry.queries("q_ann_topk")(spark, sf())
       .queryExecution.executedPlan.toString
