@@ -221,14 +221,16 @@ object Dedup {
    * scale path behind q_dedup_minhash; `minhashCandidatePairs` +
    * `ngramJaccard` remain the oracle-checked reference form.
    */
-  def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
-                          numHashes: Int, bands: Int, seed: Long = 42L,
-                          shingleN: Int = 1, threshold: Double = 0.8,
-                          maxBucketSize: Int = 4096): DataFrame = {
+  /** (bucket, id, sorted shingle hashes) rows — one per (doc, band): the
+    * shared candidate-generation shape behind the fused batch verify and
+    * the incremental index (`incrementalNearDup`). One signature UDF call
+    * per doc; the explode is bands× rows, never pairs. */
+  private[operators] def bandedShingleRows(df: DataFrame, textCol: String,
+                                           idCol: String, numHashes: Int,
+                                           bands: Int, seed: Long,
+                                           shingleN: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val spark = df.sparkSession
-    import spark.implicits._
     val params = hashParams(numHashes, seed)
     val sigShUdf = udf { (text: String) =>
       val sh = shingleHashes(text, shingleN)
@@ -248,14 +250,22 @@ object Dedup {
         (sig, sh)
       }
     }
-    val withSig = df
-      .select(col(idCol).cast(LongType).as("__id"), sigShUdf(col(textCol)).as("__s"))
+    df.select(col(idCol).cast(LongType).as("__id"), sigShUdf(col(textCol)).as("__s"))
       .filter(size(col("__s._1")) > 0)
-    val banded = withSig.select(col("__id"), col("__s._2").as("__sh"),
-      explode(array((0 until bands).map(b =>
-        concat_ws("_", (lit(b) +: (0 until rows).map(r =>
-          element_at(col("__s._1"), b * rows + r + 1))): _*)): _*)).as("__bucket"))
-    banded.select(col("__bucket"), col("__id"), col("__sh"))
+      .select(col("__id"), col("__s._2").as("__sh"),
+        explode(array((0 until bands).map(b =>
+          concat_ws("_", (lit(b) +: (0 until rows).map(r =>
+            element_at(col("__s._1"), b * rows + r + 1))): _*)): _*)).as("__bucket"))
+      .select(col("__bucket"), col("__id"), col("__sh"))
+  }
+
+  def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
+                          numHashes: Int, bands: Int, seed: Long = 42L,
+                          shingleN: Int = 1, threshold: Double = 0.8,
+                          maxBucketSize: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bandedShingleRows(df, textCol, idCol, numHashes, bands, seed, shingleN)
       .as[(String, Long, Array[Long])]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
@@ -375,6 +385,131 @@ object Dedup {
     edges.unpersist(blocking = false)
     labels
   }
+
+  // ------------------------------------------- incremental (streaming) dedup
+
+  /**
+   * One incremental near-dup step: dedup `batch` against BOTH itself and a
+   * persistent signature index (the banded (bucket, id, shingle-set) rows
+   * of every previously kept doc), return the surviving rows, and append
+   * their signature rows to the index.
+   *
+   * This is the scale-correct streaming shape: corpus-so-far state lives
+   * in a parquet index keyed by LSH bucket, not in executor memory — at
+   * 100 TB no stream-state store holds the corpus signatures, and the
+   * bucket join against the index prunes to colliding candidates exactly
+   * like the batch path (on a cluster the index would be bucketed by
+   * `__bucket` so the join co-locates without a full index shuffle;
+   * time-partitioning the index dir bounds reads if retention applies).
+   *
+   * Semantics (deterministic given ids): a batch doc is dropped iff
+   *  - some index doc shares a band bucket and verifies Jaccard >=
+   *    threshold, or
+   *  - it is in a within-batch near-dup cluster (same fused verify as
+   *    `minhashNearDupPairs` + `clusters`) that contains an index-matched
+   *    doc or a smaller-id survivor (keep-first-by-id, matching batch
+   *    `exact`'s min-id rule; cluster transitivity mirrors the batch
+   *    dedup pipeline, which drops all non-minimum members).
+   *
+   * The survivors are materialized (cached + counted) BEFORE the index
+   * append, so the returned plan never observes its own docs in the index.
+   */
+  def incrementalNearDup(batch: DataFrame, indexDir: String,
+                         textCol: String, idCol: String,
+                         numHashes: Int, bands: Int, seed: Long = 42L,
+                         shingleN: Int = 1, threshold: Double = 0.8,
+                         maxBucketSize: Int = 4096): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val banded = bandedShingleRows(batch, textCol, idCol,
+      numHashes, bands, seed, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val th = threshold
+      val jacUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+        jaccardSorted(a.toArray, b.toArray) >= th
+      }
+      // ids matched against the index (empty relation when no index yet).
+      // The index is read as an explicit FILE-LIST SNAPSHOT, not the
+      // directory: the append at the end of this function invalidates any
+      // cache whose lineage reads the directory path (Spark recaches by
+      // path), and a directory-read recompute would then see the batch's
+      // own just-appended survivors — poisoning their in-batch clusters
+      // retroactively. A snapshot plan re-evaluates to the same rows no
+      // matter when the cache is dropped.
+      val snapshot = indexSnapshotFiles(spark, indexDir)
+      val indexMatched: DataFrame =
+        if (snapshot.nonEmpty) {
+          val idx = spark.read.parquet(snapshot: _*)
+          banded.as("n").join(idx.as("o"),
+              col("n.__bucket") === col("o.__bucket") &&
+                col("n.__id") =!= col("o.__id"))
+            .filter(jacUdf(col("n.__sh"), col("o.__sh")))
+            .select(col("n.__id").as("__id")).distinct()
+        } else spark.emptyDataset[Long].toDF("__id")
+      // within-batch near-dup clusters (same machinery as the batch path)
+      val pairs = minhashNearDupPairs(batch, textCol, idCol,
+        numHashes, bands, seed, shingleN, threshold, maxBucketSize)
+      val cl = clusters(pairs) // (id, cluster_id = min reachable id)
+      // a cluster is poisoned when any member matched the index; in clean
+      // clusters only the minimum id survives
+      val poisoned = cl.join(indexMatched, cl("id") === indexMatched("__id"))
+        .select(col("cluster_id")).distinct()
+      val clusterDrops = cl.join(broadcast(poisoned), Seq("cluster_id"), "left_semi")
+        .select(col("id"))
+        .union(cl.filter(col("id") =!= col("cluster_id")).select(col("id")))
+        .distinct()
+      val dropIds = indexMatched.select(col("__id").as("id"))
+        .union(clusterDrops).distinct()
+      val survivors = batch.join(dropIds,
+          batch(idCol).cast(LongType) === dropIds("id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      survivors.count() // pin results before the index grows
+      banded.join(survivors.select(batch(idCol).cast(LongType).as("__sid")),
+          col("__id") === col("__sid"), "left_semi")
+        .write.mode("append").parquet(indexDir)
+      survivors
+    } finally banded.unpersist(blocking = false)
+  }
+
+  /** Current index part-files (empty when no index has been written). */
+  private def indexSnapshotFiles(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+  }
+
+  /**
+   * Streaming MinHash near-dup dedup: `foreachBatch` over
+   * [[incrementalNearDup]] — each microbatch is deduped against itself
+   * and every previously kept doc, survivors land in `survivorDir`.
+   * foreachBatch (not flatMapGroupsWithState) is deliberate: a doc spans
+   * `bands` bucket keys, so any per-key stream state would need a second
+   * stateful stage to combine per-bucket verdicts per doc, while the
+   * index join resolves all buckets in one shot and keeps corpus state
+   * out of the state store entirely.
+   */
+  def nearDupStream(stream: DataFrame, indexDir: String, survivorDir: String,
+                    checkpointDir: String, textCol: String, idCol: String,
+                    numHashes: Int, bands: Int, seed: Long = 42L,
+                    shingleN: Int = 1, threshold: Double = 0.8,
+                    maxBucketSize: Int = 4096)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val survivors = incrementalNearDup(batch, indexDir, textCol, idCol,
+          numHashes, bands, seed, shingleN, threshold, maxBucketSize)
+        survivors.write.mode("append").parquet(survivorDir)
+        survivors.unpersist(blocking = false)
+        ()
+      }
+      .start()
 
   // -------------------------------------------------------------- simhash
 
