@@ -16,16 +16,22 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  */
 object GraftFunctions {
 
-  private def cosineBuilder(args: Seq[Expression]): Expression = {
-    require(args.length == 2,
-      s"cosine_similarity expects 2 arguments, got ${args.length}")
-    CosineSimilarity(args.head, args(1))
+  private def binary(name: String, mk: (Expression, Expression) => Expression)
+      (args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+    mk(args.head, args(1))
   }
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      cosineBuilder _))
+      binary("cosine_similarity", CosineSimilarity.apply) _),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      binary("dot_product", DotProduct.apply) _),
+    (FunctionIdentifier("l2_distance"),
+      new ExpressionInfo(classOf[L2Distance].getName, "l2_distance"),
+      binary("l2_distance", L2Distance.apply) _))
 
   /** Register every graft function into an existing session. */
   def register(spark: SparkSession): Unit =

@@ -86,6 +86,29 @@ class CosineExprSpec extends GraftSpec {
     assert(df.select("c").head().getDouble(0) == 1.0)
   }
 
+  test("dot_product and l2_distance: native kernels, both eval paths") {
+    import graft.functions.ArrayKernels
+    val df = vecs(31).toDF("a", "b")
+      .withColumn("dot", ArrayKernels.dot(col("a"), col("b")))
+      .withColumn("l2", ArrayKernels.l2(col("a"), col("b")))
+    df.collect().foreach { r =>
+      val a = r.getSeq[Double](0).toArray
+      val b = r.getSeq[Double](1).toArray
+      val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      val l2 = math.sqrt(a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) })
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(dot))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(l2))
+    }
+    // null propagation: mismatched lengths
+    val bad = Seq((Array(1.0), Array(1.0, 2.0))).toDF("a", "b")
+      .select(ArrayKernels.dot(col("a"), col("b")).as("d"),
+        ArrayKernels.l2(col("a"), col("b")).as("l"))
+      .head()
+    assert(bad.isNullAt(0) && bad.isNullAt(1))
+  }
+
   test("cosine_similarity callable from plain SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql(
@@ -98,6 +121,12 @@ class CosineExprSpec extends GraftSpec {
       "SELECT cosine_similarity(a, b) AS c FROM cos_pairs WHERE cosine_similarity(a, b) IS NOT NULL")
       .count()
     assert(n == 64)
+    // the sibling kernels register too (note: SQL literals arrive as
+    // array<double> already — the builders take expressions as-is)
+    val d = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d," +
+        " l2_distance(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS l").head()
+    assert(d.getDouble(0) == 11.0 && d.getDouble(1) == 5.0)
   }
 
   test("ANN brute-force plan carries no ScalaUDF — scoring is native codegen") {
