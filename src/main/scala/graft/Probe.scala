@@ -83,3 +83,53 @@ object CurateProbe {
     spark.stop()
   }
 }
+
+/** Adversarial-skew measurement at scale (SCALE.md "what we'd watch
+  * first"): (1) a corpus where 30% of docs are ONE hot near-dup cluster —
+  * every band gets a monster bucket, exercising the maxBucketSize pivot
+  * path end-to-end at 100x volume; (2) a join where 30% of lineitem rows
+  * share one hot orderkey — exercising AQE's skew-join split. */
+object SkewProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/scale100")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[skew] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    // --- 1: monster near-dup cluster (30% of docs share one text) ---
+    val hot = "the same hot document text repeated across nearly a third " +
+      "of the corpus making every band bucket collide on it"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text",
+        when(col("doc_id") % 10 < 3, concat(lit(hot), lit(" tail"), col("doc_id") % 7))
+          .otherwise(col("text")))
+    t("hot-corpus count")(docs.count())
+    val pairs = t("minhash pairs (monster buckets)") {
+      val p = graft.operators.Dedup.minhashNearDupPairs(
+        docs, "text", "doc_id", 16, 4, 42L, 3, 0.8)
+      println(s"[skew] pairs = ${p.count()}"); p
+    }
+    t("clusters") {
+      println(s"[skew] clusters rows = ${graft.operators.Dedup.clusters(pairs).count()}")
+    }
+    // --- 2: hot join key (30% of lineitem on orderkey 1) ---
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("l_orderkey",
+        when(col("l_linenumber") % 10 < 3, lit(1L)).otherwise(col("l_orderkey")))
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    t("skewed join (AQE)") {
+      val j = li.join(o.hint("SHUFFLE_MERGE"), li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderdate")).count()
+      println(s"[skew] groups = ${j.count()}")
+      val plan = j.queryExecution.executedPlan.toString
+      plan.linesIterator.filter(l => l.contains("Join") || l.contains("skew")).take(6).foreach(l => println("[skew] plan: " + l.trim.take(150)))
+      println(s"[skew] skew-split applied = ${plan.contains("skew=true")}")
+    }
+    spark.stop()
+  }
+}
