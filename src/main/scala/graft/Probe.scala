@@ -95,6 +95,11 @@ object SkewProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE's skew split declines when the join feeds an aggregation whose
+      // required hash distribution the split would violate; force accepts
+      // the extra shuffle in exchange for unblocked stragglers.
+      .config("spark.sql.adaptive.forceOptimizeSkewedJoin",
+        sys.env.getOrElse("SKEW_FORCE", "false"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t[A](name: String)(f: => A): A = {

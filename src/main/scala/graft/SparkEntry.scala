@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AHP, Apriori, AutoFeatureTransformer, Canopy, Dedup, FCMModel, MeanImputer, Multimodal, OnlineAHP, OnlineTopsis, Sampling, Similarity, StandardScalerEst, TextAnalysis, Topsis}
+import graft.operators.{AHP, Apriori, AutoFeatureTransformer, Canopy, Dedup, FCMModel, Joins, MeanImputer, Multimodal, OnlineAHP, OnlineTopsis, Sampling, Similarity, StandardScalerEst, TextAnalysis, Topsis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -287,6 +287,41 @@ object SparkEntry {
           .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
         .select(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
+    }),
+
+    // Backward as-of join: each purchase picks the user's latest click at
+    // or before it, rejecting clicks staler than 1 day (inner semantics).
+    // One shuffle (union + per-user running last) — see Joins.asofBackward.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase").selectExpr(
+        "event_id", "user_id", "ts div 1000000 AS tms",
+        "CAST(value AS DOUBLE) AS purchase_value")
+      val c = ev.filter(col("event_type") === "click").selectExpr(
+        "user_id", "ts div 1000000 AS ctms",
+        "CAST(value AS DOUBLE) AS click_value")
+      Joins.asofBackward(p, c, Seq("user_id"), "tms", "ctms",
+          Seq("click_value"), tolerance = 86400000L)
+        .filter(col("click_value").isNotNull)
+        .select(col("event_id"), col("user_id"), col("tms"),
+          col("matched_time").as("click_tms"), col("click_value"))
+    }),
+
+    // Range join without an equi-key: lineitem prices falling inside the
+    // [2.0x, 2.05x] retail-price band of the 20 priciest parts. Binned to
+    // an equi-join (never a nested loop) — see Joins.rangePointJoin.
+    "q_range_join" -> ((s, dir) => {
+      val bands = tbl(s, dir, "part")
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        .limit(20)
+        .select(col("p_partkey"), (col("p_retailprice") * 2.0).as("lo"),
+          (col("p_retailprice") * 2.05).as("hi"))
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      Joins.rangePointJoin(li, "l_extendedprice", bands, "lo", "hi",
+          binWidth = 16.0)
+        .select(col("p_partkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"))
     }),
 
     "q_window" -> ((s, dir) => {
@@ -917,6 +952,25 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS tms,
+        |    CAST(value AS DOUBLE) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ms(ts) AS ctms,
+        |    CAST(value AS DOUBLE) AS click_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.tms, c.ctms AS click_tms, c.click_value
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.tms >= c.ctms
+        |WHERE p.tms - c.ctms <= 86400000""".stripMargin,
+
+    "q_range_join" ->
+      """WITH bands AS (
+        |  SELECT p_partkey, p_retailprice * 2.0 AS lo, p_retailprice * 2.05 AS hi
+        |  FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 20)
+        |SELECT b.p_partkey, l.l_orderkey, l.l_linenumber, l.l_extendedprice
+        |FROM lineitem l, bands b
+        |WHERE l.l_extendedprice >= b.lo AND l.l_extendedprice <= b.hi""".stripMargin,
 
     "q_window" ->
       """SELECT l_suppkey, rn, round(total, 2) AS total FROM (

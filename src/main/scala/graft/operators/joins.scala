@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal / range join operators Spark lacks as built-ins, shaped so
+ * neither ever degenerates into a nested-loop join.
+ *
+ * Both are composed from existing operators (shuffle + window, or
+ * explode + equi-join) rather than a custom SparkPlan: the semantics fit
+ * Catalyst's existing physical operators exactly, so a custom strategy
+ * would only duplicate what whole-stage codegen already optimizes.
+ */
+object Joins {
+
+  /**
+   * Backward as-of join: for each left row, the single latest right row
+   * with the same key and rightTime <= leftTime (ties at the same
+   * instant include the right row, like SQL ASOF's `>=`). Classic
+   * point-in-time feature lookup ("the last click before this
+   * purchase", "the quote in force at trade time").
+   *
+   * Implementation is ONE shuffle at any scale: tag and union both
+   * sides, hash-partition by key, sort each key's rows by
+   * (time, side-tag), and carry the most recent right payload forward
+   * with a running `last(ignoreNulls)` window — O(n log n_key) per key,
+   * no per-row probe, no nested loop, and the sort is exactly the
+   * time-series layout a 100 TB event store already wants. The join is
+   * left-outer: unmatched left rows keep a null payload (filter
+   * `matched IS NOT NULL` for inner semantics).
+   *
+   * `tolerance` (same unit as the time columns) rejects matches older
+   * than leftTime - tolerance — stale quotes don't silently join.
+   *
+   * Skew caveat: one pathological key (a single user holding 1% of
+   * 100 TB) serializes that key's sort into one task. The standard
+   * mitigations compose from outside: pre-filter the hot key into its
+   * own as-of call, or coarsen keys. Salting cannot apply — the
+   * running-last is order-dependent within a key by construction.
+   *
+   * Right rows sharing an identical (key, time) are tie-broken by the
+   * greatest payload struct (deterministic, partition-independent);
+   * engines whose ASOF leaves this unspecified agree with us whenever
+   * right timestamps are unique per key.
+   *
+   * @param payload right columns to carry onto matched left rows; they
+   *                must not collide with left column names.
+   */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   leftTime: String, rightTime: String,
+                   payload: Seq[String],
+                   tolerance: Long = Long.MaxValue): DataFrame = {
+    require(keyCols.nonEmpty, "asofBackward needs at least one key column")
+    val leftCols = left.columns.toSeq
+    require(payload.forall(!leftCols.contains(_)),
+      s"payload columns ${payload.mkString(", ")} must not collide with left columns")
+    // __rv packs the right time + payload into one struct so a single
+    // last(ignoreNulls) carries the whole match (and the tolerance check
+    // can null the entire match atomically, never a torn row).
+    val rvStruct = struct(
+      (col(rightTime).cast("long").as("__rt") +: payload.map(col)): _*)
+    val l = left
+      .withColumn("__t", col(leftTime).cast("long"))
+      .withColumn("__side", lit(1))
+      .withColumn("__rv", lit(null).cast(
+        right.select(rvStruct).schema.head.dataType))
+    val r = right
+      .select((keyCols.map(col) :+ col(rightTime).cast("long").as("__t")) :+
+        rvStruct.as("__rv"): _*)
+      .withColumn("__side", lit(0))
+    // Right rows sort before left rows at the same instant (__side 0 < 1)
+    // so an equal-time right row is visible to the left row — ASOF `>=`.
+    val unioned = l.select(
+      (keyCols.map(col) :+ col("__t") :+ col("__side") :+ col("__rv")) ++
+        leftCols.filterNot(keyCols.contains).map(col): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__rv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = last(col("__rv"), ignoreNulls = true).over(w)
+    val inTol = col("__m").isNotNull &&
+      (col("__t") - col("__m.__rt") <= tolerance)
+    unioned
+      .withColumn("__m", matched)
+      .filter(col("__side") === 1)
+      .withColumn("__m", when(inTol, col("__m")))
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"__m.$p").as(p)) :+
+        col("__m.__rt").as("matched_time"): _*)
+  }
+
+  /**
+   * Point-in-interval range join WITHOUT an equi-key: every (point,
+   * interval) pair with lo <= point <= hi. Naively this is a
+   * BroadcastNestedLoopJoin — O(points x intervals) compares and a
+   * broadcast of whichever side Spark guesses smaller; at 100 TB it is
+   * the single worst plan Spark can pick. Binning makes it an
+   * equi-join: intervals explode to the fixed-width bins they overlap,
+   * points compute their one bin, the bin is the join key, and the
+   * exact predicate re-filters the candidates. Work becomes
+   * O(points + intervals x span/binWidth + candidates) with an
+   * ordinary shuffle/broadcast hash join Catalyst already knows how to
+   * optimize (AQE, skew split, broadcast-when-small all apply).
+   *
+   * `binWidth` trades interval replication (span/binWidth copies per
+   * interval) against candidate precision (points per bin); near the
+   * median interval span is a good default. `maxBinsPerInterval` is the
+   * fail-fast guard for a degenerate width: one agg over the (small,
+   * dimension-shaped) intervals side, nothing over the points.
+   */
+  def rangePointJoin(points: DataFrame, pointCol: String,
+                     intervals: DataFrame, loCol: String, hiCol: String,
+                     binWidth: Double,
+                     maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val spans = intervals.agg(
+      max(ceil(col(hiCol) / binWidth) - floor(col(loCol) / binWidth) + 1)
+        .cast("long")).head().getLong(0)
+    require(spans <= maxBinsPerInterval,
+      s"an interval overlaps $spans bins at binWidth=$binWidth " +
+        s"(cap $maxBinsPerInterval): widen binWidth or raise the cap")
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    points
+      .withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
+      .join(binned, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+}
