@@ -100,6 +100,20 @@ object SkewProbe {
       // the extra shuffle in exchange for unblocked stragglers.
       .config("spark.sql.adaptive.forceOptimizeSkewedJoin",
         sys.env.getOrElse("SKEW_FORCE", "false"))
+      // The absolute skew threshold (256 MB default) is sized for cluster
+      // shuffles; a 100x local shuffle of pruned 16-byte rows stays under
+      // it even with 30% of keys hot. Scale it with the data so the local
+      // probe exercises the same code path a 100 TB shuffle would.
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        sys.env.getOrElse("SKEW_THRESHOLD", "256m"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SKEW_ADVISORY", "64m"))
+      // Detection is in POST-COMPRESSION shuffle bytes: a hot key's
+      // millions of identical rows compress ~100:1, so classic
+      // duplicate-key skew can be invisible in bytes while extreme in
+      // rows/CPU. Factor=1 isolates that effect.
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        sys.env.getOrElse("SKEW_FACTOR", "5.0"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t[A](name: String)(f: => A): A = {
@@ -130,7 +144,10 @@ object SkewProbe {
     t("skewed join (AQE)") {
       val j = li.join(o.hint("SHUFFLE_MERGE"), li("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_orderdate")).count()
-      println(s"[skew] groups = ${j.count()}")
+      // materialize j ITSELF (collect, not .count(), which builds a new
+      // QueryExecution) so executedPlan is the FINAL adaptive plan — the
+      // initial plan never carries skew=true markers.
+      println(s"[skew] groups = ${j.collect().length}")
       val plan = j.queryExecution.executedPlan.toString
       plan.linesIterator.filter(l => l.contains("Join") || l.contains("skew")).take(6).foreach(l => println("[skew] plan: " + l.trim.take(150)))
       println(s"[skew] skew-split applied = ${plan.contains("skew=true")}")

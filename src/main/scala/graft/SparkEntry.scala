@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AHP, Apriori, AutoFeatureTransformer, Canopy, Dedup, FCMModel, Joins, MeanImputer, Multimodal, OnlineAHP, OnlineTopsis, Sampling, Similarity, StandardScalerEst, TextAnalysis, Topsis}
+import graft.operators.{AHP, Apriori, AutoFeatureTransformer, Canopy, Dedup, FCMModel, Joins, MeanImputer, Multimodal, OnlineAHP, OnlineTopsis, Quantiles, Sampling, Similarity, StandardScalerEst, TextAnalysis, Topsis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -287,6 +287,22 @@ object SparkEntry {
           .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
         .select(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
+    }),
+
+    // Exact quantiles by recursive histogram selection — no global sort,
+    // no approximation; returns actual data elements (percentile_disc
+    // semantics), so the oracle compare is bit-exact. See Quantiles.
+    "q_quantiles" -> ((s, dir) => {
+      Quantiles.exactQuantiles(tbl(s, dir, "lineitem"), "l_extendedprice",
+        Seq(0.01, 0.25, 0.5, 0.75, 0.99))
+    }),
+
+    // Per-group exact quantiles: partitioned window rank (all groups sort
+    // in parallel), every p sharing the one sort. See Quantiles.
+    "q_group_quantiles" -> ((s, dir) => {
+      Quantiles.groupedQuantiles(tbl(s, dir, "lineitem"), "l_returnflag",
+          "l_extendedprice", Seq(0.25, 0.5, 0.75))
+        .withColumnRenamed("l_returnflag", "flag")
     }),
 
     // Backward as-of join: each purchase picks the user's latest click at
@@ -952,6 +968,16 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate""".stripMargin,
+
+    "q_quantiles" -> Seq(0.01, 0.25, 0.5, 0.75, 0.99).map(p =>
+      s"SELECT CAST($p AS DOUBLE) AS p, quantile_disc(l_extendedprice, $p) AS value FROM lineitem")
+      .mkString("\nUNION ALL\n"),
+
+    "q_group_quantiles" -> Seq(0.25, 0.5, 0.75).map(p =>
+      s"""SELECT l_returnflag AS flag, CAST($p AS DOUBLE) AS p,
+         | quantile_disc(l_extendedprice, $p) AS value
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+      .mkString("\nUNION ALL\n"),
 
     "q_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS tms,

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact distributed quantiles without a global sort.
+ *
+ * `approxQuantile` trades error for speed; a global `orderBy` + rank
+ * trades everything for one straggler task. This is the third point:
+ * recursive histogram selection (the distributed quickselect). Each
+ * level bins the candidate value range into `bins` equal-width buckets
+ * in ONE scan (all requested quantiles share the scan via an exploded
+ * (target, bin) key), the driver walks the ≤ bins cumulative counts to
+ * find the bucket holding each target rank, and the bucket's observed
+ * [min, max] becomes the next level's candidate range. Ranges shrink
+ * ~bins× per level, so any rank over any n resolves in
+ * ceil(log_bins(n / collectThreshold)) scans — 2 levels covers a
+ * trillion rows at the defaults — then one final scan collects the
+ * surviving ≤ collectThreshold rows per target for a driver-side pick.
+ * Driver state is O(targets × bins) counts per level, never data.
+ *
+ * Two details make it exact, not approximate:
+ * - Bucket boundaries for the next level are the bucket's observed
+ *   min/max (actual data values), not computed bin edges — float
+ *   division can't misplace a row because equal values always share a
+ *   bucket and adjacent buckets' value ranges are disjoint.
+ * - Rank semantics are percentile_disc's: k = max(1, ceil(p·n)), the
+ *   k-th smallest actual element — the returned value is a member of
+ *   the data, bit-identical in any engine.
+ */
+object Quantiles {
+
+  /** Exact per-group quantiles: one row per (group, p) with the group's
+    * percentile_disc value. Unlike the global path (driver-orchestrated
+    * recursion — right when there's ONE rank to find in a trillion rows),
+    * the grouped form has millions of independent ranks, so the scalable
+    * shape is the plain partitioned sort: row_number within each group
+    * (hash-partitioned window — every group sorts in parallel), joined to
+    * per-group counts, keep the rows whose rank hits a target. One
+    * shuffle for the window + a partial-agg count pass; no driver state.
+    * Per-group skew = one group's sort in one task, same caveat (and same
+    * mitigations) as any keyed window. */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantiles must lie in [0,1]: ${ps.mkString(", ")}")
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val counts = base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v"))
+    def rank(p: Column) = greatest(lit(1L), ceil(p * col("__n")).cast("long"))
+    base
+      .withColumn("__rn", row_number().over(w))
+      .join(counts, Seq("__g"))
+      // cheap per-row check against all target ranks FIRST, so the
+      // explode below only inflates the |groups| x |ps| winners, never
+      // the data; all quantiles ride the one partitioned sort
+      .filter(array_contains(array(ps.map(p => rank(lit(p))): _*), col("__rn")))
+      .withColumn("__p", explode(array(ps.map(lit): _*)))
+      .filter(col("__rn") === rank(col("__p")))
+      .select(col("__g").as(groupCol), col("__p").as("p"),
+        col("__v").as("value"))
+  }
+
+  /** (p, value) rows, one per requested quantile, over non-null
+    * `valueCol` cast to double. Empty input → empty result. */
+  def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+                     bins: Int = 4096, collectThreshold: Long = 100000L): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantiles must lie in [0,1]: ${ps.mkString(", ")}")
+    require(bins >= 2, "need at least 2 bins")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val base = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val stats = base.agg(count(lit(1)), min(col("__v")), max(col("__v"))).head()
+    val n = stats.getLong(0)
+    if (n == 0L) return ps.map(p => (p, Option.empty[Double])).toDF("p", "value")
+
+    // Per-target selection state: rows satisfying `pred` are the
+    // candidates; the answer is their k-th smallest (1-based).
+    case class Sel(p: Double, k: Long, cnt: Long, lo: Double, hi: Double,
+                   pred: Column, answer: Option[Double])
+    var sels = ps.map { p =>
+      val k = math.max(1L, math.ceil(p * n).toLong)
+      val (lo, hi) = (stats.getDouble(1), stats.getDouble(2))
+      Sel(p, k, n, lo, hi, lit(true), if (lo == hi) Some(lo) else None)
+    }
+
+    var level = 0
+    while (sels.exists(s => s.answer.isEmpty && s.cnt > collectThreshold)) {
+      level += 1
+      require(level <= 64, "quantile recursion failed to converge") // unreachable: ranges shrink every level
+      val active = sels.zipWithIndex.filter { case (s, _) =>
+        s.answer.isEmpty && s.cnt > collectThreshold }
+      // One scan for every DISTINCT candidate range (targets with the
+      // same [lo, hi] — always all of them at level 1, often several p's
+      // later — share one histogram instead of exploding a copy each).
+      val ranges = active.map { case (s, _) => (s.lo, s.hi) }.distinct
+      val rangeSel = ranges.map(r => active.find { case (s, _) =>
+        (s.lo, s.hi) == r }.get._1)
+      val tagged = array(rangeSel.zipWithIndex.map { case (s, ri) =>
+        val w = (s.hi - s.lo) / bins
+        val bin = least(greatest(floor((col("__v") - s.lo) / w), lit(0.0)),
+          lit((bins - 1).toDouble)).cast("int")
+        when(s.pred, struct(lit(ri).as("rid"), bin.as("bin")))
+      }: _*)
+      val hist = base
+        .select(col("__v"), explode(filter(tagged, _.isNotNull)).as("tb"))
+        .groupBy(col("tb.rid").as("rid"), col("tb.bin").as("bin"))
+        .agg(count(lit(1)).as("c"), min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+        .collect()
+        .groupBy(_.getInt(0))
+      sels = sels.map { s =>
+        if (s.answer.nonEmpty || s.cnt <= collectThreshold) s
+        else {
+          val ri = ranges.indexOf((s.lo, s.hi))
+          val bs = hist(ri).sortBy(_.getInt(1))
+          var rem = s.k
+          val b = bs.find { r => if (rem <= r.getLong(2)) true else { rem -= r.getLong(2); false } }.get
+          val (mn, mx, c) = (b.getDouble(3), b.getDouble(4), b.getLong(2))
+          val pred = s.pred && col("__v") >= mn && col("__v") <= mx
+          Sel(s.p, rem, c, mn, mx, pred, if (mn == mx) Some(mn) else None)
+        }
+      }
+    }
+
+    val open = sels.zipWithIndex.filter(_._1.answer.isEmpty)
+    val picked: Map[Int, Double] = if (open.isEmpty) Map.empty else {
+      val tagged = array(open.map { case (s, i) =>
+        when(s.pred, lit(i)) }: _*)
+      base.select(col("__v"), explode(filter(tagged, _.isNotNull)).as("tid"))
+        .collect()
+        .groupBy(_.getInt(1))
+        .map { case (tid, rows) =>
+          val k = sels(tid).k.toInt
+          tid -> rows.map(_.getDouble(0)).sorted.apply(k - 1)
+        }
+    }
+    sels.zipWithIndex
+      .map { case (s, i) => (s.p, Some(s.answer.getOrElse(picked(i)))) }
+      .toDF("p", "value")
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.Quantiles
+import org.apache.spark.sql.functions._
+
+/** Exact-quantile selection: percentile_disc rank semantics, recursion
+  * depth behavior (tiny collectThreshold forces multi-level), degenerate
+  * distributions (constant, two adjacent values, heavy duplicates). */
+class QuantilesSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def quantiles(vals: Seq[Double], ps: Seq[Double],
+                        bins: Int = 8, thr: Long = 4): Map[Double, Double] =
+    Quantiles.exactQuantiles(vals.toDF("x"), "x", ps, bins, thr)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+
+  /** percentile_disc oracle: k-th smallest, k = max(1, ceil(p*n)). */
+  private def disc(vals: Seq[Double], p: Double): Double = {
+    val s = vals.sorted
+    s(math.max(1, math.ceil(p * s.length).toInt) - 1)
+  }
+
+  test("matches percentile_disc on shuffled distinct values") {
+    val vals = (1 to 1000).map(i => (i * 37 % 1009).toDouble)
+    val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    val got = quantiles(vals, ps, bins = 8, thr = 4)
+    ps.foreach(p => assert(got(p) == disc(vals, p), s"p=$p"))
+  }
+
+  test("heavy duplicates: equal values share a bucket, ranks stay exact") {
+    val vals = Seq.fill(500)(7.0) ++ Seq.fill(300)(3.0) ++ Seq.fill(200)(9.0)
+    val ps = Seq(0.1, 0.3, 0.31, 0.8, 0.81)
+    val got = quantiles(vals, ps)
+    ps.foreach(p => assert(got(p) == disc(vals, p), s"p=$p"))
+  }
+
+  test("constant column resolves with no recursion") {
+    assert(quantiles(Seq.fill(100)(5.5), Seq(0.0, 0.5, 1.0)) ==
+      Map(0.0 -> 5.5, 0.5 -> 5.5, 1.0 -> 5.5))
+  }
+
+  test("adjacent doubles converge") {
+    val a = 1.0
+    val b = java.lang.Math.nextUp(a)
+    val vals = Seq.fill(60)(a) ++ Seq.fill(40)(b)
+    val got = quantiles(vals, Seq(0.5, 0.7), bins = 4, thr = 2)
+    assert(got(0.5) == a && got(0.7) == b)
+  }
+
+  test("nulls and NaNs are ignored; empty input yields empty values") {
+    val df = Seq(Some(1.0), None, Some(Double.NaN), Some(3.0), Some(2.0))
+      .toDF("x")
+    val got = Quantiles.exactQuantiles(df, "x", Seq(1.0 / 3, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1.0 / 3 -> 1.0, 1.0 -> 3.0))
+    val empty = Quantiles.exactQuantiles(df.filter(lit(false)), "x", Seq(0.5))
+    assert(empty.collect().forall(_.isNullAt(1)))
+  }
+
+  test("invalid p fails fast") {
+    intercept[IllegalArgumentException] {
+      Quantiles.exactQuantiles(Seq(1.0).toDF("x"), "x", Seq(1.5))
+    }
+  }
+
+  test("grouped quantiles match per-group percentile_disc") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0), ("b", 20.0), ("b", 20.0),
+      ("c", 5.0)
+    ).toDF("g", "x")
+    val got = Quantiles.groupedQuantiles(df, "g", "x", Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val want = Map(
+      ("a", 0.5) -> 2.0, ("a", 1.0) -> 4.0,
+      ("b", 0.5) -> 20.0, ("b", 1.0) -> 20.0,
+      ("c", 0.5) -> 5.0, ("c", 1.0) -> 5.0)
+    assert(got == want)
+  }
+
+  test("grouped quantiles: window is partitioned, never global") {
+    val p = SparkEntry.queries("q_group_quantiles")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"grouped quantile window must partition by group:\n$p")
+  }
+
+  test("oracle parity on real data at test SF") {
+    val li = spark.read.parquet(sf() + "/lineitem.parquet")
+    val vals = li.select($"l_extendedprice").collect().map(_.getDouble(0)).toSeq
+    val ps = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val got = Quantiles.exactQuantiles(li, "l_extendedprice", ps,
+        bins = 64, collectThreshold = 100)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    ps.foreach(p => assert(got(p) == disc(vals, p), s"p=$p"))
+  }
+}
