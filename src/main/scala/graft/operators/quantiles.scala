@@ -32,17 +32,40 @@ import org.apache.spark.sql.functions._
 object Quantiles {
 
   /** Exact per-group quantiles: one row per (group, p) with the group's
-    * percentile_disc value. Unlike the global path (driver-orchestrated
-    * recursion — right when there's ONE rank to find in a trillion rows),
-    * the grouped form has millions of independent ranks, so the scalable
-    * shape is the plain partitioned sort: row_number within each group
-    * (hash-partitioned window — every group sorts in parallel), joined to
-    * per-group counts, keep the rows whose rank hits a target. One
-    * shuffle for the window + a partial-agg count pass; no driver state.
-    * Per-group skew = one group's sort in one task, same caveat (and same
-    * mitigations) as any keyed window. */
+    * percentile_disc value; groups with no non-null values are omitted
+    * (both regimes, consistently). Two regimes with opposite scaling:
+    *
+    *  - FEW groups x huge rows (a 100 TB table cut by language or
+    *    returnflag): a partitioned window serializes each group's sort
+    *    into ONE task — 3 groups on 1000 executors uses 3 of them
+    *    (measured 47x slower than suite peers at the 100x point). The
+    *    right shape is [[groupedQuantilesHistogram]]: the global
+    *    recursive selection run for every group at once, keyed scans
+    *    whose parallelism never depends on the group count.
+    *  - MANY groups (user_id): per-group driver histograms stop fitting,
+    *    but the partitioned window ([[groupedQuantilesWindow]]) is now
+    *    exactly right — every group sorts in parallel.
+    *
+    * This dispatcher counts groups (one cheap distinct-agg) and picks;
+    * call either regime directly to skip the extra pass. */
   def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
-                       ps: Seq[Double]): DataFrame = {
+                       ps: Seq[Double], maxDriverGroups: Int = 8192): DataFrame = {
+    val nGroups = df.filter(col(valueCol).isNotNull)
+      .agg(count_distinct(col(groupCol))).head().getLong(0)
+    if (nGroups <= maxDriverGroups)
+      groupedQuantilesHistogram(df, groupCol, valueCol, ps,
+        maxGroups = maxDriverGroups)
+    else groupedQuantilesWindow(df, groupCol, valueCol, ps)
+  }
+
+  /** Many-groups regime: row_number within each group (hash-partitioned
+    * window — every group sorts in parallel), joined to per-group counts,
+    * keep the rows whose rank hits a target. One shuffle for the window +
+    * a partial-agg count pass; no driver state. Per-group skew = one
+    * group's sort in one task — for FEW heavy groups use
+    * [[groupedQuantilesHistogram]] instead. */
+  def groupedQuantilesWindow(df: DataFrame, groupCol: String, valueCol: String,
+                             ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantiles must lie in [0,1]: ${ps.mkString(", ")}")
     val base = df.select(col(groupCol).as("__g"),
@@ -63,6 +86,106 @@ object Quantiles {
       .filter(col("__rn") === rank(col("__p")))
       .select(col("__g").as(groupCol), col("__p").as("p"),
         col("__v").as("value"))
+  }
+
+  /** Few-groups regime: the recursive histogram selection of
+    * [[exactQuantiles]] run for ALL groups simultaneously. Each level is
+    * one scan: rows broadcast-join their group's active candidate ranges
+    * (a driver-built table of ≤ groups x distinct-ranges rows), bin
+    * within their range, and partial-aggregate (group, range, bin)
+    * counts — full cluster parallelism regardless of how few groups
+    * exist, the property the window form lacks. Driver state is
+    * O(groups x ps x bins) histogram counts per level, never data;
+    * `maxGroups` fail-fasts the regime mismatch (use the window form). */
+  def groupedQuantilesHistogram(df: DataFrame, groupCol: String,
+                                valueCol: String, ps: Seq[Double],
+                                bins: Int = 128,
+                                collectThreshold: Long = 100000L,
+                                maxGroups: Int = 8192): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantiles must lie in [0,1]: ${ps.mkString(", ")}")
+    require(bins >= 2, "need at least 2 bins")
+    val spark = df.sparkSession
+    val base = df.select(col(groupCol).as("__g"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val stats = base.groupBy(col("__g"))
+      .agg(count(lit(1)), min(col("__v")), max(col("__v")))
+      .limit(maxGroups + 1).collect()
+    require(stats.length <= maxGroups,
+      s"more than $maxGroups groups: this regime holds per-group histograms " +
+        "on the driver — use groupedQuantilesWindow (or the groupedQuantiles " +
+        "dispatcher) for high-cardinality grouping")
+
+    case class GSel(g: Any, p: Double, k: Long, cnt: Long, lo: Double,
+                    hi: Double, answer: Option[Double])
+    var sels = stats.toSeq.flatMap { r =>
+      val (g, n, lo, hi) = (r.get(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      ps.map { p =>
+        GSel(g, p, math.max(1L, math.ceil(p * n).toLong), n, lo, hi,
+          if (lo == hi) Some(lo) else None)
+      }
+    }
+    val gField = base.schema.head
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val rangeSchema = StructType(Seq(gField, StructField("__rid", IntegerType),
+      StructField("__lo", DoubleType), StructField("__hi", DoubleType)))
+    def rangesDf(open: Seq[GSel]): (Map[(Any, Double, Double), Int], DataFrame) = {
+      val ranges = open.map(s => (s.g, s.lo, s.hi)).distinct.zipWithIndex.toMap
+      val rows = ranges.toSeq.map { case ((g, lo, hi), i) => Row(g, i, lo, hi) }
+      (ranges, spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), rangeSchema))
+    }
+
+    var level = 0
+    while (sels.exists(s => s.answer.isEmpty && s.cnt > collectThreshold)) {
+      level += 1
+      require(level <= 64, "quantile recursion failed to converge")
+      val active = sels.filter(s => s.answer.isEmpty && s.cnt > collectThreshold)
+      val (ranges, rdf) = rangesDf(active)
+      val w = (col("__hi") - col("__lo")) / bins
+      val hist = base.join(broadcast(rdf), Seq(gField.name))
+        .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+        .withColumn("__bin", least(greatest(
+          floor((col("__v") - col("__lo")) / w), lit(0.0)),
+          lit((bins - 1).toDouble)).cast("int"))
+        .groupBy(col("__rid"), col("__bin"))
+        .agg(count(lit(1)).as("c"), min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+        .collect()
+        .groupBy(_.getInt(0))
+      sels = sels.map { s =>
+        if (s.answer.nonEmpty || s.cnt <= collectThreshold) s
+        else {
+          val bs = hist(ranges((s.g, s.lo, s.hi))).sortBy(_.getInt(1))
+          var rem = s.k
+          val b = bs.find { r =>
+            if (rem <= r.getLong(2)) true else { rem -= r.getLong(2); false } }.get
+          val (mn, mx, c) = (b.getDouble(3), b.getDouble(4), b.getLong(2))
+          s.copy(k = rem, cnt = c, lo = mn, hi = mx,
+            answer = if (mn == mx) Some(mn) else None)
+        }
+      }
+    }
+
+    val open = sels.filter(_.answer.isEmpty)
+    val picked: Map[(Any, Double, Double), Array[Double]] = if (open.isEmpty) Map.empty else {
+      val (ranges, rdf) = rangesDf(open)
+      val byRid = base.join(broadcast(rdf), Seq(gField.name))
+        .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+        .select(col("__rid"), col("__v"))
+        .collect()
+        .groupBy(_.getInt(0))
+      ranges.map { case (key, rid) =>
+        key -> byRid(rid).map(_.getDouble(1)).sorted
+      }
+    }
+    val out = sels.map { s =>
+      Row(s.g, s.p, s.answer.getOrElse(picked((s.g, s.lo, s.hi))(s.k.toInt - 1)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(gField.copy(name = groupCol), StructField("p", DoubleType),
+        StructField("value", DoubleType))))
   }
 
   /** (p, value) rows, one per requested quantile, over non-null

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AHP, Apriori, FCM, Topsis}
+import graft.operators.{AHP, Apriori, FCM, Joins, Quantiles, Topsis}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -67,6 +67,51 @@ class PropertySpec extends GraftSpec {
       m.foreach(u => assert(math.abs(u.sum - 1.0) < 1e-9))
       val preds = model.transform(df).select("prediction").as[Int].collect()
       preds.foreach(p => assert(p >= 0 && p < k))
+    }
+  }
+
+  test("exactQuantiles equals sorted-pick for random data, ps, and duplicates") {
+    val valGen = for {
+      n <- Gen.choose(5, 60)
+      // small value domain forces heavy duplicates
+      vs <- Gen.listOfN(n, Gen.choose(1, 8).map(_.toDouble))
+      ps <- Gen.listOfN(3, Gen.choose(0.0, 1.0))
+    } yield (vs, ps)
+    forSamples(valGen) { case (vs, ps) =>
+      val got = Quantiles.exactQuantiles(vs.map(Tuple1(_)).toDF("x"), "x", ps,
+          bins = 4, collectThreshold = 3)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val sorted = vs.sorted
+      ps.foreach { p =>
+        val want = sorted(math.max(1, math.ceil(p * vs.length).toInt) - 1)
+        assert(got(p) == want, s"p=$p vals=$vs")
+      }
+    }
+  }
+
+  test("asofBackward equals per-row brute-force argmax on random streams") {
+    val evGen = for {
+      nl <- Gen.choose(1, 12)
+      nr <- Gen.choose(0, 12)
+      ls <- Gen.listOfN(nl, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 50L)))
+      rs <- Gen.listOfN(nr, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 50L)))
+      tol <- Gen.choose(5L, 60L)
+    } yield (ls, rs, tol)
+    forSamples(evGen) { case (ls, rs, tol) =>
+      val l = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("id", "key", "tms")
+      val r = rs.zipWithIndex.map { case ((k, t), i) => (k, t, i.toDouble) }
+        .toDF("key", "rtms", "value")
+      val got = Joins.asofBackward(l, r, Seq("key"), "tms", "rtms",
+          Seq("value"), tol)
+        .collect().map(row => row.getAs[Long]("id") ->
+          Option(row.get(row.fieldIndex("matched_time"))).map(_.asInstanceOf[Long]))
+        .toMap
+      ls.zipWithIndex.foreach { case ((k, t), i) =>
+        val want = rs.filter(x => x._1 == k && x._2 <= t && t - x._2 <= tol)
+          .map(_._2).sorted.lastOption
+        assert(got(i.toLong) == want, s"left ($k,$t) rights=$rs tol=$tol")
+      }
     }
   }
 

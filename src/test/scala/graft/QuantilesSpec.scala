@@ -63,26 +63,57 @@ class QuantilesSpec extends GraftSpec {
     }
   }
 
-  test("grouped quantiles match per-group percentile_disc") {
-    val df = Seq(
-      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
-      ("b", 10.0), ("b", 20.0), ("b", 20.0),
-      ("c", 5.0)
-    ).toDF("g", "x")
-    val got = Quantiles.groupedQuantiles(df, "g", "x", Seq(0.5, 1.0))
-      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
-    val want = Map(
-      ("a", 0.5) -> 2.0, ("a", 1.0) -> 4.0,
-      ("b", 0.5) -> 20.0, ("b", 1.0) -> 20.0,
-      ("c", 0.5) -> 5.0, ("c", 1.0) -> 5.0)
-    assert(got == want)
+  private val groupedDf = Seq(
+    ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+    ("b", 10.0), ("b", 20.0), ("b", 20.0),
+    ("c", 5.0)
+  ).toDF("g", "x")
+  private val groupedWant = Map(
+    ("a", 0.5) -> 2.0, ("a", 1.0) -> 4.0,
+    ("b", 0.5) -> 20.0, ("b", 1.0) -> 20.0,
+    ("c", 0.5) -> 5.0, ("c", 1.0) -> 5.0)
+
+  test("grouped quantiles match per-group percentile_disc in BOTH regimes") {
+    for (out <- Seq(
+      Quantiles.groupedQuantilesWindow(groupedDf, "g", "x", Seq(0.5, 1.0)),
+      Quantiles.groupedQuantilesHistogram(groupedDf, "g", "x", Seq(0.5, 1.0),
+        bins = 4, collectThreshold = 2),
+      Quantiles.groupedQuantiles(groupedDf, "g", "x", Seq(0.5, 1.0)))) {
+      val got = out.collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      assert(got == groupedWant)
+    }
   }
 
-  test("grouped quantiles: window is partitioned, never global") {
-    val p = SparkEntry.queries("q_group_quantiles")(spark, sf())
+  test("histogram regime fails fast past maxGroups; window is partitioned") {
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.groupedQuantilesHistogram(groupedDf, "g", "x", Seq(0.5),
+        maxGroups = 2)
+    }
+    assert(e.getMessage.contains("groupedQuantilesWindow"))
+    val p = Quantiles.groupedQuantilesWindow(groupedDf, "g", "x", Seq(0.5))
       .queryExecution.executedPlan.toString
     assert(!p.contains("SinglePartition"),
       s"grouped quantile window must partition by group:\n$p")
+  }
+
+  test("q_group_quantiles dispatches to the histogram regime (3 groups, no Window)") {
+    val p = SparkEntry.queries("q_group_quantiles")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"few-group quantiles must not sort per-group in single tasks:\n$p")
+  }
+
+  test("regimes agree on real data") {
+    val li = spark.read.parquet(sf() + "/lineitem.parquet")
+    val ps = Seq(0.25, 0.5, 0.75)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val h = m(Quantiles.groupedQuantilesHistogram(li, "l_returnflag",
+      "l_extendedprice", ps, bins = 16, collectThreshold = 50))
+    val w = m(Quantiles.groupedQuantilesWindow(li, "l_returnflag",
+      "l_extendedprice", ps))
+    assert(h == w && h.size == 9)
   }
 
   test("oracle parity on real data at test SF") {

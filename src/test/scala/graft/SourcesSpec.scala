@@ -25,6 +25,24 @@ class SourcesSpec extends GraftSpec {
     assert(scored.select("score").as[Double].collect().forall(s => s >= 0 && s <= 1))
   }
 
+  test("json and orc round-trips preserve values and nested arrays") {
+    import spark.implicits._
+    val df = Seq((1L, "a\"b\nc", Array(1.0, 2.5)), (2L, null, Array.empty[Double]))
+      .toDF("id", "s", "xs")
+    for (fmt <- Seq("json", "orc")) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_$fmt").toString
+      df.write.mode("overwrite").format(fmt).save(dir)
+      val back = spark.read.format(fmt)
+        .schema(df.schema) // json would otherwise widen/reorder on inference
+        .load(dir)
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+          Option(r.getSeq[Double](2)).map(_.toList))).toSet
+      val want = Set((1L, Some("a\"b\nc"), Some(List(1.0, 2.5))),
+        (2L, None, Some(Nil)))
+      assert(back == want, s"$fmt round-trip: $back")
+    }
+  }
+
   test("parquet round-trip preserves operator output schemas") {
     val out = java.nio.file.Files.createTempDirectory("pq").toString
     val df = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
