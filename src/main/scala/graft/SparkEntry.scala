@@ -322,7 +322,9 @@ object SparkEntry {
         "CAST(value AS DOUBLE) AS click_value")
       Joins.asofBackward(p, c, Seq("user_id"), "tms", "ctms",
           Seq("click_value"), tolerance = 86400000L)
-        .filter(col("click_value").isNotNull)
+        // inner-ness test on the match TIME, not the payload — a matched
+        // row whose payload value is legitimately null must survive
+        .filter(col("matched_time").isNotNull)
         .select(col("event_id"), col("user_id"), col("tms"),
           col("matched_time").as("click_tms"), col("click_value"))
     }),

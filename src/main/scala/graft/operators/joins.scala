@@ -56,6 +56,9 @@ object Joins {
     val leftCols = left.columns.toSeq
     require(payload.forall(!leftCols.contains(_)),
       s"payload columns ${payload.mkString(", ")} must not collide with left columns")
+    val reserved = Seq("__t", "__side", "__rv", "__m", "matched_time")
+    require(reserved.forall(r => !leftCols.contains(r) && !right.columns.contains(r)),
+      s"columns ${reserved.mkString(", ")} are reserved by asofBackward; rename them first")
     // __rv packs the right time + payload into one struct so a single
     // last(ignoreNulls) carries the whole match (and the tolerance check
     // can null the entire match atomically, never a torn row).
@@ -115,13 +118,21 @@ object Joins {
                      binWidth: Double,
                      maxBinsPerInterval: Int = 4096): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val spans = intervals.agg(
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "column __bin is reserved by rangePointJoin; rename it first")
+    // the guard agg below and the join both evaluate the intervals plan;
+    // persist the (dimension-shaped) side so an expensive upstream query
+    // runs once — the ContextCleaner drops the cache when unreferenced
+    val iv = intervals.persist()
+    val spansRow = iv.agg(
       max(ceil(col(hiCol) / binWidth) - floor(col(loCol) / binWidth) + 1)
-        .cast("long")).head().getLong(0)
+        .cast("long")).head()
+    // empty intervals: max over nothing is null — empty join, not an NPE
+    val spans = if (spansRow.isNullAt(0)) 0L else spansRow.getLong(0)
     require(spans <= maxBinsPerInterval,
       s"an interval overlaps $spans bins at binWidth=$binWidth " +
         s"(cap $maxBinsPerInterval): widen binWidth or raise the cap")
-    val binned = intervals.withColumn("__bin",
+    val binned = iv.withColumn("__bin",
       explode(sequence(floor(col(loCol) / binWidth).cast("long"),
         floor(col(hiCol) / binWidth).cast("long"))))
     points

@@ -31,9 +31,36 @@ import org.apache.spark.sql.functions._
  */
 object Quantiles {
 
+  /** Walk a range's sorted histogram buckets for rank `k`: returns the
+    * bucket holding it as (rank within bucket, bucket count, bucket min,
+    * bucket max). Rows are (.., bin, count, min, max) with bin at index
+    * `binAt`. Shared by the global and grouped recursions. */
+  private def walkBuckets(bs: Array[org.apache.spark.sql.Row], k: Long,
+                          binAt: Int): (Long, Long, Double, Double) = {
+    var rem = k
+    val b = bs.sortBy(_.getInt(binAt)).find { r =>
+      if (rem <= r.getLong(binAt + 1)) true
+      else { rem -= r.getLong(binAt + 1); false }
+    }.get
+    (rem, b.getLong(binAt + 1), b.getDouble(binAt + 2), b.getDouble(binAt + 3))
+  }
+
+  /** Bin index for value `v` in [lo, hi] split into `bins` equal widths.
+    * When (hi-lo)/bins underflows to 0.0 (subnormal range), the division
+    * is NaN/Inf and every row would clamp into the top bin — the range
+    * would never shrink. A two-way split on v <= lo still shrinks it
+    * (bin 0 is exactly the lo duplicates), so convergence holds down to
+    * adjacent doubles. */
+  private def binCol(v: Column, lo: Double, w: Double, bins: Int): Column =
+    if (w > 0.0)
+      least(greatest(floor((v - lo) / w), lit(0.0)),
+        lit((bins - 1).toDouble)).cast("int")
+    else when(v <= lo, lit(0)).otherwise(lit(1))
+
   /** Exact per-group quantiles: one row per (group, p) with the group's
-    * percentile_disc value; groups with no non-null values are omitted
-    * (both regimes, consistently). Two regimes with opposite scaling:
+    * percentile_disc value; null groups and groups with no non-null
+    * values are omitted (both regimes, consistently — unlike SQL GROUP
+    * BY, which keeps a null group). Two regimes with opposite scaling:
     *
     *  - FEW groups x huge rows (a 100 TB table cut by language or
     *    returnflag): a partitioned window serializes each group's sort
@@ -70,7 +97,7 @@ object Quantiles {
       s"quantiles must lie in [0,1]: ${ps.mkString(", ")}")
     val base = df.select(col(groupCol).as("__g"),
         col(valueCol).cast("double").as("__v"))
-      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .filter(col("__g").isNotNull && col("__v").isNotNull && !isnan(col("__v")))
     val counts = base.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__g")).orderBy(col("__v"))
@@ -96,19 +123,24 @@ object Quantiles {
     * counts — full cluster parallelism regardless of how few groups
     * exist, the property the window form lacks. Driver state is
     * O(groups x ps x bins) histogram counts per level, never data;
-    * `maxGroups` fail-fasts the regime mismatch (use the window form). */
+    * `maxGroups` fail-fasts the regime mismatch (use the window form).
+    * Recursion continues until the TOTAL candidate rows across all open
+    * ranges fit `maxCollectRows`, so the final driver collect is bounded
+    * even when every one of thousands of groups is individually under
+    * `collectThreshold` — the cap, not the data, sizes that pass. */
   def groupedQuantilesHistogram(df: DataFrame, groupCol: String,
                                 valueCol: String, ps: Seq[Double],
                                 bins: Int = 128,
                                 collectThreshold: Long = 100000L,
-                                maxGroups: Int = 8192): DataFrame = {
+                                maxGroups: Int = 8192,
+                                maxCollectRows: Long = 4000000L): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
       s"quantiles must lie in [0,1]: ${ps.mkString(", ")}")
     require(bins >= 2, "need at least 2 bins")
     val spark = df.sparkSession
     val base = df.select(col(groupCol).as("__g"),
         col(valueCol).cast("double").as("__v"))
-      .filter(col("__v").isNotNull && !isnan(col("__v")))
+      .filter(col("__g").isNotNull && col("__v").isNotNull && !isnan(col("__v")))
     val stats = base.groupBy(col("__g"))
       .agg(count(lit(1)), min(col("__v")), max(col("__v")))
       .limit(maxGroups + 1).collect()
@@ -127,41 +159,53 @@ object Quantiles {
       }
     }
     val gField = base.schema.head
-    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, StructField, StructType}
     import org.apache.spark.sql.Row
+    // per-range bin width is driver-computed so the underflow guard
+    // (binCol's two-way split) can switch per range, not per call
     val rangeSchema = StructType(Seq(gField, StructField("__rid", IntegerType),
-      StructField("__lo", DoubleType), StructField("__hi", DoubleType)))
+      StructField("__lo", DoubleType), StructField("__hi", DoubleType),
+      StructField("__w", DoubleType), StructField("__w0", BooleanType)))
     def rangesDf(open: Seq[GSel]): (Map[(Any, Double, Double), Int], DataFrame) = {
       val ranges = open.map(s => (s.g, s.lo, s.hi)).distinct.zipWithIndex.toMap
-      val rows = ranges.toSeq.map { case ((g, lo, hi), i) => Row(g, i, lo, hi) }
+      val rows = ranges.toSeq.map { case ((g, lo, hi), i) =>
+        val w = (hi - lo) / bins
+        Row(g, i, lo, hi, w, w <= 0.0)
+      }
       (ranges, spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), rangeSchema))
     }
+    // total rows a final collect would fetch: each DISTINCT open range
+    // is fetched once however many p's share it
+    def pendingRows(ss: Seq[GSel]): Long = ss.filter(_.answer.isEmpty)
+      .map(s => (s.g, s.lo, s.hi) -> s.cnt).distinct.map(_._2).sum
 
     var level = 0
-    while (sels.exists(s => s.answer.isEmpty && s.cnt > collectThreshold)) {
+    while (sels.exists(s => s.answer.isEmpty && s.cnt > collectThreshold) ||
+           pendingRows(sels) > maxCollectRows) {
       level += 1
       require(level <= 64, "quantile recursion failed to converge")
-      val active = sels.filter(s => s.answer.isEmpty && s.cnt > collectThreshold)
+      val overTotal = pendingRows(sels) > maxCollectRows
+      val active = sels.filter(s => s.answer.isEmpty &&
+        (s.cnt > collectThreshold || overTotal))
       val (ranges, rdf) = rangesDf(active)
-      val w = (col("__hi") - col("__lo")) / bins
       val hist = base.join(broadcast(rdf), Seq(gField.name))
         .filter(col("__v") >= col("__lo") && col("__v") <= col("__hi"))
-        .withColumn("__bin", least(greatest(
-          floor((col("__v") - col("__lo")) / w), lit(0.0)),
-          lit((bins - 1).toDouble)).cast("int"))
+        .withColumn("__bin", when(col("__w0"),
+          when(col("__v") <= col("__lo"), lit(0)).otherwise(lit(1)))
+          .otherwise(least(greatest(
+            floor((col("__v") - col("__lo")) / col("__w")), lit(0.0)),
+            lit((bins - 1).toDouble)).cast("int")))
         .groupBy(col("__rid"), col("__bin"))
         .agg(count(lit(1)).as("c"), min(col("__v")).as("mn"), max(col("__v")).as("mx"))
         .collect()
         .groupBy(_.getInt(0))
+      val activeKeys = active.map(s => (s.g, s.lo, s.hi)).toSet
       sels = sels.map { s =>
-        if (s.answer.nonEmpty || s.cnt <= collectThreshold) s
+        if (s.answer.nonEmpty || !activeKeys.contains((s.g, s.lo, s.hi))) s
         else {
-          val bs = hist(ranges((s.g, s.lo, s.hi))).sortBy(_.getInt(1))
-          var rem = s.k
-          val b = bs.find { r =>
-            if (rem <= r.getLong(2)) true else { rem -= r.getLong(2); false } }.get
-          val (mn, mx, c) = (b.getDouble(3), b.getDouble(4), b.getLong(2))
+          val (rem, c, mn, mx) =
+            walkBuckets(hist(ranges((s.g, s.lo, s.hi))), s.k, 1)
           s.copy(k = rem, cnt = c, lo = mn, hi = mx,
             answer = if (mn == mx) Some(mn) else None)
         }
@@ -204,33 +248,34 @@ object Quantiles {
     val n = stats.getLong(0)
     if (n == 0L) return ps.map(p => (p, Option.empty[Double])).toDF("p", "value")
 
-    // Per-target selection state: rows satisfying `pred` are the
-    // candidates; the answer is their k-th smallest (1-based).
+    // Per-target selection state: rows in [lo, hi] are the candidates
+    // (current bounds subsume all earlier levels' — they're actual data
+    // values); the answer is their k-th smallest (1-based).
     case class Sel(p: Double, k: Long, cnt: Long, lo: Double, hi: Double,
-                   pred: Column, answer: Option[Double])
+                   answer: Option[Double])
+    def predOf(s: Sel): Column =
+      if (s.cnt == n) lit(true)
+      else col("__v") >= s.lo && col("__v") <= s.hi
     var sels = ps.map { p =>
       val k = math.max(1L, math.ceil(p * n).toLong)
       val (lo, hi) = (stats.getDouble(1), stats.getDouble(2))
-      Sel(p, k, n, lo, hi, lit(true), if (lo == hi) Some(lo) else None)
+      Sel(p, k, n, lo, hi, if (lo == hi) Some(lo) else None)
     }
 
     var level = 0
     while (sels.exists(s => s.answer.isEmpty && s.cnt > collectThreshold)) {
       level += 1
-      require(level <= 64, "quantile recursion failed to converge") // unreachable: ranges shrink every level
-      val active = sels.zipWithIndex.filter { case (s, _) =>
-        s.answer.isEmpty && s.cnt > collectThreshold }
+      require(level <= 64, "quantile recursion failed to converge")
+      val active = sels.filter(s => s.answer.isEmpty && s.cnt > collectThreshold)
       // One scan for every DISTINCT candidate range (targets with the
       // same [lo, hi] — always all of them at level 1, often several p's
       // later — share one histogram instead of exploding a copy each).
-      val ranges = active.map { case (s, _) => (s.lo, s.hi) }.distinct
-      val rangeSel = ranges.map(r => active.find { case (s, _) =>
-        (s.lo, s.hi) == r }.get._1)
+      val ranges = active.map(s => (s.lo, s.hi)).distinct
+      val rangeSel = ranges.map(r => active.find(s => (s.lo, s.hi) == r).get)
       val tagged = array(rangeSel.zipWithIndex.map { case (s, ri) =>
         val w = (s.hi - s.lo) / bins
-        val bin = least(greatest(floor((col("__v") - s.lo) / w), lit(0.0)),
-          lit((bins - 1).toDouble)).cast("int")
-        when(s.pred, struct(lit(ri).as("rid"), bin.as("bin")))
+        when(predOf(s), struct(lit(ri).as("rid"),
+          binCol(col("__v"), s.lo, w, bins).as("bin")))
       }: _*)
       val hist = base
         .select(col("__v"), explode(filter(tagged, _.isNotNull)).as("tb"))
@@ -241,13 +286,9 @@ object Quantiles {
       sels = sels.map { s =>
         if (s.answer.nonEmpty || s.cnt <= collectThreshold) s
         else {
-          val ri = ranges.indexOf((s.lo, s.hi))
-          val bs = hist(ri).sortBy(_.getInt(1))
-          var rem = s.k
-          val b = bs.find { r => if (rem <= r.getLong(2)) true else { rem -= r.getLong(2); false } }.get
-          val (mn, mx, c) = (b.getDouble(3), b.getDouble(4), b.getLong(2))
-          val pred = s.pred && col("__v") >= mn && col("__v") <= mx
-          Sel(s.p, rem, c, mn, mx, pred, if (mn == mx) Some(mn) else None)
+          val (rem, c, mn, mx) =
+            walkBuckets(hist(ranges.indexOf((s.lo, s.hi))), s.k, 1)
+          Sel(s.p, rem, c, mn, mx, if (mn == mx) Some(mn) else None)
         }
       }
     }
@@ -255,7 +296,7 @@ object Quantiles {
     val open = sels.zipWithIndex.filter(_._1.answer.isEmpty)
     val picked: Map[Int, Double] = if (open.isEmpty) Map.empty else {
       val tagged = array(open.map { case (s, i) =>
-        when(s.pred, lit(i)) }: _*)
+        when(predOf(s), lit(i)) }: _*)
       base.select(col("__v"), explode(filter(tagged, _.isNotNull)).as("tid"))
         .collect()
         .groupBy(_.getInt(1))

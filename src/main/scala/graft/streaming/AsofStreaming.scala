@@ -38,7 +38,16 @@ case class AsofState(lefts: Array[(Long, Long)], rights: Array[(Long, Double)])
  * row dominates all older ones) plus rights still above the watermark.
  * Per key that is O(lateness-window x right rate) — the same bound as a
  * stream-stream interval join, but holding one row beyond the window
- * instead of the whole window twice.
+ * instead of the whole window twice. With a FINITE tolerance, even the
+ * dominant right expires once the watermark passes its time + tolerance
+ * (no future left can accept it), so dead keys fully clear their state
+ * and stop being processed; with an infinite tolerance the dominant
+ * right per key is retained forever by the semantics themselves ("the
+ * latest right however old") — O(1) per key, but supply a tolerance on
+ * high-key-churn streams so dead keys actually vanish.
+ *
+ * Rights sharing an identical (key, time) tie-break by greatest value —
+ * the same deterministic rule as the batch form, replay-stable.
  *
  * At 100 TB-rate: hash-partitioned by key like every keyed stateful op;
  * the RocksDB state store holds the per-key arrays; one hot key
@@ -72,7 +81,10 @@ object AsofStreaming {
             if (e.side == 1) lefts = lefts :+ ((e.tms, e.id))
             else rights = rights :+ ((e.tms, e.value))
           }
-          rights = rights.sortBy(_._1)
+          // sorted by (time, value): equal-time rights tie-break by
+          // greatest value — same deterministic rule as the batch form,
+          // independent of arrival order (replay-stable)
+          rights = rights.sorted
           // finalize every left the watermark has passed
           val (ready, pending) = lefts.partition(_._1 <= wm)
           val out = ready.sortBy(_._1).iterator.map { case (t, id) =>
@@ -83,19 +95,24 @@ object AsofStreaming {
           }.toArray
           // prune right history: drop everything older than the newest
           // right at-or-below the watermark (it dominates them for every
-          // future left, which must have t >= wm)
+          // future left, which must have t >= wm) ...
           val cut = rights.lastIndexWhere(_._1 <= wm)
           if (cut > 0) rights = rights.drop(cut)
+          // ... and with a finite tolerance even the dominant right dies
+          // once no future left (t >= wm) can accept it
+          if (tolerance != Long.MaxValue)
+            rights = rights.dropWhile(r => wm - r._1 > tolerance)
           if (pending.isEmpty && rights.isEmpty) state.remove()
           else {
             state.update(AsofState(pending, rights))
-            // wake when the watermark passes the earliest pending left;
-            // rights-only state wakes one lateness past the watermark to
-            // self-clean (the dominant right row alone is kept forever
-            // only if the key truly stays live — harmless and O(1))
             if (pending.nonEmpty)
+              // wake when the watermark passes the earliest pending left
               state.setTimeoutTimestamp(pending.map(_._1).min)
-            else state.setTimeoutTimestamp(math.max(wm + 1, 1))
+            else if (tolerance != Long.MaxValue)
+              // wake when the last right expires, to clear dead-key state
+              state.setTimeoutTimestamp(rights.map(_._1).max + tolerance + 1)
+            // else: infinite tolerance — the dominant right is part of the
+            // answer forever; no timeout, so idle keys are never reprocessed
           }
           out.iterator
       }

@@ -68,6 +68,24 @@ class AsofStreamingSpec extends GraftSpec {
     assert(got(103L) == ((None, None)), "50-15=35 > 20 rejected")
   }
 
+  test("duplicate right timestamps tie-break by greatest value, any arrival order") {
+    val l = Seq(AsofEvent(1L, 25L, 1, 100L, 0.0))
+    val dupA = Seq(AsofEvent(1L, 20L, 0, 900L, 9.0), AsofEvent(1L, 20L, 0, 901L, 2.0))
+    for ((rs, nm) <- Seq((dupA, "asof_d1"), (dupA.reverse, "asof_d2"))) {
+      val got = run(Long.MaxValue, nm, Seq(rs ++ l))
+      assert(got(100L) == ((Some(20L), Some(9.0))),
+        s"greatest value must win (batch parity), got ${got(100L)}")
+    }
+  }
+
+  test("finite tolerance clears dead-key state (expired rights removed)") {
+    // a right whose time + tolerance is far behind the watermark must not
+    // match a much-later left — and must have been prunable meanwhile
+    val got = run(5L, "asof_tol", Seq(Seq(
+      AsofEvent(7L, 10L, 0, 910L, 1.0), AsofEvent(7L, 500000L, 1, 300L, 0.0))))
+    assert(got(300L) == ((None, None)))
+  }
+
   test("out-of-order arrival within the watermark changes nothing") {
     // rights arrive AFTER the lefts that probe them, in a later batch,
     // while the watermark still permits them

@@ -104,6 +104,24 @@ class JoinsSpec extends GraftSpec {
     assert(p.contains("HashJoin"), s"expected a hash join on the bin key:\n$p")
   }
 
+  test("range join: empty intervals yield an empty result, not an error") {
+    val out = Joins.rangePointJoin(points, "p",
+      intervals.filter(lit(false)), "lo", "hi", binWidth = 4.0)
+    assert(out.count() == 0)
+  }
+
+  test("reserved internal columns fail fast in both joins") {
+    val badLeft = purchases.withColumn("__t", lit(1))
+    intercept[IllegalArgumentException] {
+      Joins.asofBackward(badLeft, clicks, Seq("user_id"), "tms", "ctms",
+        Seq("click_value"))
+    }
+    intercept[IllegalArgumentException] {
+      Joins.rangePointJoin(points.withColumn("__bin", lit(1)), "p",
+        intervals, "lo", "hi", 4.0)
+    }
+  }
+
   test("range join: degenerate binWidth fails fast with the bin count") {
     val e = intercept[IllegalArgumentException] {
       Joins.rangePointJoin(points, "p", intervals, "lo", "hi",

@@ -47,6 +47,15 @@ class QuantilesSpec extends GraftSpec {
     assert(got(0.5) == a && got(0.7) == b)
   }
 
+  test("subnormal range converges (bin width underflows to zero)") {
+    // (hi-lo)/bins == 0.0 here: the naive division is NaN/Inf and would
+    // spin to the level cap; the two-way split must still resolve
+    val tiny = java.lang.Double.MIN_VALUE
+    val vals = Seq.fill(10)(0.0) ++ Seq.fill(10)(tiny)
+    val got = quantiles(vals, Seq(0.5, 1.0), bins = 4, thr = 2)
+    assert(got(0.5) == 0.0 && got(1.0) == tiny)
+  }
+
   test("nulls and NaNs are ignored; empty input yields empty values") {
     val df = Seq(Some(1.0), None, Some(Double.NaN), Some(3.0), Some(2.0))
       .toDF("x")
@@ -102,6 +111,28 @@ class QuantilesSpec extends GraftSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Window"),
       s"few-group quantiles must not sort per-group in single tasks:\n$p")
+  }
+
+  test("histogram regime: null groups omitted, total-collect cap forces extra levels") {
+    val df = Seq((Some("a"), 1.0), (Some("a"), 2.0), (None, 9.0), (None, 8.0),
+      (Some("b"), 3.0)).toDF("g", "x")
+    for (out <- Seq(
+      Quantiles.groupedQuantilesHistogram(df, "g", "x", Seq(1.0)),
+      Quantiles.groupedQuantilesWindow(df, "g", "x", Seq(1.0)))) {
+      val got = out.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(got == Map("a" -> 2.0, "b" -> 3.0), "null group omitted, no crash")
+    }
+    // many small groups, each under collectThreshold, together over
+    // maxCollectRows: recursion must keep narrowing so the final collect
+    // stays bounded — and stay exact
+    val many = (0 until 40).flatMap(g => (0 to g % 7).map(i => (s"g$g", i.toDouble)))
+    val got = Quantiles.groupedQuantilesHistogram(many.toDF("g", "x"), "g", "x",
+        Seq(0.5), bins = 2, collectThreshold = 100, maxCollectRows = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    (0 until 40).foreach { g =>
+      val vals = (0 to g % 7).map(_.toDouble)
+      assert(got(s"g$g") == disc(vals, 0.5), s"group g$g")
+    }
   }
 
   test("regimes agree on real data") {
