@@ -289,6 +289,14 @@ object SparkEntry {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
     }),
 
+    // BM25 ranked retrieval over the documents corpus: postings exist
+    // only for the query's terms, stats broadcast back in, top-k via
+    // TakeOrdered. See TextAnalysis.bm25Rank.
+    "q_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25Rank(tbl(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "hash", "join", "window"), k = 20)
+    }),
+
     // Exact quantiles by recursive histogram selection — no global sort,
     // no approximation; returns actual data elements (percentile_disc
     // semantics), so the oracle compare is bit-exact. See Quantiles.
@@ -974,6 +982,25 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate""".stripMargin,
+
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        |    FROM documents) WHERE t <> ''),
+        |lens AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |       WHERE t IN ('spark', 'hash', 'join', 'window') GROUP BY doc_id, t),
+        |dfc AS (SELECT t, CAST(count(*) AS DOUBLE) AS dfq FROM tf GROUP BY t),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    ln(1 + (n - dfq + 0.5) / (dfq + 0.5)) * tf.tf * 2.2 /
+        |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS c
+        |  FROM tf, dfc, lens, stats
+        |  WHERE tf.t = dfc.t AND tf.doc_id = lens.doc_id)
+        |SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_quantiles" -> Seq(0.01, 0.25, 0.5, 0.75, 0.99).map(p =>
       s"SELECT CAST($p AS DOUBLE) AS p, quantile_disc(l_extendedprice, $p) AS value FROM lineitem")

@@ -193,4 +193,50 @@ object TextAnalysis {
       TextStats(lang, w.length, punct, stopEn, quality, fp)
     }
   }
+
+  /**
+   * BM25 ranked retrieval: top-k documents for a bag of query terms.
+   * Lucene's formula: per matching term,
+   * idf x tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with
+   * idf = ln(1 + (N − df + 0.5)/(df + 0.5)); a document scores the sum
+   * over the query terms it contains. Tokens are lowercase alnum runs;
+   * documents with no tokens are excluded from the corpus stats.
+   *
+   * The 100 TB shape: the per-term postings (tf rows) exist ONLY for the
+   * query's terms — the explode filters to `terms` before any shuffle, so
+   * work is O(matching postings), not O(corpus vocabulary). Corpus stats
+   * (N, avgdl) and per-term document frequencies are 1-row / |terms|-row
+   * aggregates broadcast back in; the whole query stays lazy (no driver
+   * collect) and the top-k is a TakeOrderedAndProject. Ties at the k
+   * boundary break by id — deterministic at any partitioning.
+   */
+  def bm25Rank(df: org.apache.spark.sql.DataFrame, textCol: String,
+               idCol: String, terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "bm25Rank needs at least one query term")
+    require(k > 0, "k must be positive")
+    val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
+    val base = df
+      .select(col(idCol).as("__id"), toks.as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast(DoubleType))
+      .filter(col("__dl") > 0)
+    val stats = base.agg(count(lit(1)).cast(DoubleType).as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val tf = base
+      .select(col("__id"), col("__dl"), explode(col("__toks")).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy(col("__id"), col("__t"), col("__dl"))
+      .agg(count(lit(1)).cast(DoubleType).as("__tf"))
+    val dfc = tf.groupBy(col("__t")).agg(count(lit(1)).cast(DoubleType).as("__df"))
+    val idf = log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
+    tf.join(broadcast(dfc), Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", idf * col("__tf") * lit(k1 + 1.0) /
+        (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col("__id"))
+      .agg(round(sum(col("__c")), 6).as("score"))
+      .orderBy(col("score").desc, col("__id"))
+      .limit(k)
+      .select(col("__id").as(idCol), col("score"))
+  }
 }

@@ -15,6 +15,34 @@ class PipelineOpsSpec extends GraftSpec {
     (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
     (5L, "unrelated short text")).toDF("doc_id", "text")
 
+  test("bm25: hand-computed scores, absent terms excluded, top-k tie-break by id") {
+    val corpus = Seq(
+      (1L, "a b spark"), (2L, "spark spark b"), (3L, "c d"), (4L, "a b spark"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Rank(corpus, "text", "doc_id", Seq("spark"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // N=4, avgdl=(3+3+2+3)/4=2.75, df=3, idf=ln(1 + 1.5/3.5)
+    val idf = math.log(1 + 1.5 / 3.5)
+    def s(tf: Double, dl: Double) =
+      BigDecimal(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 2.75)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 2 (tf=2) outranks docs 1/4 (tf=1, tie broken by id); doc 3 absent
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 4L))
+    assert(got.toMap == Map(2L -> s(2, 3), 1L -> s(1, 3), 4L -> s(1, 3)))
+  }
+
+  test("bm25: top-k plans a TakeOrdered and prunes postings to query terms") {
+    val q = SparkEntry.queries("q_bm25")(spark, sf())
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+    // the term filter must run BEFORE the postings aggregate: no shuffle
+    // of the full vocabulary
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.indexOf("INSET") < opt.indexOf("Aggregate")
+      || opt.indexOf("isin") < opt.indexOf("Aggregate")
+      || opt.contains("__t IN"), s"query-term filter not before aggregate:\n$opt")
+  }
+
   test("PII scrub masks emails and long digit runs, leaves clean text alone") {
     val rows = Seq(
       (1L, "contact me at jane.doe+spam@mail.example.org today"),
