@@ -7,7 +7,9 @@ object ExplainCheck {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (q <- Seq("q3_join", "q1_agg", "q_topsis", "q_dedup_exact")) {
+    val qs = if (args.nonEmpty) args.toSeq
+      else Seq("q3_join", "q1_agg", "q_topsis", "q_dedup_exact")
+    for (q <- qs) {
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))

@@ -289,6 +289,15 @@ object SparkEntry {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
     }),
 
+    // Winsorized prices: clamp into the exact [5%, 95%] quantiles —
+    // outputs are actual data values, so the compare is bit-exact.
+    "q_winsorize" -> ((s, dir) => {
+      Quantiles.winsorize(tbl(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+          "l_extendedprice", 0.05, 0.95)
+        .withColumnRenamed("l_extendedprice", "price_w")
+    }),
+
     // BM25 ranked retrieval over the documents corpus: postings exist
     // only for the query's terms, stats broadcast back in, top-k via
     // TakeOrdered. See TextAnalysis.bm25Rank.
@@ -982,6 +991,14 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH q AS (SELECT quantile_disc(l_extendedprice, 0.05) AS lo,
+        |                  quantile_disc(l_extendedprice, 0.95) AS hi
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  least(greatest(l_extendedprice, lo), hi) AS price_w
+        |FROM lineitem, q""".stripMargin,
 
     "q_bm25" ->
       """WITH toks AS (

@@ -232,6 +232,29 @@ object Quantiles {
         StructField("value", DoubleType))))
   }
 
+  /** Winsorize: clamp `valueCol` into its own [pLo, pHi] exact quantiles
+    * — the standard outlier treatment before scaling/training. Costs one
+    * [[exactQuantiles]] run (~4 scans at any n; two scalars to the
+    * driver, O(1) state) plus a codegen'd map; query construction is
+    * eager like the other stat-parameterized operators. Nulls/NaNs pass
+    * through unclamped; column type becomes double. */
+  def winsorize(df: DataFrame, valueCol: String, pLo: Double = 0.05,
+                pHi: Double = 0.95): DataFrame = {
+    require(pLo < pHi, s"pLo ($pLo) must be < pHi ($pHi)")
+    val qs = exactQuantiles(df, valueCol, Seq(pLo, pHi)).collect()
+      .filter(!_.isNullAt(1)) // empty input: no quantiles, clamp nothing
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    if (qs.isEmpty) df.select(df.columns.map(c =>
+      if (c == valueCol) col(c).cast("double").as(c) else col(c)): _*)
+    else {
+      val v = col(valueCol).cast("double")
+      // greatest/least SKIP nulls (SQL semantics) — they'd clamp a null
+      // to the lo bound; gate explicitly so nulls and NaNs pass through
+      df.withColumn(valueCol, when(v.isNotNull && !isnan(v),
+        least(greatest(v, lit(qs(pLo))), lit(qs(pHi)))).otherwise(v))
+    }
+  }
+
   /** (p, value) rows, one per requested quantile, over non-null
     * `valueCol` cast to double. Empty input → empty result. */
   def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],

@@ -147,6 +147,19 @@ class QuantilesSpec extends GraftSpec {
     assert(h == w && h.size == 9)
   }
 
+  test("winsorize clamps to exact quantiles; nulls and empty input pass through") {
+    val vals = (1 to 100).map(_.toDouble)
+    val df = (vals.map(Some(_)) :+ None).toDF("x")
+    val got = Quantiles.winsorize(df, "x", 0.05, 0.95)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    // k = ceil(p*100): lo = 5th smallest = 5.0, hi = 95th = 95.0
+    assert(got.flatten.min == 5.0 && got.flatten.max == 95.0)
+    assert(got.contains(None), "null passes through unclamped")
+    assert(got.flatten.count(_ == 5.0) == 5 && got.flatten.count(_ == 95.0) == 6)
+    val empty = Quantiles.winsorize(df.filter(lit(false)), "x")
+    assert(empty.count() == 0)
+  }
+
   test("oracle parity on real data at test SF") {
     val li = spark.read.parquet(sf() + "/lineitem.parquet")
     val vals = li.select($"l_extendedprice").collect().map(_.getDouble(0)).toSeq
