@@ -49,6 +49,12 @@ case class AsofState(lefts: Array[(Long, Long)], rights: Array[(Long, Double)])
  * Rights sharing an identical (key, time) tie-break by greatest value —
  * the same deterministic rule as the batch form, replay-stable.
  *
+ * Both sides share one watermark (they union into one stream), so a
+ * probe far ahead of the right stream advances it for rights too: a
+ * right older than (max event time − lateness) is late and dropped,
+ * exactly as in any event-time stream-stream join. Size `lateness` to
+ * the real cross-stream disorder, not just within-stream disorder.
+ *
  * At 100 TB-rate: hash-partitioned by key like every keyed stateful op;
  * the RocksDB state store holds the per-key arrays; one hot key
  * serializes that key's matching (same caveat as the batch form).

@@ -86,6 +86,46 @@ class AsofStreamingSpec extends GraftSpec {
     assert(got(300L) == ((None, None)))
   }
 
+  test("asof stream restarts from a checkpoint with no lost or duplicate matches") {
+    // durable sink + checkpointLocation; stop after one probe emitted
+    // (one pending left + right history in state), deliver more rights
+    // and probes while down, restart — the restored state must finalize
+    // the pending probe against a right that arrived BEFORE the stop
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_asof_ck_").toString
+    val mem = MemoryStream[AsofEvent]
+    val out = AsofStreaming.asofStream(mem.toDF(), Long.MaxValue, "1 second")
+    def start() = out.writeStream.format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+      .outputMode("append").start()
+
+    val q1 = start()
+    try {
+      // right@10, left@15 (finalized by the sentinel watermark push),
+      // left@90000 stays PENDING in state across the stop
+      mem.addData(Seq(AsofEvent(1L, 10L, 0, 900L, 1.0),
+        AsofEvent(1L, 15L, 1, 100L, 0.0), AsofEvent(1L, 90000L, 1, 101L, 0.0),
+        AsofEvent(50L, 20000L, 0, 998L, 0.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // arrives while the query is down: a fresher right below the pending
+    // probe but ABOVE the checkpointed watermark (89000 — the probe
+    // itself advanced it; anything older is late by event-time rules),
+    // and the sentinel that pushes the watermark past the probe
+    mem.addData(Seq(AsofEvent(1L, 89500L, 0, 901L, 8.0),
+      AsofEvent(50L, 9000000L, 0, 999L, 0.0)))
+    val q2 = start()
+    try { q2.processAllAvailable() } finally q2.stop()
+
+    val got = spark.read.parquet(s"$tmp/out").as[graft.streaming.AsofMatch]
+      .collect().filter(_.key == 1L).map(m => m.id -> ((m.matchedTms, m.value))).toMap
+    assert(got.size == 2, s"exactly one row per probe: $got")
+    assert(got(100L) == ((Some(10L), Some(1.0))), "pre-stop match stays emitted once")
+    assert(got(101L) == ((Some(89500L), Some(8.0))),
+      "pending probe restored from checkpoint matches the post-restart right")
+  }
+
   test("out-of-order arrival within the watermark changes nothing") {
     // rights arrive AFTER the lefts that probe them, in a later batch,
     // while the watermark still permits them
