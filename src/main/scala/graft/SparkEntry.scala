@@ -289,6 +289,13 @@ object SparkEntry {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
     }),
 
+    // Exact per-group mode: two partial-agg levels, distinct pairs on
+    // the wire, greatest-value tie-break. See Quantiles.modePerGroup.
+    "q_mode" -> ((s, dir) => {
+      Quantiles.modePerGroup(tbl(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+        .withColumnRenamed("l_returnflag", "flag")
+    }),
+
     // Winsorized prices: clamp into the exact [5%, 95%] quantiles —
     // outputs are actual data values, so the compare is bit-exact.
     "q_winsorize" -> ((s, dir) => {
@@ -991,6 +998,13 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate""".stripMargin,
+
+    "q_mode" ->
+      """WITH c AS (SELECT l_returnflag AS flag, l_quantity AS v, count(*) AS n
+        |           FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT flag, v, n, row_number() OVER (
+        |        PARTITION BY flag ORDER BY n DESC, v DESC) AS rn FROM c)
+        |SELECT flag, v AS mode_value, n AS mode_count FROM r WHERE rn = 1""".stripMargin,
 
     "q_winsorize" ->
       """WITH q AS (SELECT quantile_disc(l_extendedprice, 0.05) AS lo,

@@ -73,15 +73,24 @@ object Quantiles {
     *    but the partitioned window ([[groupedQuantilesWindow]]) is now
     *    exactly right — every group sorts in parallel.
     *
-    * This dispatcher counts groups (one cheap distinct-agg) and picks;
-    * call either regime directly to skip the extra pass. */
+    * This dispatcher estimates the group count (approx_count_distinct —
+    * a regime decision tolerates ±5%, and the sketch is far cheaper than
+    * an exact distinct at scale) and picks; call either regime directly
+    * to skip the extra pass. */
   def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                        ps: Seq[Double], maxDriverGroups: Int = 8192): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantiles must lie in [0,1]: ${ps.mkString(", ")}")
     val nGroups = df.filter(col(valueCol).isNotNull)
-      .agg(count_distinct(col(groupCol))).head().getLong(0)
+      .agg(approx_count_distinct(col(groupCol))).head().getLong(0)
     if (nGroups <= maxDriverGroups)
-      groupedQuantilesHistogram(df, groupCol, valueCol, ps,
+      // the estimate is ±5-ish%; if the true count lands past the cap,
+      // the histogram regime's own guard trips and we fall back
+      try groupedQuantilesHistogram(df, groupCol, valueCol, ps,
         maxGroups = maxDriverGroups)
+      catch { case e: IllegalArgumentException
+        if e.getMessage.contains("groupedQuantilesWindow") =>
+          groupedQuantilesWindow(df, groupCol, valueCol, ps) }
     else groupedQuantilesWindow(df, groupCol, valueCol, ps)
   }
 
@@ -231,6 +240,21 @@ object Quantiles {
       StructType(Seq(gField.copy(name = groupCol), StructField("p", DoubleType),
         StructField("value", DoubleType))))
   }
+
+  /** Exact per-group mode (most frequent value): two partial-aggregated
+    * levels — (group, value) counts, then one max per group — so the
+    * shuffle carries distinct pairs, never rows, and no window sorts
+    * anything. Ties break by the greatest value (deterministic at any
+    * partitioning); null values are ignored, null groups omitted like
+    * the quantile ops. */
+  def modePerGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull && !isnan(col("__v")))
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__g"))
+      .agg(max(struct(col("__c"), col("__v"))).as("__m"))
+      .select(col("__g").as(groupCol), col("__m.__v").as("mode_value"),
+        col("__m.__c").as("mode_count"))
 
   /** Winsorize: clamp `valueCol` into its own [pLo, pHi] exact quantiles
     * — the standard outlier treatment before scaling/training. Costs one

@@ -147,6 +147,21 @@ class QuantilesSpec extends GraftSpec {
     assert(h == w && h.size == 9)
   }
 
+  test("mode per group: counts, greatest-value tie-break, null handling, plan") {
+    val df = Seq(
+      (Some("a"), Some(1.0)), (Some("a"), Some(1.0)), (Some("a"), Some(2.0)),
+      (Some("b"), Some(5.0)), (Some("b"), Some(7.0)), // tie -> greatest value
+      (Some("b"), None), (None, Some(9.0))
+    ).toDF("g", "x")
+    val got = Quantiles.modePerGroup(df, "g", "x")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got == Map("a" -> ((1.0, 2L)), "b" -> ((7.0, 1L))))
+    val p = Quantiles.modePerGroup(df, "g", "x")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && p.contains("partial"),
+      s"mode must be two partial-agg levels, no window:\n$p")
+  }
+
   test("winsorize clamps to exact quantiles; nulls and empty input pass through") {
     val vals = (1 to 100).map(_.toDouble)
     val df = (vals.map(Some(_)) :+ None).toDF("x")
