@@ -31,6 +31,12 @@ import org.apache.spark.sql.functions._
  */
 object Quantiles {
 
+  /** Thrown by [[groupedQuantilesHistogram]] when the group count
+    * exceeds its cap; the dispatcher catches exactly this to fall back
+    * to the window regime. */
+  final class TooManyGroupsException(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** Walk a range's sorted histogram buckets for rank `k`: returns the
     * bucket holding it as (rank within bucket, bucket count, bucket min,
     * bucket max). Rows are (.., bin, count, min, max) with bin at index
@@ -88,9 +94,8 @@ object Quantiles {
       // the histogram regime's own guard trips and we fall back
       try groupedQuantilesHistogram(df, groupCol, valueCol, ps,
         maxGroups = maxDriverGroups)
-      catch { case e: IllegalArgumentException
-        if e.getMessage.contains("groupedQuantilesWindow") =>
-          groupedQuantilesWindow(df, groupCol, valueCol, ps) }
+      catch { case _: TooManyGroupsException =>
+        groupedQuantilesWindow(df, groupCol, valueCol, ps) }
     else groupedQuantilesWindow(df, groupCol, valueCol, ps)
   }
 
@@ -153,7 +158,7 @@ object Quantiles {
     val stats = base.groupBy(col("__g"))
       .agg(count(lit(1)), min(col("__v")), max(col("__v")))
       .limit(maxGroups + 1).collect()
-    require(stats.length <= maxGroups,
+    if (stats.length > maxGroups) throw new TooManyGroupsException(
       s"more than $maxGroups groups: this regime holds per-group histograms " +
         "on the driver — use groupedQuantilesWindow (or the groupedQuantiles " +
         "dispatcher) for high-cardinality grouping")
@@ -244,17 +249,27 @@ object Quantiles {
   /** Exact per-group mode (most frequent value): two partial-aggregated
     * levels — (group, value) counts, then one max per group — so the
     * shuffle carries distinct pairs, never rows, and no window sorts
-    * anything. Ties break by the greatest value (deterministic at any
-    * partitioning); null values are ignored, null groups omitted like
-    * the quantile ops. */
-  def modePerGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
-    df.select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
-      .filter(col("__g").isNotNull && col("__v").isNotNull && !isnan(col("__v")))
+    * anything. Any orderable value type (mode is natural on categorical
+    * columns too — no numeric cast). Ties break by the greatest value
+    * (deterministic at any partitioning); null values are ignored, null
+    * groups omitted like the quantile ops; NaNs excluded for float
+    * types (consistent with the quantile ops' value handling). */
+  def modePerGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val isFloaty = df.schema(valueCol).dataType match {
+      case DoubleType | FloatType => true
+      case _ => false
+    }
+    val vOk = if (isFloaty) col("__v").isNotNull && !isnan(col("__v"))
+      else col("__v").isNotNull
+    df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .filter(col("__g").isNotNull && vOk)
       .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
       .groupBy(col("__g"))
       .agg(max(struct(col("__c"), col("__v"))).as("__m"))
       .select(col("__g").as(groupCol), col("__m.__v").as("mode_value"),
         col("__m.__c").as("mode_count"))
+  }
 
   /** Winsorize: clamp `valueCol` into its own [pLo, pHi] exact quantiles
     * — the standard outlier treatment before scaling/training. Costs one

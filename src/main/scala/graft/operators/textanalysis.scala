@@ -215,6 +215,10 @@ object TextAnalysis {
                k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty, "bm25Rank needs at least one query term")
     require(k > 0, "k must be positive")
+    // tokens are lowercased, so the query must be too (a verbatim
+    // "Spark" would silently match nothing); duplicates collapse — BM25
+    // term contributions don't stack with query-side repetition here
+    val qterms = terms.map(_.toLowerCase).distinct
     val toks = filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
     val base = df
       .select(col(idCol).as("__id"), toks.as("__toks"))
@@ -224,7 +228,7 @@ object TextAnalysis {
       avg(col("__dl")).as("__avgdl"))
     val tf = base
       .select(col("__id"), col("__dl"), explode(col("__toks")).as("__t"))
-      .filter(col("__t").isin(terms: _*))
+      .filter(col("__t").isin(qterms: _*))
       .groupBy(col("__id"), col("__t"), col("__dl"))
       .agg(count(lit(1)).cast(DoubleType).as("__tf"))
     val dfc = tf.groupBy(col("__t")).agg(count(lit(1)).cast(DoubleType).as("__df"))

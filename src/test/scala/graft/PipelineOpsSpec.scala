@@ -31,16 +31,28 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got.toMap == Map(2L -> s(2, 3), 1L -> s(1, 3), 4L -> s(1, 3)))
   }
 
+  test("bm25: query terms are case-normalized and deduplicated") {
+    val corpus = Seq((1L, "a b spark"), (2L, "c d")).toDF("doc_id", "text")
+    val up = TextAnalysis.bm25Rank(corpus, "text", "doc_id", Seq("Spark"), 2)
+      .collect()
+    val lo = TextAnalysis.bm25Rank(corpus, "text", "doc_id",
+      Seq("spark", "spark"), 2).collect()
+    assert(up.map(_.getLong(0)).toSeq == Seq(1L), "uppercase query must still match")
+    assert(up.map(_.getDouble(1)).toSeq == lo.map(_.getDouble(1)).toSeq,
+      "duplicate terms collapse to one contribution")
+  }
+
   test("bm25: top-k plans a TakeOrdered and prunes postings to query terms") {
     val q = SparkEntry.queries("q_bm25")(spark, sf())
     val p = q.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
-    // the term filter must run BEFORE the postings aggregate: no shuffle
-    // of the full vocabulary
-    val opt = q.queryExecution.optimizedPlan.toString
-    assert(opt.indexOf("INSET") < opt.indexOf("Aggregate")
-      || opt.indexOf("isin") < opt.indexOf("Aggregate")
-      || opt.contains("__t IN"), s"query-term filter not before aggregate:\n$opt")
+    // the term filter must sit DIRECTLY on the exploded tokens — before
+    // any aggregate — so no full-vocabulary postings ever shuffle
+    val lines = q.queryExecution.optimizedPlan.toString.linesIterator.toArray
+    val fi = lines.indexWhere(l => l.contains("Filter") && l.contains("IN (spark"))
+    assert(fi >= 0, s"query-term IN filter missing:\n${lines.mkString("\n")}")
+    assert(lines(fi + 1).contains("Generate explode"),
+      s"term filter not directly on the explode:\n${lines.mkString("\n")}")
   }
 
   test("PII scrub masks emails and long digit runs, leaves clean text alone") {

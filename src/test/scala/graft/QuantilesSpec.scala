@@ -160,6 +160,10 @@ class QuantilesSpec extends GraftSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Window") && p.contains("partial"),
       s"mode must be two partial-agg levels, no window:\n$p")
+    // categorical values work too — no numeric cast silently nulling them
+    val cats = Seq(("a", "en"), ("a", "en"), ("a", "de")).toDF("g", "lang")
+    val m = Quantiles.modePerGroup(cats, "g", "lang").collect()
+    assert(m.length == 1 && m(0).getString(1) == "en" && m(0).getLong(2) == 2L)
   }
 
   test("winsorize clamps to exact quantiles; nulls and empty input pass through") {
