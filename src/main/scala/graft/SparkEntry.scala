@@ -289,6 +289,15 @@ object SparkEntry {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
     }),
 
+    // Deterministic stratified take-n: exactly 25 docs per language by
+    // smallest content hash. See Sampling.takeStratified.
+    "q_take_stratified" -> ((s, dir) => {
+      Sampling.takeStratified(
+          tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+          col("lang"), col("doc_id"), n = 25)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Exact per-group mode: two partial-agg levels, distinct pairs on
     // the wire, greatest-value tie-break. See Quantiles.modePerGroup.
     "q_mode" -> ((s, dir) => {
@@ -998,6 +1007,14 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate""".stripMargin,
+
+    "q_take_stratified" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 AS b
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rn FROM h)
+        |SELECT doc_id, lang FROM r WHERE rn <= 25""".stripMargin,
 
     "q_mode" ->
       """WITH c AS (SELECT l_returnflag AS flag, l_quantity AS v, count(*) AS n

@@ -60,6 +60,77 @@ object Sampling {
   }
 
   /**
+   * Deterministic stratified take-n: EXACTLY min(n, |stratum|) rows per
+   * stratum — the smallest-hash n by (bucket, id) — for fixed-size eval
+   * or calibration sets. Same-rows-at-any-scale reproducibility as
+   * [[hashSample]], but with an exact count instead of a fraction.
+   *
+   * Scale shape: a per-stratum window over ALL rows would sort each
+   * stratum in one task (the few-groups failure mode measured in
+   * quantiles). The hash is uniform, so instead each stratum is first
+   * PRUNED to its ~margin*n smallest-hash rows by a per-stratum bucket
+   * threshold (broadcast-joined, codegen'd filter — the scan does the
+   * work), and only the tiny survivor set is ranked. If a stratum's
+   * survivor count falls short (hash clumping — astronomically rare at
+   * margin 4), the threshold widens geometrically and reruns; the
+   * OUTPUT is threshold-independent (rank by (bucket, id) over a
+   * superset of the true top-n), so retries never change results.
+   * Stratum counts are collected once at build time (#strata rows,
+   * `maxStrata`-guarded) — query construction is eager like
+   * [[shardAssignment]].
+   */
+  def takeStratified(df: DataFrame, strataCol: Column, idCol: Column,
+                     n: Int, maxStrata: Int = 100000): DataFrame = {
+    require(n > 0, "n must be positive")
+    val reserved = Seq("__s", "__b", "__thr", "__rn")
+    require(reserved.forall(!df.columns.contains(_)),
+      s"columns ${reserved.mkString(", ")} are reserved by takeStratified; rename them first")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.broadcast
+    val fine = 1000000 // finer buckets than the 10k default: thresholds for small n
+    val counts = df.groupBy(strataCol.as("__s"))
+      .agg(count(lit(1)).as("__cnt")).limit(maxStrata + 1).collect()
+    require(counts.length <= maxStrata,
+      s"more than $maxStrata strata; raise maxStrata (driver holds one count per stratum)")
+    val b = bucket(idCol, fine)
+    var margin = 4L
+    while (true) {
+      val thr = counts.map { r =>
+        val cnt = r.getLong(1)
+        val t = math.min(fine.toLong, math.max(1L,
+          math.ceil(fine.toLong * margin * n.toDouble / math.max(cnt, 1)).toLong))
+        (r.get(0), t)
+      }
+      val thrDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(thr.toSeq.map { case (s, t) =>
+          org.apache.spark.sql.Row(s, t) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          df.select(strataCol.as("__s")).schema.head,
+          org.apache.spark.sql.types.StructField("__thr",
+            org.apache.spark.sql.types.LongType))))
+      val surv = df.withColumn("__b", b).withColumn("__s", strataCol)
+        .join(broadcast(thrDf), Seq("__s"))
+        .filter(col("__b") < col("__thr"))
+      val short = surv.groupBy(col("__s")).agg(count(lit(1)).as("__sc"))
+        .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+      val enough = counts.forall { r =>
+        short.getOrElse(r.get(0), 0L) >= math.min(n.toLong, r.getLong(1)) }
+      if (enough) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__s")).orderBy(col("__b"), idCol)
+        return surv
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= n)
+          .drop("__s", "__b", "__thr", "__rn")
+      }
+      margin *= 4
+      require(margin < fine.toLong * 16,
+        "takeStratified failed to gather n survivors; id hashing degenerate?")
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /**
    * Token-budget selection: per group (source/language), keep rows in
    * ascending `idCol` order while the running token total (inclusive)
    * stays within `budget` — the "take the first N tokens of each source"

@@ -207,6 +207,29 @@ class PipelineOpsSpec extends GraftSpec {
     assert(!pairs.contains((3L, 5L)), "disjoint docs must not collide")
   }
 
+  test("stratified take-n: exact counts, partition-invariant, short strata kept whole") {
+    val df = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val got = Sampling.takeStratified(df, col("lang"), col("doc_id"), 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val perLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    val langSizes = df.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    langSizes.foreach { case (l, c) =>
+      assert(perLang(l) == math.min(5L, c).toInt, s"lang $l") }
+    // exact same rows whatever the physical layout
+    val re = Sampling.takeStratified(df.repartition(7), col("lang"), col("doc_id"), 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet == re.toSet)
+    // a stratum smaller than n survives whole
+    val tiny = Seq((1L, "only"), (2L, "only")).toDF("doc_id", "lang")
+    assert(Sampling.takeStratified(tiny, col("lang"), col("doc_id"), 5).count() == 2)
+    intercept[IllegalArgumentException] {
+      Sampling.takeStratified(tiny.withColumn("__b", lit(1)),
+        col("lang"), col("doc_id"), 5)
+    }
+  }
+
   test("hash sampling is deterministic and hits the target fractions") {
     val df = spark.range(20000).toDF("id")
       .withColumn("stratum", when(col("id") % 2 === 0, "a").otherwise("b"))
