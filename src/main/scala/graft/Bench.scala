@@ -25,6 +25,13 @@ object Bench {
     // which otherwise dominates sub-second queries and adds ±50% noise
     val results = selected.map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
+        // clean cache state per run: queries that cache a relation
+        // (model tables, pair lineage) would otherwise leak it into
+        // every later query's measurement — each query should be timed
+        // against cold cache state, and CacheManager plan-matching
+        // against a leftover complex lineage is planning overhead the
+        // later query never asked for
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>

@@ -304,9 +304,17 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
 
+    def timed[A](name: String)(f: => A): A = {
+      if (!sys.env.contains("GRAFT_QUANTILE_TRACE")) f
+      else {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[qtrace] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      }
+    }
     val base = df.select(col(valueCol).cast("double").as("__v"))
       .filter(col("__v").isNotNull && !isnan(col("__v")))
-    val stats = base.agg(count(lit(1)), min(col("__v")), max(col("__v"))).head()
+    val stats = timed("stats")(
+      base.agg(count(lit(1)), min(col("__v")), max(col("__v"))).head())
     val n = stats.getLong(0)
     if (n == 0L) return ps.map(p => (p, Option.empty[Double])).toDF("p", "value")
 
@@ -334,16 +342,27 @@ object Quantiles {
       // later — share one histogram instead of exploding a copy each).
       val ranges = active.map(s => (s.lo, s.hi)).distinct
       val rangeSel = ranges.map(r => active.find(s => (s.lo, s.hi) == r).get)
-      val tagged = array(rangeSel.zipWithIndex.map { case (s, ri) =>
+      // distinct ranges are DISJOINT (each is a sub-range of one bucket
+      // of the previous level), so a row matches at most one — a plain
+      // when-chain tags it. Deliberately NOT an array+filter+explode:
+      // higher-order array functions are CodegenFallback (interpreted),
+      // and interpreted 60M-row loops run through shared Expression.eval
+      // call sites whose JIT profiles any earlier complex query pollutes
+      // — measured 5x slower after an unrelated suite query. CaseWhen
+      // stays inside whole-stage codegen, immune to that.
+      val cases = rangeSel.zipWithIndex.map { case (s, ri) =>
         val w = (s.hi - s.lo) / bins
-        when(predOf(s), struct(lit(ri).as("rid"),
+        (predOf(s), struct(lit(ri).as("rid"),
           binCol(col("__v"), s.lo, w, bins).as("bin")))
-      }: _*)
-      val hist = base
-        .select(col("__v"), explode(filter(tagged, _.isNotNull)).as("tb"))
+      }
+      val tagged = cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
+        case (acc, (c, v)) => acc.when(c, v) }
+      val hist = timed(s"level $level (${ranges.length} ranges)")(base
+        .select(col("__v"), tagged.as("tb"))
+        .filter(col("tb").isNotNull)
         .groupBy(col("tb.rid").as("rid"), col("tb.bin").as("bin"))
         .agg(count(lit(1)).as("c"), min(col("__v")).as("mn"), max(col("__v")).as("mx"))
-        .collect()
+        .collect())
         .groupBy(_.getInt(0))
       sels = sels.map { s =>
         if (s.answer.nonEmpty || s.cnt <= collectThreshold) s
@@ -357,10 +376,21 @@ object Quantiles {
 
     val open = sels.zipWithIndex.filter(_._1.answer.isEmpty)
     val picked: Map[Int, Double] = if (open.isEmpty) Map.empty else {
+      // Open ranges can be NESTED (a target that fell under the collect
+      // threshold early keeps its wide range while others shrink inside
+      // it), so unlike the level pass a row may match several targets —
+      // the when-chain trick doesn't apply. explode(array(when..)) +
+      // null-filter keeps the multi-match semantics while staying inside
+      // whole-stage codegen end to end (GenerateExec codegens explode;
+      // the old filter() higher-order function was CodegenFallback and
+      // hit the same interpreted-loop JIT pollution as the level pass).
       val tagged = array(open.map { case (s, i) =>
         when(predOf(s), lit(i)) }: _*)
-      base.select(col("__v"), explode(filter(tagged, _.isNotNull)).as("tid"))
-        .collect()
+      val rows = timed(s"final collect (${open.length} targets)")(
+        base.select(col("__v"), explode(tagged).as("tid"))
+          .filter(col("tid").isNotNull)
+          .collect())
+      rows
         .groupBy(_.getInt(1))
         .map { case (tid, rows) =>
           val k = sels(tid).k.toInt
