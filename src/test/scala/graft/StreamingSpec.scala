@@ -319,6 +319,59 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("stream-stream gate restarts from a checkpoint with no lost or duplicate scores") {
+    // the production shape for the gate: durable sink + checkpoint. Data
+    // rows arrive with NO model and buffer in stream-stream join state;
+    // the query is stopped; the models arrive while it is down. On
+    // restart the buffered rows must come back from the checkpointed
+    // join state and drain against the late models — each exactly once.
+    implicit val sqlCtx = spark.sqlContext
+    val windowMs = 3L * 86400000L
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gate_ck_").toString
+    val batchDf = rows.toDF("tms", "features")
+    val model = new graft.operators.OnlineTopsis()
+      .setCriteriaTypes(1, 1, 1, 2, 2, 2)
+      .setWeights(0.1, 0.1, 0.1, 0.1, 0.1, 0.1)
+      .setTimeCol("tms").setWindowDuration("3 days")
+      .fit(batchDf)
+    val modelRows = model.getModelData
+      .select("timestamp", "minTimestamp", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    val dataMem = MemoryStream[(Long, Array[Double])]
+    val modelMem = MemoryStream[(Long, Long, Double)]
+    val scored = OnlineStreaming.onlineTopsisScoreStreamStream(
+      dataMem.toDF().toDF("tms", "features"),
+      modelMem.toDF().toDF("timestamp", "minTimestamp", "score"), windowMs)
+    def start() = scored.writeStream.format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ck")
+      .outputMode("append").start()
+
+    val q1 = start()
+    try {
+      dataMem.addData(rows) // no model yet -> all rows buffer in join state
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    modelMem.addData(modelRows) // models land while the query is down
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(s"$tmp/out")
+      .select("tms", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.size == rows.size, // every buffered row drained, none twice
+      s"expected ${rows.size} exactly-once emissions, got $got")
+    // same check direction as the batch-parity gate tests: every model
+    // window's minTimestamp is a row tms in this fixture, and the row
+    // scored by that window must carry the window's score
+    val gotMap = got.toMap
+    modelRows.foreach { case (_, mnts, s) =>
+      assert(math.abs(gotMap(mnts) - s) < 1e-12,
+        s"window starting at min ts $mnts: ${gotMap(mnts)} vs $s")
+    }
+  }
+
   test("sessionize stream restarts from a checkpoint with no lost or duplicate sessions") {
     // the production shape: durable sink + checkpointLocation; the query
     // is stopped mid-stream (one session closed and committed, one still
