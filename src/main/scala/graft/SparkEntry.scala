@@ -807,6 +807,17 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("shard_pos"))
     }),
 
+    // GPT-style sequence packing: the corpus token stream in doc_id
+    // order cut into 512-token training sequences, one row per
+    // (doc, sequence) slice — fully replayable from a window prefix sum
+    "q_pack" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .withColumn("n_tokens", size(split(lower(col("text")), "\\s+")).cast("long"))
+      Sampling.packSequences(docs, col("doc_id"), col("n_tokens"), seqLen = 512L)
+        .select(col("doc_id"), col("seq_id"), col("seq_offset"),
+          col("doc_offset"), col("slice_len"))
+    }),
+
     "q_chunk" -> ((s, dir) => {
       // 64-token chunks with 16-token overlap over the documents corpus
       TextAnalysis.chunk(tbl(s, dir, "documents").select("doc_id", "text"),
@@ -1655,6 +1666,20 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) - 1 AS shard_pos
         |FROM d""".stripMargin,
+
+    "q_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM d),
+        |s AS (SELECT doc_id, n_tokens, cum, cum - n_tokens AS prev FROM c WHERE n_tokens > 0)
+        |SELECT doc_id, seq_id,
+        |  greatest(prev, seq_id*512) - seq_id*512 AS seq_offset,
+        |  greatest(prev, seq_id*512) - prev AS doc_offset,
+        |  least(cum, (seq_id+1)*512) - greatest(prev, seq_id*512) AS slice_len
+        |FROM s, unnest(generate_series(prev // 512, (cum-1) // 512)) AS t(seq_id)""".stripMargin,
 
     "q_chunk" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),

@@ -233,6 +233,91 @@ object Sampling {
   }
 
   /**
+   * GPT-style sequence packing (concat-and-chunk): documents are laid
+   * end-to-end in ascending `idCol` order and the concatenated token
+   * stream is cut into fixed training sequences of `seqLen` tokens; a
+   * document whose span crosses a cut contributes one slice to every
+   * sequence it touches. Output appends, one row per (doc, sequence)
+   * slice:
+   *   `seq_id`     — training sequence index (0-based)
+   *   `seq_offset` — slice start within the sequence
+   *   `doc_offset` — slice start within the document
+   *   `slice_len`  — tokens contributed
+   * Zero-token docs contribute nothing. The layout is a pure function of
+   * (ids, token counts, seqLen) — rerunnable at any partitioning, and an
+   * oracle can replay it from a window prefix sum.
+   *
+   * Scale shape — the global token prefix sum is the same two-phase
+   * pattern as [[tokenBudget]] (one ordered window over ALL rows would
+   * serialize the corpus through one task): equal-width ordered id
+   * blocks from the collected global bounds, one subtotal per block
+   * (partial agg), cumulative offsets via a window over the tiny
+   * subtotal table, then the running sum inside each bounded block. The
+   * crossing explode emits ceil(tokens/seqLen)+1-ish rows per doc —
+   * output-sized, inside the same codegen stage, no extra shuffle.
+   */
+  def packSequences(df: DataFrame, idCol: Column, tokensCol: Column,
+                    seqLen: Long, nBlocks: Int = 1024,
+                    blockRows: Long = 1L << 22): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(nBlocks > 0, "nBlocks must be positive")
+    val reserved = Seq("__blk", "__cum", "__prev", "seq_id", "seq_offset",
+      "doc_offset", "slice_len")
+    require(reserved.forall(!df.columns.contains(_)),
+      s"columns ${reserved.mkString(", ")} are reserved by packSequences")
+    val W = org.apache.spark.sql.expressions.Window
+    val outCols = df.columns.map(col)
+    // global bounds, one aggregate collected once (query construction is
+    // eager like tokenBudget/shardAssignment)
+    val b = df.agg(min(idCol.cast("double")), max(idCol.cast("double")),
+      count(lit(1))).head()
+    if (b.getLong(2) == 0L)
+      return df.withColumn("seq_id", lit(0L)).withColumn("seq_offset", lit(0L))
+        .withColumn("doc_offset", lit(0L)).withColumn("slice_len", lit(0L))
+        .limit(0)
+    val (mn, mx, cnt) = (b.getDouble(0), b.getDouble(1), b.getLong(2))
+    val nb = math.max(1L, math.min(nBlocks.toLong,
+      (cnt + blockRows - 1) / blockRows))
+    val withCum = if (nb == 1L) {
+      // proven small: one bounded running-sum window, single pass
+      df.withColumn("__cum", sum(tokensCol).over(W.orderBy(idCol.asc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+    } else {
+      // monotone block cut over the id range (same arithmetic as
+      // tokenBudget — order-preserving, clamped at the top edge)
+      val blk = least(floor((idCol.cast("double") - mn) * nb /
+        (mx - mn + 1.0)).cast(LongType), lit(nb - 1L))
+      val blocked = df.withColumn("__blk", blk)
+      val offsets = blocked.groupBy(col("__blk").as("__blk2"))
+        .agg(sum(tokensCol).as("__sub"))
+        .withColumn("__off", coalesce(
+          sum(col("__sub")).over(W.orderBy(col("__blk2").asc)
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .select(col("__blk2"), col("__off"))
+      blocked
+        .join(broadcast(offsets), col("__blk") === col("__blk2"))
+        .withColumn("__cum", col("__off") +
+          sum(tokensCol).over(W.partitionBy(col("__blk")).orderBy(idCol.asc)))
+    }
+    val t = tokensCol.cast(LongType)
+    withCum
+      .withColumn("__prev", col("__cum") - t)
+      .filter(t > 0L)
+      .withColumn("seq_id", explode(sequence(
+        floor(col("__prev") / seqLen).cast(LongType),
+        floor((col("__cum") - 1L) / seqLen).cast(LongType))))
+      .withColumn("seq_offset",
+        greatest(col("__prev"), col("seq_id") * seqLen) - col("seq_id") * seqLen)
+      .withColumn("doc_offset",
+        greatest(col("__prev"), col("seq_id") * seqLen) - col("__prev"))
+      .withColumn("slice_len",
+        least(col("__cum"), (col("seq_id") + 1L) * seqLen) -
+          greatest(col("__prev"), col("seq_id") * seqLen))
+      .select(outCols :+ col("seq_id") :+ col("seq_offset") :+
+        col("doc_offset") :+ col("slice_len"): _*)
+  }
+
+  /**
    * Deterministic shard assembly for training-data writes: shard = hash
    * bucket of the id, position = rank of a SECOND, independent hash
    * within the shard — a stable pseudo-shuffle (training wants documents

@@ -111,6 +111,58 @@ class PipelineOpsSpec extends GraftSpec {
     assert(collapsed.nonEmpty)
   }
 
+  test("sequence packing tiles docs exactly and fills every non-final sequence") {
+    val df = Seq((1L, 100L), (2L, 250L), (3L, 0L), (4L, 300L), (5L, 7L))
+      .toDF("id", "tok")
+    val out = Sampling.packSequences(df, col("id"), col("tok"), seqLen = 128L)
+      .select("id", "seq_id", "seq_offset", "doc_offset", "slice_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // zero-token doc contributes nothing
+    assert(!out.exists(_._1 == 3L))
+    // per-doc slices tile the doc: contiguous doc_offsets summing to tok
+    val byDoc = out.groupBy(_._1)
+    Map(1L -> 100L, 2L -> 250L, 4L -> 300L, 5L -> 7L).foreach { case (id, tok) =>
+      val slices = byDoc(id).sortBy(_._4)
+      assert(slices.map(_._5).sum == tok, s"doc $id slices must sum to $tok")
+      slices.foldLeft(0L) { case (off, s) =>
+        assert(s._4 == off, s"doc $id slice at doc_offset ${s._4}, expected $off")
+        off + s._5
+      }
+    }
+    // per-sequence slices tile the sequence: every seq but the last full
+    val bySeq = out.groupBy(_._2)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, ss) =>
+      val sorted = ss.sortBy(_._3)
+      sorted.foldLeft(0L) { case (off, s) =>
+        assert(s._3 == off, s"seq $seq slice at seq_offset ${s._3}, expected $off")
+        off + s._5
+      }
+      if (seq != lastSeq)
+        assert(ss.map(_._5).sum == 128L, s"seq $seq must hold exactly 128 tokens")
+    }
+    // total = 657 tokens -> 6 sequences (5 full + 17-token tail)
+    assert(bySeq.size == 6 && bySeq(lastSeq).map(_._5).sum == 657L - 5 * 128L)
+  }
+
+  test("sequence packing is invariant to the two-phase blocking") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 9 + 1).toLong)).toDF("id", "tok")
+    def rows(blockRows: Long, nBlocks: Int) =
+      Sampling.packSequences(df, col("id"), col("tok"), seqLen = 64L,
+          nBlocks = nBlocks, blockRows = blockRows)
+        .select("id", "seq_id", "seq_offset", "doc_offset", "slice_len")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val single = rows(blockRows = 1000L, nBlocks = 64) // proven small: one window
+    val blocked = rows(blockRows = 10L, nBlocks = 64)  // 50 blocks, two-phase
+    val repart = Sampling.packSequences(df.repartition(7), col("id"), col("tok"),
+        seqLen = 64L, nBlocks = 64, blockRows = 10L)
+      .select("id", "seq_id", "seq_offset", "doc_offset", "slice_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(single == blocked, "blocking changed the packing")
+    assert(blocked == repart, "partitioning changed the packing")
+    assert(single.nonEmpty)
+  }
+
   test("shard offsets above 64k cells broadcast-join instead of a plan literal") {
     // 600 shards x 128 blocks = 76.8k cells > 2^16 forces the broadcast
     // path; the output must be identical to the literal path (blocking is
