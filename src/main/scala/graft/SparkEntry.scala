@@ -648,6 +648,18 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
 
+    // CCNet-style boilerplate removal: the corpus has no newlines, so
+    // "lines" are the segments between occurrences of " the " — a
+    // deterministic segmentation both engines split identically. A
+    // segment appearing in >= 3 distinct docs is boilerplate and is cut
+    // from every doc; docs are reassembled from surviving segments.
+    "q_boilerplate" -> ((s, dir) => {
+      Dedup.removeBoilerplateLines(tbl(s, dir, "documents"),
+        "text", "doc_id", sep = " the ", minDocs = 3)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("head"),
+          col("n_lines_kept"), col("n_lines_removed"))
+    }),
+
     "q_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashCandidatePairs(tbl(s, dir, "documents"), "text", "doc_id",
         mhHashes, mhBands, mhSeed, mhShingle)
@@ -883,6 +895,18 @@ object SparkEntry {
           round(col("st.stopword_ratio"), 6).as("stopword_ratio"),
           col("st.quality").as("quality"),
           col("st.fingerprint").as("fingerprint"))
+    }),
+
+    // Gopher-style repetition signals over the corpus — the standard
+    // machine-text/spam heuristic trio, one fused scan
+    "q_repetition" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionUdf(col("text")).as("r"))
+        .select(col("doc_id"),
+          round(col("r.dup_word_frac"), 6).as("dup_word_frac"),
+          round(col("r.top_word_frac"), 6).as("top_word_frac"),
+          round(col("r.dup_bigram_frac"), 6).as("dup_bigram_frac"))
     }),
 
     "q_pii_scrub" -> ((s, dir) => {
@@ -1448,6 +1472,20 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY array_to_string(list_slice(string_split_regex(lower(text), '\s+'), 1, 3), ' ')""".stripMargin,
 
+    "q_boilerplate" ->
+      """WITH l AS (SELECT doc_id,
+        |    unnest(string_split(text, ' the ')) AS line,
+        |    unnest(generate_series(1, len(string_split(text, ' the ')))) AS pos
+        |  FROM documents),
+        |hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd
+        |                          FROM l GROUP BY line) WHERE nd >= 3),
+        |k AS (SELECT doc_id, line, pos, line IN (SELECT line FROM hot) AS ishot FROM l)
+        |SELECT doc_id,
+        |  substr(string_agg(line, ' the ' ORDER BY pos) FILTER (WHERE NOT ishot), 1, 60) AS head,
+        |  CAST(count(*) FILTER (WHERE NOT ishot) AS BIGINT) AS n_lines_kept,
+        |  CAST(count(*) FILTER (WHERE ishot) AS BIGINT) AS n_lines_removed
+        |FROM k GROUP BY doc_id HAVING count(*) FILTER (WHERE NOT ishot) > 0""".stripMargin,
+
     "q_minhash_pairs" ->
       s"""WITH $mhCandidateCtes
          |SELECT id_a, id_b FROM cand""".stripMargin,
@@ -1791,6 +1829,22 @@ object SparkEntry {
     // PII masking replayed verbatim: the scrub patterns avoid lookarounds
     // and backreferences precisely so RE2 engines replay them; DuckDB
     // needs the 'g' flag (it defaults to first-match, Java to all)
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |b AS (SELECT doc_id, w, len(w) AS n,
+        |    CASE WHEN len(w) >= 2
+        |         THEN list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+        |         ELSE [] END AS bg
+        |  FROM d)
+        |SELECT doc_id,
+        |  round(1 - CAST(len(list_distinct(w)) AS DOUBLE) / n, 6) AS dup_word_frac,
+        |  round(CAST(list_max(list_transform(list_distinct(w),
+        |      x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / n, 6) AS top_word_frac,
+        |  CASE WHEN n < 2 THEN 0.0
+        |       ELSE round(1 - CAST(len(list_distinct(bg)) AS DOUBLE) / (n-1), 6)
+        |  END AS dup_bigram_frac
+        |FROM b""".stripMargin,
+
     "q_pii_scrub" ->
       """WITH s AS (
         |  SELECT doc_id,

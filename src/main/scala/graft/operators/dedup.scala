@@ -729,4 +729,55 @@ object Dedup {
     val union = size(array_union(a, b)).cast(DoubleType)
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
+
+  // -------------------------------------------- line-level boilerplate
+
+  /**
+   * Line-level boilerplate removal (the CCNet/RefinedWeb cleaning step):
+   * a line occurring in at least `minDocs` DISTINCT documents is
+   * boilerplate — headers, footers, nav chrome, cookie banners — and is
+   * dropped from every document; each document's text is reassembled
+   * from its surviving lines in original order. Documents whose every
+   * line is boilerplate disappear (their text would be empty). Output:
+   * `idCol`, rebuilt `textCol`, `n_lines_kept`, `n_lines_removed`.
+   *
+   * Scale shape: split+posexplode is generator-shaped (no shuffle);
+   * per-line distinct-doc counts are two partial-aggregated exchanges
+   * on the line key — the same cost class as [[exact]] dedup. The hot
+   * set is by definition tiny relative to the corpus (lines repeated
+   * across >= minDocs docs), joined back as a BROADCAST left join whose
+   * null-ness marks boilerplate; `maxHotLines` fail-fasts a degenerate
+   * threshold (minDocs so low that the "hot" set approaches the corpus'
+   * line diversity) before anything is broadcast. Reassembly is ONE
+   * hash aggregate per doc: collect_list skips the nulls the hot-join
+   * marked, sort_array restores line order, and the struct-field
+   * extraction (`s.line`) + concat_ws stay codegen'd — no higher-order
+   * function touches a per-line row.
+   */
+  def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                             sep: String = "\n", minDocs: Int = 3,
+                             maxHotLines: Long = 10000000L): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs): at 1 every line is boilerplate")
+    val lines = df.select(col(idCol), posexplode(
+      split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__line")))
+    val hot = lines.select(col("__line"), col(idCol)).distinct()
+      .groupBy(col("__line")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__line"), lit(1).as("__hot"))
+    val nHot = hot.limit(math.min(maxHotLines + 1, Int.MaxValue.toLong).toInt).count()
+    require(nHot <= maxHotLines,
+      s"more than $maxHotLines boilerplate lines at minDocs=$minDocs: the " +
+        s"threshold marks a large fraction of the corpus' distinct lines as " +
+        s"boilerplate (broadcast would not fit). Raise minDocs or maxHotLines.")
+    lines.join(broadcast(hot), Seq("__line"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        sort_array(collect_list(when(col("__hot").isNull,
+          struct(col("__pos").as("p"), col("__line").as("line"))))).as("__s"))
+      .filter(size(col("__s")) > 0)
+      .select(col(idCol),
+        concat_ws(sep, col("__s.line")).as(textCol),
+        size(col("__s")).cast(LongType).as("n_lines_kept"),
+        (col("__n") - size(col("__s"))).cast(LongType).as("n_lines_removed"))
+  }
 }

@@ -194,6 +194,64 @@ object TextAnalysis {
     }
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1): excessive
+    * within-document repetition is the strongest single heuristic for
+    * machine-generated/spammy text. */
+  case class RepetitionStats(dup_word_frac: Double, top_word_frac: Double,
+                             dup_bigram_frac: Double)
+
+  /**
+   * Fused single-pass repetition kernel: one split, one token sweep with
+   * a count map, one bigram sweep — the corpus-scan form (same rationale
+   * as [[statsUdf]]: the Column forms below each re-split the text).
+   *   dup_word_frac   = 1 − |distinct words| / |words|
+   *   top_word_frac   = count(most frequent word) / |words|
+   *   dup_bigram_frac = 1 − |distinct bigrams| / |bigrams| (0 if < 2 words)
+   * Ratios are exact int/int IEEE divisions — bit-identical in any
+   * engine, so round(x, 6) oracle-compares safely.
+   */
+  def repetitionUdf = udf { (text: String) =>
+    val w = Dedup.wsPattern.split(text.toLowerCase)
+    val n = w.length
+    val counts = new java.util.HashMap[String, Int]()
+    var top = 0
+    var i = 0
+    while (i < n) {
+      val c = counts.merge(w(i), 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    val dupB = if (n < 2) 0.0 else {
+      val bi = new java.util.HashSet[String]()
+      var j = 0
+      while (j < n - 1) { bi.add(w(j) + " " + w(j + 1)); j += 1 }
+      1.0 - bi.size.toDouble / (n - 1)
+    }
+    RepetitionStats(1.0 - counts.size.toDouble / math.max(n, 1),
+      top.toDouble / math.max(n, 1), dupB)
+  }
+
+  /** Column form of dup_word_frac — codegen-friendly (array_distinct is
+    * a non-lambda collection op), for composing into expression-only
+    * scans. Spec-pinned equal to [[repetitionUdf]]. */
+  def dupWordFrac(text: Column): Column = {
+    val w = words(text)
+    lit(1.0) - size(array_distinct(w)).cast(DoubleType) /
+      greatest(size(w), lit(1)).cast(DoubleType)
+  }
+
+  /** Column form of dup_bigram_frac. The bigram build is a lambda
+    * transform — fine in a projection, but corpus-wide scans should use
+    * the fused [[repetitionUdf]]. */
+  def dupBigramFrac(text: Column): Column = {
+    val w = words(text)
+    val bg = transform(sequence(lit(1), size(w) - 1), i =>
+      concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
+    when(size(w) < 2, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(bg)).cast(DoubleType) /
+        (size(w) - 1).cast(DoubleType))
+  }
+
   /**
    * BM25 ranked retrieval: top-k documents for a bag of query terms.
    * Lucene's formula: per matching term,

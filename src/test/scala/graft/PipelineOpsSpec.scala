@@ -55,6 +55,32 @@ class PipelineOpsSpec extends GraftSpec {
       s"term filter not directly on the explode:\n${lines.mkString("\n")}")
   }
 
+  test("repetition metrics: hand-computed values; Column forms match fused UDF") {
+    val df = Seq(
+      (1L, "spam spam spam spam"),            // 1 distinct / 4; top 4/4; bigrams all "spam spam"
+      (2L, "a b c d"),                        // no repetition at all
+      (3L, "x y x y x"),                      // 2 distinct / 5; bigrams: xy yx xy yx -> 2/4 distinct
+      (4L, "solo")).toDF("doc_id", "text")    // single word: bigram frac 0
+    val got = df.select(col("doc_id"), TextAnalysis.repetitionUdf(col("text")).as("r"))
+      .select(col("doc_id"), col("r.dup_word_frac"), col("r.top_word_frac"),
+        col("r.dup_bigram_frac"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L) == (0.75, 1.0, 1.0 - 1.0 / 3)) // same fp op order as the kernel
+    assert(got(2L) == (0.0, 0.25, 0.0))
+    assert(got(3L) == (0.6, 3.0 / 5, 0.5))
+    assert(got(4L) == (0.0, 1.0, 0.0))
+    // Column forms agree with the fused kernel on real corpus text
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cmp = docs.select(
+        TextAnalysis.repetitionUdf(col("text")).as("r"),
+        TextAnalysis.dupWordFrac(col("text")).as("dw"),
+        TextAnalysis.dupBigramFrac(col("text")).as("db"))
+      .filter(col("r.dup_word_frac") =!= col("dw") ||
+        col("r.dup_bigram_frac") =!= col("db"))
+    assert(cmp.count() == 0, "Column forms diverged from the fused kernel")
+  }
+
   test("PII scrub masks emails and long digit runs, leaves clean text alone") {
     val rows = Seq(
       (1L, "contact me at jane.doe+spam@mail.example.org today"),
@@ -247,6 +273,40 @@ class PipelineOpsSpec extends GraftSpec {
     val kept = Dedup.exact(docs, col("text"), "doc_id")
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("boilerplate lines removed from every doc; fully-boilerplate docs vanish") {
+    val df = Seq(
+      (1L, "keep me\nCOOKIE BANNER\nunique tail one"),
+      (2L, "COOKIE BANNER\nother text\nFOOTER"),
+      (3L, "FOOTER\nCOOKIE BANNER\nthird body"),
+      (4L, "FOOTER\nCOOKIE BANNER"), // nothing survives -> doc vanishes
+      (5L, "solo document, no repeats")).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplateLines(df, "text", "doc_id", minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // COOKIE BANNER in docs 1,2,3,4 (>=3) and FOOTER in 2,3,4 (>=3) are hot
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 5L), s"got $out")
+    assert(out(0)._2 == "keep me\nunique tail one" && out(0)._3 == 2 && out(0)._4 == 1)
+    assert(out(1)._2 == "other text" && out(1)._3 == 1 && out(1)._4 == 2)
+    assert(out(2)._2 == "third body")
+    assert(out(3)._2 == "solo document, no repeats" && out(3)._4 == 0)
+    // order preserved when a middle line is cut
+    assert(out(0)._2.startsWith("keep me"))
+  }
+
+  test("boilerplate: degenerate threshold fails fast before broadcasting") {
+    val df = (1 to 50).map(i => (i.toLong, s"shared line\nalso shared"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.removeBoilerplateLines(df, "text", "doc_id", minDocs = 2,
+        maxHotLines = 1L).collect()
+    }
+    assert(e.getMessage.contains("minDocs"), e.getMessage)
+    // minDocs < 2 rejected outright
+    intercept[IllegalArgumentException] {
+      Dedup.removeBoilerplateLines(df, "text", "doc_id", minDocs = 1)
+    }
   }
 
   test("minhash: identical docs always collide, near-dups usually, distinct never-ish") {
