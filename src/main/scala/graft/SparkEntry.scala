@@ -897,6 +897,23 @@ object SparkEntry {
           col("st.fingerprint").as("fingerprint"))
     }),
 
+    // classic TF-IDF term weights over the corpus; terms in every doc
+    // carry ln(1) = 0 and are dropped by the exact df < N test
+    "q_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfidf(tbl(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
+    }),
+
+    // training-mix construction: sample the corpus DOWN to 40/30/20/10
+    // source proportions — the binding stratum stays whole, the others
+    // hash-threshold down; sources outside the mix drop entirely
+    "q_mixture" -> ((s, dir) => {
+      Sampling.sampleToMixture(tbl(s, dir, "documents"),
+        col("source"), col("doc_id"),
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+        .select(col("doc_id"), col("source"))
+    }),
+
     // Gopher-style repetition signals over the corpus — the standard
     // machine-text/spam heuristic trio, one fused scan
     "q_repetition" -> ((s, dir) => {
@@ -1829,6 +1846,23 @@ object SparkEntry {
     // PII masking replayed verbatim: the scrub patterns avoid lookarounds
     // and backreferences precisely so RE2 engines replay them; DuckDB
     // needs the 'g' flag (it defaults to first-match, Java to all)
+    "q_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |SELECT doc_id, term, tf, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (term), n WHERE df < n AND df >= 1""".stripMargin,
+
+    "q_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |t(source, tgt) AS (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
+        |s AS (SELECT min(n / tgt) AS scale FROM c JOIN t USING (source)),
+        |r AS (SELECT t.source, CAST(floor(scale * tgt / n * 1000000) AS BIGINT) AS thr
+        |      FROM c JOIN t ON c.source = t.source, s)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < r.thr""".stripMargin,
+
     "q_repetition" ->
       """WITH d AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
         |b AS (SELECT doc_id, w, len(w) AS n,

@@ -233,6 +233,49 @@ object Sampling {
   }
 
   /**
+   * Sample DOWN to a target mixture: given target proportions per
+   * stratum (source/language weights for a training mix), keep the
+   * largest corpus achievable without upsampling any stratum — the
+   * binding stratum (smallest n_g / target_g) is kept whole and every
+   * other stratum is hash-thresholded down so realized sizes follow the
+   * targets. Strata absent from `targets` are dropped; a target naming
+   * an absent stratum fails fast (the requested mixture is infeasible).
+   * Proportions only need to be relative (they are never normalized —
+   * scale = min_g n_g/t_g cancels any common factor).
+   *
+   * Deterministic and engine-portable like [[hashSample]]: per-stratum
+   * keep-thresholds are derived from exact counts (one partial-agg pass,
+   * collected under `maxStrata`) with fixed-order double arithmetic an
+   * oracle replays bit-identically, then applied as a codegen'd
+   * when-chain filter on the scan — no shuffle in the data path at all.
+   */
+  def sampleToMixture(df: DataFrame, strataCol: Column, idCol: Column,
+                      targets: Map[String, Double],
+                      maxStrata: Int = 100000): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(_ > 0.0), "target proportions must be positive")
+    val fine = 1000000
+    val counts = df.groupBy(strataCol.as("__s"))
+      .agg(count(lit(1)).as("__cnt")).limit(maxStrata + 1).collect()
+      .map(r => (if (r.isNullAt(0)) null else r.get(0).toString) -> r.getLong(1))
+      .toMap
+    require(counts.size <= maxStrata,
+      s"more than $maxStrata strata; raise maxStrata (driver holds one count per stratum)")
+    val missing = targets.keySet.filterNot(counts.contains)
+    require(missing.isEmpty,
+      s"target strata absent from the data: ${missing.mkString(", ")} — the mixture is infeasible")
+    // scale = the largest total size no stratum has to upsample for;
+    // fixed arithmetic order (((scale * t) / n) * fine) so the oracle's
+    // double math lands on the identical threshold
+    val scale = targets.map { case (g, t) => counts(g) / t }.min
+    val thr = targets.map { case (g, t) =>
+      g -> math.floor(scale * t / counts(g) * fine).toLong }
+    val thrCol = thr.foldLeft(lit(0L)) { case (acc, (g, t)) =>
+      when(strataCol === g, lit(t)).otherwise(acc) }
+    df.filter(bucket(idCol, fine) < thrCol)
+  }
+
+  /**
    * GPT-style sequence packing (concat-and-chunk): documents are laid
    * end-to-end in ascending `idCol` order and the concatenated token
    * stream is cut into fixed training sequences of `seqLen` tokens; a

@@ -301,4 +301,36 @@ object TextAnalysis {
       .limit(k)
       .select(col("__id").as(idCol), col("score"))
   }
+
+  /**
+   * TF-IDF term weights: one row per (doc, term) with
+   * `tfidf = tf · ln(N / df)` — the classic variant, deterministic and
+   * engine-replayable (ln over a double ratio, rounded at 6, same
+   * convention as [[bm25Rank]]'s idf). Terms present in every document
+   * carry zero information (ln 1 = 0) and are dropped by the exact
+   * integer test `df < N`; `minDf` additionally prunes hapax noise.
+   *
+   * The 100 TB shape: term counts and document frequencies are two
+   * partial-aggregated exchanges (same cost class as exact dedup); the
+   * df table is |vocabulary| rows — joined by key, NOT broadcast by
+   * default, because a web-scale vocabulary (hundreds of millions of
+   * n-gram-ish terms) outgrows a broadcast; Spark's AQE still picks a
+   * broadcast when the vocab is provably small. The corpus size N rides
+   * in as a one-row broadcast cross join, keeping the whole query lazy.
+   */
+  def tfidf(df: org.apache.spark.sql.DataFrame, textCol: String,
+            idCol: String, minDf: Int = 1): org.apache.spark.sql.DataFrame = {
+    require(minDf >= 1, "minDf must be >= 1")
+    val tf = df
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .filter(col("__df") < col("__n") && col("__df") >= minDf)
+      .select(col(idCol), col("term"), col("tf"),
+        round(col("tf") * log(col("__n").cast(DoubleType) / col("__df")), 6)
+          .as("tfidf"))
+  }
 }

@@ -81,6 +81,51 @@ class PipelineOpsSpec extends GraftSpec {
     assert(cmp.count() == 0, "Column forms diverged from the fused kernel")
   }
 
+  test("tfidf: hand-computed weights; all-doc terms and sub-minDf terms drop") {
+    val corpus = Seq(
+      (1L, "common rare rare"), (2L, "common other"), (3L, "common solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tfidf(corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // "common" is in all 3 docs -> ln(1)=0, dropped by df < N
+    assert(!got.keys.exists(_._2 == "common"))
+    def w(tf: Long) = BigDecimal(tf * math.log(3.0 / 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, "rare")) == (2L, w(2)))
+    assert(got((2L, "other")) == (1L, w(1)))
+    assert(got((3L, "solo")) == (1L, w(1)))
+    // minDf = 2 prunes every singleton term here
+    assert(TextAnalysis.tfidf(corpus, "text", "doc_id", minDf = 2).count() == 0)
+  }
+
+  test("mixture sampling hits target proportions; infeasible targets fail fast") {
+    val df = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    // equal 1000-row strata, targets 4:2:1 over three of them
+    val out = Sampling.sampleToMixture(df, col("source"), col("doc_id"),
+        Map("src0" -> 0.4, "src1" -> 0.2, "src2" -> 0.1))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binding stratum src0 kept whole; others scaled by target ratio
+    assert(out("src0") == 1000L, s"got $out")
+    assert(math.abs(out("src1") - 500L) < 60, s"got $out")
+    assert(math.abs(out("src2") - 250L) < 45, s"got $out")
+    assert(!out.contains("src3"), "strata outside the mix must drop")
+    // determinism under repartitioning
+    val re = Sampling.sampleToMixture(df.repartition(7), col("source"),
+        col("doc_id"), Map("src0" -> 0.4, "src1" -> 0.2, "src2" -> 0.1))
+      .select("doc_id").as[Long].collect().toSet
+    val first = Sampling.sampleToMixture(df, col("source"), col("doc_id"),
+        Map("src0" -> 0.4, "src1" -> 0.2, "src2" -> 0.1))
+      .select("doc_id").as[Long].collect().toSet
+    assert(re == first)
+    val e = intercept[IllegalArgumentException] {
+      Sampling.sampleToMixture(df, col("source"), col("doc_id"),
+        Map("src0" -> 0.5, "srcX" -> 0.5))
+    }
+    assert(e.getMessage.contains("srcX"), e.getMessage)
+  }
+
   test("PII scrub masks emails and long digit runs, leaves clean text alone") {
     val rows = Seq(
       (1L, "contact me at jane.doe+spam@mail.example.org today"),
