@@ -289,6 +289,26 @@ object SparkEntry {
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"), col("revenue"))
     }),
 
+    // PIVOT: per-nation revenue spread over order years as columns — the
+    // OLAP cross-tab shape. Explicit pivot values keep the plan static
+    // (no values-discovery pass) and the output schema engine-portable;
+    // one Expand-free aggregate, dims broadcast like q3.
+    "q_pivot" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      l.join(o.hint("SHUFFLE_HASH"), l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .withColumn("yr", year(col("o_orderdate")))
+        .filter(col("yr").between(1995, 1998))
+        .groupBy(col("n_name"))
+        .pivot("yr", Seq(1995, 1996, 1997, 1998))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")), 2).cast("double"))
+    }),
+
     // Deterministic stratified take-n: exactly 25 docs per language by
     // smallest content hash. See Sampling.takeStratified.
     "q_take_stratified" -> ((s, dir) => {
@@ -1059,6 +1079,20 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderkey, o_orderdate""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CASE WHEN yr = 1995 THEN rev END), 2) AS DOUBLE) AS "1995",
+        |  CAST(round(sum(CASE WHEN yr = 1996 THEN rev END), 2) AS DOUBLE) AS "1996",
+        |  CAST(round(sum(CASE WHEN yr = 1997 THEN rev END), 2) AS DOUBLE) AS "1997",
+        |  CAST(round(sum(CASE WHEN yr = 1998 THEN rev END), 2) AS DOUBLE) AS "1998"
+        |FROM (SELECT n_name, year(o_orderdate) AS yr,
+        |        CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS rev
+        |      FROM lineitem, orders, customer, nation
+        |      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |        AND c_nationkey = n_nationkey
+        |        AND year(o_orderdate) BETWEEN 1995 AND 1998)
+        |GROUP BY n_name""".stripMargin,
 
     "q_take_stratified" ->
       """WITH h AS (SELECT doc_id, lang,

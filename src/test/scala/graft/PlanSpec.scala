@@ -37,6 +37,21 @@ class PlanSpec extends GraftSpec {
     assert(exchanges <= 2, s"expected one shuffle (+optional AQE read), got $exchanges:\n$p")
   }
 
+  test("q_pivot: static pivot is one aggregate pass, dims broadcast") {
+    val p = plan("q_pivot")
+    // explicit pivot values -> no values-discovery job and no Expand;
+    // Spark plans pivot as TWO partial-aggregated pairs (sum by
+    // (nation, yr), then pivotfirst by nation) — both shuffles carry
+    // only aggregated cells (~nations x years rows), never data
+    assert(!p.contains("Expand"), s"static pivot must not Expand:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    assert(p.contains("pivotfirst"), s"expected the pivot aggregate:\n$p")
+    // shuffles only (broadcast exchanges excluded): 2 for the fact join
+    // sides + 2 for the agg levels
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 4, s"pivot should add at most 2 agg shuffles, got $shuffles:\n$p")
+  }
+
   test("q_sample: scan pruned to the two projected columns") {
     val p = plan("q_sample")
     assert(!p.contains("text") && !p.contains("n_chars"),

@@ -43,6 +43,19 @@ class SourcesSpec extends GraftSpec {
     }
   }
 
+  test("orc scans push filters and prune columns like parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_push").toString
+    (1L to 1000L).map(i => (i, s"name_$i", i * 2.0)).toDF("id", "name", "v")
+      .write.mode("overwrite").orc(dir)
+    val q = spark.read.orc(dir).filter(col("id") > 900L).select("id", "v")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,900)]"),
+      s"ORC filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<id:bigint,v:double>"),
+      s"ORC scan not pruned to the projection:\n$scan")
+    assert(q.count() == 100)
+  }
+
   test("parquet round-trip preserves operator output schemas") {
     val out = java.nio.file.Files.createTempDirectory("pq").toString
     val df = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
