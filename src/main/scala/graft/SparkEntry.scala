@@ -903,6 +903,27 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_tokens"))
     }),
 
+    // second composed pipeline, over the round-4 operators: repetition
+    // filter -> boilerplate removal -> exact dedup on the CLEANED text
+    // -> sequence packing; the whole composition hash-checks in DuckDB
+    "q_curate2" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val f1 = docs
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.dupWordFrac(col("text")).as("dw"))
+        .filter(col("dw") <= 0.5)
+        .select("doc_id", "text")
+      val reb = Dedup.removeBoilerplateLines(f1, "text", "doc_id",
+        sep = " the ", minDocs = 3).select("doc_id", "text")
+      val key = concat_ws(" ", slice(split(lower(col("text")), "\\s+"), 1, 3))
+      val dd = Dedup.exact(reb.withColumn("__k", key), col("__k"), "doc_id")
+        .select("doc_id", "text")
+        .withColumn("n_tokens", size(split(lower(col("text")), "\\s+")).cast("long"))
+      Sampling.packSequences(dd, col("doc_id"), col("n_tokens"), seqLen = 256L)
+        .select(col("doc_id"), col("seq_id"), col("seq_offset"),
+          col("doc_offset"), col("slice_len"))
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       // fused single-pass scan (see TextAnalysis.statsUdf; the per-op
       // Column forms are the documented API and spec-tested equivalents)
@@ -922,6 +943,13 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) => {
       TextAnalysis.tfidf(tbl(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
+    }),
+
+    // CCNet-style perplexity filter signal: mean token negative
+    // log-likelihood under the corpus's own unigram LM
+    "q_lm_score" -> ((s, dir) => {
+      TextAnalysis.unigramNll(tbl(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("mean_nll"))
     }),
 
     // training-mix construction: sample the corpus DOWN to 40/30/20/10
@@ -1841,6 +1869,33 @@ object SparkEntry {
          |SELECT doc_id, source, n_tokens FROM cum WHERE c <= 3000""".stripMargin
     },
 
+    "q_curate2" ->
+      """WITH
+        |w0 AS (SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |f1 AS (SELECT doc_id, text FROM w0
+        |       WHERE 1 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.5),
+        |l AS (SELECT doc_id, unnest(string_split(text, ' the ')) AS line,
+        |        unnest(generate_series(1, len(string_split(text, ' the ')))) AS pos FROM f1),
+        |hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) AS nd
+        |                          FROM l GROUP BY line) WHERE nd >= 3),
+        |reb AS (SELECT doc_id, string_agg(line, ' the ' ORDER BY pos) AS text
+        |        FROM (SELECT doc_id, line, pos, line IN (SELECT line FROM hot) AS ishot FROM l)
+        |        WHERE NOT ishot GROUP BY doc_id),
+        |dd AS (SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, row_number() OVER (
+        |      PARTITION BY array_to_string(list_slice(string_split_regex(lower(text), '\s+'), 1, 3), ' ')
+        |      ORDER BY doc_id) AS rn FROM reb) WHERE rn = 1),
+        |tok AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens FROM dd),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM tok),
+        |s AS (SELECT doc_id, n_tokens, cum, cum - n_tokens AS prev FROM c WHERE n_tokens > 0)
+        |SELECT doc_id, seq_id,
+        |  greatest(prev, seq_id*256) - seq_id*256 AS seq_offset,
+        |  greatest(prev, seq_id*256) - prev AS doc_offset,
+        |  least(cum, (seq_id+1)*256) - greatest(prev, seq_id*256) AS slice_len
+        |FROM s, unnest(generate_series(prev // 256, (cum-1) // 256)) AS t(seq_id)""".stripMargin,
+
     "q_text_stats" -> {
       def ratio(langWords: Seq[String]): String = {
         val inList = langWords.map(w => s"'$w'").mkString(", ")
@@ -1887,6 +1942,16 @@ object SparkEntry {
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
         |SELECT doc_id, term, tf, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
         |FROM tf JOIN dfreq USING (term), n WHERE df < n AND df >= 1""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |lm AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS v FROM lm)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CAST(-ln((c + 1.0) / (tot + v)) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / count(*), 6) AS mean_nll
+        |FROM t JOIN lm USING (term), tot
+        |GROUP BY doc_id""".stripMargin,
 
     "q_mixture" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),

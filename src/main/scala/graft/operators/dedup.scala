@@ -745,30 +745,40 @@ object Dedup {
    * per-line distinct-doc counts are two partial-aggregated exchanges
    * on the line key — the same cost class as [[exact]] dedup. The hot
    * set is by definition tiny relative to the corpus (lines repeated
-   * across >= minDocs docs), joined back as a BROADCAST left join whose
-   * null-ness marks boilerplate; `maxHotLines` fail-fasts a degenerate
-   * threshold (minDocs so low that the "hot" set approaches the corpus'
-   * line diversity) before anything is broadcast. Reassembly is ONE
-   * hash aggregate per doc: collect_list skips the nulls the hot-join
-   * marked, sort_array restores line order, and the struct-field
-   * extraction (`s.line`) + concat_ws stay codegen'd — no higher-order
-   * function touches a per-line row.
+   * across >= minDocs docs), so it is collected ONCE (capped at
+   * `maxHotLines` — the collect doubles as the guard against a
+   * degenerate threshold where the "hot" set approaches the corpus'
+   * line diversity) and rejoined as a LITERAL broadcast table: no
+   * lineage, so the execution never re-runs the counting pipeline a
+   * second time — which matters when this op sits mid-composition and
+   * its upstream is itself expensive. Reassembly is ONE hash aggregate
+   * per doc: collect_list skips the nulls the hot-join marked,
+   * sort_array restores line order, and the struct-field extraction
+   * (`s.line`) + concat_ws stay codegen'd — no higher-order function
+   * touches a per-line row.
    */
   def removeBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
                              sep: String = "\n", minDocs: Int = 3,
-                             maxHotLines: Long = 10000000L): DataFrame = {
+                             maxHotLines: Int = 1000000): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs): at 1 every line is boilerplate")
+    val spark = df.sparkSession
     val lines = df.select(col(idCol), posexplode(
       split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("__pos", "__line")))
-    val hot = lines.select(col("__line"), col(idCol)).distinct()
+    val hotRows = lines.select(col("__line"), col(idCol)).distinct()
       .groupBy(col("__line")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
-      .select(col("__line"), lit(1).as("__hot"))
-    val nHot = hot.limit(math.min(maxHotLines + 1, Int.MaxValue.toLong).toInt).count()
-    require(nHot <= maxHotLines,
+      .select(col("__line"))
+      .limit(maxHotLines + 1).collect()
+    require(hotRows.length <= maxHotLines,
       s"more than $maxHotLines boilerplate lines at minDocs=$minDocs: the " +
         s"threshold marks a large fraction of the corpus' distinct lines as " +
         s"boilerplate (broadcast would not fit). Raise minDocs or maxHotLines.")
+    import scala.jdk.CollectionConverters._
+    val hot = spark.createDataFrame(
+      hotRows.map(r => org.apache.spark.sql.Row(r.getString(0), 1)).toList.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__line", StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("__hot", IntegerType, nullable = false))))
     lines.join(broadcast(hot), Seq("__line"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__n"),

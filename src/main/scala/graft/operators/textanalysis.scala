@@ -333,4 +333,42 @@ object TextAnalysis {
         round(col("tf") * log(col("__n").cast(DoubleType) / col("__df")), 6)
           .as("tfidf"))
   }
+
+  /**
+   * Unigram language-model scoring (the CCNet-style perplexity filter,
+   * self-trained): the corpus's own word frequencies form the LM —
+   * p(w) = count(w) / total — and each document scores its mean token
+   * negative log-likelihood, `nll = −(1/n)·Σ ln p(w_i)`. Low = fluent
+   * under the corpus distribution; high = rare-word soup, a strong junk
+   * signal. Exponentiate for perplexity; here the score stays in
+   * log-space (monotone, no overflow). With the LM trained on the
+   * scored corpus itself there is no OOV; `add-1` smoothing
+   * (`(count+1)/(total+|V|)`) still guards the transfer case where the
+   * LM table is persisted and applied to a fresh corpus.
+   *
+   * The 100 TB shape mirrors [[tfidf]]: token counts are one
+   * partial-aggregated exchange, the LM table is |vocabulary| rows
+   * joined BY KEY (AQE broadcasts it when provably small), corpus
+   * totals ride in as a one-row broadcast, and the per-doc mean is a
+   * second partial-agg exchange on the doc id. Everything stays lazy.
+   */
+  def unigramNll(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 idCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("__c"))
+    val totals = lm.agg(sum(col("__c")).cast(DoubleType).as("__tot"),
+      count(lit(1)).cast(DoubleType).as("__v"))
+    toks.join(lm, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__nll",
+        -log((col("__c") + 1.0) / (col("__tot") + col("__v"))))
+      .groupBy(col(idCol))
+      // decimal sum: double reduction order differs between engines and
+      // partitionings; the per-token nll is truncated to a fixed scale
+      // once, then summed exactly
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__nll").cast("decimal(28,12)")).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__s").cast(DoubleType) / col("n_tokens"), 6).as("mean_nll"))
+  }
 }

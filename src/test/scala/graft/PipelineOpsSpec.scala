@@ -99,6 +99,22 @@ class PipelineOpsSpec extends GraftSpec {
     assert(TextAnalysis.tfidf(corpus, "text", "doc_id", minDf = 2).count() == 0)
   }
 
+  test("unigram LM scoring: hand-computed mean NLL, rare-word docs score worse") {
+    // corpus counts: a=3, b=2, z=1; total=6, |V|=3 -> p+1(w)=(c+1)/9
+    val corpus = Seq((1L, "a a b"), (2L, "a b z")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramNll(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def nll(c: Long) = BigDecimal(-math.log((c + 1.0) / 9.0))
+      .setScale(12, BigDecimal.RoundingMode.DOWN) // decimal(28,12) truncation
+    def mean(cs: Seq[Long]) =
+      (cs.map(nll).sum / cs.length).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 == 3 && got(2L)._1 == 3)
+    assert(math.abs(got(1L)._2 - mean(Seq(3, 3, 2))) < 2e-6, s"${got(1L)}")
+    assert(math.abs(got(2L)._2 - mean(Seq(3, 2, 1))) < 2e-6, s"${got(2L)}")
+    // the rare-word doc is less likely under the LM
+    assert(got(2L)._2 > got(1L)._2)
+  }
+
   test("mixture sampling hits target proportions; infeasible targets fail fast") {
     val df = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
     // equal 1000-row strata, targets 4:2:1 over three of them
@@ -345,7 +361,7 @@ class PipelineOpsSpec extends GraftSpec {
       .toDF("doc_id", "text")
     val e = intercept[IllegalArgumentException] {
       Dedup.removeBoilerplateLines(df, "text", "doc_id", minDocs = 2,
-        maxHotLines = 1L).collect()
+        maxHotLines = 1).collect()
     }
     assert(e.getMessage.contains("minDocs"), e.getMessage)
     // minDocs < 2 rejected outright
