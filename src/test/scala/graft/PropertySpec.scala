@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{AHP, Apriori, FCM, Joins, Quantiles, Topsis}
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -111,6 +112,63 @@ class PropertySpec extends GraftSpec {
         val want = rs.filter(x => x._1 == k && x._2 <= t && t - x._2 <= tol)
           .map(_._2).sorted.lastOption
         assert(got(i.toLong) == want, s"left ($k,$t) rights=$rs tol=$tol")
+      }
+    }
+  }
+
+  test("packSequences equals brute-force concat-and-chunk on random corpora") {
+    val gen = for {
+      n <- Gen.choose(1, 20)
+      toks <- Gen.listOfN(n, Gen.choose(0L, 40L))
+      seqLen <- Gen.choose(1L, 25L)
+    } yield (toks, seqLen)
+    forSamples(gen) { case (toks, seqLen) =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "tok")
+      val got = graft.operators.Sampling
+        .packSequences(df, col("id"), col("tok"), seqLen,
+          nBlocks = 4, blockRows = 3L) // force the two-phase path
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("seq_id"),
+          r.getAs[Long]("seq_offset"), r.getAs[Long]("doc_offset"),
+          r.getAs[Long]("slice_len"))).toSet
+      // brute force: walk the token stream in id order
+      var cum = 0L
+      val want = toks.zipWithIndex.flatMap { case (t, i) =>
+        val prev = cum; cum += t
+        if (t == 0) Nil
+        else (prev / seqLen to (cum - 1) / seqLen).map { s =>
+          val start = math.max(prev, s * seqLen)
+          val end = math.min(cum, (s + 1) * seqLen)
+          (i.toLong, s, start - s * seqLen, start - prev, end - start)
+        }
+      }.toSet
+      assert(got == want, s"toks=$toks seqLen=$seqLen")
+    }
+  }
+
+  test("removeBoilerplateLines equals brute-force hot-line filtering") {
+    val lineGen = Gen.choose(0, 3).map(i => s"L$i") // tiny line alphabet
+    val gen = for {
+      n <- Gen.choose(2, 10)
+      docs <- Gen.listOfN(n, Gen.choose(1, 4).flatMap(Gen.listOfN(_, lineGen)))
+      minDocs <- Gen.choose(2, 4)
+    } yield (docs, minDocs)
+    forSamples(gen) { case (docLines, minDocs) =>
+      val df = docLines.zipWithIndex
+        .map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .removeBoilerplateLines(df, "text", "doc_id", minDocs = minDocs)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val hot = docLines.flatMap(_.distinct).groupBy(identity)
+        .filter(_._2.size >= minDocs).keySet
+      docLines.zipWithIndex.foreach { case (ls, i) =>
+        val kept = ls.filterNot(hot)
+        if (kept.isEmpty) assert(!got.contains(i.toLong), s"doc $i should vanish")
+        else assert(got(i.toLong) ==
+          (kept.mkString("\n"), kept.size.toLong, (ls.size - kept.size).toLong),
+          s"doc $i lines=$ls hot=$hot")
       }
     }
   }
