@@ -295,14 +295,20 @@ object SparkEntry {
     // one Expand-free aggregate, dims broadcast like q3.
     "q_pivot" -> ((s, dir) => {
       val l = tbl(s, dir, "lineitem")
+      // RAW date-range predicate, not year(o_orderdate) BETWEEN: a
+      // computed-column filter cannot push to the parquet scan, so the
+      // full orders table (and through the join, all of lineitem) flowed
+      // into the shuffle — measured 1.75x over linear at the 300x point.
+      // The range form pushes down AND lets the join prune lineitem rows.
       val o = tbl(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
       val c = tbl(s, dir, "customer")
       val n = tbl(s, dir, "nation")
       l.join(o.hint("SHUFFLE_HASH"), l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .withColumn("yr", year(col("o_orderdate")))
-        .filter(col("yr").between(1995, 1998))
         .groupBy(col("n_name"))
         .pivot("yr", Seq(1995, 1996, 1997, 1998))
         .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -1119,7 +1125,8 @@ object SparkEntry {
         |      FROM lineitem, orders, customer, nation
         |      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
         |        AND c_nationkey = n_nationkey
-        |        AND year(o_orderdate) BETWEEN 1995 AND 1998)
+        |        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |        AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY n_name""".stripMargin,
 
     "q_take_stratified" ->

@@ -46,6 +46,9 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("Expand"), s"static pivot must not Expand:\n$p")
     assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
     assert(p.contains("pivotfirst"), s"expected the pivot aggregate:\n$p")
+    // the year range is a RAW o_orderdate predicate so it reaches the scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date range not pushed to the orders scan:\n$p")
     // shuffles only (broadcast exchanges excluded): 2 for the fact join
     // sides + 2 for the agg levels
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
