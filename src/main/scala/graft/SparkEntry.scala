@@ -951,6 +951,14 @@ object SparkEntry {
         .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
     }),
 
+    // robust outlier detection: rank statistics (median/MAD), immune to
+    // the outliers they hunt; k=1.8 flags the price tails on uniform data
+    "q_mad_outliers" -> ((s, dir) => {
+      Quantiles.madOutliers(tbl(s, dir, "lineitem"), "l_extendedprice", k = 1.8)
+        .filter(col("is_outlier"))
+        .select(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // CCNet-style perplexity filter signal: mean token negative
     // log-likelihood under the corpus's own unigram LM
     "q_lm_score" -> ((s, dir) => {
@@ -1949,6 +1957,12 @@ object SparkEntry {
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
         |SELECT doc_id, term, tf, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
         |FROM tf JOIN dfreq USING (term), n WHERE df < n AND df >= 1""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH m AS (SELECT quantile_disc(l_extendedprice, 0.5) AS med FROM lineitem),
+        |d AS (SELECT quantile_disc(abs(l_extendedprice - med), 0.5) AS mad FROM lineitem, m)
+        |SELECT l_orderkey, l_linenumber FROM lineitem, m, d
+        |WHERE abs(l_extendedprice - med) > 1.8 * mad""".stripMargin,
 
     "q_lm_score" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),

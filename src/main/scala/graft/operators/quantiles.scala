@@ -294,6 +294,36 @@ object Quantiles {
     }
   }
 
+  /**
+   * Robust outlier flags by MAD: a row is an outlier when
+   * `|x − median| > k · MAD` with `MAD = median(|x − median|)`. Both
+   * statistics are rank statistics — unlike mean/stddev z-scores they
+   * are immune to the very outliers they hunt, the standard robust
+   * treatment. Costs two [[exactQuantiles]] runs (each ~4 full-parallel
+   * scans at any n with O(1) driver state) plus one codegen'd flag
+   * projection; query construction is eager like [[winsorize]].
+   * `MAD = 0` (a majority-constant column) flags every deviating row
+   * regardless of k — the conventional degenerate-case reading. Null
+   * and NaN values are never outliers (flag false, like SQL
+   * comparisons). Appends `is_outlier`; column type is preserved.
+   */
+  def madOutliers(df: DataFrame, valueCol: String, k: Double = 3.5): DataFrame = {
+    require(k > 0, s"k must be positive (got $k)")
+    def q50(d: DataFrame, c: String): Option[Double] =
+      exactQuantiles(d, c, Seq(0.5)).collect()
+        .headOption.filter(!_.isNullAt(1)).map(_.getDouble(1))
+    q50(df, valueCol) match {
+      case None => df.withColumn("is_outlier", lit(false)) // all-null column
+      case Some(med) =>
+        val dev = abs(col(valueCol).cast("double") - med)
+        val mad = q50(df.withColumn("__dev", dev), "__dev").get
+        df.withColumn("is_outlier",
+          when(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")),
+            abs(col(valueCol).cast("double") - med) > k * mad)
+            .otherwise(lit(false)))
+    }
+  }
+
   /** (p, value) rows, one per requested quantile, over non-null
     * `valueCol` cast to double. Empty input → empty result. */
   def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],

@@ -166,6 +166,28 @@ class QuantilesSpec extends GraftSpec {
     assert(m.length == 1 && m(0).getString(1) == "en" && m(0).getLong(2) == 2L)
   }
 
+  test("MAD outliers: hand-computed flags, nulls never flag, MAD=0 degenerate") {
+    // values 1..9 + spike 100: med=5 (k=ceil(0.5*10)=5), |x-5| sorted =
+    // 0,1,1,2,2,3,3,4,4,95 -> MAD (5th smallest) = 2; k=3 -> |x-5| > 6
+    val df = ((1 to 9).map(_.toDouble) :+ 100.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Quantiles.madOutliers(df, "v", k = 3.0)
+      .filter(col("is_outlier")).select("v").as[Double].collect().toSet
+    assert(got == Set(100.0), s"got $got")
+    // nulls never flag
+    val withNull = Seq((1L, Some(1.0)), (2L, None), (3L, Some(50.0)))
+      .toDF("id", "v")
+    val flags = Quantiles.madOutliers(withNull, "v", k = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!flags(2L), "null must not flag")
+    // constant column: MAD=0, any deviation flags at any k
+    val const = (Seq.fill(9)(5.0) :+ 6.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val cf = Quantiles.madOutliers(const, "v", k = 100.0)
+      .filter(col("is_outlier")).select("v").as[Double].collect().toSeq
+    assert(cf == Seq(6.0), s"got $cf")
+  }
+
   test("winsorize clamps to exact quantiles; nulls and empty input pass through") {
     val vals = (1 to 100).map(_.toDouble)
     val df = (vals.map(Some(_)) :+ None).toDF("x")
