@@ -1978,7 +1978,9 @@ object SparkEntry {
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
         |t(source, tgt) AS (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
         |s AS (SELECT min(n / tgt) AS scale FROM c JOIN t USING (source)),
-        |r AS (SELECT t.source, CAST(floor(scale * tgt / n * 1000000) AS BIGINT) AS thr
+        |r AS (SELECT t.source,
+        |        CASE WHEN n / tgt = scale THEN 1000000
+        |             ELSE CAST(floor(scale * tgt / n * 1000000) AS BIGINT) END AS thr
         |      FROM c JOIN t ON c.source = t.source, s)
         |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < r.thr""".stripMargin,

@@ -316,7 +316,11 @@ object Quantiles {
       case None => df.withColumn("is_outlier", lit(false)) // all-null column
       case Some(med) =>
         val dev = abs(col(valueCol).cast("double") - med)
-        val mad = q50(df.withColumn("__dev", dev), "__dev").get
+        // an infinite median makes every deviation NaN and the MAD
+        // quantile empty — NaN poisons the > comparison to false, so
+        // nothing flags (nothing is robustly "far" from infinity)
+        val mad = q50(df.withColumn("__dev", dev), "__dev")
+          .getOrElse(Double.NaN)
         df.withColumn("is_outlier",
           when(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")),
             abs(col(valueCol).cast("double") - med) > k * mad)

@@ -269,7 +269,13 @@ object Sampling {
     // double math lands on the identical threshold
     val scale = targets.map { case (g, t) => counts(g) / t }.min
     val thr = targets.map { case (g, t) =>
-      g -> math.floor(scale * t / counts(g) * fine).toLong }
+      // the binding stratum gets the full range OUTRIGHT: the FP
+      // round-trip floor(((n/t)*t/n)*fine) can land one bucket short of
+      // `fine` and silently shed ~1e-6 of the stratum documented as
+      // "kept whole"; n/t == scale is exact (the min IS one of these
+      // values), so the test is engine-portable
+      g -> (if (counts(g) / t == scale) fine.toLong
+            else math.floor(scale * t / counts(g) * fine).toLong) }
     val thrCol = thr.foldLeft(lit(0L)) { case (acc, (g, t)) =>
       when(strataCol === g, lit(t)).otherwise(acc) }
     df.filter(bucket(idCol, fine) < thrCol)
@@ -312,12 +318,22 @@ object Sampling {
     val outCols = df.columns.map(col)
     // global bounds, one aggregate collected once (query construction is
     // eager like tokenBudget/shardAssignment)
+    // the same eager pass that fetches the block bounds also fail-fasts
+    // the two data contracts a prefix sum silently corrupts on: null ids
+    // (dropped by the blocked path's join but packed by the single
+    // window) and negative token counts (excluded from output yet still
+    // shifting every later document's offsets)
     val b = df.agg(min(idCol.cast("double")), max(idCol.cast("double")),
-      count(lit(1))).head()
+      count(lit(1)), count(when(idCol.isNull, 1)),
+      min(tokensCol.cast(LongType))).head()
     if (b.getLong(2) == 0L)
       return df.withColumn("seq_id", lit(0L)).withColumn("seq_offset", lit(0L))
         .withColumn("doc_offset", lit(0L)).withColumn("slice_len", lit(0L))
         .limit(0)
+    require(b.getLong(3) == 0L,
+      s"packSequences saw ${b.getLong(3)} null ids: the packing order is the id — drop or fill null ids first")
+    require(b.isNullAt(4) || b.getLong(4) >= 0L,
+      s"packSequences saw a negative token count (${b.getLong(4)}): counts must be >= 0")
     val (mn, mx, cnt) = (b.getDouble(0), b.getDouble(1), b.getLong(2))
     val nb = math.max(1L, math.min(nBlocks.toLong,
       (cnt + blockRows - 1) / blockRows))
@@ -339,8 +355,13 @@ object Sampling {
         .select(col("__blk2"), col("__off"))
       blocked
         .join(broadcast(offsets), col("__blk") === col("__blk2"))
+        // explicit ROWS frame: orderBy alone defaults to a RANGE frame
+        // that folds idCol PEERS into one cumulative value — duplicate
+        // ids would get identical __cum and emit overlapping slices,
+        // diverging from the nb==1 path and the oracle
         .withColumn("__cum", col("__off") +
-          sum(tokensCol).over(W.partitionBy(col("__blk")).orderBy(idCol.asc)))
+          sum(tokensCol).over(W.partitionBy(col("__blk")).orderBy(idCol.asc)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
     }
     val t = tokensCol.cast(LongType)
     withCum

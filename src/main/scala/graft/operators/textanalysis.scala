@@ -155,25 +155,30 @@ object TextAnalysis {
   def qualityUdf = {
     val en = stopwords("en").toSet
     udf { (text: String, nChars: Long) =>
-      val w = Dedup.wsPattern.split(text.toLowerCase)
+      if (text == null) null.asInstanceOf[java.lang.Double]
+      else {
+      val w = Dedup.wsPattern.split(text.toLowerCase, -1)
       val n = math.max(w.length, 1)
       val stopEn = w.count(en.contains).toDouble / n
       val punct = (text.length -
         TextAnalysis.punctPattern.matcher(text).replaceAll("").length()).toDouble / math.max(text.length, 1)
       val meanLen = w.map(_.length.toLong).sum.toDouble / n
-      BigDecimal(
+      java.lang.Double.valueOf(BigDecimal(
         (if (nChars >= 100 && nChars <= 20000) 1.0 else 0.3) * 0.3 +
           (if (punct <= 0.2) 1.0 else 0.4) * 0.25 +
           (if (meanLen >= 2.0 && meanLen <= 12.0) 1.0 else 0.5) * 0.25 +
           (if (stopEn >= 0.01) 1.0 else 0.6) * 0.2)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
     }
   }
 
   def statsUdf(minRatio: Double = 0.05) = {
     val profiles = stopwords.toSeq.map { case (l, ws) => (l, ws.toSet) }
     udf { (text: String, nChars: Long) =>
-      val w = Dedup.wsPattern.split(text.toLowerCase)
+      if (text == null) null
+      else {
+      val w = Dedup.wsPattern.split(text.toLowerCase, -1)
       val n = math.max(w.length, 1)
       val hits = profiles.map { case (l, set) => (w.count(set.contains).toDouble / n, l) }
       val (topScore, topLang) = hits.max
@@ -191,6 +196,7 @@ object TextAnalysis {
       var fp = 0L
       w.foreach { t => fp = (fp * 31L + Dedup.md5LongJvm(t) % Dedup.P) % Dedup.P }
       TextStats(lang, w.length, punct, stopEn, quality, fp)
+      }
     }
   }
 
@@ -211,7 +217,12 @@ object TextAnalysis {
    * engine, so round(x, 6) oracle-compares safely.
    */
   def repetitionUdf = udf { (text: String) =>
-    val w = Dedup.wsPattern.split(text.toLowerCase)
+    if (text == null) null
+    else {
+    // limit -1 keeps trailing empty tokens — Java's default split drops
+    // them, Spark's split() and DuckDB's string_split_regex do not, and
+    // the Column-form equality below is exact, not corpus-lucky
+    val w = Dedup.wsPattern.split(text.toLowerCase, -1)
     val n = w.length
     val counts = new java.util.HashMap[String, Int]()
     var top = 0
@@ -229,6 +240,7 @@ object TextAnalysis {
     }
     RepetitionStats(1.0 - counts.size.toDouble / math.max(n, 1),
       top.toDouble / math.max(n, 1), dupB)
+    }
   }
 
   /** Column form of dup_word_frac — codegen-friendly (array_distinct is

@@ -232,6 +232,38 @@ class PipelineOpsSpec extends GraftSpec {
     assert(bySeq.size == 6 && bySeq(lastSeq).map(_._5).sum == 657L - 5 * 128L)
   }
 
+  test("sequence packing fails fast on null ids and negative token counts") {
+    val nullId = Seq((Some(1L), 5L), (None, 5L)).toDF("id", "tok")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.packSequences(nullId, col("id"), col("tok"), 16L)
+    }
+    assert(e1.getMessage.contains("null ids"), e1.getMessage)
+    val negTok = Seq((1L, -50L), (2L, 100L)).toDF("id", "tok")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.packSequences(negTok, col("id"), col("tok"), 16L)
+    }
+    assert(e2.getMessage.contains("negative token count"), e2.getMessage)
+  }
+
+  test("repetition UDF matches Column forms on trailing whitespace and null text") {
+    val df = Seq((1L, "spam spam "), (2L, null.asInstanceOf[String]), (3L, " x"))
+      .toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+        TextAnalysis.repetitionUdf(col("text")).as("r"),
+        TextAnalysis.dupWordFrac(col("text")).as("dw"),
+        TextAnalysis.dupBigramFrac(col("text")).as("db"))
+      .collect().map(row => row.getLong(0) ->
+        (Option(row.get(1)), row.get(2), row.get(3))).toMap
+    // null text -> null struct AND null Column forms, no NPE
+    assert(r(2L) == ((None, null, null)), s"${r(2L)}")
+    // trailing/leading empties kept by BOTH forms: "spam spam " tokenizes
+    // to [spam, spam, ""] in the UDF exactly as in Spark split / DuckDB
+    val s1 = r(1L)._1.get.asInstanceOf[org.apache.spark.sql.Row]
+    assert(s1.getDouble(0) == r(1L)._2, "dup_word_frac diverged")
+    assert(s1.getDouble(2) == r(1L)._3, "dup_bigram_frac diverged")
+    assert(s1.getDouble(0) == 1.0 - 2.0 / 3) // 2 distinct of 3 tokens
+  }
+
   test("sequence packing is invariant to the two-phase blocking") {
     val df = (1 to 500).map(i => (i.toLong, (i % 9 + 1).toLong)).toDF("id", "tok")
     def rows(blockRows: Long, nBlocks: Int) =

@@ -186,6 +186,10 @@ class QuantilesSpec extends GraftSpec {
     val cf = Quantiles.madOutliers(const, "v", k = 100.0)
       .filter(col("is_outlier")).select("v").as[Double].collect().toSeq
     assert(cf == Seq(6.0), s"got $cf")
+    // all-infinite column: every deviation is NaN -> nothing flags, no crash
+    val inf = Seq((1L, Double.PositiveInfinity), (2L, Double.PositiveInfinity))
+      .toDF("id", "v")
+    assert(Quantiles.madOutliers(inf, "v").filter(col("is_outlier")).count() == 0)
   }
 
   test("winsorize clamps to exact quantiles; nulls and empty input pass through") {
