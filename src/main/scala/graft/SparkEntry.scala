@@ -944,6 +944,13 @@ object SparkEntry {
           col("st.fingerprint").as("fingerprint"))
     }),
 
+    // word2phrase-style collocation mining: adjacent-pair PMI over the
+    // corpus, noise pairs suppressed by a min pair count
+    "q_collocations" -> ((s, dir) => {
+      TextAnalysis.collocations(tbl(s, dir, "documents"), "text", minCount = 5L)
+        .select(col("term_a"), col("term_b"), col("pair_count"), col("pmi"))
+    }),
+
     // classic TF-IDF term weights over the corpus; terms in every doc
     // carry ln(1) = 0 and are dropped by the exact df < N test
     "q_tfidf" -> ((s, dir) => {
@@ -1950,6 +1957,21 @@ object SparkEntry {
     // PII masking replayed verbatim: the scrub patterns avoid lookarounds
     // and backreferences precisely so RE2 engines replay them; DuckDB
     // needs the 'g' flag (it defaults to first-match, Java to all)
+    "q_collocations" ->
+      """WITH d AS (SELECT string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |uc AS (SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM d) GROUP BY 1),
+        |bgp AS (SELECT w[i] AS term_a, w[i+1] AS term_b
+        |        FROM d, unnest(generate_series(1, len(w)-1)) AS g(i) WHERE len(w) >= 2),
+        |bc AS (SELECT term_a, term_b, CAST(count(*) AS BIGINT) AS pair_count
+        |       FROM bgp GROUP BY 1,2 HAVING count(*) >= 5),
+        |tot AS (SELECT CAST(sum(len(w)) AS DOUBLE) AS nw,
+        |               CAST(sum(greatest(len(w)-1, 0)) AS DOUBLE) AS nbg FROM d)
+        |SELECT term_a, term_b, pair_count,
+        |  round(ln((CAST(pair_count AS DOUBLE) / nbg) / ((ca / nw) * (cb / nw))), 6) AS pmi
+        |FROM bc
+        |JOIN (SELECT t AS term_a, c AS ca FROM uc) USING (term_a)
+        |JOIN (SELECT t AS term_b, c AS cb FROM uc) USING (term_b), tot""".stripMargin,
+
     "q_tfidf" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),

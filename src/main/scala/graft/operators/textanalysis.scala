@@ -347,6 +347,50 @@ object TextAnalysis {
   }
 
   /**
+   * Bigram collocations by pointwise mutual information (the
+   * word2phrase-style phrase detector): for every adjacent word pair,
+   * `pmi = ln( p(a,b) / (p(a)·p(b)) )` with the pair probability over
+   * bigram positions and unigram probabilities over word positions.
+   * High-PMI pairs ("new york") co-occur far above chance — the
+   * standard first pass of phrase/token-merge induction. `minCount`
+   * suppresses noise pairs (PMI is notoriously unstable at count 1).
+   *
+   * Scale shape: bigram and unigram counts are partial-aggregated
+   * exchanges on the pair/word key; the unigram table joins back BY KEY
+   * twice (left and right word — web-scale vocab outgrows broadcast,
+   * AQE broadcasts small ones); corpus totals ride in as a one-row
+   * broadcast. The PMI expression keeps one fixed operation order so an
+   * oracle replays it bit-identically.
+   */
+  def collocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   minCount: Long = 5L): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val w = words(col(textCol))
+    val toks = df.select(w.as("__w"))
+    val uni = toks.select(explode(col("__w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("__c"))
+    val bg = toks
+      .filter(size(col("__w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__w")) - 1), i =>
+        struct(element_at(col("__w"), i).as("term_a"),
+          element_at(col("__w"), i + 1).as("term_b")))).as("__p"))
+      .select(col("__p.term_a"), col("__p.term_b"))
+      .groupBy(col("term_a"), col("term_b")).agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+    val totals = toks.agg(
+      sum(size(col("__w"))).cast(DoubleType).as("__nw"),
+      sum(greatest(size(col("__w")) - 1, lit(0))).cast(DoubleType).as("__nbg"))
+    bg
+      .join(uni.select(col("t").as("term_a"), col("__c").as("__ca")), Seq("term_a"))
+      .join(uni.select(col("t").as("term_b"), col("__c").as("__cb")), Seq("term_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("term_a"), col("term_b"), col("pair_count"),
+        round(log((col("pair_count").cast(DoubleType) / col("__nbg")) /
+          ((col("__ca") / col("__nw")) * (col("__cb") / col("__nw")))), 6)
+          .as("pmi"))
+  }
+
+  /**
    * Unigram language-model scoring (the CCNet-style perplexity filter,
    * self-trained): the corpus's own word frequencies form the LM —
    * p(w) = count(w) / total — and each document scores its mean token

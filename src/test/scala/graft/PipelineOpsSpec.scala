@@ -99,6 +99,20 @@ class PipelineOpsSpec extends GraftSpec {
     assert(TextAnalysis.tfidf(corpus, "text", "doc_id", minDf = 2).count() == 0)
   }
 
+  test("collocations: hand-computed PMI, below-minCount pairs suppressed") {
+    // "a b" x3 and "a c" x1 across 4 docs: nw=8, nbg=4
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(corpus, "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // only (a,b) survives minCount=2: pmi = ln((3/4) / ((4/8)*(3/8)))
+    assert(got.keySet == Set(("a", "b")), s"got $got")
+    val want = BigDecimal(math.log((3.0 / 4) / ((4.0 / 8) * (3.0 / 8))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("a", "b")) == (3L, want), s"${got(("a", "b"))} vs $want")
+  }
+
   test("unigram LM scoring: hand-computed mean NLL, rare-word docs score worse") {
     // corpus counts: a=3, b=2, z=1; total=6, |V|=3 -> p+1(w)=(c+1)/9
     val corpus = Seq((1L, "a a b"), (2L, "a b z")).toDF("doc_id", "text")
