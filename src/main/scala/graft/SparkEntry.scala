@@ -958,6 +958,14 @@ object SparkEntry {
         .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
     }),
 
+    // profiling histogram: 16 equal-width price buckets in one stats
+    // pass + one partial-agged count — the quantile recursion's
+    // primitive exposed directly
+    "q_histogram" -> ((s, dir) => {
+      Quantiles.histogram(tbl(s, dir, "lineitem"), "l_extendedprice", bins = 16)
+        .select(col("bin"), col("n"), col("bin_min"), col("bin_max"))
+    }),
+
     // robust outlier detection: rank statistics (median/MAD), immune to
     // the outliers they hunt; k=1.8 flags the price tails on uniform data
     "q_mad_outliers" -> ((s, dir) => {
@@ -1979,6 +1987,13 @@ object SparkEntry {
         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
         |SELECT doc_id, term, tf, round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
         |FROM tf JOIN dfreq USING (term), n WHERE df < n AND df >= 1""".stripMargin,
+
+    "q_histogram" ->
+      """WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+        |b AS (SELECT CAST(least(greatest(floor((l_extendedprice - lo) / ((hi - lo) / 16)), 0), 15) AS INTEGER) AS bin,
+        |             l_extendedprice AS v FROM lineitem, s)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n, min(v) AS bin_min, max(v) AS bin_max
+        |FROM b GROUP BY bin""".stripMargin,
 
     "q_mad_outliers" ->
       """WITH m AS (SELECT quantile_disc(l_extendedprice, 0.5) AS med FROM lineitem),

@@ -295,6 +295,34 @@ object Quantiles {
   }
 
   /**
+   * Equal-width histogram of a numeric column: `bins` buckets over the
+   * observed [min, max], one row per non-empty bucket with its count
+   * and observed bounds — the profiling/sketching primitive behind the
+   * quantile recursion, exposed directly. One stats pass + one
+   * partial-aggregated bucket count; empty input → empty result. The
+   * top edge folds into the last bucket (standard closed-right-edge
+   * histogram). Degenerate range (min == max) yields one bucket.
+   */
+  def histogram(df: DataFrame, valueCol: String, bins: Int = 32): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+    val stats = base.agg(count(lit(1)), min(col("__v")), max(col("__v"))).head()
+    if (stats.getLong(0) == 0L)
+      return Seq.empty[(Int, Long, Double, Double)]
+        .toDF("bin", "n", "bin_min", "bin_max")
+    val (lo, hi) = (stats.getDouble(1), stats.getDouble(2))
+    val w = (hi - lo) / bins
+    base
+      .withColumn("__bin", binCol(col("__v"), lo, w, bins))
+      .groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__v")).as("bin_min"), max(col("__v")).as("bin_max"))
+  }
+
+  /**
    * Robust outlier flags by MAD: a row is an outlier when
    * `|x − median| > k · MAD` with `MAD = median(|x − median|)`. Both
    * statistics are rank statistics — unlike mean/stddev z-scores they

@@ -166,6 +166,27 @@ class QuantilesSpec extends GraftSpec {
     assert(m.length == 1 && m(0).getString(1) == "en" && m(0).getLong(2) == 2L)
   }
 
+  test("histogram: exact bucket counts, top edge folds into last bucket") {
+    val df = (0 to 100).map(_.toDouble).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = Quantiles.histogram(df, "v", bins = 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // [0,100] in 4 bins of width 25; v=100 clamps into bin 3
+    assert(got(0) == (25L, 0.0, 24.0), s"got $got")
+    assert(got(1) == (25L, 25.0, 49.0))
+    assert(got(2) == (25L, 50.0, 74.0))
+    assert(got(3) == (26L, 75.0, 100.0))
+    assert(got.values.map(_._1).sum == 101L)
+    // constant column: one bucket, all rows
+    val const = Seq.fill(7)(5.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val cg = Quantiles.histogram(const, "v", bins = 4).collect()
+    assert(cg.length == 1 && cg(0).getLong(1) == 7L)
+    // empty input
+    assert(Quantiles.histogram(df.filter(col("v") < 0), "v").count() == 0)
+  }
+
   test("MAD outliers: hand-computed flags, nulls never flag, MAD=0 degenerate") {
     // values 1..9 + spike 100: med=5 (k=ceil(0.5*10)=5), |x-5| sorted =
     // 0,1,1,2,2,3,3,4,4,95 -> MAD (5th smallest) = 2; k=3 -> |x-5| > 6

@@ -422,6 +422,44 @@ class StreamingSpec extends GraftSpec {
       s"got $all")
   }
 
+  test("stateless pipeline ops compose onto streams unchanged") {
+    // the deployment shape for the filter-class curation ops: hash
+    // sampling, PII scrub, repetition metrics are pure projections/
+    // filters, so the SAME Column expressions run per-microbatch with
+    // no state and match the batch result row-for-row
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Sampling, TextAnalysis}
+    val mem = MemoryStream[(Long, String)]
+    val streamed = mem.toDF().toDF("doc_id", "text")
+      .filter(Sampling.bucket(col("doc_id")) < 5000) // ~50% hash sample
+      .select(col("doc_id"), TextAnalysis.scrub(col("text")).as("text"),
+        TextAnalysis.dupWordFrac(col("text")).as("dw"))
+      .filter(col("dw") <= 0.5)
+    val q = streamed.writeStream.format("memory")
+      .queryName("stateless_ops").outputMode("append").start()
+    try {
+      val rows = (1L to 40L).map(i =>
+        (i, if (i % 3 == 0) "spam spam spam spam" // repetition-filtered
+            else s"doc $i mail me at a@b.co or 12345678"))
+      mem.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("stateless_ops")
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = rows.toDF("doc_id", "text")
+        .filter(Sampling.bucket(col("doc_id")) < 5000)
+        .select(col("doc_id"), TextAnalysis.scrub(col("text")).as("text"),
+          TextAnalysis.dupWordFrac(col("text")).as("dw"))
+        .filter(col("dw") <= 0.5)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want, "stream and batch must select identical rows")
+      assert(got.nonEmpty && got.forall(_._2.contains("<EMAIL>")),
+        "scrub must have masked the synthetic PII")
+      assert(!got.exists(_._2.contains("spam")), "repetition filter must apply")
+    } finally q.stop()
+  }
+
   test("exact-gap boundary: batch AND stream keep the event in one session") {
     // batch breaks only on delta > gap, so an event EXACTLY gap later
     // stays in-session. session_window spans [t, t+gap) per event, but
