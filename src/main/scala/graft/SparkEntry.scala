@@ -802,6 +802,14 @@ object SparkEntry {
         queries, "qid", "qvec", k = 3)
     }),
 
+    // embedding-quality monitoring: every vector's L2 distance to its
+    // own label centroid — mislabel / garbage-embedding candidates
+    "q_embed_outliers" -> ((s, dir) => {
+      Similarity.centroidOutlierScores(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", "label")
+        .select(col("vec_id"), col("label"), col("centroid_dist"))
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       // LSH-bucketed ANN (scale path); approximate vs brute force but
       // deterministic — md5-derived hyperplanes give it an exact oracle
@@ -1689,6 +1697,17 @@ object SparkEntry {
         |  round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
         |      / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))), 6) AS jaccard
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
+    "q_embed_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT label, unnest(v) AS x, unnest(generate_series(1, len(v))) AS dim FROM e),
+        |m AS (SELECT label, dim, CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+        |      FROM x GROUP BY 1, 2),
+        |c AS (SELECT label, list(m ORDER BY dim) AS cent FROM m GROUP BY label)
+        |SELECT vec_id, e.label,
+        |  round(sqrt(list_reduce(list_transform(generate_series(1, len(v)),
+        |    i -> (v[i] - cent[i]) * (v[i] - cent[i])), (a, b) -> a + b)), 4) AS centroid_dist
+        |FROM e JOIN c ON e.label = c.label""".stripMargin,
 
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),

@@ -259,4 +259,41 @@ object Similarity {
       .withColumn("score", cosine(col(qvecCol), col(vecCol)))
     topKPerQuery(joined, qidCol, idCol, k)
   }
+
+  /**
+   * Per-label embedding centroids: mean vector of each label class —
+   * the monitoring primitive for labeled embedding tables (class drift,
+   * mislabel detection). One posexplode + one partial-aggregated
+   * (label, dim) mean, reassembled into an ordered array per label;
+   * per-dim sums run in DECIMAL so engine/partitioning reduction order
+   * cannot perturb the means. Shuffle carries |labels| x dims cells.
+   */
+  def labelCentroids(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast(ArrayType(DoubleType))).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg((sum(col("x").cast("decimal(38,18)")).cast(DoubleType) /
+        count(lit(1))).as("m"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("__s"))
+      .select(col("label"), col("__s.m").as("centroid"))
+  }
+
+  /**
+   * Within-class outlier distances: every vector's L2 distance to its
+   * own label's centroid (rounded at 4, the ANN determinism
+   * convention) — far-from-centroid rows are mislabel/garbage-embedding
+   * candidates. The centroid table is |labels| rows, broadcast back;
+   * the distance is the native codegen'd [[graft.functions.L2Distance]]
+   * kernel, left-to-right fold an oracle replays exactly.
+   */
+  def centroidOutlierScores(df: DataFrame, idCol: String, vecCol: String,
+                            labelCol: String): DataFrame = {
+    val cents = labelCentroids(df, vecCol, labelCol)
+      .select(col("label").as("__clabel"), col("centroid"))
+    df.join(broadcast(cents), col(labelCol) === col("__clabel"))
+      .select(col(idCol), col(labelCol),
+        round(graft.functions.ArrayKernels.l2(col(vecCol), col("centroid")), 4)
+          .as("centroid_dist"))
+  }
 }

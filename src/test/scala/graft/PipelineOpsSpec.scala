@@ -571,6 +571,19 @@ class PipelineOpsSpec extends GraftSpec {
     assert(math.abs(sim - 2.0 / 4.0) < 1e-12) // 2 shared of 4 distinct
   }
 
+  test("label centroids and within-class outlier distances: hand-computed") {
+    val df = Seq(
+      (1L, 0, Array(0.0, 0.0)), (2L, 0, Array(2.0, 0.0)), // label 0 centroid (1,0)
+      (3L, 1, Array(0.0, 4.0))).toDF("vec_id", "label", "embedding")
+    val cents = Similarity.labelCentroids(df, "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toList).toMap
+    assert(cents(0) == List(1.0, 0.0) && cents(1) == List(0.0, 4.0))
+    val dists = Similarity.centroidOutlierScores(df, "vec_id", "embedding", "label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // label 0: both vectors at distance 1 from (1,0); label 1: at its own centroid
+    assert(dists == Map(1L -> 1.0, 2L -> 1.0, 3L -> 0.0), s"got $dists")
+  }
+
   test("brute-force ANN: self-similar vectors rank first") {
     val corpus = Seq(
       (1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.9, 0.1, 0.0)),
