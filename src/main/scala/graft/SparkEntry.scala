@@ -1701,12 +1701,14 @@ object SparkEntry {
     "q_embed_outliers" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT label, unnest(v) AS x, unnest(generate_series(1, len(v))) AS dim FROM e),
-        |m AS (SELECT label, dim, CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
-        |      FROM x GROUP BY 1, 2),
+        |m AS (SELECT label, dim, CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+        |      FROM x WHERE label IS NOT NULL AND x IS NOT NULL AND NOT isnan(x)
+        |      GROUP BY 1, 2),
         |c AS (SELECT label, list(m ORDER BY dim) AS cent FROM m GROUP BY label)
         |SELECT vec_id, e.label,
-        |  round(sqrt(list_reduce(list_transform(generate_series(1, len(v)),
-        |    i -> (v[i] - cent[i]) * (v[i] - cent[i])), (a, b) -> a + b)), 4) AS centroid_dist
+        |  round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(generate_series(1, len(v)),
+        |      i -> (v[i] - cent[i]) * (v[i] - cent[i]))), (a, b) -> a + b)), 4) AS centroid_dist
         |FROM e JOIN c ON e.label = c.label""".stripMargin,
 
     "q_ann_topk" ->

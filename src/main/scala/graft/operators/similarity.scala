@@ -266,13 +266,22 @@ object Similarity {
    * mislabel detection). One posexplode + one partial-aggregated
    * (label, dim) mean, reassembled into an ordered array per label;
    * per-dim sums run in DECIMAL so engine/partitioning reduction order
-   * cannot perturb the means. Shuffle carries |labels| x dims cells.
+   * cannot perturb the means — at scale 12, NOT higher: a double's
+   * shortest decimal representation carries <= 17 significant digits,
+   * and Spark rounds the decimal cast from that string while DuckDB
+   * rounds from the binary value, so any scale past the shortest repr
+   * (e.g. 18) diverges between engines on ~half of float-widened
+   * values (measured 293/640 dims on the test embeddings). Scale 12
+   * is the repo-wide convention (see unigramNll). Null labels are
+   * omitted and null/NaN elements excluded, like the other grouped
+   * operators. Shuffle carries |labels| x dims cells.
    */
   def labelCentroids(df: DataFrame, vecCol: String, labelCol: String): DataFrame = {
     df.select(col(labelCol).as("label"),
         posexplode(col(vecCol).cast(ArrayType(DoubleType))).as(Seq("dim", "x")))
+      .filter(col("label").isNotNull && col("x").isNotNull && !isnan(col("x")))
       .groupBy(col("label"), col("dim"))
-      .agg((sum(col("x").cast("decimal(38,18)")).cast(DoubleType) /
+      .agg((sum(col("x").cast("decimal(28,12)")).cast(DoubleType) /
         count(lit(1))).as("m"))
       .groupBy(col("label"))
       .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("__s"))
