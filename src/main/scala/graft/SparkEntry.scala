@@ -120,6 +120,63 @@ object SparkEntry {
        |$finalRows""".stripMargin
   }
 
+  /** Unrolled deterministic-k-means oracle (KMeansDet): each round is an
+    * assignment CTE (first-min CASE chain over squared distances, the
+    * same text-order arithmetic as KMeansDet.assignExpr) and a centroid
+    * CTE whose per-dimension means run as DECIMAL(28,12) conditional
+    * sums over the member count — exact and associative, so each round's
+    * centroids are bit-identical to the Spark fit's. Empty clusters keep
+    * the previous centroid via max() over the carried-along prev columns.
+    * tol=0 on the Spark side means early stop happens only at an exact
+    * fixpoint, which later unrolled rounds reproduce — so a fixed
+    * `iters` unroll needs no delta emulation. `xCte` must expose rid +
+    * x0..x{dim-1}; `c0Cte` a one-row c0 with c{i}_{j} columns. The final
+    * SELECT re-assigns under the last centroids and emits per-cluster
+    * member counts, exercising the predict path too. */
+  private def kmeansFitOracle(xCte: String, c0Cte: String, k: Int, dim: Int,
+                              iters: Int): String = {
+    val xs = (0 until dim).map(j => s"x$j").mkString(", ")
+    val prevCols = (0 until k).flatMap(i => (0 until dim).map(j => s"c${i}_$j")).mkString(", ")
+    def assignBody(src: String): String = {
+      val ds = (0 until k).map { i =>
+        val s = (0 until dim).map(j => s"(x$j - c${i}_$j)*(x$j - c${i}_$j)").mkString(" + ")
+        s"$s AS d$i"
+      }.mkString(",\n      ")
+      val cases = (0 until k - 1).map { i =>
+        val beats = (i + 1 until k).map(l => s"d$i <= d$l").mkString(" AND ")
+        s"WHEN $beats THEN $i"
+      }.mkString(" ")
+      s"""SELECT rid, $xs, $prevCols,
+         |    CASE $cases ELSE ${k - 1} END AS cl
+         |  FROM (SELECT rid, $xs, $prevCols,
+         |      $ds
+         |    FROM $src)""".stripMargin
+    }
+    def round(t: Int): String = {
+      val cs = (0 until k).flatMap(i => (0 until dim).map { j =>
+        s"""CASE WHEN count(CASE WHEN cl = $i THEN 1 END) = 0 THEN max(c${i}_$j)
+           |      ELSE CAST(sum(CASE WHEN cl = $i THEN CAST(x$j AS DECIMAL(28,12)) END) AS DOUBLE)
+           |        / count(CASE WHEN cl = $i THEN 1 END) END AS c${i}_$j""".stripMargin
+      }).mkString(",\n    ")
+      s"""a$t AS (${assignBody(s"x, c${t - 1}")}),
+         |c$t AS (SELECT
+         |    $cs
+         |  FROM a$t)""".stripMargin
+    }
+    val cnt = s"af AS (${assignBody(s"x, c$iters")}),\n" +
+      "cnt AS (SELECT cl, count(*) AS n FROM af GROUP BY cl)"
+    val finalRows = (0 until k).map { i =>
+      val cols = (0 until dim).map(j => s"round(c${i}_$j, 6) AS c$j").mkString(", ")
+      s"SELECT $i AS cluster_id, $cols, coalesce((SELECT n FROM cnt WHERE cl = $i), 0) AS n FROM c$iters"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH x AS MATERIALIZED (
+       |$xCte),
+       |$c0Cte,
+       |${(1 to iters).map(round).mkString(",\n")},
+       |$cnt
+       |$finalRows""".stripMargin
+  }
+
   // Fixed canopy centers over (l_quantity, l_tax*100) with T1 = 15: the
   // broadcast-assignment path has a DuckDB oracle (center *selection* is
   // order-sequential and covered by CanopySpec invariants instead).
@@ -554,6 +611,29 @@ object SparkEntry {
         round(col("centroid")(0), 6).as("c0"),
         round(col("centroid")(1), 6).as("c1"),
         round(col("centroid")(2), 6).as("c2"))
+    }),
+
+    "q_kmeans" -> ((s, dir) => {
+      // deterministic Lloyd's: hash-sample init + decimal per-round means
+      // make every round's centroids bit-identical across engines and
+      // partitionings, so the ITERATIVE fit (not just predict) is
+      // hash-exact; final per-cluster counts exercise the predict path
+      val li = tbl(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("init_id"),
+        array(col("l_quantity") / 50, col("l_discount") * 10, col("l_tax") * 10)
+          .as("features"))
+      val model = new graft.operators.KMeansDet().setK(4).setMaxIter(8)
+        .setInitIdCol("init_id").fit(li)
+      val counts = model.transform(li)
+        .groupBy(col("prediction").as("cluster_id"))
+        .agg(count(lit(1)).as("n"))
+      model.modelData(s).select(col("cluster_id"),
+          round(col("centroid")(0), 6).as("c0"),
+          round(col("centroid")(1), 6).as("c1"),
+          round(col("centroid")(2), 6).as("c2"))
+        .join(counts, Seq("cluster_id"), "left")
+        .select(col("cluster_id"), col("c0"), col("c1"), col("c2"),
+          coalesce(col("n"), lit(0L)).as("n"))
     }),
 
     "q_canopy_sweep" -> ((s, dir) => {
@@ -1449,6 +1529,25 @@ object SparkEntry {
           |      ORDER BY ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT, id) AS rn
           |    FROM x) WHERE rn <= $k)""".stripMargin,
         k = k, dim = dim, iters = 10, tol = 1e-4)
+    },
+
+    // deterministic k-means: same md5 smallest-k init replay as
+    // q_fcm_fit_hash, then unrolled Lloyd's rounds with decimal means
+    "q_kmeans" -> {
+      val k = 4; val dim = 3
+      val agg = (0 until k).flatMap(i => (0 until dim).map(j =>
+        s"max(CASE WHEN rn = ${i + 1} THEN x$j END) AS c${i}_$j")).mkString(",\n    ")
+      kmeansFitOracle(
+        xCte = """  SELECT row_number() OVER () AS rid,
+          |    l_orderkey * 10 + l_linenumber AS id,
+          |    l_quantity / 50 AS x0, l_discount * 10 AS x1, l_tax * 10 AS x2
+          |  FROM lineitem""".stripMargin,
+        c0Cte = s"""c0 AS (SELECT
+          |    $agg
+          |  FROM (SELECT x0, x1, x2, row_number() OVER (
+          |      ORDER BY ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT, id) AS rn
+          |    FROM x) WHERE rn <= $k)""".stripMargin,
+        k = k, dim = dim, iters = 8)
     },
 
     // canopy->FCM composition: the deterministic ordered sweep (same

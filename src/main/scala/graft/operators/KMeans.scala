@@ -1,0 +1,248 @@
+package graft.operators
+
+import graft.core._
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType}
+
+/**
+ * Lloyd's k-means with ENGINE-REPRODUCIBLE determinism — the property
+ * spark.ml's stock `clustering.KMeans` does not give you: k-means|| init
+ * is seeded-random over partition layout, and its per-round double
+ * reductions are partitioning-order-dependent, so two runs of the same
+ * pipeline on differently-laid-out input produce different models. For a
+ * training-data pipeline that must be replayable (and auditable against
+ * an independent engine), this variant pins both sources of divergence:
+ *
+ *  - init: the k rows with the smallest 60-bit md5 of an id column
+ *    (ties by id) — partition-independent, planned as a distributed
+ *    TakeOrderedAndProject, and replayable by any engine with md5 (the
+ *    same convention as FCM.setInitIdCol / Sampling.hashSample);
+ *  - per round: new centroid = per-dimension DECIMAL(28,12) sum divided
+ *    by the member count. Decimal addition is exact and associative, so
+ *    the reduction order (Spark's partial aggregation tree, DuckDB's
+ *    serial scan) cannot perturb the mean; scale 12 stays inside a
+ *    double's 17-digit shortest decimal representation so both engines
+ *    round the cast identically (see Similarity.labelCentroids). Every
+ *    round's centroids are therefore bit-identical across engines and
+ *    across partitionings, which makes the whole ITERATIVE fit
+ *    hash-exactly verifiable — not just spec-tested.
+ *
+ * Spark architecture: one job per round over a cached feature projection —
+ * assignment is a codegen'd first-min CASE chain over k literal squared
+ * distances (no UDF), the centroid update is a partially-aggregated
+ * groupBy whose shuffle carries at most k rows x (d+1) columns per map
+ * task, and the driver holds O(k*d) state. The same loop runs unchanged
+ * on a 1000-executor cluster: per-round cost is one scan of the cached
+ * blocks plus a k-row shuffle. Assignment ties break to the LOWEST
+ * cluster index; an empty cluster keeps its previous centroid.
+ */
+class KMeansDet(override val uid: String) extends Estimator[KMeansDetModel]
+    with KMeansDetParams with DefaultParamsWritable {
+
+  def this() = this(Identifiable.randomUID("kmeansdet"))
+
+  private var initialCentroids: Option[Array[Array[Double]]] = None
+  /** Seed fit with explicit centroids (e.g. Canopy centers); overrides k
+    * and the hash-sample init. */
+  def setInitialCentroids(value: Array[Array[Double]]): this.type = {
+    initialCentroids = Some(value); set(k, value.length); this
+  }
+
+  def setK(value: Int): this.type = set(k, value)
+  def setTol(value: Double): this.type = set(tol, value)
+  def setMaxIter(value: Int): this.type = set(maxIter, value)
+  def setInitIdCol(value: String): this.type = set(initIdCol, value)
+  def setFeaturesCol(value: String): this.type = set(featuresCol, value)
+  def setPredictionCol(value: String): this.type = set(predictionCol, value)
+
+  override def fit(ds: Dataset[_]): KMeansDetModel = {
+    val df = ds.toDF()
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(initialCentroids.isDefined || $(initIdCol).nonEmpty,
+      "KMeansDet needs setInitialCentroids or setInitIdCol — determinism " +
+        "is the point of this estimator; there is no random-init path.")
+    val init: Array[Array[Double]] = initialCentroids.getOrElse {
+      val h = conv(substring(md5(col($(initIdCol)).cast("string")), 1, 15), 16, 10)
+        .cast(LongType)
+      df.orderBy(h.asc, col($(initIdCol)).asc)
+        .limit($(k))
+        .select(Features.asArray(df, $(featuresCol)))
+        .as[Array[Double]].collect()
+    }
+    require(init.nonEmpty, "cannot fit k-means on an empty dataset")
+    // Degenerate input (fewer rows than k): pad by repeating samples so
+    // the loop stays well-formed; duplicates collapse to empty clusters.
+    var curr = init
+    while (curr.length < $(k)) curr = curr ++ curr.take($(k) - curr.length)
+    val dim = curr(0).length
+
+    val feats = df.select(Features.asArray(df, $(featuresCol)).as("__f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var iter = 0
+      var converged = false
+      while (iter < $(maxIter) && !converged) {
+        val fcols = (0 until dim).map(j => col("__f").getItem(j))
+        val aggs = count(lit(1)).as("__n") +:
+          (0 until dim).map(j =>
+            (sum(fcols(j).cast("decimal(28,12)")).cast(DoubleType) /
+              count(lit(1))).as(s"__m$j"))
+        val rows = feats
+          .groupBy(KMeansDet.assignExpr(fcols, curr).as("__cl"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        val next = curr.map(_.clone())
+        rows.foreach { r =>
+          val i = r.getInt(0)
+          (0 until dim).foreach(j => next(i)(j) = r.getDouble(2 + j))
+        }
+        var delta = 0.0
+        var i = 0
+        while (i < curr.length) {
+          var j = 0
+          while (j < dim) {
+            val t = math.abs(next(i)(j) - curr(i)(j)); if (t > delta) delta = t
+            j += 1
+          }
+          i += 1
+        }
+        curr = next
+        converged = delta <= $(tol)
+        iter += 1
+      }
+      copyValues(new KMeansDetModel(Identifiable.randomUID("kmeansdetModel"))
+        .setCentroids(curr)).setParent(this)
+    } finally feats.unpersist(blocking = true)
+  }
+
+  override def transformSchema(schema: StructType): StructType = {
+    require(!schema.fieldNames.contains($(predictionCol)),
+      s"output column ${$(predictionCol)} already exists")
+    schema.add($(predictionCol), IntegerType, nullable = false)
+  }
+
+  override def copy(extra: ParamMap): KMeansDet = defaultCopy(extra)
+}
+
+trait KMeansDetParams extends HasFeaturesCol with HasPredictionCol
+    with HasMaxIter {
+  final val k: IntParam =
+    new IntParam(this, "k", "number of clusters", ParamValidators.gt(1))
+  setDefault(k -> 3)
+  final def getK: Int = $(k)
+
+  /** Convergence tolerance on max |centroid shift|; 0.0 stops only on an
+    * exact fixpoint (identical centroids two rounds running), which is
+    * safe for unrolled-round oracles: once a fixpoint is hit every later
+    * round reproduces it. */
+  final val tol: DoubleParam =
+    new DoubleParam(this, "tol", "convergence tolerance", ParamValidators.gtEq(0.0))
+  setDefault(tol -> 0.0)
+  final def getTol: Double = $(tol)
+
+  /** Id column for the deterministic hash-sample init (smallest-k by
+    * 60-bit md5, ties by id). Required unless explicit centroids are set. */
+  final val initIdCol: Param[String] =
+    new Param[String](this, "initIdCol",
+      "id column for the deterministic hash-sample init")
+  setDefault(initIdCol -> "")
+  final def getInitIdCol: String = $(initIdCol)
+}
+
+object KMeansDet extends DefaultParamsReadable[KMeansDet] {
+
+  /** First-min assignment as a codegen'd CASE chain: cluster i wins when
+    * its squared distance is <= every LATER cluster's (earlier clusters
+    * already failed their own clause), i.e. the first index attaining the
+    * minimum. Identical text-order arithmetic to the SQL oracle, so the
+    * doubles compare bit-equally in both engines. NaN features fall
+    * through to cluster k-1 here (SQL comparisons with NaN differ across
+    * engines) — filter NaN upstream when it can occur. */
+  def assignExpr(fcols: Seq[Column], centroids: Array[Array[Double]]): Column = {
+    val d: Array[Column] = centroids.map { c =>
+      c.zipWithIndex.map { case (v, j) =>
+        (fcols(j) - lit(v)) * (fcols(j) - lit(v))
+      }.reduceLeft(_ + _)
+    }
+    val k = centroids.length
+    (0 until k - 1).foldRight(lit(k - 1)) { (i, rest) =>
+      val beatsLater = (i + 1 until k).map(l => d(i) <= d(l)).reduceLeft(_ && _)
+      when(beatsLater, lit(i)).otherwise(rest)
+    }.cast(IntegerType)
+  }
+}
+
+/** Nearest-centroid predictor with the same first-min tie-break as the
+  * fit's assignment step, appended as an int prediction column. Small k
+  * runs as a literal codegen'd expression; beyond ~512 centroid cells the
+  * same logic drops to a broadcast-backed UDF so the plan does not carry
+  * a megabyte of expression tree. */
+class KMeansDetModel(override val uid: String) extends Model[KMeansDetModel]
+    with KMeansDetParams {
+
+  def this() = this(Identifiable.randomUID("kmeansdetModel"))
+
+  private var centroids: Array[Array[Double]] = _
+  def setCentroids(value: Array[Array[Double]]): this.type = { centroids = value; this }
+  def getCentroids: Array[Array[Double]] = centroids
+
+  def modelData(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cluster_id", "centroid")
+  }
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val df = ds.toDF()
+    val f = Features.asArray(df, $(featuresCol))
+    val pred: Column =
+      if (centroids.length.toLong * centroids(0).length <= 512) {
+        val dim = centroids(0).length
+        val fcols = (0 until dim).map(j => f.getItem(j))
+        KMeansDet.assignExpr(fcols, centroids)
+      } else {
+        val bc = df.sparkSession.sparkContext.broadcast(centroids)
+        udf { (p: Seq[Double]) =>
+          val arr = p.toArray
+          val cs = bc.value
+          var best = 0; var bestD = Double.MaxValue
+          var i = 0
+          while (i < cs.length) {
+            val c = cs(i)
+            var s = 0.0; var j = 0
+            while (j < c.length) { val t = arr(j) - c(j); s += t * t; j += 1 }
+            if (s < bestD) { bestD = s; best = i }
+            i += 1
+          }
+          best
+        }.apply(f)
+      }
+    df.withColumn($(predictionCol), pred)
+  }
+
+  override def transformSchema(schema: StructType): StructType = {
+    require(!schema.fieldNames.contains($(predictionCol)),
+      s"output column ${$(predictionCol)} already exists")
+    schema.add($(predictionCol), IntegerType, nullable = false)
+  }
+
+  override def copy(extra: ParamMap): KMeansDetModel =
+    copyValues(new KMeansDetModel(uid).setCentroids(centroids), extra).setParent(parent)
+
+  def save(path: String, spark: SparkSession): Unit =
+    modelData(spark).coalesce(1).write.mode("overwrite").parquet(s"$path/data")
+}
+
+object KMeansDetModel {
+  def load(spark: SparkSession, path: String): KMeansDetModel = {
+    val rows = spark.read.parquet(s"$path/data")
+      .orderBy("cluster_id").collect()
+    val cs = rows.map(_.getAs[Seq[Double]]("centroid").toArray)
+    new KMeansDetModel(Identifiable.randomUID("kmeansdetModel")).setCentroids(cs)
+  }
+}
