@@ -21,24 +21,31 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType
  *    (ties by id) — partition-independent, planned as a distributed
  *    TakeOrderedAndProject, and replayable by any engine with md5 (the
  *    same convention as FCM.setInitIdCol / Sampling.hashSample);
- *  - per round: new centroid = per-dimension DECIMAL(28,12) sum divided
- *    by the member count. Decimal addition is exact and associative, so
- *    the reduction order (Spark's partial aggregation tree, DuckDB's
- *    serial scan) cannot perturb the mean; scale 12 stays inside a
- *    double's 17-digit shortest decimal representation so both engines
- *    round the cast identically (see Similarity.labelCentroids). Every
- *    round's centroids are therefore bit-identical across engines and
- *    across partitionings, which makes the whole ITERATIVE fit
- *    hash-exactly verifiable — not just spec-tested.
+ *  - per round: new centroid = per-dimension decimal-scale-12 sum divided
+ *    by the member count. Fixed-point addition is exact and associative,
+ *    so the reduction order (Spark's aggregation tree, DuckDB's serial
+ *    scan) cannot perturb the mean; scale 12 stays inside a double's
+ *    17-digit shortest decimal representation so both engines round the
+ *    cast identically (see Similarity.labelCentroids). Every round's
+ *    centroids are therefore bit-identical across engines and across
+ *    partitionings, which makes the whole ITERATIVE fit hash-exactly
+ *    verifiable — not just spec-tested.
  *
- * Spark architecture: one job per round over a cached feature projection —
- * assignment is a codegen'd first-min CASE chain over k literal squared
- * distances (no UDF), the centroid update is a partially-aggregated
- * groupBy whose shuffle carries at most k rows x (d+1) columns per map
- * task, and the driver holds O(k*d) state. The same loop runs unchanged
- * on a 1000-executor cluster: per-round cost is one scan of the cached
- * blocks plus a k-row shuffle. Assignment ties break to the LOWEST
- * cluster index; an empty cluster keeps its previous centroid.
+ * Spark architecture (the FCM.runBlocks shape — one treeAggregate per
+ * round over a cached blockified projection): features are quantized
+ * ONCE at cache build to scale-12 unscaled longs with Spark's own
+ * double->decimal(18,12) cast semantics (|x| < 1e6 enforced there —
+ * per-row BigDecimal allocation inside the loop is what an earlier
+ * DataFrame-aggregate formulation spent most of its time on), and each
+ * round accumulates them into per-cluster 128-bit sums — the same
+ * arithmetic DuckDB's own decimal sum uses — at primitive-long speed.
+ * Per-round cost is one scan of the cached blocks; the driver holds
+ * O(k*d) state, and nothing shuffles. The same loop runs unchanged on a
+ * 1000-executor cluster. Assignment inside the fit mirrors the predict
+ * expression's text-order double arithmetic exactly (left-to-right
+ * squared-distance accumulation, first-min tie-break to the LOWEST
+ * cluster index, NaN falling through to cluster k-1); an empty cluster
+ * keeps its previous centroid.
  */
 class KMeansDet(override val uid: String) extends Estimator[KMeansDetModel]
     with KMeansDetParams with DefaultParamsWritable {
@@ -81,28 +88,92 @@ class KMeansDet(override val uid: String) extends Estimator[KMeansDetModel]
     while (curr.length < $(k)) curr = curr ++ curr.take($(k) - curr.length)
     val dim = curr(0).length
 
-    val feats = df.select(Features.asArray(df, $(featuresCol)).as("__f"))
+    val rawRdd = df.select(Features.asArray(df, $(featuresCol))).rdd.map { r =>
+      val s = r.getAs[scala.collection.Seq[Any]](0)
+      require(s != null && s.length == dim && s.forall(_ != null),
+        s"KMeansDet: feature vectors must be non-null with $dim non-null " +
+          "elements")
+      val a = new Array[Double](dim)
+      var j = 0
+      while (j < dim) { a(j) = s(j).asInstanceOf[Number].doubleValue; j += 1 }
+      a
+    }
+    val blocks = KMeansDet.blockify(rawRdd, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k0 = $(k)
     try {
       var iter = 0
       var converged = false
       while (iter < $(maxIter) && !converged) {
-        val fcols = (0 until dim).map(j => col("__f").getItem(j))
-        val aggs = count(lit(1)).as("__n") +:
-          (0 until dim).map(j =>
-            (sum(fcols(j).cast("decimal(28,12)")).cast(DoubleType) /
-              count(lit(1))).as(s"__m$j"))
-        val rows = feats
-          .groupBy(KMeansDet.assignExpr(fcols, curr).as("__cl"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
+        val cc = curr
+        val (cnt, hi, lo) = blocks.treeAggregate(
+          (new Array[Long](k0), new Array[Long](k0 * dim),
+            new Array[Long](k0 * dim)))(
+          seqOp = { case (acc @ (cnt, hi, lo), (n, raw, q)) =>
+            val dists = new Array[Double](k0)
+            var r = 0
+            while (r < n) {
+              val base = r * dim
+              var i = 0
+              while (i < k0) {
+                val c = cc(i)
+                var s = 0.0; var j = 0
+                while (j < dim) {
+                  val t = raw(base + j) - c(j); s += t * t; j += 1
+                }
+                dists(i) = s
+                i += 1
+              }
+              // first-min == assignExpr's chain: i wins iff d(i) <= every
+              // later d; right-scan with a NaN-propagating running min is
+              // equivalent clause-for-clause (NaN comparisons all false)
+              var best = k0 - 1
+              var mAfter = dists(k0 - 1)
+              i = k0 - 2
+              while (i >= 0) {
+                val d = dists(i)
+                if (d <= mAfter) best = i
+                mAfter = java.lang.Math.min(d, mAfter)
+                i -= 1
+              }
+              cnt(best) += 1
+              val ob = best * dim
+              var j = 0
+              while (j < dim) {
+                KMeansDet.add128(hi, lo, ob + j, q(base + j)); j += 1
+              }
+              r += 1
+            }
+            acc
+          },
+          combOp = { case ((cnt1, hi1, lo1), (cnt2, hi2, lo2)) =>
+            var i = 0
+            while (i < k0) { cnt1(i) += cnt2(i); i += 1 }
+            var idx = 0
+            while (idx < k0 * dim) {
+              val a = lo1(idx); val b = lo2(idx)
+              val nlo = a + b
+              hi1(idx) += hi2(idx) + (((a & b) | ((a | b) & ~nlo)) >>> 63)
+              lo1(idx) = nlo
+              idx += 1
+            }
+            (cnt1, hi1, lo1)
+          })
         val next = curr.map(_.clone())
-        rows.foreach { r =>
-          val i = r.getInt(0)
-          (0 until dim).foreach(j => next(i)(j) = r.getDouble(2 + j))
+        var i = 0
+        while (i < k0) {
+          if (cnt(i) != 0L) {
+            var j = 0
+            while (j < dim) {
+              next(i)(j) =
+                KMeansDet.mean128(hi(i * dim + j), lo(i * dim + j), cnt(i))
+              j += 1
+            }
+          }
+          i += 1
         }
         var delta = 0.0
-        var i = 0
+        i = 0
         while (i < curr.length) {
           var j = 0
           while (j < dim) {
@@ -117,7 +188,7 @@ class KMeansDet(override val uid: String) extends Estimator[KMeansDetModel]
       }
       copyValues(new KMeansDetModel(Identifiable.randomUID("kmeansdetModel"))
         .setCentroids(curr)).setParent(this)
-    } finally feats.unpersist(blocking = true)
+    } finally blocks.unpersist(blocking = true)
   }
 
   override def transformSchema(schema: StructType): StructType = {
@@ -155,6 +226,66 @@ trait KMeansDetParams extends HasFeaturesCol with HasPredictionCol
 }
 
 object KMeansDet extends DefaultParamsReadable[KMeansDet] {
+
+  /** Rows -> flat (rowCount, raw doubles, scale-12 unscaled longs) blocks
+    * for the iteration cache. Quantization replicates Spark's
+    * double->decimal(18,12) cast (shortest-repr BigDecimal, HALF_UP at
+    * scale 12) exactly once per value; NaN/Inf/|x|>=1e6 fail fast here
+    * rather than skewing sums silently. */
+  def blockify(rows: org.apache.spark.rdd.RDD[Array[Double]], dim: Int,
+               blockSize: Int = 4096)
+      : org.apache.spark.rdd.RDD[(Int, Array[Double], Array[Long])] =
+    rows.mapPartitions { it =>
+      it.grouped(blockSize).map { g =>
+        val n = g.length
+        val raw = new Array[Double](n * dim)
+        val q = new Array[Long](n * dim)
+        var i = 0
+        g.foreach { r =>
+          var j = 0
+          while (j < dim) {
+            val x = r(j)
+            raw(i * dim + j) = x
+            q(i * dim + j) = quantize12(x)
+            j += 1
+          }
+          i += 1
+        }
+        (n, raw, q)
+      }
+    }
+
+  /** x as a scale-12 unscaled long via Spark's own cast semantics. */
+  private[operators] def quantize12(x: Double): Long = {
+    val d =
+      try org.apache.spark.sql.types.Decimal(x)
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"KMeansDet: non-finite feature value $x")
+      }
+    require(d.changePrecision(18, 12),
+      s"KMeansDet: feature value $x out of range (exact scale-12 sums " +
+        "need |x| < 1e6; rescale the features)")
+    d.toUnscaledLong
+  }
+
+  /** (hi, lo) 128-bit sums at flat index idx += sign-extended v — the
+    * same arithmetic DuckDB's decimal sum runs in int128. */
+  @inline private[operators] def add128(hi: Array[Long], lo: Array[Long],
+                                        idx: Int, v: Long): Unit = {
+    val l0 = lo(idx)
+    val nlo = l0 + v
+    hi(idx) += (v >> 63) + (((l0 & v) | ((l0 | v) & ~nlo)) >>> 63)
+    lo(idx) = nlo
+  }
+
+  /** 128-bit scale-12 sum -> double mean, matching
+    * `cast(sum AS DOUBLE) / count` bit-for-bit: reconstruct the exact
+    * BigDecimal, shortest-round to double, then IEEE-divide by n. */
+  private[operators] def mean128(hi: Long, lo: Long, n: Long): Double = {
+    val big = (BigInt(hi) << 64) + BigInt(java.lang.Long.toUnsignedString(lo))
+    new java.math.BigDecimal(big.bigInteger, 12).doubleValue() / n
+  }
 
   /** First-min assignment as a codegen'd CASE chain: cluster i wins when
     * its squared distance is <= every LATER cluster's (earlier clusters
