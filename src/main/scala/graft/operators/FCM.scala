@@ -72,8 +72,11 @@ class FCM(override val uid: String) extends Estimator[FCMModel]
     // like explicit centroids: epoch-0 memberships derive from them.
     val hashInit: Option[Array[Array[Double]]] =
       if (initialCentroids.isEmpty && $(initIdCol).nonEmpty) Some {
-        val h = conv(substring(md5(col($(initIdCol)).cast("string")), 1, 15), 16, 10)
-          .cast(org.apache.spark.sql.types.LongType)
+        // The fixed-width hex substring orders identically to its 60-bit
+        // numeric value (and to the oracle's ::BIGINT sort) — skipping
+        // conv, which profiles at ~the md5's own per-row cost (KMeansDet
+        // carries the same form).
+        val h = substring(md5(col($(initIdCol)).cast("string")), 1, 15)
         df.orderBy(h.asc, col($(initIdCol)).asc)
           .limit($(k))
           .select(Features.asArray(df, $(featuresCol)))
