@@ -136,6 +136,15 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("q_kmeans: predict is a codegen'd expression — no UDF, no window") {
+    // The fit runs eagerly (RDD treeAggregate rounds) when the query is
+    // built; the remaining plan is the predict + counts + model join.
+    // Small-k predict must stay a literal CASE chain inside codegen.
+    val p = plan("q_kmeans")
+    assert(!p.contains("ScalaUDF"), s"small-k predict must not drop to a UDF:\n$p")
+    assert(!p.contains("Window"), s"kmeans counts must not plan a window:\n$p")
+  }
+
   test("q_model_gate: scoring is a pure projection (no join, no window)") {
     val p = plan("q_model_gate")
     assert(!p.contains("Window"), s"gating must not rank per row:\n$p")
