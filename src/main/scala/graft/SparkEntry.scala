@@ -477,6 +477,28 @@ object SparkEntry {
         .select(col("l_suppkey"), col("rn"), round(col("total"), 2).as("total"))
     }),
 
+    "q_moving_avg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // per-user 10-minute trailing moving aggregate over event time: a
+      // RANGE frame on the millis epoch — tie-safe by construction (the
+      // frame is a value interval, so equal timestamps are peers in both
+      // engines regardless of within-tie order). The value goes through
+      // decimal(18,6) because the two engines walk the frame differently
+      // (Spark slides, DuckDB segment-trees): double sums would diverge
+      // in the last bits, decimal sums are order-independent. One
+      // shuffle on user_id; frames never cross partitions.
+      val ev = tbl(s, dir, "events").selectExpr(
+        "event_id", "user_id", "ts div 1000000 AS tms",
+        "CAST(value AS DECIMAL(18,6)) AS v")
+      val w = Window.partitionBy("user_id").orderBy("tms")
+        .rangeBetween(-600000L, 0L)
+      ev.select(col("event_id"), col("user_id"), col("tms"),
+        round(sum("v").over(w).cast("double"), 6).as("mov_sum"),
+        count(lit(1)).over(w).as("mov_n"),
+        round((sum("v").over(w).cast("double") / count(lit(1)).over(w)), 6)
+          .as("mov_avg"))
+    }),
+
     // hierarchical totals via ROLLUP (beyond the reference's kit): per
     // (flag, status), per flag, and grand total in ONE pass — Spark plans
     // a single Expand + hash agg, not three scans
@@ -1302,6 +1324,16 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.tms, c.ctms AS click_tms, c.click_value
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.tms >= c.ctms
         |WHERE p.tms - c.ctms <= 86400000""".stripMargin,
+
+    "q_moving_avg" ->
+      """SELECT event_id, user_id, tms,
+        |  round(CAST(sum(v) OVER w AS DOUBLE), 6) AS mov_sum,
+        |  count(*) OVER w AS mov_n,
+        |  round(CAST(sum(v) OVER w AS DOUBLE) / count(*) OVER w, 6) AS mov_avg
+        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS tms,
+        |        CAST(value AS DECIMAL(18,6)) AS v FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tms
+        |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q_range_join" ->
       """WITH bands AS (
