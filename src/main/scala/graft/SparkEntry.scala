@@ -499,6 +499,108 @@ object SparkEntry {
           .as("mov_avg"))
     }),
 
+    // Time-series gap fill: per-user 6-hour grid from first to last
+    // event, forward-filling the latest value seen. Grid generation is
+    // generator-shaped (sequence+explode: O(slots) rows from O(1) input
+    // per user, no driver loop); a bucket pre-agg keeps the grid join
+    // 1:1; the fill is one last(ignoreNulls) frame over the user
+    // partition. Single shuffle on user_id end to end, and the grid
+    // scales with time-span x users, not event count.
+    "q_gap_fill" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val step = 21600000L // 6 h
+      val ev = tbl(s, dir, "events").selectExpr(
+        "event_id", "user_id", "ts div 1000000 AS tms",
+        "CAST(value AS DOUBLE) AS v")
+      // latest value per bucket, picked by the unique event_id sequence —
+      // deterministic in both engines (max_by / arg_max)
+      val bucketed = ev
+        .groupBy(col("user_id"), expr(s"(tms div $step) * $step").as("gts"))
+        .agg(max_by(col("v"), col("event_id")).as("v_bucket"))
+      val spans = ev.groupBy(col("user_id"))
+        .agg(expr(s"(min(tms) div $step) * $step").as("t0"),
+          expr(s"(max(tms) div $step) * $step").as("t1"))
+      val grid = spans.select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), lit(step))).as("gts"))
+      val w = Window.partitionBy("user_id").orderBy("gts")
+      grid.join(bucketed, Seq("user_id", "gts"), "left")
+        .select(col("user_id"), col("gts"),
+          round(last(col("v_bucket"), ignoreNulls = true).over(w), 2)
+            .as("v_fill"))
+    }),
+
+    // SCD-2 dimension build: compress each user's event-type history into
+    // validity intervals [valid_from, valid_to) — lag keeps only change
+    // points, lead over the survivors supplies the closing edge (open
+    // interval = null). Both windows use the same user_id partitioning
+    // and (tms, event_id) order, so Catalyst plans one shuffle + one
+    // sort; the tie-break on the unique event_id makes it deterministic.
+    "q_scd2" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = tbl(s, dir, "events").selectExpr(
+        "event_id", "user_id", "ts div 1000000 AS tms", "event_type")
+      val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+      ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(!(col("event_type") <=> col("prev_type")))
+        .withColumn("valid_to", lead(col("tms"), 1).over(w))
+        .select(col("user_id"), col("event_type"),
+          col("tms").as("valid_from"), col("valid_to"))
+    }),
+
+    // Incremental aggregate maintenance (materialized-view refresh
+    // shape): per-(user, type) totals kept as a mergeable snapshot; the
+    // last days of data are aggregated ALONE and merged by re-aggregating
+    // the two partial states — at 100 TB the snapshot is O(keys) and each
+    // refresh scans only the delta. Decimal sums make the merged state
+    // bit-equal to a from-scratch rebuild (which is what the oracle runs).
+    "q_incr_agg" -> ((s, dir) => {
+      val split = 1706140800000L // 2024-01-25 00:00 UTC
+      val ev = tbl(s, dir, "events").selectExpr(
+        "user_id", "event_type", "ts div 1000000 AS tms",
+        "CAST(value AS DECIMAL(18,6)) AS v")
+      def part(d: DataFrame) = d.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      val snapshot = part(ev.filter(col("tms") < split))
+      val delta = part(ev.filter(col("tms") >= split))
+      snapshot.unionByName(delta)
+        .groupBy("user_id", "event_type")
+        .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+        .select(col("user_id"), col("event_type"), col("n"),
+          round(col("sv").cast("double"), 4).as("sum_value"))
+    }),
+
+    // Statistical profile from exact co-moments: Pearson correlation,
+    // sample covariance and stddev of (quantity, price) per return flag.
+    // The five co-moment sums run in decimal — order-independent, unlike
+    // a streaming corr's double co-moments, which merge in partition
+    // order and differ between engines in the last bits — and the
+    // closed-form stats are then scalar math on exact inputs. One
+    // partial-agg pass over the scan, O(groups) merge state.
+    "q_corr" -> ((s, dir) => {
+      // scale 2 captures the data exactly; the narrow widths keep the
+      // decimal products int64-representable for any engine's backing
+      // arithmetic (DuckDB overflows (18,6)x(18,6) at width 18)
+      val li = tbl(s, dir, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(9,2)").as("x"),
+        col("l_extendedprice").cast("decimal(13,2)").as("y"))
+      li.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum("x").cast("double").as("sx"),
+          sum("y").cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"),
+          sum(col("y") * col("y")).cast("double").as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"),
+          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("n") - 1), 4).as("covar_samp"),
+          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1)), 6).as("stddev_qty"))
+    }),
+
     // hierarchical totals via ROLLUP (beyond the reference's kit): per
     // (flag, status), per flag, and grand total in ONE pass — Spark plans
     // a single Expand + hash agg, not three scans
@@ -1334,6 +1436,62 @@ object SparkEntry {
         |        CAST(value AS DECIMAL(18,6)) AS v FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY tms
         |             RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms,
+        |              value AS v FROM events),
+        |b AS (SELECT user_id, (tms // 21600000) * 21600000 AS gts,
+        |             arg_max(v, event_id) AS v_bucket
+        |      FROM ev GROUP BY 1, 2),
+        |s AS (SELECT user_id, (min(tms) // 21600000) * 21600000 AS t0,
+        |             (max(tms) // 21600000) * 21600000 AS t1
+        |      FROM ev GROUP BY 1),
+        |g AS (SELECT user_id,
+        |             unnest(range(t0, t1 + 21600000, 21600000)) AS gts
+        |      FROM s)
+        |SELECT g.user_id, g.gts,
+        |  round(last_value(b.v_bucket IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.gts), 2) AS v_fill
+        |FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.gts = b.gts""".stripMargin,
+
+    "q_scd2" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS tms,
+        |              event_type FROM events),
+        |c AS (SELECT user_id, event_type, tms, event_id FROM (
+        |  SELECT user_id, event_type, tms, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY tms, event_id) AS prev_type
+        |  FROM ev) WHERE event_type IS DISTINCT FROM prev_type)
+        |SELECT user_id, event_type, tms AS valid_from,
+        |       lead(tms) OVER (PARTITION BY user_id
+        |                       ORDER BY tms, event_id) AS valid_to
+        |FROM c""".stripMargin,
+
+    "q_incr_agg" ->
+      """SELECT user_id, event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |    AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_corr" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM (SELECT l_returnflag,
+        |          CAST(l_quantity AS DECIMAL(9,2)) AS x,
+        |          CAST(l_extendedprice AS DECIMAL(13,2)) AS y
+        |        FROM lineitem)
+        |  GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+        |    AS corr_qty_price,
+        |  round((sxy - sx * sy / n) / (n - 1), 4) AS covar_samp,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty
+        |FROM a""".stripMargin,
 
     "q_range_join" ->
       """WITH bands AS (

@@ -145,6 +145,41 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("Window"), s"kmeans counts must not plan a window:\n$p")
   }
 
+  test("q_moving_avg: value-interval frame over exactly the user_id shuffle") {
+    val p = plan("q_moving_avg")
+    assert(p.contains("RangeFrame"), s"expected a RANGE frame:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"one user_id shuffle expected, got $shuffles:\n$p")
+  }
+
+  test("q_scd2: lag and lead share one shuffle and one sort") {
+    val p = plan("q_scd2")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"both windows must reuse the user_id shuffle, got $shuffles:\n$p")
+    val sorts = "Sort \\[".r.findAllIn(p).length
+    assert(sorts == 1, s"identical window order must sort once, got $sorts:\n$p")
+  }
+
+  test("q_gap_fill: events scan pruned; grid join carries no raw events") {
+    val p = plan("q_gap_fill")
+    assert(!p.contains("props") && !p.contains("event_type"),
+      s"gap fill must not read unused event columns:\n$p")
+  }
+
+  test("q_incr_agg: snapshot+delta merge is aggregate-only (no raw rejoin)") {
+    val p = plan("q_incr_agg")
+    assert(!p.contains("Join"), s"partial-state merge must not join:\n$p")
+    assert(p.contains("Union"), s"expected the partial-state union:\n$p")
+  }
+
+  test("q_corr: five co-moments in one partial-agg pass over the scan") {
+    val p = plan("q_corr")
+    assert(!p.contains("Join"), s"co-moments must come from one scan:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"one agg shuffle expected, got $shuffles:\n$p")
+  }
+
   test("q_model_gate: scoring is a pure projection (no join, no window)") {
     val p = plan("q_model_gate")
     assert(!p.contains("Window"), s"gating must not rank per row:\n$p")
