@@ -12,8 +12,29 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Reads `dir/name.parquet`, absorbing physical-type drift across
+    * testdata generations in ONE place (so queries never carry per-site
+    * casts). `events.ts` has shipped as int64-nanos (read as LongType
+    * under nanosAsLong=true), TIMESTAMP and TIMESTAMP_NTZ — every
+    * event-time query wants epoch millis, normalized here. Sessions pin
+    * spark.sql.session.timeZone=UTC, so the NTZ read hashes identically
+    * to the DuckDB oracle's epoch_ms(ts). */
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") df.withColumn("ts", epochMillis(df, "ts")) else df
+  }
+
+  /** Column `c` as epoch-millis LONG whatever its physical carrier. */
+  private def epochMillis(df: DataFrame, c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case LongType => expr(s"$c div 1000000") // int64-nanos parquet read
+      case TimestampType => unix_millis(col(c))
+      case TimestampNTZType => unix_millis(col(c).cast(TimestampType)) // naive-as-UTC
+      case other => throw new IllegalArgumentException(
+        s"events.$c: unsupported event-time carrier $other")
+    }
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -191,11 +212,48 @@ object SparkEntry {
   private lazy val onlineAhpW: Array[Double] = AHP.weightVector(onlineJudgment)
   private val onlineWindowMs = 3L * 86400000L
 
-  // events.ts is TIMESTAMP(NANOS) parquet read as a nanos long
-  // (nanosAsLong=true); integer division keeps exact millis.
+  /** Streaming-parity harness: replays the events table through a REAL
+    * file-source stream (no driver-side data beyond ONE sentinel row),
+    * runs `build` on it, and drains to a memory sink. The far-future
+    * sentinel (user_id = -1) advances the event-time watermark past every
+    * window/left so append-mode state flushes completely — end-of-stream
+    * batch parity, which is what the DuckDB oracle checks. Spark's
+    * no-data micro-batches then emit the final results before stop().
+    * At scale the same `build` pipeline runs unmodified on a live
+    * readStream; only this drain harness is test-shaped. */
+  private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def runEventStream(s: SparkSession, dir: String, name: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    // the file source wants a DIRECTORY; glob-filter it to the one table
+    val raw = s.readStream
+      .schema(s.read.parquet(s"$dir/events.parquet").schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val ev = raw.withColumn("ts", epochMillis(raw, "ts")).selectExpr(
+      "event_id", "ts AS tms", "user_id", "event_type",
+      "CAST(value AS DOUBLE) AS v")
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val union = ev.unionByName(
+      mem.toDS().toDF("event_id", "tms", "user_id", "event_type", "v"))
+    val qn = s"graft_stream_${name}_${streamRun.incrementAndGet()}"
+    val query = build(union).writeStream
+      .format("memory").queryName(qn).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // 2100-01-01: past every real event, inside the timestamp range
+      mem.addData((-1L, 4102444800000L, -1L, "sentinel", 0.0))
+      query.processAllAvailable()
+    } finally query.stop()
+    s.table(qn)
+  }
+
+  // events.ts arrives normalized to epoch millis by tbl().
   private def eventFeatures(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events").selectExpr(
-      "event_id", "ts div 1000000 AS tms", "CAST(value AS DOUBLE) AS x0",
+      "event_id", "ts AS tms", "CAST(value AS DOUBLE) AS x0",
       "CAST(user_id % 100 AS DOUBLE) AS x1", "CAST(event_id % 50 AS DOUBLE) AS x2")
 
   // MinHash LSH query config: 3-gram shingles, 16 hashes in 4 bands of 4.
@@ -431,10 +489,10 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => {
       val ev = tbl(s, dir, "events")
       val p = ev.filter(col("event_type") === "purchase").selectExpr(
-        "event_id", "user_id", "ts div 1000000 AS tms",
+        "event_id", "user_id", "ts AS tms",
         "CAST(value AS DOUBLE) AS purchase_value")
       val c = ev.filter(col("event_type") === "click").selectExpr(
-        "user_id", "ts div 1000000 AS ctms",
+        "user_id", "ts AS ctms",
         "CAST(value AS DOUBLE) AS click_value")
       Joins.asofBackward(p, c, Seq("user_id"), "tms", "ctms",
           Seq("click_value"), tolerance = 86400000L)
@@ -488,7 +546,7 @@ object SparkEntry {
       // in the last bits, decimal sums are order-independent. One
       // shuffle on user_id; frames never cross partitions.
       val ev = tbl(s, dir, "events").selectExpr(
-        "event_id", "user_id", "ts div 1000000 AS tms",
+        "event_id", "user_id", "ts AS tms",
         "CAST(value AS DECIMAL(18,6)) AS v")
       val w = Window.partitionBy("user_id").orderBy("tms")
         .rangeBetween(-600000L, 0L)
@@ -510,7 +568,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val step = 21600000L // 6 h
       val ev = tbl(s, dir, "events").selectExpr(
-        "event_id", "user_id", "ts div 1000000 AS tms",
+        "event_id", "user_id", "ts AS tms",
         "CAST(value AS DOUBLE) AS v")
       // latest value per bucket, picked by the unique event_id sequence —
       // deterministic in both engines (max_by / arg_max)
@@ -538,7 +596,7 @@ object SparkEntry {
     "q_scd2" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val ev = tbl(s, dir, "events").selectExpr(
-        "event_id", "user_id", "ts div 1000000 AS tms", "event_type")
+        "event_id", "user_id", "ts AS tms", "event_type")
       val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
       ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
         .filter(!(col("event_type") <=> col("prev_type")))
@@ -556,7 +614,7 @@ object SparkEntry {
     "q_incr_agg" -> ((s, dir) => {
       val split = 1706140800000L // 2024-01-25 00:00 UTC
       val ev = tbl(s, dir, "events").selectExpr(
-        "user_id", "event_type", "ts div 1000000 AS tms",
+        "user_id", "event_type", "ts AS tms",
         "CAST(value AS DECIMAL(18,6)) AS v")
       def part(d: DataFrame) = d.groupBy("user_id", "event_type")
         .agg(count(lit(1)).as("n"), sum("v").as("sv"))
@@ -710,15 +768,24 @@ object SparkEntry {
     }),
 
     "q_canopy_full" -> ((s, dir) => {
-      // full sequential center selection + assignment (deterministic by
-      // input order); rows-only check, invariants covered in CanopySpec
+      // the COMPLETE canopy pipeline, end to end and exact: deterministic
+      // min-key sweep picks the centers (partition-layout-independent),
+      // then the exploded per-row assignment — one row per strict
+      // membership (1e-6 < d < T1), center id = selection order. The
+      // oracle replays the sweep as a recursive CTE and the assignment as
+      // a distance join. (Until r4 this was the order-dependent reference
+      // default and rows-only — the last no-oracle entry in the suite.)
       val li = tbl(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
         array(col("l_quantity"), col("l_tax") * 100).as("features"))
-      new Canopy().setT1(20.0).setT2(10.0).setMaxIter(50)
-        .transform(li)
-        .select(round(col("centroids")(0), 6).as("c0"),
-          round(col("centroids")(1), 6).as("c1"),
-          size(col("prediction")).as("n_members"))
+      val centers = Canopy.selectCentersSequential(li, "features",
+        Seq("l_orderkey", "l_linenumber"), t1 = 20.0, t2 = 10.0,
+        maxIter = 50, measure = "euclidean")
+      Canopy.assign(li, "features", centers, t1 = 20.0, "euclidean")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("__canopy_id").as("canopy_id"),
+          round(col("__center")(0), 6).as("c0"),
+          round(col("__center")(1), 6).as("c1"))
     }),
 
     "q_fcm_fit_hash" -> ((s, dir) => {
@@ -804,10 +871,11 @@ object SparkEntry {
       // Market-basket over lineitem: transaction = order, item = partkey
       // bucket; items sorted so itemset identity is canonical in both
       // engines. Pairs mode (maxItemsetSize=2) keeps the oracle SQL exact.
+      // no .distinct() before the groupBy — collect_set dedups within the
+      // group, and the pre-distinct costs a whole extra shuffle of the scan
       val it = tbl(s, dir, "lineitem")
         .select(col("l_orderkey"),
           concat(lit("i"), pmod(col("l_partkey"), lit(12))).as("item"))
-        .distinct()
       val tx = it.groupBy("l_orderkey")
         .agg(concat_ws("/", sort_array(collect_set(col("item")))).as("items"))
       new Apriori().setMinSupport(0.05).setMinConfidence(0.1).setLift(1.0)
@@ -849,13 +917,44 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) => {
       // session windows (1-hour gap) per user: id + per-session aggregates
       val ev = tbl(s, dir, "events").selectExpr(
-        "event_id", "user_id", "ts div 1000000 AS tms", "CAST(value AS DOUBLE) AS v")
+        "event_id", "user_id", "ts AS tms", "CAST(value AS DOUBLE) AS v")
       graft.operators.EventWindows.sessionize(ev, "tms", Seq("user_id"), 3600000L)
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
           (max(col("tms")) - min(col("tms"))).as("duration_ms"),
           round(sum(col("v").cast("decimal(18,6)")), 4).cast("double").as("value_sum"))
     }),
+
+    // Streaming CORRECTNESS, not just spec parity: the native
+    // session_window pipeline runs over the events table replayed through
+    // a file-source stream, closed sessions drain via the watermark
+    // sentinel, and the DuckDB oracle recomputes the sessions in SQL.
+    // State is bounded by OPEN sessions throughout (append + eviction).
+    "q_sessionize_stream" -> ((s, dir) =>
+      runEventStream(s, dir, "sessionize") { ev =>
+        graft.operators.EventWindows.sessionizeStream(
+          ev, "tms", Seq("user_id"), gap = "1 hour", delay = "0 seconds")
+      }.filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("duration_ms"))),
+
+    // Streaming as-of join over the same replay: purchases (lefts) match
+    // their latest preceding click within 1 day, finalized per key as the
+    // watermark passes — the batch q_asof_join semantics, checked against
+    // the SAME ASOF JOIN oracle.
+    "q_asof_stream" -> ((s, dir) =>
+      runEventStream(s, dir, "asof") { ev =>
+        val shaped = ev
+          .filter(col("event_type").isin("purchase", "click", "sentinel"))
+          .select(col("user_id").as("key"), col("tms"),
+            when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+            col("event_id").as("id"), col("v").as("value"))
+        graft.streaming.AsofStreaming.asofStream(
+          shaped, tolerance = 86400000L, lateness = "0 seconds").toDF()
+      }.filter(col("key") >= 0 && col("matchedTms").isNotNull)
+        .select(col("id").as("event_id"), col("key").as("user_id"),
+          col("tms"), col("matchedTms").as("click_tms"),
+          col("value").as("click_value"))),
 
     "q_online_topsis" -> ((s, dir) => {
       val ev = eventFeatures(s, dir)
@@ -1657,6 +1756,45 @@ object SparkEntry {
         |    AS INTEGER) AS n_members
         |FROM cent""".stripMargin,
 
+    // same recursive sweep as q_canopy_sweep, then the exploded strict
+    // assignment (1e-6 < d < T1) against the selected centers with
+    // canopy_id = selection index — the complete-pipeline oracle.
+    "q_canopy_full" ->
+      """WITH RECURSIVE x AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rid,
+        |         CAST(l_quantity AS DOUBLE) AS x0, CAST(l_tax AS DOUBLE)*100 AS x1
+        |  FROM lineitem),
+        |sel(iter, centers) AS (
+        |  SELECT 0, CAST([] AS STRUCT(a DOUBLE, b DOUBLE)[])
+        |  UNION ALL
+        |  SELECT iter + 1,
+        |    list_append(centers, (
+        |      SELECT {'a': x0, 'b': x1} FROM x
+        |      WHERE len(list_filter(sel.centers, c ->
+        |        NOT (sqrt((x0-c.a)*(x0-c.a) + (x1-c.b)*(x1-c.b)) > 1e-6
+        |         AND sqrt((x0-c.a)*(x0-c.a) + (x1-c.b)*(x1-c.b)) >= 10.0))) = 0
+        |      ORDER BY rid LIMIT 1))
+        |  FROM sel
+        |  WHERE iter < 50 AND EXISTS (
+        |      SELECT 1 FROM x
+        |      WHERE len(list_filter(sel.centers, c ->
+        |        NOT (sqrt((x0-c.a)*(x0-c.a) + (x1-c.b)*(x1-c.b)) > 1e-6
+        |         AND sqrt((x0-c.a)*(x0-c.a) + (x1-c.b)*(x1-c.b)) >= 10.0))) = 0)
+        |),
+        |cent AS (
+        |  -- constant-bound range + filter: DuckDB's generate_series takes
+        |  -- no lateral column parameters; 51 = maxIter + 1
+        |  SELECT g.i - 1 AS canopy_id, t.centers[g.i].a AS ca, t.centers[g.i].b AS cb
+        |  FROM (SELECT centers FROM sel ORDER BY iter DESC LIMIT 1) t,
+        |       range(1, 51) AS g(i)
+        |  WHERE g.i <= len(t.centers))
+        |SELECT x.l_orderkey, x.l_linenumber, cent.canopy_id,
+        |  round(cent.ca, 6) AS c0, round(cent.cb, 6) AS c1
+        |FROM x, cent
+        |WHERE sqrt((x.x0-cent.ca)*(x.x0-cent.ca) + (x.x1-cent.cb)*(x.x1-cent.cb)) > 1e-6
+        |  AND sqrt((x.x0-cent.ca)*(x.x0-cent.ca) + (x.x1-cent.cb)*(x.x1-cent.cb)) < 20.0""".stripMargin,
+
     "q_apriori" ->
       """WITH it AS (SELECT DISTINCT l_orderkey,
         |    'i' || CAST(l_partkey % 12 AS VARCHAR) AS item FROM lineitem),
@@ -1854,6 +1992,33 @@ object SparkEntry {
         |  max(tms) - min(tms) AS duration_ms,
         |  CAST(round(sum(CAST(v AS DECIMAL(18,6))), 4) AS DOUBLE) AS value_sum
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // same session identification as q_sessionize; the stream emits
+    // (start, end = last + gap) per closed session instead of ids
+    "q_sessionize_stream" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
+        |g AS (SELECT *, CASE WHEN tms - lag(tms) OVER w > 3600000
+        |         OR lag(tms) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+        |        ROWS UNBOUNDED PRECEDING) AS session_id FROM g)
+        |SELECT user_id, min(tms) AS session_start,
+        |  max(tms) + 3600000 AS session_end, count(*) AS n_events,
+        |  max(tms) - min(tms) AS duration_ms
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    // identical to the batch q_asof_join oracle — the stream must land on
+    // the same matches once every left is finalized
+    "q_asof_stream" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS tms,
+        |    CAST(value AS DOUBLE) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ms(ts) AS ctms,
+        |    CAST(value AS DOUBLE) AS click_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.tms, c.ctms AS click_tms, c.click_value
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.tms >= c.ctms
+        |WHERE p.tms - c.ctms <= 86400000""".stripMargin,
 
     "q_online_topsis" ->
       s"""WITH $onlineTopsisCtes

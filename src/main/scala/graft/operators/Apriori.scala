@@ -120,7 +120,13 @@ class Apriori(override val uid: String) extends Transformer
     import spark.implicits._
     val sep = $(itemSeparator); val cap = $(maxItemsetSize)
 
+    // Persist the transaction strings: BOTH the numTx count and the subset
+    // aggregation consume them, and without the persist the whole upstream
+    // plan (scan + any shuffles building the baskets) runs twice. One
+    // string per transaction, MEMORY_AND_DISK — spills instead of OOM at
+    // scale; freed right after the frequent-itemset collect.
     val tx = df.select(col($(inputCols)(0)).cast(StringType)).as[String]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val numTx = tx.count()
 
     // Subset counting: one flatMap + one hash-aggregated groupBy.
@@ -165,6 +171,7 @@ class Apriori(override val uid: String) extends Transformer
       }
 
     truncatedBaskets = truncAcc.value // counts materialized by the collect
+    tx.unpersist(blocking = false)
 
     val rules = Apriori.generateRules(frequent, $(maxIter))
       .filter(r => r.confidence >= $(minConfidence) && r.lift >= $(lift))

@@ -35,7 +35,9 @@ object EventWindows {
   /** Event-time column as epoch millis, whatever its carrier type. */
   def millis(df: DataFrame, timeCol: String): Column = df.schema(timeCol).dataType match {
     case LongType => col(timeCol)
-    case TimestampType => (col(timeCol).cast("double") * 1000).cast(LongType)
+    case TimestampType => unix_millis(col(timeCol))
+    // naive timestamp read as UTC — sessions pin spark.sql.session.timeZone=UTC
+    case TimestampNTZType => unix_millis(col(timeCol).cast(TimestampType))
     case other => throw new IllegalArgumentException(s"timeCol must be LongType millis or timestamp, got $other")
   }
 
