@@ -227,11 +227,18 @@ object SparkEntry {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     import s.implicits._
-    // the file source wants a DIRECTORY; glob-filter it to the one table
-    val raw = s.readStream
-      .schema(s.read.parquet(s"$dir/events.parquet").schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // the file source wants a DIRECTORY: point it at events.parquet when
+    // that is itself a directory of part files (Spark-written layout, as
+    // ScaleData produces), else glob-filter the parent to the one file
+    // (the driver's single-file testdata layout)
+    val evPath = s"$dir/events.parquet"
+    val schema = s.read.parquet(evPath).schema
+    val raw =
+      if (new java.io.File(evPath).isDirectory)
+        s.readStream.schema(schema).parquet(evPath)
+      else
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
     val ev = raw.withColumn("ts", epochMillis(raw, "ts")).selectExpr(
       "event_id", "ts AS tms", "user_id", "event_type",
       "CAST(value AS DOUBLE) AS v")
@@ -965,6 +972,48 @@ object SparkEntry {
         .fit(ev)
       model.transform(ev)
         .select(col("event_id"), round(col("prediction"), 6).as("score"))
+    }),
+
+    // Canonical ingest normalization: control chars -> spaces, whitespace
+    // collapse, trim, lowercase. Pure codegen'd projection — zero shuffle.
+    "q_normalize" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+    }),
+
+    // Deterministic train/val/test split: per-row hash-bucket label —
+    // reproducible at any scale/partitioning, auditable row by row, and
+    // a pure projection (the 100 TB answer to "which rows did we train
+    // on?" is re-derivable, never stored state).
+    "q_split" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
+        Sampling.hashSplit(col("doc_id"), trainPct = 80, valPct = 10).as("split"))
+    }),
+
+    // Near-dup retention POLICY beyond min-id: within every verified
+    // near-dup cluster keep the highest-QUALITY member (ties -> smallest
+    // id); singletons keep themselves. Same banded-LSH candidate +
+    // verify + label-propagation machinery as q_dedup_minhash, then one
+    // window over cluster_id (clusters are tiny — the partition-by is
+    // skew-free by construction).
+    "q_dedup_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+        mhHashes, mhBands, mhSeed, mhShingle, threshold = 0.8)
+      val clusters = Dedup.clusters(pairs).withColumnRenamed("id", "doc_id")
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.qualityUdf(col("text"), col("n_chars")).as("q"))
+      val labeled = scored.join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(round(col("q"), 4).desc, col("doc_id"))
+      labeled.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+          round(col("q"), 4).as("quality"))
     }),
 
     // ---- training-data pipeline extensions (documents / embeddings) ----
@@ -2006,6 +2055,54 @@ object SparkEntry {
         |  max(tms) + 3600000 AS session_end, count(*) AS n_events,
         |  max(tms) - min(tms) AS duration_ms
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q_normalize" ->
+      """SELECT doc_id, norm_text,
+        |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+        |FROM (SELECT doc_id, lower(trim(regexp_replace(
+        |    regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+        |    '\s+', ' ', 'g'))) AS norm_text FROM documents)""".stripMargin,
+
+    "q_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        |  FROM documents)""".stripMargin,
+
+    // near-dup clusters exactly as q_dedup_minhash, quality exactly as
+    // q_curate's filter formula, then one row_number per cluster ordered
+    // by (quality desc, doc_id); docs in no verified pair are their own
+    // singleton cluster via the left join + coalesce
+    "q_dedup_keep_best" -> {
+      val inList = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE $mhCandidateCtes,
+         |$mhVerifiedEdgeCtes,
+         |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |       FROM reach GROUP BY a),
+         |d0 AS (SELECT doc_id, text, n_chars,
+         |    string_split_regex(lower(text), '\\s+') AS w FROM documents),
+         |q0 AS (SELECT doc_id,
+         |    CAST(len(list_filter(w, t -> t IN ($inList))) AS DOUBLE) / greatest(len(w), 1) AS r_en,
+         |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1) AS punct,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(w, t -> CAST(length(t) AS BIGINT))),
+         |      (acc, x) -> acc + x) AS sumlen, CAST(len(w) AS DOUBLE) AS nw, n_chars AS nc
+         |  FROM d0),
+         |sc AS (SELECT doc_id,
+         |    CAST(round((CASE WHEN nc BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.3 END) * 0.3
+         |      + (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 0.4 END) * 0.25
+         |      + (CASE WHEN sumlen / nw BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25
+         |      + (CASE WHEN r_en >= 0.01 THEN 1.0 ELSE 0.6 END) * 0.2, 4) AS DOUBLE) AS q
+         |  FROM q0),
+         |j AS (SELECT sc.doc_id, coalesce(cl.cluster_id, sc.doc_id) AS cluster_id, sc.q
+         |      FROM sc LEFT JOIN cl ON sc.doc_id = cl.doc_id)
+         |SELECT cluster_id, doc_id AS kept_doc_id, round(q, 4) AS quality
+         |FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |        ORDER BY round(q, 4) DESC, doc_id) AS rn FROM j)
+         |WHERE rn = 1""".stripMargin
+    },
 
     // identical to the batch q_asof_join oracle — the stream must land on
     // the same matches once every left is finalized

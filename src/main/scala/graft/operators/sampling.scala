@@ -31,6 +31,22 @@ object Sampling {
     df.filter(bucket(idCol) < lit((fraction * 10000).round))
   }
 
+  /** Deterministic train/val/test split label: the id's hash bucket in
+    * [0,100) maps to train (< trainPct), val (< trainPct+valPct), test
+    * (rest). The split is a pure projection — reproducible across
+    * engines, runs, partitionings and scale, auditable row by row, and
+    * disjoint by construction (one bucket, three ranges). Stratify by
+    * prefixing the id with the stratum if per-stratum exactness matters
+    * beyond hash uniformity. */
+  def hashSplit(idCol: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages: train=$trainPct val=$valPct")
+    val b = bucket(idCol, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
   /** Stratified variant: per-stratum sampling fractions (data-mixture
     * weighting over a source/language column), `default` elsewhere. */
   def stratifiedHashSample(df: DataFrame, strataCol: Column, idCol: Column,

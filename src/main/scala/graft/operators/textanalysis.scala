@@ -42,6 +42,16 @@ object TextAnalysis {
     when(top.getField("s") >= minRatio, top.getField("l")).otherwise(lit("und"))
   }
 
+  /** Canonical text normalization for corpus prep: control characters
+    * (C0 + DEL) become spaces FIRST — so the later whitespace collapse
+    * sees only plain spaces and the engines' differing \s classes (Java
+    * includes \x0B, RE2 does not) can never disagree — then runs of
+    * whitespace collapse to one space, then trim, then lowercase. A pure
+    * codegen'd projection: no shuffle, scale-free. */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(text, "[\\x00-\\x1f\\x7f]", " "), "\\s+", " ")))
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(words(text))
 

@@ -204,6 +204,25 @@ class PlanSpec extends GraftSpec {
     assert(hot.getInt(0) == 1 && hot.getDouble(2) > 0.9)
   }
 
+  test("q_normalize / q_split: pure projections — zero shuffles, codegen'd") {
+    Seq("q_normalize", "q_split").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+      // "*(n)" prefixes mark whole-stage-codegen stages in toString plans
+      assert(p.contains("*(1)"), s"$q should codegen:\n$p")
+    }
+  }
+
+  test("q_dedup_keep_best: retention window partitions by cluster, no global sort") {
+    val p = plan("q_dedup_keep_best")
+    // the final row_number must run per-cluster (hashpartitioning on
+    // cluster_id), never as an unpartitioned window
+    assert(p.contains("hashpartitioning(cluster_id"),
+      s"retention window must partition by cluster_id:\n$p")
+    assert(!p.contains("SinglePartition) AS rn") && !p.contains("Window.*SinglePartition"),
+      s"unpartitioned window in retention pass:\n$p")
+  }
+
   test("FCM with cosine distance converges and predicts on direction clusters") {
     // two angular clusters: along x-axis and along y-axis (cosine distance
     // separates by direction, not magnitude)
