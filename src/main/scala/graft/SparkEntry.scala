@@ -245,16 +245,25 @@ object SparkEntry {
     val mem = MemoryStream[(Long, Long, Long, String, Double)]
     val union = ev.unionByName(
       mem.toDS().toDF("event_id", "tms", "user_id", "event_type", "v"))
-    val qn = s"graft_stream_${name}_${streamRun.incrementAndGet()}"
+    // drain to a FILE sink, not a memory sink: the memory sink collects
+    // every result row into the driver (measured 54s vs 1.3s batch at the
+    // 100x point — 9M closed sessions on one JVM heap); the parquet sink
+    // is the production shape, distributed end to end, and the batch
+    // read-back underneath the same checker
+    val out = java.nio.file.Files
+      .createTempDirectory(s"graft_stream_${name}_${streamRun.incrementAndGet()}_")
+      .toString
     val query = build(union).writeStream
-      .format("memory").queryName(qn).outputMode("append").start()
+      .format("parquet").option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append").start()
     try {
       query.processAllAvailable()
       // 2100-01-01: past every real event, inside the timestamp range
       mem.addData((-1L, 4102444800000L, -1L, "sentinel", 0.0))
       query.processAllAvailable()
     } finally query.stop()
-    s.table(qn)
+    s.read.parquet(s"$out/data")
   }
 
   // events.ts arrives normalized to epoch millis by tbl().
