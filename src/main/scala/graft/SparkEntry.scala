@@ -253,10 +253,25 @@ object SparkEntry {
     val out = java.nio.file.Files
       .createTempDirectory(s"graft_stream_${name}_${streamRun.incrementAndGet()}_")
       .toString
-    val query = build(union).writeStream
-      .format("parquet").option("path", s"$out/data")
-      .option("checkpointLocation", s"$out/ckpt")
-      .outputMode("append").start()
+    // RocksDB state store: the replay-everything drain holds EVERY
+    // session/left of the corpus in state at once — the default
+    // HDFS-backed provider keeps that on the JVM heap (9.1M entries at
+    // the 100x point; an OOM at 1000x), RocksDB spills it off-heap/disk.
+    // Scoped to this query and restored after: the provider is read at
+    // query START from the session conf.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val query =
+      try build(union).writeStream
+        .format("parquet").option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/ckpt")
+        .outputMode("append").start()
+      finally prevProvider match {
+        case Some(v) => s.conf.set(providerKey, v)
+        case None => s.conf.unset(providerKey)
+      }
     try {
       query.processAllAvailable()
       // 2100-01-01: past every real event, inside the timestamp range
@@ -953,6 +968,23 @@ object SparkEntry {
       }.filter(col("user_id") >= 0)
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), col("duration_ms"))),
+
+    // Streaming windowed AHP over the same replay: the
+    // flatMapGroupsWithState window buffer (the reference's Flink
+    // trigger-point semantics) scores each 3-day tumbling window once the
+    // watermark passes its end — checked against the batch AHP+entropy
+    // SQL. Output keyed by (tms, score) multiset: ScoredRow carries no
+    // event id, and the batch q_online_ahp already pins per-event
+    // attribution.
+    "q_online_ahp_stream" -> ((s, dir) =>
+      runEventStream(s, dir, "online_ahp") { ev =>
+        val feats = ev.select(col("tms"),
+          array(col("v"), (col("user_id") % 100).cast("double"),
+            (col("event_id") % 50).cast("double")).as("features"))
+        graft.streaming.OnlineStreaming.onlineAhpStream(
+          feats, onlineJudgment, Array(1, 0, 1), "3 days", "0 seconds").toDF()
+      }.filter(col("tms") < 4102444800000L)
+        .select(col("tms"), round(col("score"), 6).as("score"))),
 
     // Streaming as-of join over the same replay: purchases (lefts) match
     // their latest preceding click within 1 day, finalized per key as the
@@ -1996,6 +2028,39 @@ object SparkEntry {
          |  1 - (-(1.0/ln(3)) * (e2/t2 - ln(t2))) AS d2
          |  FROM s2)
          |SELECT nrm.event_id,
+         |  round(n0 * ${j(0)} * (d0/(d0+d1+d2)) + n1 * ${j(1)} * (d1/(d0+d1+d2))
+         |      + n2 * ${j(2)} * (d2/(d0+d1+d2)), 6) AS score
+         |FROM nrm JOIN d ON nrm.ws = d.ws""".stripMargin
+    },
+
+    // the batch q_online_ahp oracle with tms carried through instead of
+    // event_id — the stream's ScoredRow output shape
+    "q_online_ahp_stream" -> {
+      val j = onlineAhpW
+      s"""WITH x AS (
+         |  SELECT event_id, epoch_ms(ts) AS tms, CAST(value AS DOUBLE) AS x0,
+         |    CAST(user_id % 100 AS DOUBLE) AS x1, CAST(event_id % 50 AS DOUBLE) AS x2,
+         |    (epoch_ms(ts) // $onlineWindowMs) * $onlineWindowMs AS ws
+         |  FROM events),
+         |s1 AS (SELECT ws, min(x0) AS mn0, max(x0) AS mx0, min(x1) AS mn1,
+         |              max(x1) AS mx1, min(x2) AS mn2, max(x2) AS mx2
+         |       FROM x GROUP BY ws),
+         |nrm AS (
+         |  SELECT x.tms, x.ws,
+         |    (x0 - mn0) / (mx0 - mn0) AS n0, (mx1 - x1) / (mx1 - mn1) AS n1,
+         |    (x2 - mn2) / (mx2 - mn2) AS n2
+         |  FROM x JOIN s1 ON x.ws = s1.ws),
+         |s2 AS (SELECT ws, sum(n0) AS t0, sum(n1) AS t1, sum(n2) AS t2,
+         |   sum(CASE WHEN n0 > 0 THEN n0*ln(n0) ELSE 0 END) AS e0,
+         |   sum(CASE WHEN n1 > 0 THEN n1*ln(n1) ELSE 0 END) AS e1,
+         |   sum(CASE WHEN n2 > 0 THEN n2*ln(n2) ELSE 0 END) AS e2
+         |  FROM nrm GROUP BY ws),
+         |d AS (SELECT ws,
+         |  1 - (-(1.0/ln(3)) * (e0/t0 - ln(t0))) AS d0,
+         |  1 - (-(1.0/ln(3)) * (e1/t1 - ln(t1))) AS d1,
+         |  1 - (-(1.0/ln(3)) * (e2/t2 - ln(t2))) AS d2
+         |  FROM s2)
+         |SELECT nrm.tms,
          |  round(n0 * ${j(0)} * (d0/(d0+d1+d2)) + n1 * ${j(1)} * (d1/(d0+d1+d2))
          |      + n2 * ${j(2)} * (d2/(d0+d1+d2)), 6) AS score
          |FROM nrm JOIN d ON nrm.ws = d.ws""".stripMargin

@@ -192,4 +192,42 @@ class PropertySpec extends GraftSpec {
       }
     }
   }
+
+  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    (8, Gen.alphaNumChar), (3, Gen.const(' ')), (1, Gen.const('\t')),
+    (1, Gen.const('\n')), (1, Gen.choose(0.toChar, 31.toChar)),
+    (1, Gen.const('')), (2, Gen.oneOf('.', ',', '!', 'Ä', 'ß'))))
+    .map(_.mkString)
+
+  test("normalizeText is idempotent and leaves only single spaces") {
+    forSamples(Gen.listOfN(8, textGen), n = 4) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val once = graft.operators.TextAnalysis.normalizeText(col("text"))
+      val norm = df.select(col("id"), once.as("n1")).withColumn("n2",
+        graft.operators.TextAnalysis.normalizeText(col("n1")))
+        .collect()
+      norm.foreach { r =>
+        val (n1, n2) = (r.getString(1), r.getString(2))
+        assert(n1 == n2, s"not idempotent: '$n1' -> '$n2'")
+        assert(!n1.exists(c => c.isControl || c == ''), s"control char survives: '$n1'")
+        assert(!n1.contains("  ") && n1 == n1.trim, s"whitespace not canonical: '$n1'")
+        assert(n1 == n1.toLowerCase, s"not casefolded: '$n1'")
+      }
+    }
+  }
+
+  test("hashSplit covers every row with exactly one of the three labels") {
+    forSamples(Gen.listOfN(60, Gen.choose(0L, 1000000L)), n = 4) { ids =>
+      val df = ids.distinct.map(Tuple1(_)).toDF("id")
+      val labeled = df.select(col("id"),
+        graft.operators.Sampling.hashSplit(col("id"), 80, 10).as("split"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(labeled.forall(l => Set("train", "val", "test")(l._2)))
+      // determinism: the same ids relabel identically
+      val again = df.select(col("id"),
+        graft.operators.Sampling.hashSplit(col("id"), 80, 10).as("split"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(labeled.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    }
+  }
 }
