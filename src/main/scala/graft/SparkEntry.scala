@@ -1382,6 +1382,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("mean_nll"))
     }),
 
+    // bigram-LM perplexity: the sharper filter (context-conditioned);
+    // docs with < 2 tokens have no bigrams and emit no row
+    "q_lm2_score" -> ((s, dir) => {
+      TextAnalysis.bigramNll(tbl(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"), col("mean_nll2"))
+    }),
+
     // training-mix construction: sample the corpus DOWN to 40/30/20/10
     // source proportions — the binding stratum stays whole, the others
     // hash-threshold down; sources outside the mix drop entirely
@@ -2655,6 +2662,25 @@ object SparkEntry {
         |  round(CAST(sum(CAST(-ln((c + 1.0) / (tot + v)) AS DECIMAL(28,12))) AS DOUBLE)
         |    / count(*), 6) AS mean_nll
         |FROM t JOIN lm USING (term), tot
+        |GROUP BY doc_id""".stripMargin,
+
+    // scalar-context range() builds the bigram index list (the proven
+    // shingle-CTE pattern — range as a TABLE function can't take lateral
+    // args, as a list expression it can)
+    "q_lm2_score" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS term FROM w),
+        |uni AS (SELECT term, count(*) AS c1 FROM t GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |bgt AS (SELECT doc_id, bg['a'] AS w1, bg['b'] AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> {'a': w[i], 'b': w[i+1]})) AS bg FROM w)),
+        |bi AS (SELECT w1, w2, count(*) AS cb FROM bgt GROUP BY 1, 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(CAST(-ln((cb + 1.0) / (c1 + v)) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / count(*), 6) AS mean_nll2
+        |FROM bgt JOIN bi USING (w1, w2) JOIN uni ON bgt.w1 = uni.term, v
         |GROUP BY doc_id""".stripMargin,
 
     "q_mixture" ->

@@ -418,6 +418,37 @@ object TextAnalysis {
    * totals ride in as a one-row broadcast, and the per-doc mean is a
    * second partial-agg exchange on the doc id. Everything stays lazy.
    */
+  /** Bigram-LM mean NLL per document (the sharper perplexity filter):
+    * p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V), add-1
+    * smoothed over the corpus-trained bigram/unigram tables. Docs with
+    * fewer than two tokens emit no row (they have no bigrams). Same
+    * scale shape as TF-IDF: count tables joined BY KEY (web-scale vocab
+    * outgrows broadcast), only the O(1) vocab total broadcast; decimal
+    * NLL sums for engine-exact reduction. */
+  def bigramNll(df: org.apache.spark.sql.DataFrame, textCol: String,
+                idCol: String): org.apache.spark.sql.DataFrame = {
+    val w = words(col(textCol))
+    val n = greatest(size(w) - 1, lit(0))
+    val toks = df.select(col(idCol),
+        explode(zip_with(slice(w, lit(1), n), slice(w, lit(2), n),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1"), col("bg.w2"))
+    val uni = df.select(explode(words(col(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("__c1"))
+    val vocab = uni.agg(count(lit(1)).cast(DoubleType).as("__v"))
+    val bi = toks.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+    toks.join(bi, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__nll",
+        -log((col("__cb") + 1.0) / (col("__c1") + col("__v"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__nll").cast("decimal(28,12)")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s").cast(DoubleType) / col("n_bigrams"), 6).as("mean_nll2"))
+  }
+
   def unigramNll(df: org.apache.spark.sql.DataFrame, textCol: String,
                  idCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol), explode(words(col(textCol))).as("term"))
