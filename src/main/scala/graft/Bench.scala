@@ -47,7 +47,19 @@ object Bench {
     // total sums SUCCESSFUL times only: a failed query keeps its -1
     // marker in the per-query map but must not shrink the headline total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The same JSON line as a committed ARTIFACT: the driver captures
+    // stdout with a tail cap, and round 5 lost 12 of 84 per-query times
+    // to that truncation — a file can't be truncated by a log pipe.
+    // Skipped for SPARK_GRAFT_ONLY partial runs so a targeted re-timing
+    // never overwrites the full-suite record.
+    if (only.isEmpty) {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_map.json"))
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }
