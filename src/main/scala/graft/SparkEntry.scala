@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AHP, Apriori, AutoFeatureTransformer, Canopy, Dedup, FCMModel, Joins, MeanImputer, Multimodal, OnlineAHP, OnlineTopsis, Quantiles, Sampling, Similarity, StandardScalerEst, TextAnalysis, Topsis}
+import graft.operators.{AHP, Apriori, AutoFeatureTransformer, Canopy, Dedup, FCMModel, Joins, MeanImputer, Multimodal, OnlineAHP, OnlineTopsis, QualityClassifier, Quantiles, Sampling, Similarity, StandardScalerEst, TextAnalysis, Topsis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -19,7 +19,7 @@ object SparkEntry {
     * event-time query wants epoch millis, normalized here. Sessions pin
     * spark.sql.session.timeZone=UTC, so the NTZ read hashes identically
     * to the DuckDB oracle's epoch_ms(ts). */
-  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+  private[graft] def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     if (name == "events") df.withColumn("ts", epochMillis(df, "ts")) else df
   }
@@ -222,6 +222,24 @@ object SparkEntry {
     * At scale the same `build` pipeline runs unmodified on a live
     * readStream; only this drain harness is test-shaped. */
   private val streamRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Every drain's temp dir (parquet results + checkpoint + RocksDB state)
+    * is registered here and deleted on JVM exit — repeated Bench/Verify/
+    * test runs otherwise accumulate sizeable state under /tmp (the RocksDB
+    * checkpoints at the 100x point run to GBs). Deletion is deferred to
+    * shutdown, not done eagerly, because the returned DataFrame reads
+    * `$out/data` lazily — callers may collect it long after this returns. */
+  private val streamTmpDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val streamTmpHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      streamTmpDirs.forEach { root =>
+        try {
+          java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case _: Exception => } // best-effort: shutdown must not fail
+      }
+    }))
+
   private def runEventStream(s: SparkSession, dir: String, name: String)(
       build: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -250,9 +268,11 @@ object SparkEntry {
     // 100x point — 9M closed sessions on one JVM heap); the parquet sink
     // is the production shape, distributed end to end, and the batch
     // read-back underneath the same checker
-    val out = java.nio.file.Files
+    streamTmpHookInstalled
+    val outPath = java.nio.file.Files
       .createTempDirectory(s"graft_stream_${name}_${streamRun.incrementAndGet()}_")
-      .toString
+    streamTmpDirs.add(outPath)
+    val out = outPath.toString
     // RocksDB state store: the replay-everything drain holds EVERY
     // session/left of the corpus in state at once — the default
     // HDFS-backed provider keeps that on the JVM heap (9.1M entries at
@@ -1077,6 +1097,29 @@ object SparkEntry {
         "text", "doc_id", sep = " the ", minDocs = 3)
         .select(col("doc_id"), substring(col("text"), 1, 60).as("head"),
           col("n_lines_kept"), col("n_lines_removed"))
+    }),
+
+    // Learned quality-scorer inference (fastText-style hash-TF linear
+    // model): deterministic synthetic weights stand in for a trained
+    // model; scoring is a codegen'd expression over a plan-embedded
+    // weight array — zero shuffle, no UDF, no corpus-to-model join. The
+    // model rides through its DataFrame form to exercise that surface.
+    "q_quality_clf" -> ((s, dir) => {
+      val w = QualityClassifier.syntheticWeightsMilli(512)
+      QualityClassifier.classifyWithModel(tbl(s, dir, "documents"),
+        "text", "doc_id", QualityClassifier.weightsDF(s, w), bias = 0.1)
+    }),
+
+    // Substring-level dedup (the suffix-array-style "k-token span appears
+    // in N docs" pass): any 8-token window repeated across >= 2 distinct
+    // docs is cut from EVERY doc, overlapping hot windows merging into one
+    // removed region; docs are rebuilt from surviving tokens. One corpus
+    // shuffle (hash->doc-count), hot-set broadcast, zero-shuffle rebuild.
+    "q_span_dedup" -> ((s, dir) => {
+      Dedup.removeRepeatedSpans(tbl(s, dir, "documents"),
+        "text", "doc_id", spanTokens = 8, minDocs = 2)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("head"),
+          col("n_tokens_kept"), col("n_tokens_removed"))
     }),
 
     "q_minhash_pairs" -> ((s, dir) => {
@@ -2234,6 +2277,60 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE NOT ishot) AS BIGINT) AS n_lines_kept,
         |  CAST(count(*) FILTER (WHERE ishot) AS BIGINT) AS n_lines_removed
         |FROM k GROUP BY doc_id HAVING count(*) FILTER (WHERE NOT ishot) > 0""".stripMargin,
+
+    // Replays the hash-TF inference exactly: bucket = md5(token) mod 512
+    // (same 60-bit md5-prefix hash), weight = md5('w'||bucket) mod 2001 −
+    // 1000 milli-units, margin = exact long sum / 1000 / n + bias — the
+    // integer sum makes the double bit-identical, so the margin ships
+    // UNROUNDED (a display round would re-introduce engine skew at
+    // decimal .5 boundaries, which the exact rational hits routinely).
+    "q_quality_clf" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok FROM documents),
+        |b AS (SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS bk FROM t),
+        |s AS (SELECT doc_id,
+        |    SUM(('0x' || substr(md5('w' || bk), 1, 15))::BIGINT % 2001 - 1000) AS sm,
+        |    count(*) AS n
+        |  FROM b GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(sm AS DOUBLE) / 1000.0 / n + 0.1 AS margin,
+        |  CAST(CAST(sm AS DOUBLE) / 1000.0 / n + 0.1 > 0 AS INT) AS label
+        |FROM s""".stripMargin,
+
+    // Replays the span pass exactly: same per-word md5 mod P, same
+    // rolling combine (inlined for k=8), hot = span hash in >= 2 distinct
+    // docs, covered token positions = union of [i, i+k) over hot windows,
+    // docs rebuilt from uncovered tokens in order (empty docs vanish).
+    "q_span_dedup" -> {
+      val k = 8
+      val rolled = (1 until k).foldLeft("wh[i]")((e, j) =>
+        s"(($e) * ${Dedup.B} + wh[i+$j]) % ${Dedup.P}")
+      s"""WITH w AS (SELECT doc_id,
+         |    string_split_regex(lower(text), '\\s+') AS toks,
+         |    list_transform(string_split_regex(lower(text), '\\s+'),
+         |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % ${Dedup.P}) AS wh
+         |  FROM documents),
+         |wins AS (SELECT doc_id, unnest(generate_series(1, len(wh) - ${k - 1})) AS i, wh
+         |  FROM w WHERE len(wh) >= $k),
+         |sp AS (SELECT doc_id, i, $rolled AS h FROM wins),
+         |hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h)
+         |        WHERE nd >= 2),
+         |cov AS (SELECT DISTINCT sp.doc_id, sp.i + j.j AS p
+         |        FROM sp JOIN hot USING (h),
+         |             (SELECT unnest(generate_series(0, ${k - 1})) AS j) j),
+         |tok AS (SELECT doc_id, unnest(toks) AS t,
+         |        unnest(generate_series(1, len(toks))) AS p FROM w),
+         |kept AS (SELECT tok.doc_id, tok.t, tok.p FROM tok
+         |         LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+         |         WHERE cov.p IS NULL)
+         |SELECT kept.doc_id,
+         |  substr(string_agg(kept.t, ' ' ORDER BY kept.p), 1, 60) AS head,
+         |  CAST(count(*) AS BIGINT) AS n_tokens_kept,
+         |  CAST(any_value(len(w.toks)) - count(*) AS BIGINT) AS n_tokens_removed
+         |FROM kept JOIN w ON kept.doc_id = w.doc_id
+         |GROUP BY kept.doc_id""".stripMargin
+    },
 
     "q_minhash_pairs" ->
       s"""WITH $mhCandidateCtes

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.functions.HashTfLinearMargin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/**
+ * Learned quality-classifier inference for corpus curation — the scoring
+ * half of a fastText-style hash-TF linear model (the quality-filter
+ * stage every production pretraining pipeline runs after the heuristic
+ * filters): tokens hash into `dim` buckets, the model is one weight per
+ * bucket plus a bias, and a document's margin is the mean bucket weight
+ * + bias; `label = margin > 0`.
+ *
+ * The model lives in two equivalent forms:
+ *  - a model DATAFRAME (bucket, weight_milli, weight) — the persistable
+ *    / joinable artifact a trainer would produce;
+ *  - a primitive long[] in milli-units — the broadcastable inference
+ *    form the codegen'd [[HashTfLinearMargin]] expression embeds.
+ * [[classifyWithModel]] bridges the two: the model table is collected
+ * (model-sized by construction: `dim` rows) into the array form, so
+ * inference over the corpus is a pure zero-shuffle projection — never a
+ * corpus-to-model join.
+ *
+ * Weight training is out of scope (no labeled data in this container);
+ * [[syntheticWeightsMilli]] provides the deterministic md5-derived
+ * stand-in the oracle replays. Integer milli-weights make every score
+ * engine-exact (long sums, one fixed-order double division at the end).
+ */
+object QualityClassifier {
+
+  /** Deterministic synthetic model: w(b) = md5("w"+b) mod 2001 − 1000 ∈
+    * [-1000, 1000] milli-units. A stand-in for trained weights with the
+    * same shape/dtype — replayable in any engine with md5. */
+  def syntheticWeightsMilli(dim: Int): Array[Long] = {
+    require(dim > 0, "dim must be positive")
+    Array.tabulate(dim)(b => Dedup.md5LongJvm("w" + b) % 2001L - 1000L)
+  }
+
+  /** The model as a DataFrame (bucket, weight_milli, weight). */
+  def weightsDF(spark: SparkSession, weightsMilli: Array[Long]): DataFrame = {
+    import spark.implicits._
+    weightsMilli.zipWithIndex
+      .map { case (w, b) => (b, w, w / 1000.0) }.toSeq
+      .toDF("bucket", "weight_milli", "weight")
+  }
+
+  /** Score + threshold in one zero-shuffle projection. The margin is
+    * emitted at FULL double precision, deliberately unrounded: the long
+    * milli-sum makes the score bit-exact in any engine, while a display
+    * round would re-introduce engine skew (the exact rational often
+    * lands on a decimal .5 boundary, where BigDecimal HALF_UP and
+    * float-multiply rounding disagree). */
+  def classify(df: DataFrame, textCol: String, idCol: String,
+               weightsMilli: Array[Long], bias: Double): DataFrame = {
+    val m = HashTfLinearMargin(col(textCol), weightsMilli, bias)
+    df.select(col(idCol), m.as("margin"),
+      (m > 0.0).cast(IntegerType).as("label"))
+  }
+
+  /** Model-DataFrame entry: collect the `dim`-row model table into the
+    * primitive inference form, then [[classify]]. The collect is
+    * O(model), never O(data) — the corpus is not joined. */
+  def classifyWithModel(df: DataFrame, textCol: String, idCol: String,
+                        model: DataFrame, bias: Double): DataFrame = {
+    val rows = model.select(col("bucket").cast(IntegerType),
+        col("weight_milli").cast(LongType))
+      .collect()
+    require(rows.nonEmpty, "empty model table")
+    val dim = rows.map(_.getInt(0)).max + 1
+    val w = new Array[Long](dim)
+    rows.foreach(r => w(r.getInt(0)) = r.getLong(1))
+    classify(df, textCol, idCol, w, bias)
+  }
+}

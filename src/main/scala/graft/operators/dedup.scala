@@ -131,7 +131,7 @@ object Dedup {
   /** Shared compiled whitespace splitter: `String.split("\\s+")` compiles
     * the pattern per CALL (the single-char fast path doesn't apply);
     * Pattern is immutable/thread-safe. */
-  private[operators] val wsPattern = java.util.regex.Pattern.compile("\\s+")
+  private[graft] val wsPattern = java.util.regex.Pattern.compile("\\s+")
 
   /** md5Long as plain Scala — bit-identical to the Column form (first 15
     * hex digits of md5 = first 7 bytes + the high nibble of the 8th). */
@@ -151,25 +151,36 @@ object Dedup {
    * Catalyst does not CSE subexpressions inside lambda functions, so the
    * expression form re-hashes the word array once per element access.
    */
-  /** Distinct hashed word-shingles of a text (the set both the minhash
-    * signature and exact Jaccard are computed over). */
-  private[operators] def shingleHashes(text: String, shingleN: Int): Array[Long] = {
-    val words = wsPattern.split(text.toLowerCase)
-    val wh = words.map(w => md5LongJvm(w) % P)
-    if (shingleN == 1) wh.distinct
-    else if (wh.length < shingleN) Array.empty[Long]
+  /** Positional rolling n-gram hashes over pre-hashed words: out(i) is
+    * the hash of the window starting at word i ((…(h_i·B + h_{i+1})·B +
+    * …) mod P). Length = |words| − n + 1; empty when the doc is shorter
+    * than one window. */
+  private[operators] def rollingHashes(wh: Array[Long], n: Int): Array[Long] = {
+    if (wh.length < n) Array.empty[Long]
     else {
-      val out = new Array[Long](wh.length - shingleN + 1)
+      val out = new Array[Long](wh.length - n + 1)
       var i = 0
       while (i < out.length) {
         var acc = wh(i)
         var j = 1
-        while (j < shingleN) { acc = (acc * B + wh(i + j)) % P; j += 1 }
+        while (j < n) { acc = (acc * B + wh(i + j)) % P; j += 1 }
         out(i) = acc
         i += 1
       }
-      out.distinct
+      out
     }
+  }
+
+  /** Hashed lowercase whitespace words of a text. */
+  private[operators] def wordHashes(text: String): Array[Long] =
+    wsPattern.split(text.toLowerCase).map(w => md5LongJvm(w) % P)
+
+  /** Distinct hashed word-shingles of a text (the set both the minhash
+    * signature and exact Jaccard are computed over). */
+  private[operators] def shingleHashes(text: String, shingleN: Int): Array[Long] = {
+    val wh = wordHashes(text)
+    if (shingleN == 1) wh.distinct
+    else rollingHashes(wh, shingleN).distinct
   }
 
   private def signatureUdf(numHashes: Int, bands: Int, seed: Long, shingleN: Int) = {
@@ -789,5 +800,91 @@ object Dedup {
         concat_ws(sep, col("__s.line")).as(textCol),
         size(col("__s")).cast(LongType).as("n_lines_kept"),
         (col("__n") - size(col("__s"))).cast(LongType).as("n_lines_removed"))
+  }
+
+  // ---------------------------------------------- substring/span dedup
+
+  /**
+   * Substring-level (span) dedup — the "50-token span appears in N docs"
+   * pass every production corpus runs (the suffix-array dedup of Lee et
+   * al. 2022, "Deduplicating Training Data Makes Language Models Better",
+   * re-expressed as a distributed k-gram coverage pass): a token WINDOW
+   * of `spanTokens` words whose rolling hash occurs in at least `minDocs`
+   * DISTINCT documents marks every token it covers; each document is
+   * rebuilt from its uncovered tokens in original order. Unlike
+   * [[removeBoilerplateLines]] (whole segments at a fixed separator),
+   * spans are position-free — any repeated run of `spanTokens`+ words is
+   * cut wherever it appears, and overlapping hot windows merge into one
+   * removed region, so a repeated 80-token block is fully excised by its
+   * 80−k+1 hot k-windows. Documents left with zero tokens disappear
+   * (mirroring removeBoilerplateLines). Output: `idCol`, rebuilt
+   * `textCol` (single-space joined lowercase tokens), `n_tokens_kept`,
+   * `n_tokens_removed`.
+   *
+   * Scale shape (100 TB): pass 1 emits DISTINCT span hashes per doc from
+   * one fused JVM kernel (one md5 per word, rolling combine — no shingle
+   * strings), so the only corpus-sized shuffle is the partial-aggregated
+   * hash→doc-count exchange; the hot set (spans repeated across >=
+   * minDocs docs) is tiny by definition and is collect-capped at
+   * `maxHotSpans` (limit+1 probe — a degenerate threshold fails fast
+   * naming the knob) and broadcast as a sorted primitive array; pass 2
+   * rebuilds every doc in ONE scan via binary search — zero shuffle, no
+   * join, no window. Candidate pairs never materialize anywhere.
+   */
+  def removeRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                          spanTokens: Int, minDocs: Int = 2,
+                          maxHotSpans: Int = 1000000): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2 (got $spanTokens)")
+    require(minDocs >= 2, s"minDocs must be >= 2 (got $minDocs): at 1 every span is hot")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = spanTokens
+    val spanUdf = udf { (text: String) =>
+      rollingHashes(wordHashes(text), k).distinct
+    }
+    val hot = df.select(explode(spanUdf(col(textCol))).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h")).limit(maxHotSpans + 1)
+      .as[Long].collect()
+    require(hot.length <= maxHotSpans,
+      s"more than $maxHotSpans hot spans at spanTokens=$spanTokens, minDocs=$minDocs: " +
+        "the span length is too short for this corpus (broadcast would not fit). " +
+        "Raise spanTokens/minDocs or maxHotSpans.")
+    java.util.Arrays.sort(hot)
+    val bc = spark.sparkContext.broadcast(hot)
+    val rebuildUdf = udf { (text: String) =>
+      val words = wsPattern.split(text.toLowerCase)
+      val wh = words.map(w => md5LongJvm(w) % P)
+      val spans = rollingHashes(wh, k)
+      val covered = new Array[Boolean](words.length)
+      var i = 0
+      while (i < spans.length) {
+        if (java.util.Arrays.binarySearch(bc.value, spans(i)) >= 0) {
+          var j = i
+          val end = i + k
+          while (j < end) { covered(j) = true; j += 1 }
+        }
+        i += 1
+      }
+      val sb = new java.lang.StringBuilder
+      var kept = 0
+      i = 0
+      while (i < words.length) {
+        if (!covered(i)) {
+          if (kept > 0) sb.append(' ')
+          sb.append(words(i))
+          kept += 1
+        }
+        i += 1
+      }
+      (sb.toString, kept, words.length - kept)
+    }
+    df.select(col(idCol), rebuildUdf(col(textCol)).as("__r"))
+      .filter(col("__r._2") > 0)
+      .select(col(idCol),
+        col("__r._1").as(textCol),
+        col("__r._2").cast(LongType).as("n_tokens_kept"),
+        col("__r._3").cast(LongType).as("n_tokens_removed"))
   }
 }

@@ -416,6 +416,43 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("span dedup: cross-doc token runs cut everywhere, overlaps merge, short docs pass") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta unique1 tail1"),
+      (2L, "prefix2 alpha beta gamma delta end2"),
+      (3L, "alpha beta gamma delta"), // fully covered -> vanishes
+      (4L, "xx yy"),                  // shorter than one window -> untouched
+      (5L, "Solo Document three words here")).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(df, "text", "doc_id",
+        spanTokens = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // hot 3-windows: "alpha beta gamma" (docs 1,2,3) and "beta gamma delta"
+    // (docs 1,2,3) — their coverage merges into the full 4-token run
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L, 5L), s"got ${out.toSeq}")
+    assert(out(0)._2 == "unique1 tail1" && out(0)._3 == 2 && out(0)._4 == 4)
+    assert(out(1)._2 == "prefix2 end2" && out(1)._3 == 2 && out(1)._4 == 4)
+    assert(out(2)._2 == "xx yy" && out(2)._4 == 0)
+    // rebuild is over lowercase tokens (hashing tokenizes lowercase)
+    assert(out(3)._2 == "solo document three words here" && out(3)._4 == 0)
+  }
+
+  test("span dedup: degenerate hot-set cap fails fast; bad params rejected") {
+    val df = (1 to 40).map(i => (i.toLong, "same span here repeated in every doc"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.removeRepeatedSpans(df, "text", "doc_id", spanTokens = 3,
+        minDocs = 2, maxHotSpans = 2)
+    }
+    assert(e.getMessage.contains("spanTokens"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      Dedup.removeRepeatedSpans(df, "text", "doc_id", spanTokens = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.removeRepeatedSpans(df, "text", "doc_id", spanTokens = 3, minDocs = 1)
+    }
+  }
+
   test("minhash: identical docs always collide, near-dups usually, distinct never-ish") {
     val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
       numHashes = 16, bands = 8).collect()

@@ -213,6 +213,24 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("q_quality_clf: inference is a zero-shuffle codegen'd projection") {
+    val p = plan("q_quality_clf")
+    assert(!p.contains("Exchange"), s"classifier inference must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"model must be plan-embedded, not joined:\n$p")
+    assert(!p.contains("ScalaUDF"), s"scoring must be the native expression:\n$p")
+    assert(p.contains("*(1)"), s"scoring must participate in codegen:\n$p")
+  }
+
+  test("q_span_dedup: rebuild is a zero-shuffle scan (hot set rides as broadcast)") {
+    // the hot-span aggregation runs (and collects, capped) when the query
+    // is BUILT; the returned rebuild plan must be a pure scan projection:
+    // no pair join, no window, no shuffle — the 100 TB promise
+    val p = plan("q_span_dedup")
+    assert(!p.contains("Exchange"), s"span rebuild must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"span rebuild must not join:\n$p")
+    assert(!p.contains("Window"), s"span rebuild must not rank:\n$p")
+  }
+
   test("q_dedup_keep_best: retention window partitions by cluster, no global sort") {
     val p = plan("q_dedup_keep_best")
     // the final row_number must run per-cluster (hashpartitioning on
