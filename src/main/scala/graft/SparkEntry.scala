@@ -940,6 +940,35 @@ object SparkEntry {
           concat_ws(",", col("suffix")).as("suffix"))
     }),
 
+    // Level-wise Apriori under BOTH scale guards, on baskets where the
+    // reference's 2^|tx| enumeration is infeasible: per-CUSTOMER baskets
+    // (~28 distinct items of 60, max 51 — 2^51 subsets unbounded) are
+    // truncated to their first 20 sorted items (maxBasketSize, ~84% of
+    // baskets clipped) and enumerated level-wise to pairs
+    // (maxItemsetSize=2). The oracle replays the exact same truncated
+    // enumeration, so the guards themselves are hash-checked. The
+    // orders join is left to AQE: broadcast at this scale, shuffle
+    // join on a cluster (fact-fact).
+    "q_apriori_levelwise" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val it = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          concat(lit("i"), pmod(col("l_partkey"), lit(60))).as("item"))
+      val tx = it.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(concat_ws("/", sort_array(collect_set(col("item")))).as("items"))
+      new Apriori().setMinSupport(0.15).setMinConfidence(0.2).setLift(1.0)
+        .setItemSeparator("/").setInputCols("items")
+        .setMaxItemsetSize(2).setMaxBasketSize(20)
+        .transform(tx)
+        .select(concat_ws(",", col("itemSet")).as("item_set"), col("count"),
+          round(col("support"), 6).as("support"),
+          round(col("confidence"), 6).as("confidence"),
+          round(col("lift"), 6).as("lift"),
+          concat_ws(",", col("prefix")).as("prefix"),
+          concat_ws(",", col("suffix")).as("suffix"))
+    }),
+
     "q_online_ahp" -> ((s, dir) => {
       new OnlineAHP()
         .setInputCols("x0", "x1", "x2")
@@ -1966,6 +1995,46 @@ object SparkEntry {
         |    CAST(1.0 AS DOUBLE) AS lift, '' AS prefix, '' AS suffix FROM f1
         |  UNION ALL SELECT * FROM r2)
         |WHERE confidence >= 0.1 AND lift >= 1.0""".stripMargin,
+
+    // Truncated-enumeration replay: baskets = first 20 SORTED distinct
+    // items per customer (list_sort + slice = the transform's
+    // sorted-concat + take(20)), then the same singles/pairs rule
+    // generation as q_apriori's oracle.
+    "q_apriori_levelwise" ->
+      """WITH li AS (SELECT o.o_custkey AS ck,
+        |    'i' || CAST(l.l_partkey % 60 AS VARCHAR) AS item
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |bk AS (SELECT ck, (list_sort(list(DISTINCT item)))[1:20] AS items
+        |       FROM li GROUP BY ck),
+        |it AS (SELECT ck, unnest(items) AS item FROM bk),
+        |n AS (SELECT count(*) AS total FROM bk),
+        |i1 AS (SELECT item, COUNT(*) AS c FROM it GROUP BY item),
+        |i2 AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS c
+        |       FROM it a JOIN it b ON a.ck = b.ck AND a.item < b.item
+        |       GROUP BY a.item, b.item),
+        |f1 AS (SELECT item, c, c / CAST(total AS DOUBLE) AS sup FROM i1, n
+        |       WHERE c / CAST(total AS DOUBLE) >= 0.15),
+        |f2 AS (SELECT ia, ib, c, c / CAST(total AS DOUBLE) AS sup FROM i2, n
+        |       WHERE c / CAST(total AS DOUBLE) >= 0.15),
+        |r2 AS (
+        |  SELECT f2.ia || ',' || f2.ib AS item_set, f2.c AS count, f2.sup AS support,
+        |         f2.c / CAST(sb.c AS DOUBLE) AS confidence,
+        |         f2.c / CAST(sb.c AS DOUBLE) / sa.sup AS lift,
+        |         f2.ia AS prefix, f2.ib AS suffix
+        |  FROM f2 JOIN f1 sb ON sb.item = f2.ib JOIN f1 sa ON sa.item = f2.ia
+        |  UNION ALL
+        |  SELECT f2.ib || ',' || f2.ia, f2.c, f2.sup,
+        |         f2.c / CAST(sa.c AS DOUBLE),
+        |         f2.c / CAST(sa.c AS DOUBLE) / sb.sup,
+        |         f2.ib, f2.ia
+        |  FROM f2 JOIN f1 sb ON sb.item = f2.ib JOIN f1 sa ON sa.item = f2.ia)
+        |SELECT item_set, CAST(count AS INTEGER) AS count, round(support, 6) AS support,
+        |  round(confidence, 6) AS confidence, round(lift, 6) AS lift, prefix, suffix
+        |FROM (
+        |  SELECT item AS item_set, c AS count, sup AS support, sup AS confidence,
+        |    CAST(1.0 AS DOUBLE) AS lift, '' AS prefix, '' AS suffix FROM f1
+        |  UNION ALL SELECT * FROM r2)
+        |WHERE confidence >= 0.2 AND lift >= 1.0""".stripMargin,
 
     "q_fcm_fit" -> {
       val c0 = fcmFitInit.zipWithIndex.flatMap { case (c, i) =>
