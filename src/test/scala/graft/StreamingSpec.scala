@@ -422,6 +422,88 @@ class StreamingSpec extends GraftSpec {
       s"got $all")
   }
 
+  /** Total state-store rows as of the LAST progress entry that carries
+    * state metrics — i.e. after the final (possibly no-data) microbatch's
+    * eviction ran. */
+  private def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.reverse.collectFirst {
+      case p if p.stateOperators.nonEmpty => p.stateOperators.map(_.numRowsTotal).sum
+    }.getOrElse(-1L)
+
+  test("state bounds: closed sessions/windows/asof-keys are EVICTED, not retained") {
+    // The scale contract the drains document (state ∝ OPEN entities, not
+    // corpus) asserted from StreamingQueryProgress state metrics: a
+    // regression that starts retaining closed state fails here, not in a
+    // 1000x OOM. Each pipeline: load many entities -> peak state; push
+    // the watermark past everything -> state must collapse to just the
+    // sentinel's own entity.
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1000000000000L
+
+    // -- session windows: 40 users x 2 sessions
+    val sessMem = MemoryStream[(Long, Long, Long)]
+    val sessions = graft.operators.EventWindows.sessionizeStream(
+      sessMem.toDF().toDF("event_id", "tms", "user_id"), "tms", Seq("user_id"),
+      gap = "1 hour", delay = "0 seconds")
+    val sq = sessions.writeStream.format("noop").outputMode("append").start()
+    try {
+      sessMem.addData((1 to 40).flatMap(u => Seq(
+        (u * 10L, base + u * 1000L, u.toLong),
+        (u * 10L + 1, base + 5 * 3600000L + u * 1000L, u.toLong))))
+      sq.processAllAvailable()
+      // the batch's own watermark advance already evicted the 40 EARLY
+      // sessions (their close fell behind the late events' watermark) —
+      // the 40 still-open ones are what state may hold
+      val peak = stateRows(sq)
+      assert(peak == 40, s"expected exactly the 40 open sessions in state, got $peak")
+      sessMem.addData(Seq((9999L, base + 1000L * 3600000L, 999L)))
+      sq.processAllAvailable()
+      val post = stateRows(sq)
+      assert(post == 1, s"closed sessions must evict; state rows = $post")
+    } finally sq.stop()
+
+    // -- windowed AHP buffers: events across 3 tumbling 3-day windows
+    val ahpMem = MemoryStream[(Long, Array[Double])]
+    val day = 86400000L
+    val scored = OnlineStreaming.onlineAhpStream(
+      ahpMem.toDF().toDF("tms", "features"),
+      Array(Array(1.0, 2.0), Array(0.5, 1.0)), Array(1, 0), "3 days")
+    val aq = scored.writeStream.format("noop").outputMode("append").start()
+    try {
+      // events span THREE 3-day windows; once the batch's watermark lands
+      // inside the last one, the two scored windows must already be gone —
+      // state is one row per OPEN window (the buffer array is one row), so
+      // a retention regression reads 3 here, not 1
+      ahpMem.addData((0 until 9).map(i => (base + i * day, Array(i + 1.0, 9.0 - i))))
+      aq.processAllAvailable()
+      val peak = stateRows(aq)
+      assert(peak == 1, s"only the open window may hold a buffer, got $peak")
+      ahpMem.addData(Seq((base + 1000 * day, Array(1.0, 1.0))))
+      aq.processAllAvailable()
+      val post = stateRows(aq)
+      assert(post == 1, s"scored windows must evict their buffers; state rows = $post")
+    } finally aq.stop()
+
+    // -- as-of join: 30 keys of pending lefts + right buffers
+    val asofMem = MemoryStream[(Long, Long, Int, Long, Double)]
+    val matched = AsofStreaming.asofStream(
+      asofMem.toDF().toDF("key", "tms", "side", "id", "value"),
+      tolerance = day, lateness = "0 seconds")
+    val jq = matched.toDF().writeStream.format("noop").outputMode("append").start()
+    try {
+      asofMem.addData((1 to 30).flatMap(k => Seq(
+        (k.toLong, base + k * 1000L, 0, k * 100L, k * 1.0),
+        (k.toLong, base + k * 1000L + 500L, 1, k * 100L + 1, 0.0))))
+      jq.processAllAvailable()
+      val peak = stateRows(jq)
+      assert(peak >= 30, s"expected >= 30 keys of asof state, got $peak")
+      asofMem.addData(Seq((-1L, base + 1000 * day, 0, -1L, 0.0)))
+      jq.processAllAvailable()
+      val post = stateRows(jq)
+      assert(post <= 1, s"finalized asof keys must evict; state rows = $post")
+    } finally jq.stop()
+  }
+
   test("stateless pipeline ops compose onto streams unchanged") {
     // the deployment shape for the filter-class curation ops: hash
     // sampling, PII scrub, repetition metrics are pure projections/
