@@ -1139,6 +1139,16 @@ object SparkEntry {
         "text", "doc_id", QualityClassifier.weightsDF(s, w), bias = 0.1)
     }),
 
+    // DSIR importance resampling: hashed-unigram importance of every doc
+    // against the src0 slice as the target distribution — dim-bounded
+    // count agg -> O(dim) driver model -> zero-shuffle codegen'd scoring.
+    "q_dsir" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val (w, _) = QualityClassifier.dsirWeightsMilli(
+        docs, "text", col("source") === "src0", dim = 2048)
+      QualityClassifier.dsirScore(docs, "text", "doc_id", w)
+    }),
+
     // Substring-level dedup (the suffix-array-style "k-token span appears
     // in N docs" pass): any 8-token window repeated across >= 2 distinct
     // docs is cut from EVERY doc, overlapping hot windows merging into one
@@ -2374,6 +2384,32 @@ object SparkEntry {
         |  CAST(sm AS DOUBLE) / 1000.0 / n + 0.1 AS margin,
         |  CAST(CAST(sm AS DOUBLE) / 1000.0 / n + 0.1 > 0 AS INT) AS label
         |FROM s""".stripMargin,
+
+    // Replays DSIR end to end: same md5-mod-dim buckets, Laplace-smoothed
+    // target/raw count ratio per bucket quantized by floor(x*1000 + 0.5)
+    // to milli-units, per-doc EXACT long sum / 1000 / n in the kernel's
+    // division order — margin ships unrounded (the long-sum trick).
+    "q_dsir" -> {
+      val dim = 2048
+      s"""WITH tok AS (SELECT doc_id,
+         |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ist,
+         |    ('0x' || substr(md5(unnest(string_split_regex(lower(text), '\\s+'))), 1, 15))::BIGINT
+         |      % $dim AS b
+         |  FROM documents),
+         |cnt AS (SELECT b, count(*) AS cr, CAST(sum(ist) AS BIGINT) AS ct
+         |  FROM tok GROUP BY b),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM cnt),
+         |w AS (SELECT b,
+         |    CAST(floor(1000.0 * ln(((ct + 1.0) / (nt + 1.0 * $dim))
+         |         / ((cr + 1.0) / (nr + 1.0 * $dim))) + 0.5) AS BIGINT) AS wm
+         |  FROM cnt, tot),
+         |s AS (SELECT doc_id, CAST(sum(wm) AS BIGINT) AS sm, count(*) AS n
+         |  FROM tok JOIN w USING (b) GROUP BY doc_id)
+         |SELECT doc_id, n AS n_tokens,
+         |  CAST(sm AS DOUBLE) / 1000.0 / n AS log_importance,
+         |  CAST(CAST(sm AS DOUBLE) / 1000.0 / n > 0 AS INT) AS selected
+         |FROM s""".stripMargin
+    },
 
     // Replays the span pass exactly: same per-word md5 mod P, same
     // rolling combine (inlined for k=8), hot = span hash in >= 2 distinct

@@ -59,6 +59,68 @@ object QualityClassifier {
       (m > 0.0).cast(IntegerType).as("label"))
   }
 
+  /**
+   * DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+   * for Language Models via Importance Resampling"): estimate hashed
+   * unigram bag-of-words distributions for a TARGET slice (`isTarget`)
+   * and the RAW corpus, and score every document by its mean per-token
+   * log importance ratio ln(p_target(b)/p_raw(b)) — positive means
+   * "more target-like than the corpus average"; selection keeps the
+   * high end. Weights are Laplace-smoothed (`alpha`) and quantized to
+   * integer MILLI-units via floor(x·1000 + 0.5) (explicit floor, not
+   * round: HALF_UP vs half-even skew on negatives), so the per-doc
+   * reduction is an exact long sum any engine replays bit-identically,
+   * and scoring reuses the codegen'd [[HashTfLinearMargin]] kernel.
+   *
+   * Scale shape (100 TB): one token explode into a `dim`-bounded hash
+   * aggregation (map-side partial counts — dim keys total, no skew
+   * possible), an O(dim) driver collect (the MODEL, bounded by the
+   * `dim` parameter, never by data), then a zero-shuffle codegen'd
+   * scoring projection. No corpus-to-model join at any point.
+   *
+   * Returns (weightsMilli, totals) where totals = (targetTokens,
+   * rawTokens); buckets unseen in the raw corpus carry the all-alpha
+   * prior weight so scoring a DIFFERENT corpus stays well-defined.
+   */
+  def dsirWeightsMilli(df: DataFrame, textCol: String, isTarget: org.apache.spark.sql.Column,
+                       dim: Int, alpha: Double = 1.0): (Array[Long], (Long, Long)) = {
+    require(dim > 0 && dim <= (1 << 20), s"dim must be in [1, 2^20] (got $dim)")
+    val bucketUdf = udf { (text: String) =>
+      Dedup.wsPattern.split(text.toLowerCase)
+        .map(w => (Dedup.md5LongJvm(w) % dim).toInt)
+    }
+    val rows = df
+      .select(isTarget.cast(LongType).as("__t"),
+        explode(bucketUdf(col(textCol))).as("__b"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cr"), sum(col("__t")).as("__ct"))
+      .collect()
+    var nt = 0L; var nr = 0L
+    rows.foreach { r => nr += r.getLong(1); nt += r.getLong(2) }
+    val prior = 1000.0 * math.log((nr + alpha * dim) / (nt + alpha * dim))
+    val w = Array.fill(dim)(math.floor(prior + 0.5).toLong)
+    rows.foreach { r =>
+      val ct = r.getLong(2); val cr = r.getLong(1)
+      val x = 1000.0 * math.log(
+        ((ct + alpha) / (nt + alpha * dim)) / ((cr + alpha) / (nr + alpha * dim)))
+      w(r.getInt(0)) = math.floor(x + 0.5).toLong
+    }
+    (w, (nt, nr))
+  }
+
+  /** DSIR scoring pass: per-doc mean per-token log importance (exact
+    * long milli-sum, one fixed-order double division — engine-exact),
+    * `selected` = target-leaning. A pure projection: the weight array
+    * rides the plan, nothing shuffles. */
+  def dsirScore(df: DataFrame, textCol: String, idCol: String,
+                weightsMilli: Array[Long]): DataFrame = {
+    val m = HashTfLinearMargin(col(textCol), weightsMilli, bias = 0.0)
+    df.select(col(idCol),
+      size(split(lower(col(textCol)), "\\s+")).cast(LongType).as("n_tokens"),
+      m.as("log_importance"),
+      (m > 0.0).cast(IntegerType).as("selected"))
+  }
+
   /** Model-DataFrame entry: collect the `dim`-row model table into the
     * primitive inference form, then [[classify]]. The collect is
     * O(model), never O(data) — the corpus is not joined. */

@@ -77,4 +77,33 @@ class ClassifierSpec extends GraftSpec {
     val r = QualityClassifier.classify(tiny, "text", "doc_id", w, b).head()
     assert(r.getInt(2) == 0, s"margin ${r.getDouble(1)} must not flip label")
   }
+
+  test("DSIR: target-exclusive tokens weigh positive, raw-exclusive negative") {
+    val corpus = Seq(
+      (1L, "ml ml ml training data", "target"),
+      (2L, "ml training corpora rock", "target"),
+      (3L, "spam spam spam buy now", "web"),
+      (4L, "click here buy spam now", "web")).toDF("doc_id", "text", "src")
+    val d = 128
+    val (wts, (nt, nr)) = QualityClassifier.dsirWeightsMilli(
+      corpus, "text", col("src") === "target", dim = d)
+    assert(nt == 9 && nr == 19, s"token totals ($nt, $nr)")
+    def wOf(t: String) = wts((Dedup.md5LongJvm(t) % d).toInt)
+    // hand-check 'ml': ct=4, cr=4 -> ln(((4+1)/(9+128))/((4+1)/(19+128)))
+    val expMl = math.floor(1000.0 * math.log(
+      ((4 + 1.0) / (9 + 1.0 * d)) / ((4 + 1.0) / (19 + 1.0 * d))) + 0.5).toLong
+    assert(wOf("ml") == expMl && wOf("ml") > 0, s"ml weight ${wOf("ml")}")
+    assert(wOf("spam") < 0, s"raw-only token must weigh negative: ${wOf("spam")}")
+    // unseen-bucket prior: ct=cr=0 ratio, positive here (nr > nt)
+    val unseen = wts((Dedup.md5LongJvm("zzz_unseen") % d).toInt)
+    assert(unseen == math.floor(1000.0 * math.log(
+      (19 + 1.0 * d) / (9 + 1.0 * d)) + 0.5).toLong)
+    val scores = QualityClassifier.dsirScore(corpus, "text", "doc_id", wts)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toMap
+    // target docs lean positive, spam docs negative
+    assert(scores(1L)._3 == 1 && scores(3L)._3 == 0, s"got $scores")
+    assert(scores(1L)._1 == 5 && scores(3L)._1 == 5)
+    assert(scores(1L)._2 > scores(3L)._2)
+  }
 }
