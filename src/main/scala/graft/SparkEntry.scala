@@ -1317,6 +1317,15 @@ object SparkEntry {
         tables = 4)
     }),
 
+    // SemDeDup semantic dedup: deterministic centroid cells (hash-sample
+    // init), within-cell cosine-to-lower-id pruning — lowest id of each
+    // semantic-dup chain survives. tau at the synthetic corpus's actual
+    // similarity scale (max pairwise cosine ~0.39; production runs 0.95+).
+    "q_semdedup" -> ((s, dir) => {
+      Dedup.semDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        tau = 0.2, targetClusterSize = 256)
+    }),
+
     // int8 embedding quantization (the ANN memory lever): per-vector
     // scale + code stats — checksum-style output keeps the oracle scalar
     "q_quantize" -> ((s, dir) => {
@@ -2662,6 +2671,46 @@ object SparkEntry {
          |  round(dp.dot / (sqrt(na.s) * sqrt(nb2.s)), 4) AS cosine
          |FROM dp JOIN n2 na ON na.vec_id = dp.id_a JOIN n2 nb2 ON nb2.vec_id = dp.id_b
          |WHERE dp.dot / (sqrt(na.s) * sqrt(nb2.s)) >= 0.25""".stripMargin,
+
+    // Replays SemDeDup exactly: k = ceil(n/256) hash-sampled centroids
+    // (md5-prefix order, the KMeansDet init rule), nearest-centroid
+    // assignment with (dist, cid) tie-break, within-cell max cosine to
+    // any LOWER id (index-ordered list arithmetic on both engines),
+    // kept = no lower neighbor at tau.
+    "q_semdedup" -> {
+      val tau = 0.2
+      s"""WITH nb AS (SELECT greatest(CAST(2 AS BIGINT),
+         |    CAST(ceil(count(*) / 256.0) AS BIGINT)) AS k FROM embeddings),
+         |v AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cent AS (SELECT cid, cv FROM (
+         |    SELECT v AS cv, row_number() OVER (
+         |        ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 15), vec_id) - 1 AS cid
+         |    FROM v) t, nb WHERE t.cid < nb.k),
+         |d AS (SELECT v.vec_id, c.cid,
+         |    list_sum(list_transform(range(1, 65),
+         |      j -> (v.v[j] - c.cv[j]) * (v.v[j] - c.cv[j]))) AS dist
+         |  FROM v CROSS JOIN cent c),
+         |asg AS (SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d) WHERE rn = 1),
+         |n2 AS (SELECT vec_id,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM v),
+         |p AS (SELECT hi.vec_id,
+         |    max(list_sum(list_transform(range(1, 65), j -> va.v[j] * vb.v[j]))
+         |        / (na.nrm * nb2.nrm)) AS mx
+         |  FROM asg lo JOIN asg hi ON lo.cid = hi.cid AND lo.vec_id < hi.vec_id
+         |  JOIN v va ON va.vec_id = lo.vec_id
+         |  JOIN v vb ON vb.vec_id = hi.vec_id
+         |  JOIN n2 na ON na.vec_id = lo.vec_id
+         |  JOIN n2 nb2 ON nb2.vec_id = hi.vec_id
+         |  GROUP BY hi.vec_id)
+         |SELECT asg.vec_id, CAST(asg.cid AS INT) AS cluster_id,
+         |  round(p.mx, 4) AS max_cos_lower,
+         |  CAST(p.mx IS NULL OR p.mx < $tau AS INT) AS kept
+         |FROM asg LEFT JOIN p ON asg.vec_id = p.vec_id""".stripMargin
+    },
 
     "q_quantize" ->
       """WITH v AS (SELECT vec_id,

@@ -688,6 +688,81 @@ object Dedup {
     if (tables == 1) pairs else pairs.distinct()
   }
 
+  /**
+   * Semantic dedup (Abbas et al. 2023, "SemDeDup: Data-efficient
+   * learning at web-scale through semantic deduplication"): partition
+   * the embedding space into k centroid cells, then within each cell
+   * drop every vector whose cosine to a LOWER-id cell member reaches
+   * `tau` — the lowest id of each semantic-duplicate chain survives.
+   * The clustering is a deterministic one-pass assignment against a
+   * hash-sampled centroid set (the KMeansDet init rule: smallest md5
+   * prefix of the id), so the whole operator — centroids, assignment,
+   * tie-breaks, drops — replays exactly in any engine.
+   *
+   * Output: (`idCol`, cluster_id, max_cos_lower, kept) — one row per
+   * vector; max_cos_lower is null for the lowest id in its cell.
+   *
+   * Scale shape (100 TB): k auto-sizes as n/targetClusterSize (capped
+   * at `maxCentroids` — the centroid array is an O(k·d) broadcast
+   * model, and beyond the cap mean cell size grows instead, the
+   * paper's own regime: they run 50k centroids over 8B embeddings).
+   * Assignment is one scan against the broadcast (no join); the ONLY
+   * shuffle keys vectors by cell, and pairing is cell-local in
+   * primitive arrays — candidate pairs never materialize as rows.
+   * Within-cell work is quadratic in cell size BY DESIGN (that is
+   * SemDeDup's cost model); targetClusterSize is the lever, and a cell
+   * must fit in executor memory like the LSH buckets above.
+   */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, tau: Double,
+               targetClusterSize: Int = 256,
+               maxCentroids: Int = 65536): DataFrame = {
+    require(targetClusterSize >= 2, s"targetClusterSize must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(col(idCol).cast(LongType).as("__id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("__v")).as[(Long, Array[Double])]
+    val n = src.count()
+    val k = math.min(maxCentroids.toLong,
+      math.max(2L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
+    // same deterministic hash-sample as KMeansDet.init: fixed-width hex
+    // prefix sorts identically to its 60-bit numeric value
+    val h = substring(md5(col("__id").cast("string")), 1, 15)
+    val cents: Array[Array[Double]] = src.toDF()
+      .orderBy(h.asc, col("__id").asc).limit(k)
+      .select(col("__v")).as[Array[Double]].collect()
+    val bc = spark.sparkContext.broadcast(cents)
+    src
+      .map { case (id, v) =>
+        val cs = bc.value
+        var best = 0; var bestD = Double.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val s = graft.core.VecOps.sqDist(v, cs(i))
+          if (s < bestD) { bestD = s; best = i }
+          i += 1
+        }
+        (best, id, v)
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (cid, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val norms = rows.map(r => graft.core.VecOps.norm2(r._3))
+        rows.indices.iterator.map { j =>
+          var mx = Double.NegativeInfinity
+          var i = 0
+          while (i < j) {
+            val c = graft.core.VecOps.dot(rows(i)._3, rows(j)._3) / (norms(i) * norms(j))
+            if (c > mx) mx = c
+            i += 1
+          }
+          val mxOpt = if (j == 0) None
+            else Some(BigDecimal(mx).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          (rows(j)._2, cid, mxOpt, if (j == 0 || mx < tau) 1 else 0)
+        }
+      }
+      .toDF(idCol, "cluster_id", "max_cos_lower", "kept")
+  }
+
   // -------------------------------------------------- decontamination
 
   /**

@@ -701,6 +701,26 @@ class PipelineOpsSpec extends GraftSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated vector must not pair")
   }
 
+  test("semdedup: clones and near-dups drop to their lowest id, distinct vectors keep") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f)),
+      (2L, Array(1.0f, 0f, 0f, 0f)),    // clone of 1 -> dropped, cos 1.0
+      (3L, Array(0.9f, 0.1f, 0f, 0f)),  // cos(v1,v3)=0.9939 -> dropped
+      (10L, Array(0f, 1.0f, 0f, 0f)),
+      (11L, Array(0f, 1.0f, 0f, 0f)),   // clone of 10 -> dropped
+      (20L, Array(0f, 0f, 1.0f, 0f)))   // orthogonal -> kept
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(emb, "vec_id", "embedding", tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getInt(3),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 10L, 11L, 20L))
+    val kept = out.filter(_._2 == 1).map(_._1).toSet
+    assert(kept == Set(1L, 10L, 20L), s"kept $kept")
+    val mx = out.map(t => t._1 -> t._3).toMap
+    assert(mx(2L) == 1.0 && mx(11L) == 1.0)
+    assert(mx(3L) == 0.9939, s"near-dup cosine ${mx(3L)}")
+  }
+
   test("chunking: fixed windows with overlap, final partial kept") {
     val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
     val out = TextAnalysis.chunk(df, "text", chunkTokens = 4, overlap = 1)
