@@ -33,31 +33,36 @@ object ScaleData {
     "nation" -> Nil)
 
   /** N disjoint-key copies of one table (see object doc for the per-table
-    * content transforms). factor is ignored for key-less dimension tables. */
+    * content transforms). factor is ignored for key-less dimension tables.
+    * Copies come from ONE exploded projection (row × sequence(0, N-1)),
+    * not an N-way union: a 1000-branch union is a Catalyst plan Spark
+    * chokes on, while the explode is a single scan at any factor. */
   def replicate(df: DataFrame, table: String, keys: Seq[String],
                 factor: Int): DataFrame = {
     val copies = if (keys.isEmpty) 1 else factor
+    if (copies == 1) return df
     val steps: Map[String, Long] = keys.map { k =>
       k -> (df.agg(max(col(k).cast("long"))).head().getLong(0) + 1L)
     }.toMap
-    (0 until copies).map { i =>
-      var c = df
-      keys.foreach { k =>
-        c = c.withColumn(k, (col(k) + lit(i.toLong * steps(k))).cast(df.schema(k).dataType))
-      }
-      if (table == "documents" && i > 0)
-        c = c.withColumn("text",
-          array_join(transform(split(col("text"), " "),
-            w => concat(w, lit(s"_$i"))), " "))
-      if (table == "embeddings" && i > 0)
-        // per-copy Rademacher signs: dot(a∘s, b∘s) = dot(a, b), so all
-        // within-copy cosines are preserved bit-for-bit while copies
-        // decorrelate; valid for any factor (a rotation would need
-        // factor < dim)
-        c = c.withColumn("embedding", expr(
-          s"transform(embedding, (x, j) -> CAST(x * (1 - 2 * pmod(hash($i, j), 2)) AS FLOAT))"))
-      c
-    }.reduce(_ unionByName _)
+    var c = df.withColumn("__copy",
+      explode(sequence(lit(0), lit(copies - 1))))
+    keys.foreach { k =>
+      c = c.withColumn(k,
+        (col(k) + col("__copy").cast("long") * steps(k)).cast(df.schema(k).dataType))
+    }
+    if (table == "documents")
+      c = c.withColumn("text", when(col("__copy") === 0, col("text"))
+        .otherwise(array_join(transform(split(col("text"), " "),
+          w => concat(w, lit("_"), col("__copy").cast("string"))), " ")))
+    if (table == "embeddings")
+      // per-copy Rademacher signs: dot(a∘s, b∘s) = dot(a, b), so all
+      // within-copy cosines are preserved bit-for-bit while copies
+      // decorrelate; valid for any factor (a rotation would need
+      // factor < dim)
+      c = c.withColumn("embedding", when(col("__copy") === 0, col("embedding"))
+        .otherwise(expr(
+          "transform(embedding, (x, j) -> CAST(x * (1 - 2 * pmod(hash(__copy, j), 2)) AS FLOAT))")))
+    c.drop("__copy")
   }
 
   def main(args: Array[String]): Unit = {
@@ -72,12 +77,16 @@ object ScaleData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    keyCols.foreach { case (table, keys) =>
-      val df = spark.read.parquet(s"$src/$table.parquet")
-      replicate(df, table, keys, factor)
-        .write.mode("overwrite").parquet(s"$out/$table.parquet")
-      println(s"[scale] $table x${if (keys.isEmpty) 1 else factor} -> $out/$table.parquet")
-    }
+    // optional 4th arg: comma-list restricting the tables (big-factor runs
+    // only need the tables their target queries read)
+    val tables = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    keyCols.filter { case (t, _) => tables.forall(_.contains(t)) }
+      .foreach { case (table, keys) =>
+        val df = spark.read.parquet(s"$src/$table.parquet")
+        replicate(df, table, keys, factor)
+          .write.mode("overwrite").parquet(s"$out/$table.parquet")
+        println(s"[scale] $table x${if (keys.isEmpty) 1 else factor} -> $out/$table.parquet")
+      }
     spark.stop()
   }
 }

@@ -298,6 +298,17 @@ object SparkEntry {
       mem.addData((-1L, 4102444800000L, -1L, "sentinel", 0.0))
       query.processAllAvailable()
     } finally query.stop()
+    // state-store forensics (stderr, not stdout — Bench's JSON line owns
+    // stdout): peak rows = worst microbatch's retained state, last rows =
+    // what survived the sentinel's watermark (the eviction check the
+    // 1000x stress runs record in SCALE.md)
+    val withState = query.recentProgress.filter(_.stateOperators.nonEmpty)
+    if (withState.nonEmpty) {
+      def rows(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Long =
+        p.stateOperators.map(_.numRowsTotal).sum
+      System.err.println(s"[stream] $name: peakStateRows=${withState.map(rows).max}" +
+        s" lastStateRows=${rows(withState.last)}")
+    }
     s.read.parquet(s"$out/data")
   }
 
@@ -1198,6 +1209,15 @@ object SparkEntry {
           round(avg(col("n_chars")), 6).as("mean_chars"),
           round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
           round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"))
+    }),
+
+    // weighted sample without replacement (Efraimidis-Spirakis key in log
+    // form, hash-derived u): exactly 100 docs, inclusion odds ∝ n_chars,
+    // re-derivable row by row; the take is a TakeOrderedAndProject
+    "q_weighted_take" -> ((s, dir) => {
+      Sampling.weightedTake(
+        tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        col("doc_id"), col("n_chars"), n = 100)
     }),
 
     // deterministic stratified sampling (data-mixture weighting): md5
@@ -3111,6 +3131,16 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
         |  CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2000 ELSE 1000 END""".stripMargin,
+
+    // Efraimidis-Spirakis in log form with the same hash-derived u:
+    // rank on the UNROUNDED score (both engines), round only the output
+    "q_weighted_take" ->
+      s"""SELECT doc_id, n_chars, round(score, 6) AS sample_score FROM (
+         |  SELECT doc_id, n_chars,
+         |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |        % ${Dedup.P} + 1) / CAST(${Dedup.P} AS DOUBLE)) / n_chars AS score
+         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+         |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_vocab" ->
       """SELECT source, count(DISTINCT token) AS vocab,

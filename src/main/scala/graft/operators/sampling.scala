@@ -76,6 +76,34 @@ object Sampling {
   }
 
   /**
+   * Weighted sample WITHOUT replacement of exactly min(n, rows) rows,
+   * inclusion probability ∝ `weight` — the Efraimidis–Spirakis (2006)
+   * reservoir rule (key = u^(1/w), keep the n largest, here in log form
+   * score = ln(u)/w) with the uniform u derived from the id's md5 hash
+   * instead of an RNG: the SAME rows win at any scale, partitioning, or
+   * engine, and the sample is re-derivable row by row. Rows with
+   * non-positive or null weight are excluded (their inclusion
+   * probability is zero). Ties (hash-exact score collisions) break by
+   * id. Output: input columns + `sample_score` (rounded 6).
+   *
+   * Scale shape (100 TB): score is a pure projection; the take is a
+   * TakeOrderedAndProject — per-partition n-row heaps, ≤ n·partitions
+   * rows to the driver-side final merge, no global sort, no window.
+   */
+  def weightedTake(df: DataFrame, idCol: Column, weight: Column, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive (got $n)")
+    // u in (0, 1]: (60-bit md5 mod P) + 1 over P — engine-exact doubles
+    val u = (conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
+      .cast(LongType) % Dedup.P + 1L).cast("double") / lit(Dedup.P.toDouble)
+    val score = log(u) / weight
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("sample_score", score)
+      .orderBy(col("sample_score").desc, idCol)
+      .limit(n)
+      .withColumn("sample_score", round(col("sample_score"), 6))
+  }
+
+  /**
    * Deterministic stratified take-n: EXACTLY min(n, |stratum|) rows per
    * stratum — the smallest-hash n by (bucket, id) — for fixed-size eval
    * or calibration sets. Same-rows-at-any-scale reproducibility as

@@ -180,6 +180,31 @@ class PipelineOpsSpec extends GraftSpec {
     assert(Sampling.weightedResample(df.withColumn("w", lit(0.0)), col("id"), col("w")).count() == 0)
   }
 
+  test("weighted take: exact n, heavy rows oversampled, zero/null weights excluded") {
+    val df = (0L until 1000L).toDF("id")
+      // ids < 100 carry 50x the weight of the rest; id 999 weight 0
+      .withColumn("w", when(col("id") < 100, 50.0)
+        .otherwise(when(col("id") === 999, 0.0).otherwise(1.0)))
+    val out = Sampling.weightedTake(df, col("id"), col("w"), n = 200)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.length == 200)
+    // scores sorted descending as emitted
+    assert(out.map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+    // the 100 heavy rows (10% of rows, ~85% of weight) dominate the take
+    val heavy = out.count(_._1 < 100)
+    assert(heavy >= 80, s"heavy rows in take: $heavy of 200")
+    assert(!out.map(_._1).contains(999L), "zero-weight row must be excluded")
+    // independent recomputation of the winning rule for the top row
+    val top = out.head._1
+    def score(id: Long, w: Double): Double = {
+      val u = ((Dedup.md5LongJvm(id.toString) % Dedup.P) + 1).toDouble / Dedup.P
+      math.log(u) / w
+    }
+    val all = (0L until 999L).map(id =>
+      id -> score(id, if (id < 100) 50.0 else 1.0))
+    assert(top == all.maxBy(_._2)._1)
+  }
+
   test("token budget keeps a prefix per group and never exceeds the budget") {
     val df = Seq(
       (1L, "a", 500L), (2L, "a", 900L), (3L, "a", 700L), (4L, "a", 100L),

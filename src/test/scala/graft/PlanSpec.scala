@@ -231,6 +231,40 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("Window"), s"span rebuild must not rank:\n$p")
   }
 
+  test("q_dsir: scoring is a zero-shuffle codegen'd projection (model plan-embedded)") {
+    // the weight-estimation aggregation runs (dim-bounded, collected)
+    // when the query is BUILT; the returned scoring plan must be pure
+    val p = plan("q_dsir")
+    assert(!p.contains("Exchange"), s"DSIR scoring must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"weights must be plan-embedded, not joined:\n$p")
+    assert(!p.contains("ScalaUDF"), s"scoring must be the native expression:\n$p")
+  }
+
+  test("q_novelty: partial-min first-seen agg, equi-join back, no window") {
+    val p = plan("q_novelty")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"first-seen must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window"), s"novelty must not window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty join must stay equi-keyed:\n$p")
+  }
+
+  test("q_semdedup: one cell-keyed shuffle, no pair join, no window") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("Join"), s"pairing must be cell-local, never a join:\n$p")
+    assert(!p.contains("Window"), s"semdedup must not window:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 1, s"expected the one cell shuffle, got $shuffles:\n$p")
+  }
+
+  test("q_weighted_take: top-n is TakeOrderedAndProject, no window, no global sort") {
+    val p = plan("q_weighted_take")
+    assert(p.contains("TakeOrderedAndProject"), s"expected per-partition heaps:\n$p")
+    assert(!p.contains("Window"), s"weighted take must not rank via window:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"weighted take must not shuffle row data:\n$p")
+  }
+
   test("q_dedup_keep_best: retention window partitions by cluster, no global sort") {
     val p = plan("q_dedup_keep_best")
     // the final row_number must run per-cluster (hashpartitioning on
