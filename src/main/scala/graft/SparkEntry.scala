@@ -1501,6 +1501,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("mean_nll"))
     }),
 
+    // CCNet-style perplexity bucketing: head/middle/tail terciles of the
+    // unigram-LM score — thresholds are exact percentile_disc data values
+    // from the recursive-histogram selection (no global sort)
+    "q_ppl_buckets" -> ((s, dir) => {
+      TextAnalysis.pplBuckets(tbl(s, dir, "documents"), "text", "doc_id")
+    }),
+
     // bigram-LM perplexity: the sharper filter (context-conditioned);
     // docs with < 2 tokens have no bigrams and emit no row
     "q_lm2_score" -> ((s, dir) => {
@@ -2955,6 +2962,25 @@ object SparkEntry {
         |    / count(*), 6) AS mean_nll
         |FROM t JOIN lm USING (term), tot
         |GROUP BY doc_id""".stripMargin,
+
+    // the q_lm_score CTEs + quantile_disc terciles (ceil(p*n) order
+    // statistics — verified identical to exactQuantiles' convention);
+    // p literals interpolate from the same Scala doubles the query uses
+    "q_ppl_buckets" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term FROM documents),
+         |lm AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS v FROM lm),
+         |sc AS (SELECT doc_id,
+         |    round(CAST(sum(CAST(-ln((c + 1.0) / (tot + v)) AS DECIMAL(28,12))) AS DOUBLE)
+         |      / count(*), 6) AS mean_nll
+         |  FROM t JOIN lm USING (term), tot GROUP BY doc_id),
+         |th AS (SELECT quantile_disc(mean_nll, ${1.0 / 3}) AS t1,
+         |              quantile_disc(mean_nll, ${2.0 / 3}) AS t2 FROM sc)
+         |SELECT doc_id, mean_nll,
+         |  CASE WHEN mean_nll <= t1 THEN 'head'
+         |       WHEN mean_nll <= t2 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM sc, th""".stripMargin,
 
     // scalar-context range() builds the bigram index list (the proven
     // shingle-CTE pattern — range as a TABLE function can't take lateral

@@ -468,4 +468,39 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"),
         round(col("__s").cast(DoubleType) / col("n_tokens"), 6).as("mean_nll"))
   }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+   * document with the corpus unigram LM ([[unigramNll]]) and split the
+   * corpus into quantile buckets of that score — head (most fluent) /
+   * middle / tail for the default terciles. Thresholds are EXACT
+   * percentile_disc order statistics (actual data values — no
+   * interpolation arithmetic to disagree on across engines), computed by
+   * the scale-safe recursive-histogram selection, never a global sort.
+   *
+   * Scale shape (100 TB): the scored relation (one row per doc) is
+   * persisted MEMORY_AND_DISK for the handful of quantile-recursion
+   * passes (re-deriving the LM join per pass would be the real cost);
+   * thresholds are O(#cuts) driver scalars; labeling is a codegen'd
+   * projection over the persisted relation.
+   */
+  def pplBuckets(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 idCol: String, cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+                 labels: Seq[String] = Seq("head", "middle", "tail"))
+      : org.apache.spark.sql.DataFrame = {
+    require(labels.length == cuts.length + 1,
+      s"need ${cuts.length + 1} labels for ${cuts.length} cuts")
+    require(cuts == cuts.sorted && cuts.forall(p => p > 0.0 && p < 1.0),
+      s"cuts must be sorted fractions in (0,1): ${cuts.mkString(", ")}")
+    val scored = unigramNll(df, textCol, idCol)
+      .select(col(idCol), col("mean_nll"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr: Seq[Double] = Quantiles.exactQuantiles(scored, "mean_nll", cuts)
+      .orderBy("p").collect().toSeq
+      .map(r => if (r.isNullAt(1)) 0.0 else r.getDouble(1)) // null only when df is empty
+    val bucket = cuts.indices.foldRight(lit(labels.last): Column) { (i, rest) =>
+      when(col("mean_nll") <= thr(i), labels(i)).otherwise(rest)
+    }
+    scored.withColumn("ppl_bucket", bucket)
+  }
 }

@@ -129,6 +129,25 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got(2L)._2 > got(1L)._2)
   }
 
+  test("ppl buckets: tercile cut on the LM score, most-fluent docs land in head") {
+    // doc i holds i copies of the common token + (10-i) unique ones, so
+    // mean_nll strictly decreases with i — buckets must split 3/3/3 with
+    // the commonest docs (8,7,6) in head
+    val nine = (0 until 9).map(i => (i.toLong,
+      (Seq.fill(i)("the") ++ (0 until (10 - i)).map(j => s"u${i}_$j"))
+        .mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.pplBuckets(nine, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.length == 9)
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byBucket("head") == Set(8L, 7L, 6L), s"got $byBucket")
+    assert(byBucket("middle") == Set(5L, 4L, 3L))
+    assert(byBucket("tail") == Set(2L, 1L, 0L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.pplBuckets(nine, "text", "doc_id", cuts = Seq(0.9, 0.1))
+    }
+  }
+
   test("mixture sampling hits target proportions; infeasible targets fail fast") {
     val df = (0L until 4000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
     // equal 1000-row strata, targets 4:2:1 over three of them
