@@ -5,9 +5,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // Shuffle partitions default to core count (right at sf0.1); the
+    // 1000x stress points need more — 32 partitions over 600M rows is
+    // ~19M rows each, which spills. On a cluster this is the knob AQE
+    // coalescing makes safe to oversize.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -23,9 +28,12 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // min of 2 runs per query: the first pays JIT/codegen compilation,
-    // which otherwise dominates sub-second queries and adds ±50% noise
+    // which otherwise dominates sub-second queries and adds ±50% noise.
+    // SPARK_GRAFT_RUNS=1 for the multi-minute stress points, where a
+    // second run buys nothing (JIT is amortized) and doubles wall time.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to runs).flatMap { _ =>
         // clean cache state per run: queries that cache a relation
         // (model tables, pair lineage) would otherwise leak it into
         // every later query's measurement — each query should be timed

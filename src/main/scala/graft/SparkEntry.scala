@@ -539,6 +539,10 @@ object SparkEntry {
     // at the 100x point, and the gap widens with cluster size). Wide
     // bins resolve any n in one level here. See Quantiles.
     "q_group_quantiles" -> ((s, dir) => {
+      // bins=1024 tested against 8192 at the 1000x point (600M rows):
+      // 232s vs 264s — the recursion is SCAN-bound (each level is a full
+      // pass over the column), so wider bins buy nothing; per-level
+      // driver state is bins x groups cells either way
       Quantiles.groupedQuantilesHistogram(tbl(s, dir, "lineitem"),
           "l_returnflag", "l_extendedprice", Seq(0.25, 0.5, 0.75),
           bins = 1024)
