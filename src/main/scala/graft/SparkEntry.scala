@@ -1170,8 +1170,13 @@ object SparkEntry {
     // removed region; docs are rebuilt from surviving tokens. One corpus
     // shuffle (hash->doc-count), hot-set broadcast, zero-shuffle rebuild.
     "q_span_dedup" -> ((s, dir) => {
+      // maxHotSpans sized for the scaled corpora: ScaleData's per-copy
+      // token suffixing preserves each copy's hot spans, so the hot set
+      // grows linearly with the factor (~1.6M at 100x) — 5M sorted longs
+      // is a 40 MB broadcast, still binary-search cheap
       Dedup.removeRepeatedSpans(tbl(s, dir, "documents"),
-        "text", "doc_id", spanTokens = 8, minDocs = 2)
+        "text", "doc_id", spanTokens = 8, minDocs = 2,
+        maxHotSpans = 5000000)
         .select(col("doc_id"), substring(col("text"), 1, 60).as("head"),
           col("n_tokens_kept"), col("n_tokens_removed"))
     }),
