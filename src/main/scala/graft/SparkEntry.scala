@@ -1459,6 +1459,28 @@ object SparkEntry {
           col("doc_offset"), col("slice_len"))
     }),
 
+    // Round-6 composed curation: novelty-gate (drop late near-copies and
+    // sub-shingle shorts) -> learned hash-TF quality filter -> perplexity
+    // terciles over the SURVIVOR corpus, tail dropped. Every stage is
+    // engine-exact (shingle min-ids, long-sum margins, percentile_disc
+    // thresholds), so the whole composition hash-checks.
+    "q_curate3" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val nov = Dedup.noveltyScores(docs, "text", "doc_id", mhShingle)
+        .filter(col("novelty") >= 0.3).select("doc_id", "novelty")
+      val surv1 = docs.join(nov, "doc_id")
+      val w = QualityClassifier.syntheticWeightsMilli(512)
+      val surv2 = surv1
+        .withColumn("margin",
+          graft.functions.HashTfLinearMargin(col("text"), w, bias = 0.1))
+        .filter(col("margin") > 0.0)
+      val ppl = TextAnalysis.pplBuckets(surv2, "text", "doc_id")
+      surv2.select(col("doc_id"), col("novelty"), col("margin"))
+        .join(ppl.filter(col("ppl_bucket") =!= "tail"), "doc_id")
+        .select(col("doc_id"), col("novelty"), col("margin"),
+          col("mean_nll"), col("ppl_bucket"))
+    }),
+
     "q_text_stats" -> ((s, dir) => {
       // fused single-pass scan (see TextAnalysis.statsUdf; the per-op
       // Column forms are the documented API and spec-tested equivalents)
@@ -2859,6 +2881,38 @@ object SparkEntry {
          |          ROWS UNBOUNDED PRECEDING) AS c FROM tok)
          |SELECT doc_id, source, n_tokens FROM cum WHERE c <= 3000""".stripMargin
     },
+
+    // novelty gate (shared shingle CTEs) -> hash-TF margin filter (the
+    // q_quality_clf formula) -> survivor-corpus LM terciles, tail cut
+    "q_curate3" ->
+      s"""WITH $mhShingleCtes,
+         |f AS (SELECT hm, min(doc_id) AS first_doc FROM h GROUP BY hm),
+         |novr AS (SELECT h.doc_id,
+         |    round(CAST(sum(CASE WHEN f.first_doc = h.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / count(*), 6) AS novelty
+         |  FROM h JOIN f ON h.hm = f.hm GROUP BY h.doc_id),
+         |s1 AS (SELECT d.doc_id, d.text, novr.novelty
+         |  FROM documents d JOIN novr USING (doc_id) WHERE novr.novelty >= 0.3),
+         |ctk AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM s1),
+         |mg AS (SELECT doc_id,
+         |    CAST(SUM(('0x' || substr(md5('w' || (('0x' || substr(md5(tok), 1, 15))::BIGINT % 512)), 1, 15))::BIGINT
+         |      % 2001 - 1000) AS DOUBLE) / 1000.0 / count(*) + 0.1 AS margin
+         |  FROM ctk GROUP BY doc_id),
+         |s2 AS (SELECT s1.doc_id, s1.text, s1.novelty, mg.margin
+         |  FROM s1 JOIN mg USING (doc_id) WHERE mg.margin > 0),
+         |ltk AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term FROM s2),
+         |lm AS (SELECT term, count(*) AS c FROM ltk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS v FROM lm),
+         |sc AS (SELECT doc_id,
+         |    round(CAST(sum(CAST(-ln((c + 1.0) / (tot + v)) AS DECIMAL(28,12))) AS DOUBLE)
+         |      / count(*), 6) AS mean_nll
+         |  FROM ltk JOIN lm USING (term), tot GROUP BY doc_id),
+         |th AS (SELECT quantile_disc(mean_nll, ${1.0 / 3}) AS c1,
+         |              quantile_disc(mean_nll, ${2.0 / 3}) AS c2 FROM sc)
+         |SELECT s2.doc_id, s2.novelty, s2.margin, sc.mean_nll,
+         |  CASE WHEN sc.mean_nll <= th.c1 THEN 'head' ELSE 'middle' END AS ppl_bucket
+         |FROM s2 JOIN sc USING (doc_id), th
+         |WHERE sc.mean_nll <= th.c2""".stripMargin,
 
     "q_curate2" ->
       """WITH
