@@ -1355,6 +1355,12 @@ object SparkEntry {
         tau = 0.2, targetClusterSize = 256)
     }),
 
+    // embedding-table health: per-dimension mean/variance (drift and
+    // collapsed-dimension check) — decimal-exact sums, d-group agg
+    "q_embed_stats" -> ((s, dir) => {
+      Similarity.embeddingStats(tbl(s, dir, "embeddings"), "embedding")
+    }),
+
     // int8 embedding quantization (the ANN memory lever): per-vector
     // scale + code stats — checksum-style output keeps the oracle scalar
     "q_quantize" -> ((s, dir) => {
@@ -2769,6 +2775,23 @@ object SparkEntry {
          |  CAST(p.mx IS NULL OR p.mx < $tau AS INT) AS kept
          |FROM asg LEFT JOIN p ON asg.vec_id = p.vec_id""".stripMargin
     },
+
+    // flat (vec, dim) join via scalar range — same decimal-truncate-
+    // then-sum exactness as the LM scores, same division order
+    "q_embed_stats" ->
+      """WITH flat AS (
+        |  SELECT d AS dim,
+        |    CAST(list_extract(embedding, CAST(d + 1 AS INTEGER)) AS DOUBLE) AS v
+        |  FROM embeddings, range(64) td(d)),
+        |s AS (SELECT dim, count(*) AS n,
+        |    sum(CAST(v AS DECIMAL(28,12))) AS sv,
+        |    sum(CAST(v * v AS DECIMAL(28,12))) AS sq
+        |  FROM flat GROUP BY dim)
+        |SELECT CAST(dim AS INTEGER) AS dim, n,
+        |  round(CAST(sv AS DOUBLE) / n, 6) AS mean,
+        |  round(CAST(sq AS DOUBLE) / n
+        |    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 6) AS variance
+        |FROM s""".stripMargin,
 
     "q_quantize" ->
       """WITH v AS (SELECT vec_id,

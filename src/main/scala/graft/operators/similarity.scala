@@ -145,6 +145,35 @@ object Similarity {
    * generation, with exact re-scoring on the float column for the top-k.
    * Pure codegen'd expressions.
    */
+  /**
+   * Per-dimension embedding column health stats: mean and population
+   * variance of every coordinate — the drift/degenerate-dimension check
+   * a pipeline runs before trusting an embedding table (a collapsed
+   * dimension has ~zero variance; a mis-scaled batch shifts means).
+   * Engine-exact: each coordinate (and its square) is truncated to a
+   * fixed decimal scale once, then summed exactly — reduction order
+   * can't move the result — with one fixed-order double division chain
+   * at the end.
+   *
+   * Scale shape (100 TB): posexplode to (dim, value) then a d-group hash
+   * agg — partial aggregation reduces each partition to d cells before
+   * the shuffle, so the exchange carries O(d x partitions) rows, never
+   * data. Output: (dim, n, mean, variance), d rows.
+   */
+  def embeddingStats(df: DataFrame, vecCol: String): DataFrame = {
+    val sumV = sum(col("__v").cast("decimal(28,12)"))
+    val sumSq = sum((col("__v") * col("__v")).cast("decimal(28,12)"))
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "__f")))
+      .select(col("dim"), col("__f").cast(DoubleType).as("__v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sumV.as("__s"), sumSq.as("__sq"))
+      .select(col("dim"), col("n"),
+        round(col("__s").cast(DoubleType) / col("n"), 6).as("mean"),
+        round(col("__sq").cast(DoubleType) / col("n")
+          - (col("__s").cast(DoubleType) / col("n"))
+            * (col("__s").cast(DoubleType) / col("n")), 6).as("variance"))
+  }
+
   def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol).cast(ArrayType(DoubleType))
     val scale = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0

@@ -216,6 +216,64 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("noveltyScores: per-shingle novelty mass sums to the distinct-shingle count") {
+    // every distinct shingle is novel in EXACTLY one doc (its min-id
+    // holder), so sum(n_novel) == |distinct shingles| and each doc's
+    // n_novel <= n_shingles — for any corpus
+    // trailing-whitespace note: the fused kernels follow Java split
+    // semantics (trailing empty tokens dropped) while the Column-form
+    // hashedTokens used for the expectation keeps them — trim to compare
+    // on the shared convention (corpus text is trimmed by contract)
+    forSamples(Gen.listOfN(8, textGen), n = 4) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t.trim) }.toDF("id", "text")
+      val out = graft.operators.Dedup.noveltyScores(df, "text", "id", shingleN = 2)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val distinctShingles = df
+        .select(org.apache.spark.sql.functions.explode(
+          graft.operators.Dedup.hashedTokens(col("text"), 2)).as("sh"))
+        .distinct().count()
+      assert(out.map(_._2).sum == distinctShingles,
+        s"novel mass ${out.map(_._2).sum} != $distinctShingles distinct shingles")
+      out.foreach { case (n, novel) => assert(novel >= 0 && novel <= n) }
+    }
+  }
+
+  test("weightedTake: uniform weights reduce to the pure-hash order; n caps at corpus") {
+    forSamples(Gen.listOfN(30, Gen.choose(0L, 1000000L)), n = 4) { rawIds =>
+      val ids = rawIds.distinct
+      val df = ids.map(Tuple1(_)).toDF("id")
+        .withColumn("w", org.apache.spark.sql.functions.lit(1.0))
+      val take = graft.operators.Sampling.weightedTake(df, col("id"), col("w"), n = 10)
+        .select("id").as[Long].collect()
+      assert(take.length == math.min(10, ids.length))
+      // with w == 1 the score is ln(u): ranking is by the raw hash u desc
+      val expected = ids.map(id => id ->
+        (graft.operators.Dedup.md5LongJvm(id.toString) % graft.operators.Dedup.P))
+        .sortBy { case (id, h) => (-h, id) }.take(10).map(_._1)
+      assert(take.toSeq == expected.toSeq, s"got ${take.toSeq} want $expected")
+    }
+  }
+
+  test("semDedup: permutation-invariant verdicts; exact clones never both kept") {
+    forSamples(Gen.listOfN(10, Gen.listOfN(4, Gen.choose(-1.0, 1.0))), n = 3) { vs =>
+      val vecs = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.map(_.toFloat).toArray) }
+      val withClone = vecs :+ (99L, vecs.head._2.clone) // clone of id 0
+      def run(rows: Seq[(Long, Array[Float])]) =
+        graft.operators.Dedup.semDedup(
+          rows.toDF("vec_id", "embedding"), "vec_id", "embedding",
+          tau = 0.999, targetClusterSize = 4)
+          .collect().map(r => (r.getLong(0), r.getInt(3))).sortBy(_._1)
+      val a = run(withClone)
+      val b = run(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).shuffle(withClone))
+      assert(a.toSeq == b.toSeq, "row order must not change verdicts")
+      val kept = a.filter(_._2 == 1).map(_._1).toSet
+      assert(kept.contains(0L) && !kept.contains(99L),
+        s"clone must drop to its lowest id; kept = $kept")
+    }
+  }
+
   test("hashSplit covers every row with exactly one of the three labels") {
     forSamples(Gen.listOfN(60, Gen.choose(0L, 1000000L)), n = 4) { ids =>
       val df = ids.distinct.map(Tuple1(_)).toDF("id")
