@@ -1501,6 +1501,14 @@ object SparkEntry {
           col("st.fingerprint").as("fingerprint"))
     }),
 
+    // count-min sketch heavy hitters with md5-derived rows — the sketch
+    // REPLAYS exactly (not just its error contract); est >= exact, the
+    // top-20 exact terms carry their estimates for collision audit
+    "q_count_min" -> ((s, dir) => {
+      TextAnalysis.countMinTopTerms(tbl(s, dir, "documents"), "text",
+        depth = 4, width = 1024, k = 20)
+    }),
+
     // word2phrase-style collocation mining: adjacent-pair PMI over the
     // corpus, noise pairs suppressed by a min pair count
     "q_collocations" -> ((s, dir) => {
@@ -1764,6 +1772,24 @@ object SparkEntry {
         |  WHERE tf.t = dfc.t AND tf.doc_id = lens.doc_id)
         |SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // the same md5 row-hash grid: fill cells from the token stream, each
+    // candidate term estimates as the min of its depth cells
+    "q_count_min" ->
+      """WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |ex AS (SELECT term, count(*) AS exact_count FROM t GROUP BY 1),
+        |cells AS (SELECT r,
+        |    ('0x' || substr(md5('cm' || r || '_' || term), 1, 15))::BIGINT % 1024 AS b,
+        |    count(*) AS cc
+        |  FROM t, range(4) tr(r) GROUP BY 1, 2),
+        |est AS (SELECT term, min(cc) AS cm_estimate FROM (
+        |    SELECT ex.term, r,
+        |      ('0x' || substr(md5('cm' || r || '_' || term), 1, 15))::BIGINT % 1024 AS b
+        |    FROM ex, range(4) tr(r)) q
+        |  JOIN cells USING (r, b) GROUP BY term)
+        |SELECT ex.term, ex.exact_count, est.cm_estimate
+        |FROM ex JOIN est USING (term)
+        |ORDER BY ex.exact_count DESC, ex.term LIMIT 20""".stripMargin,
 
     "q_quantiles" -> Seq(0.01, 0.25, 0.5, 0.75, 0.99).map(p =>
       s"SELECT CAST($p AS DOUBLE) AS p, quantile_disc(l_extendedprice, $p) AS value FROM lineitem")

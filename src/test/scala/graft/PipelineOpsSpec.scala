@@ -129,6 +129,23 @@ class PipelineOpsSpec extends GraftSpec {
     assert(got(2L)._2 > got(1L)._2)
   }
 
+  test("count-min: estimates dominate exact counts; wide sketch is collision-free") {
+    val corpus = Seq((1L, "a a a b b c"), (2L, "a b d e"), (3L, "a c c f"))
+      .toDF("doc_id", "text")
+    val wide = TextAnalysis.countMinTopTerms(corpus, "text",
+        depth = 4, width = 4096, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 6 distinct terms in 4096 buckets x 4 rows: no shared min-cell
+    assert(wide.forall { case (_, ex, est) => est == ex }, s"got ${wide.toSeq}")
+    assert(wide.head == (("a", 5L, 5L)))
+    assert(wide.map(_._1).toSeq == Seq("a", "b", "c", "d", "e", "f"))
+    // a 2-bucket sketch collides heavily but must never UNDER-estimate
+    val tiny = TextAnalysis.countMinTopTerms(corpus, "text",
+        depth = 2, width = 2, k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(tiny.forall { case (ex, est) => est >= ex }, s"got ${tiny.toSeq}")
+  }
+
   test("ppl buckets: tercile cut on the LM score, most-fluent docs land in head") {
     // doc i holds i copies of the common token + (10-i) unique ones, so
     // mean_nll strictly decreases with i — buckets must split 3/3/3 with
