@@ -83,9 +83,16 @@ object ScaleData {
     keyCols.filter { case (t, _) => tables.forall(_.contains(t)) }
       .foreach { case (table, keys) =>
         val df = spark.read.parquet(s"$src/$table.parquet")
+        // The exploded projection inherits the SOURCE's partitioning (one
+        // small file -> ONE task -> one output file), which would leave
+        // downstream scans of sub-128MB tables single-partition — a 7x
+        // under-read of e.g. 100x documents. Spread copies across writers
+        // so the layout parallelizes like the corpus it stands in for.
+        val parts = if (keys.isEmpty) 1 else math.min(256, math.max(32, factor))
         replicate(df, table, keys, factor)
+          .repartition(parts)
           .write.mode("overwrite").parquet(s"$out/$table.parquet")
-        println(s"[scale] $table x${if (keys.isEmpty) 1 else factor} -> $out/$table.parquet")
+        println(s"[scale] $table x${if (keys.isEmpty) 1 else factor} -> $out/$table.parquet ($parts files)")
       }
     spark.stop()
   }

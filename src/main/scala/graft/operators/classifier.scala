@@ -89,7 +89,9 @@ object QualityClassifier {
       Dedup.wsPattern.split(text.toLowerCase)
         .map(w => (Dedup.md5LongJvm(w) % dim).toInt)
     }
-    val rows = df
+    // null text contributes no tokens to either distribution (scoring
+    // via HashTfLinearMargin is null-safe on its own)
+    val rows = df.filter(col(textCol).isNotNull)
       .select(isTarget.cast(LongType).as("__t"),
         explode(bucketUdf(col(textCol))).as("__b"))
       .groupBy(col("__b"))

@@ -752,12 +752,16 @@ object Dedup {
           var i = 0
           while (i < j) {
             val c = graft.core.VecOps.dot(rows(i)._3, rows(j)._3) / (norms(i) * norms(j))
-            if (c > mx) mx = c
+            // NaN cosine (zero-norm vector) carries no similarity
+            // evidence: skip it rather than poison the max (and the
+            // BigDecimal rounding, which throws on non-finite input)
+            if (!c.isNaN && c > mx) mx = c
             i += 1
           }
-          val mxOpt = if (j == 0) None
+          val noLower = j == 0 || mx == Double.NegativeInfinity
+          val mxOpt = if (noLower) None
             else Some(BigDecimal(mx).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-          (rows(j)._2, cid, mxOpt, if (j == 0 || mx < tau) 1 else 0)
+          (rows(j)._2, cid, mxOpt, if (noLower || mx < tau) 1 else 0)
         }
       }
       .toDF(idCol, "cluster_id", "max_cos_lower", "kept")
@@ -917,7 +921,9 @@ object Dedup {
     val spanUdf = udf { (text: String) =>
       rollingHashes(wordHashes(text), k).distinct
     }
-    val hot = df.select(explode(spanUdf(col(textCol))).as("__h"))
+    // null-text docs vanish, like zero-token docs below
+    val src = df.filter(col(textCol).isNotNull)
+    val hot = src.select(explode(spanUdf(col(textCol))).as("__h"))
       .groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
       .select(col("__h")).limit(maxHotSpans + 1)
@@ -955,7 +961,7 @@ object Dedup {
       }
       (sb.toString, kept, words.length - kept)
     }
-    df.select(col(idCol), rebuildUdf(col(textCol)).as("__r"))
+    src.select(col(idCol), rebuildUdf(col(textCol)).as("__r"))
       .filter(col("__r._2") > 0)
       .select(col(idCol),
         col("__r._1").as(textCol),
@@ -985,9 +991,10 @@ object Dedup {
   def noveltyScores(df: DataFrame, textCol: String, idCol: String,
                     shingleN: Int = 3): DataFrame = {
     // fused JVM kernel, not the Column-form hashedTokens: no lambda-CSE
-    // re-hashing (measured 46s -> 0.3s for the explode at 5k docs)
+    // re-hashing (measured 46s -> 0.3s for the explode at 5k docs).
+    // Null text carries no shingles -> no row (the LM-score convention).
     val shUdf = udf { (text: String) => shingleHashes(text, shingleN) }
-    val sh = df
+    val sh = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__doc"),
         explode(shUdf(col(textCol))).as("__sh"))
     val firstSeen = sh.groupBy(col("__sh"))

@@ -762,6 +762,34 @@ class PipelineOpsSpec extends GraftSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated vector must not pair")
   }
 
+  test("new ops tolerate null text / zero vectors (convention: contribute nothing)") {
+    val withNull = Seq((1L, "a b c d e"), (2L, null.asInstanceOf[String]),
+      (3L, "a b c d e")).toDF("doc_id", "text")
+    // novelty: null doc emits no row, others unaffected
+    val nov = Dedup.noveltyScores(withNull, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(nov == Set(1L, 3L))
+    // span dedup: null doc vanishes; the shared 5-token span still cuts
+    val span = Dedup.removeRepeatedSpans(withNull, "text", "doc_id",
+      spanTokens = 5, minDocs = 2).collect()
+    assert(span.isEmpty, s"both real docs fully covered -> vanish; got ${span.toSeq}")
+    // DSIR: null text excluded from the fit, scoring stays null-safe
+    val (w0, (nt0, nr0)) = graft.operators.QualityClassifier.dsirWeightsMilli(
+      withNull, "text", col("doc_id") === 1L, dim = 64)
+    assert(nt0 == 5 && nr0 == 10)
+    val scored = graft.operators.QualityClassifier.dsirScore(withNull, "text", "doc_id", w0)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(!scored(1L) && scored(2L), "null text must score null, not throw")
+    // semdedup: a zero-norm vector neither drops nor poisons neighbors
+    val emb = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 0f)), (3L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val sd = Dedup.semDedup(emb, "vec_id", "embedding", tau = 0.9,
+        targetClusterSize = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    assert(sd(2L) == 1, "zero vector has no similarity evidence -> kept")
+    assert(sd(1L) == 1 && sd(3L) == 0, "the real clone pair still resolves")
+  }
+
   test("semdedup: clones and near-dups drop to their lowest id, distinct vectors keep") {
     val emb = Seq(
       (1L, Array(1.0f, 0f, 0f, 0f)),
