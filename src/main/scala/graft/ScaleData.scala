@@ -86,11 +86,15 @@ object ScaleData {
         // The exploded projection inherits the SOURCE's partitioning (one
         // small file -> ONE task -> one output file), which would leave
         // downstream scans of sub-128MB tables single-partition — a 7x
-        // under-read of e.g. 100x documents. Spread copies across writers
-        // so the layout parallelizes like the corpus it stands in for.
+        // under-read of e.g. 100x documents. Repartition the SMALL source
+        // BEFORE the explode (a 100k-row shuffle), so generation runs
+        // `parts` writer tasks in parallel and the layout parallelizes
+        // like the corpus it stands in for — repartitioning AFTER the
+        // explode would shuffle the full generated volume through the
+        // one source task (measured: a 42 GB single-threaded shuffle at
+        // factor 1000 before this was moved).
         val parts = if (keys.isEmpty) 1 else math.min(256, math.max(32, factor))
-        replicate(df, table, keys, factor)
-          .repartition(parts)
+        replicate(df.repartition(parts), table, keys, factor)
           .write.mode("overwrite").parquet(s"$out/$table.parquet")
         println(s"[scale] $table x${if (keys.isEmpty) 1 else factor} -> $out/$table.parquet ($parts files)")
       }
