@@ -283,6 +283,26 @@ object SparkEntry {
     val prevProvider = s.conf.getOption(providerKey)
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // peak state is tracked by a LISTENER over every progress event, not by
+    // maxing query.recentProgress afterwards: recentProgress retains only
+    // spark.sql.streaming.numRecentProgressUpdates (default 100) entries, so
+    // a drain with >100 microbatches would silently understate the peak the
+    // 1000x stress evidence in SCALE.md relies on
+    val peaks = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    val peakListener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.stateOperators.nonEmpty) {
+          val rows = e.progress.stateOperators.map(_.numRowsTotal).sum
+          peaks.merge(e.progress.runId, rows,
+            (a, b) => if (a >= b) a else b)
+        }
+      override def onQueryTerminated(
+        e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    s.streams.addListener(peakListener)
     val query =
       try build(union).writeStream
         .format("parquet").option("path", s"$out/data")
@@ -297,16 +317,22 @@ object SparkEntry {
       // 2100-01-01: past every real event, inside the timestamp range
       mem.addData((-1L, 4102444800000L, -1L, "sentinel", 0.0))
       query.processAllAvailable()
-    } finally query.stop()
+    } finally {
+      query.stop()
+      s.streams.removeListener(peakListener)
+    }
     // state-store forensics (stderr, not stdout — Bench's JSON line owns
-    // stdout): peak rows = worst microbatch's retained state, last rows =
-    // what survived the sentinel's watermark (the eviction check the
-    // 1000x stress runs record in SCALE.md)
+    // stdout): peak rows = worst microbatch's retained state over the WHOLE
+    // run, last rows = what survived the sentinel's watermark (the eviction
+    // check the 1000x stress runs record in SCALE.md). recentProgress is
+    // kept as a max-merge fallback against listener-bus delivery lag.
     val withState = query.recentProgress.filter(_.stateOperators.nonEmpty)
     if (withState.nonEmpty) {
       def rows(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Long =
         p.stateOperators.map(_.numRowsTotal).sum
-      System.err.println(s"[stream] $name: peakStateRows=${withState.map(rows).max}" +
+      val peak = math.max(withState.map(rows).max,
+        Option(peaks.get(query.runId)).map(_.longValue).getOrElse(0L))
+      System.err.println(s"[stream] $name: peakStateRows=$peak" +
         s" lastStateRows=${rows(withState.last)}")
     }
     s.read.parquet(s"$out/data")
@@ -2769,8 +2795,12 @@ object SparkEntry {
     // kept = no lower neighbor at tau.
     "q_semdedup" -> {
       val tau = 0.2
-      s"""WITH nb AS (SELECT greatest(CAST(2 AS BIGINT),
-         |    CAST(ceil(count(*) / 256.0) AS BIGINT)) AS k FROM embeddings),
+      // least(..., 65536) mirrors semDedup's maxCentroids cap so the
+      // replay stays exact past ~16.7M vectors at the default
+      // targetClusterSize (the Spark side caps k there to bound the
+      // O(k·d) centroid broadcast)
+      s"""WITH nb AS (SELECT least(CAST(65536 AS BIGINT), greatest(CAST(2 AS BIGINT),
+         |    CAST(ceil(count(*) / 256.0) AS BIGINT))) AS k FROM embeddings),
          |v AS (SELECT vec_id,
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |cent AS (SELECT cid, cv FROM (

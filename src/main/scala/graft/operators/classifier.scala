@@ -113,14 +113,26 @@ object QualityClassifier {
   /** DSIR scoring pass: per-doc mean per-token log importance (exact
     * long milli-sum, one fixed-order double division — engine-exact),
     * `selected` = target-leaning. A pure projection: the weight array
-    * rides the plan, nothing shuffles. */
+    * rides the plan, nothing shuffles.
+    *
+    * Null-text docs emit NO row — the same convention as noveltyScores
+    * and the q_dsir oracle (unnest of a NULL split yields nothing).
+    * n_tokens comes from the SAME tokenization as the margin kernel
+    * (java Pattern.split, which drops trailing empty tokens; Spark's
+    * `split` keeps them), so n_tokens always equals the divisor inside
+    * log_importance even on trailing-whitespace text. */
   def dsirScore(df: DataFrame, textCol: String, idCol: String,
                 weightsMilli: Array[Long]): DataFrame = {
     val m = HashTfLinearMargin(col(textCol), weightsMilli, bias = 0.0)
-    df.select(col(idCol),
-      size(split(lower(col(textCol)), "\\s+")).cast(LongType).as("n_tokens"),
-      m.as("log_importance"),
-      (m > 0.0).cast(IntegerType).as("selected"))
+    // codegen'd replay of Pattern.split's count: strip trailing
+    // whitespace first, because Spark's split keeps the trailing empty
+    // token Pattern.split drops (keeps the plan UDF-free — the q_dsir
+    // plan pin forbids ScalaUDF in this projection)
+    val nTok = size(split(regexp_replace(col(textCol), "\\s+$", ""), "\\s+"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), nTok.cast(LongType).as("n_tokens"),
+        m.as("log_importance"),
+        (m > 0.0).cast(IntegerType).as("selected"))
   }
 
   /** Model-DataFrame entry: collect the `dim`-row model table into the

@@ -482,16 +482,22 @@ object TextAnalysis {
    * across streams/shards by cell-wise addition. The exact counts here
    * are the verification half the synthetic scale affords.
    *
-   * Scale shape: two passes over the exploded tokens (exact-count hash
-   * agg; depth-replicated cell agg whose output is depth x width cells),
-   * then a broadcast join of the tiny grid back to candidate terms.
+   * Scale shape: ONE pass over the exploded tokens (the exact-count hash
+   * agg), staged as a vocab-sized temp table because three downstream
+   * relations anchor on it (the cell grid, the estimates, the final
+   * join) — without the stage, Spark re-expands the corpus scan once per
+   * appearance (the round-6 plan read the corpus ~3x). The cell grid is
+   * DERIVED from the staged counts (cell occupancy = sum of exact counts
+   * of the terms hashing into the cell — identical long arithmetic, so
+   * the sketch replays bit-for-bit), then broadcast back.
    */
   def countMinTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
                        depth: Int = 4, width: Int = 1024,
                        k: Int = 20): org.apache.spark.sql.DataFrame = {
     require(depth >= 1 && width >= 2 && k >= 1, s"bad sketch shape ($depth x $width, k=$k)")
     val toks = df.select(explode(words(col(textCol))).as("term"))
-    val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_count"))
+    val exact = graft.core.Stage.materialize(
+      toks.groupBy(col("term")).agg(count(lit(1)).as("exact_count")), "cm_exact")
     val rows = explode(sequence(lit(0), lit(depth - 1))).as("r")
     // fused JVM hash, not conv(md5(...)) Column chains: one md5 per
     // (token, row) instead of a conv whose per-row cost profiles at 2x
@@ -499,9 +505,9 @@ object TextAnalysis {
     val bucketUdf = udf { (term: String, r: Int) =>
       (Dedup.md5LongJvm("cm" + r + "_" + term) % width).toInt
     }
-    val cells = toks.select(col("term"), rows)
-      .select(col("r"), bucketUdf(col("term"), col("r")).as("b"))
-      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cc"))
+    val cells = exact.select(col("term"), col("exact_count"), rows)
+      .select(col("r"), bucketUdf(col("term"), col("r")).as("b"), col("exact_count"))
+      .groupBy(col("r"), col("b")).agg(sum(col("exact_count")).as("cc"))
     val est = exact.select(col("term"), rows)
       .select(col("term"), col("r"), bucketUdf(col("term"), col("r")).as("b"))
       .join(broadcast(cells), Seq("r", "b"))
@@ -521,10 +527,14 @@ object TextAnalysis {
    * the scale-safe recursive-histogram selection, never a global sort.
    *
    * Scale shape (100 TB): the scored relation (one row per doc) is
-   * persisted MEMORY_AND_DISK for the handful of quantile-recursion
-   * passes (re-deriving the LM join per pass would be the real cost);
-   * thresholds are O(#cuts) driver scalars; labeling is a codegen'd
-   * projection over the persisted relation.
+   * materialized ONCE to a temp stage table ([[graft.core.Stage]]) for
+   * the handful of quantile-recursion passes plus the final labeling
+   * read (re-deriving the LM join per pass would be the real cost). A
+   * persist() here would leak — this builder is lazy, nothing could
+   * unpersist it (the q_curate house rule); the stage table costs one
+   * doc-count-row write and leaves no cache residency behind.
+   * Thresholds are O(#cuts) driver scalars; labeling is a codegen'd
+   * projection over the staged relation.
    */
   def pplBuckets(df: org.apache.spark.sql.DataFrame, textCol: String,
                  idCol: String, cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
@@ -534,9 +544,9 @@ object TextAnalysis {
       s"need ${cuts.length + 1} labels for ${cuts.length} cuts")
     require(cuts == cuts.sorted && cuts.forall(p => p > 0.0 && p < 1.0),
       s"cuts must be sorted fractions in (0,1): ${cuts.mkString(", ")}")
-    val scored = unigramNll(df, textCol, idCol)
-      .select(col(idCol), col("mean_nll"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = graft.core.Stage.materialize(
+      unigramNll(df, textCol, idCol).select(col(idCol), col("mean_nll")),
+      "ppl_scored")
     val thr: Seq[Double] = Quantiles.exactQuantiles(scored, "mean_nll", cuts)
       .orderBy("p").collect().toSeq
       .map(r => if (r.isNullAt(1)) 0.0 else r.getDouble(1)) // null only when df is empty

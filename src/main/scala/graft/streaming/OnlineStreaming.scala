@@ -2,12 +2,89 @@ package graft.streaming
 
 import graft.core._
 import graft.operators.{AHP, EventWindows, Topsis}
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** A buffered event-time row inside one window's state. */
 case class EvRow(tms: Long, features: Array[Double])
+
+/** One bounded append chunk of a window's buffered events. */
+case class EvChunk(rows: Array[EvRow])
+
+/**
+ * Insert-only keyed window state for the streaming OnlineAHP forms.
+ *
+ * The round-6 shape (flatMapGroupsWithState with ONE `Array[EvRow]` state
+ * value per window) was a measured scale-killer: every microbatch
+ * deserialized and rewrote the whole window buffer, so per-microbatch cost
+ * grew with accumulated window VOLUME (~3 GB/state value and 341 s at the
+ * 1000x stress point — SCALE.md round 6). Here arrivals land in a
+ * `MapState[Long, Array[EvRow]]` under the window key as bounded APPEND
+ * CHUNKS (<= `chunkSize` events from the current microbatch): every write
+ * is a fresh RocksDB key — never a read-modify-write of existing state —
+ * so per-microbatch cost is O(new events) regardless of what the window
+ * already holds, and no state value ever exceeds chunkSize·|row| bytes
+ * (~128 KB at the default — vs window-volume-bounded before). chunkSize=1
+ * is the strict per-event limiting case; the default amortizes RocksDB
+ * put/encoder overhead ~4096x, which the 1000x stress measured as the
+ * difference between 674 s (per-event) and the monolithic buffer's 341 s
+ * baseline. The only per-window mutable value is an 8-byte chunk counter.
+ *
+ * The buffer is materialized exactly once, in `handleExpiredTimer`, when
+ * the event-time timer registered at first sight of the window fires
+ * (watermark passed window end — the same trigger point as the Flink
+ * reference, OnlineAHP.java:63-71). Scoring (`OnlineStreaming
+ * .scoreWindow`) is order-insensitive — per-row scores depend only on the
+ * row and whole-window column stats — so MapState iteration order does
+ * not affect results.
+ *
+ * Requires the RocksDB state store provider (transformWithState needs
+ * column families); callers set it at query start.
+ *
+ * @param toEv  pull the buffered event out of an input row
+ * @param emit  build the output row from (window start, scored row)
+ */
+private[streaming] class AhpWindowProcessor[I, O](
+    winMs: Long, ahpW: Array[Double], indicatorType: Array[Int],
+    toEv: I => EvRow, emit: (Long, ScoredRow) => O,
+    chunkSize: Int = 4096)
+  extends StatefulProcessor[Long, I, O] {
+
+  require(chunkSize >= 1, "chunkSize must be positive")
+
+  @transient private var chunks: MapState[Long, EvChunk] = _
+  @transient private var count: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    chunks = getHandle.getMapState[Long, EvChunk]("chunks",
+      Encoders.scalaLong, Encoders.product[EvChunk], TTLConfig.NONE)
+    count = getHandle.getValueState[Long]("count",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(wstart: Long, rows: Iterator[I],
+      timers: TimerValues): Iterator[O] = {
+    // first sight of this window arms its watermark trigger
+    var n = if (count.exists()) count.get() else {
+      getHandle.registerTimer(wstart + winMs - 1); 0L
+    }
+    rows.grouped(chunkSize).foreach { g =>
+      chunks.updateValue(n, EvChunk(g.iterator.map(toEv).toArray)); n += 1
+    }
+    count.update(n)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(wstart: Long, timers: TimerValues,
+      info: ExpiredTimerInfo): Iterator[O] = {
+    val buf = chunks.values().flatMap(_.rows).toArray
+    chunks.clear(); count.clear()
+    OnlineStreaming.scoreWindow(buf, ahpW, indicatorType)
+      .iterator.map(sr => emit(wstart, sr))
+  }
+}
 
 /** Scored output row. */
 case class ScoredRow(tms: Long, features: Array[Double], score: Double)
@@ -26,12 +103,14 @@ case class SlidingScoredRow(wstart: Long, tms: Long, features: Array[Double],
  *
  *  - `onlineAhpStream` is the faithful streaming port of OnlineAHP's
  *    ProcessAllWindowFunction (OnlineAHP.java:82-186): rows buffer in
- *    per-window GroupState and are scored+emitted when the event-time
- *    watermark passes the window end — Spark's
- *    flatMapGroupsWithState(EventTimeTimeout) is the exact analog of
- *    Flink's window trigger on watermark passage. Unlike the reference's
- *    parallelism-1 windowAll, windows are keyed so distinct windows score
- *    on distinct executors.
+ *    per-EVENT keyed state (transformWithState + MapState, see
+ *    AhpWindowProcessor) and are scored+emitted when the event-time
+ *    watermark passes the window end — the event-time timer is the exact
+ *    analog of Flink's window trigger on watermark passage. Unlike the
+ *    reference's parallelism-1 windowAll, windows are keyed so distinct
+ *    windows score on distinct executors, and unlike a single buffer
+ *    value per window, per-microbatch state cost is O(new events),
+ *    independent of accumulated window volume.
  *
  *  - `onlineTopsisModelStream` streams window means (the model-fitting
  *    aggregation of OnlineTopsis.java:127-164) as an append-mode windowed
@@ -74,23 +153,11 @@ object OnlineStreaming {
 
     typed
       .groupByKey { case (tms, _, _) => (tms / winMs) * winMs }
-      .flatMapGroupsWithState[Array[EvRow], ScoredRow](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (wstart, rows, state: GroupState[Array[EvRow]]) =>
-          if (state.hasTimedOut) {
-            // watermark passed window end -> score the whole window
-            // (the Flink trigger point, OnlineAHP.java:63-71)
-            val buf = state.getOption.getOrElse(Array.empty[EvRow])
-            state.remove()
-            scoreWindow(buf, ahpW, indicatorType).iterator
-          } else {
-            val buf = state.getOption.getOrElse(Array.empty[EvRow]) ++
-              rows.map { case (tms, f, _) => EvRow(tms, f) }
-            state.update(buf)
-            state.setTimeoutTimestamp(wstart + winMs - 1)
-            Iterator.empty
-          }
-      }
+      .transformWithState(
+        new AhpWindowProcessor[(Long, Array[Double], java.sql.Timestamp), ScoredRow](
+          winMs, ahpW, indicatorType,
+          { case (tms, f, _) => EvRow(tms, f) }, (_, sr) => sr),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /**
@@ -124,22 +191,12 @@ object OnlineStreaming {
 
     typed
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Array[EvRow], SlidingScoredRow](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        case (wstart, rows, state: GroupState[Array[EvRow]]) =>
-          if (state.hasTimedOut) {
-            val buf = state.getOption.getOrElse(Array.empty[EvRow])
-            state.remove()
-            scoreWindow(buf, ahpW, indicatorType).iterator
-              .map(sr => SlidingScoredRow(wstart, sr.tms, sr.features, sr.score))
-          } else {
-            val buf = state.getOption.getOrElse(Array.empty[EvRow]) ++
-              rows.map { case (_, tms, f, _) => EvRow(tms, f) }
-            state.update(buf)
-            state.setTimeoutTimestamp(wstart + winMs - 1)
-            Iterator.empty
-          }
-      }
+      .transformWithState(
+        new AhpWindowProcessor[(Long, Long, Array[Double], java.sql.Timestamp), SlidingScoredRow](
+          winMs, ahpW, indicatorType,
+          { case (_, tms, f, _) => EvRow(tms, f) },
+          (wstart, sr) => SlidingScoredRow(wstart, sr.tms, sr.features, sr.score)),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** The in-window scoring of OnlineAHP.java:94-175, verbatim semantics:

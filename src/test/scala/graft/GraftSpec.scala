@@ -23,6 +23,21 @@ abstract class GraftSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
 
+  /** Scope the RocksDB state store provider over `body` (the provider is
+    * read at streaming-query START) — required by transformWithState
+    * (column families), matching SparkEntry's production drain config. */
+  def withRocksDB[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def assertApprox(got: Seq[Double], want: Seq[Double], tol: Double): Unit = {
     assert(got.length == want.length, s"length mismatch: got $got want $want")
     got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>

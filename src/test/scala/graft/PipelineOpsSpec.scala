@@ -773,13 +773,24 @@ class PipelineOpsSpec extends GraftSpec {
     val span = Dedup.removeRepeatedSpans(withNull, "text", "doc_id",
       spanTokens = 5, minDocs = 2).collect()
     assert(span.isEmpty, s"both real docs fully covered -> vanish; got ${span.toSeq}")
-    // DSIR: null text excluded from the fit, scoring stays null-safe
+    // DSIR: null text excluded from the fit AND from scoring output —
+    // same no-row convention as noveltyScores and the q_dsir oracle
+    // (unnest of a NULL split yields nothing)
     val (w0, (nt0, nr0)) = graft.operators.QualityClassifier.dsirWeightsMilli(
       withNull, "text", col("doc_id") === 1L, dim = 64)
     assert(nt0 == 5 && nr0 == 10)
     val scored = graft.operators.QualityClassifier.dsirScore(withNull, "text", "doc_id", w0)
       .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
-    assert(!scored(1L) && scored(2L), "null text must score null, not throw")
+    assert(scored.keySet == Set(1L, 3L), "null-text doc must emit no row")
+    assert(!scored(1L) && !scored(3L))
+    // trailing whitespace: n_tokens must equal the margin kernel's
+    // divisor (Pattern.split drops the trailing empty token that
+    // Spark's split would count)
+    val trail = Seq((1L, "a b "), (2L, "a b")).toDF("doc_id", "text")
+    val tr = graft.operators.QualityClassifier.dsirScore(trail, "text", "doc_id", w0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(tr(1L) == tr(2L), s"trailing whitespace changed tokenization: $tr")
+    assert(tr(1L)._1 == 2L)
     // semdedup: a zero-norm vector neither drops nor poisons neighbors
     val emb = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 0f)), (3L, Array(1f, 0f)))
       .toDF("vec_id", "embedding")

@@ -275,6 +275,32 @@ class PlanSpec extends GraftSpec {
       s"unpartitioned window in retention pass:\n$p")
   }
 
+  test("q_count_min: ONE corpus scan — exact counts staged, cells derived from them") {
+    // the round-6 plan expanded the token explode + vocab agg once per
+    // downstream use (est source, final join) plus a separate cells pass
+    // = ~3 corpus scans; the staged vocab table must leave exactly one
+    // the ONE corpus scan runs at BUILD time (Stage.materialize writes the
+    // vocab-sized exact-count table); the returned plan must read ONLY the
+    // stage table — zero corpus rescans at execution
+    val p = plan("q_count_min")
+    val corpusScans = "documents\\.parquet".r.findAllIn(p).length
+    assert(corpusScans == 0, s"expected 0 corpus scans in the final plan, got $corpusScans:\n$p")
+    assert(p.contains("graft_stage_cm_exact"),
+      s"exact counts must come from the stage table:\n$p")
+  }
+
+  test("no persisted RDD outlives a staged query's build+run (the q_curate house rule)") {
+    // pplBuckets (alone and inside q_curate3) used to persist its scored
+    // relation with no unpersist path — asserting the cache manager is
+    // clean after build+run pins the Stage.materialize replacement
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Seq("q_count_min", "q_ppl_buckets", "q_curate3").foreach { q =>
+      SparkEntry.queries(q)(spark, sf()).count()
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"queries left persisted RDDs behind: $leaked")
+  }
+
   test("FCM with cosine distance converges and predicts on direction clusters") {
     // two angular clusters: along x-axis and along y-axis (cosine distance
     // separates by direction, not magnitude)

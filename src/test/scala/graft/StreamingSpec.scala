@@ -35,7 +35,7 @@ class StreamingSpec extends GraftSpec {
     1602259200000L -> Seq(0.0970), 1602345600000L -> Seq(0.1235),
     1602432000000L -> Seq(0.0543), 1602518400000L -> Seq(0.0215, 0.1326))
 
-  test("streaming OnlineAHP: windows flush on watermark, golden scores match") {
+  test("streaming OnlineAHP: windows flush on watermark, golden scores match") { withRocksDB {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Array[Double])]
     val scored = OnlineStreaming.onlineAhpStream(
@@ -64,7 +64,7 @@ class StreamingSpec extends GraftSpec {
         }
       }
     } finally query.stop()
-  }
+  }}
 
   test("streaming session windows close on watermark and match batch sessionize") {
     implicit val sqlCtx = spark.sqlContext
@@ -161,7 +161,7 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
-  test("streaming sliding OnlineAHP matches the batch sliding operator") {
+  test("streaming sliding OnlineAHP matches the batch sliding operator") { withRocksDB {
     implicit val sqlCtx = spark.sqlContext
     val batch = new graft.operators.OnlineAHP()
       .setInputCols("x0", "x1", "x2", "x3", "x4", "x5")
@@ -200,7 +200,7 @@ class StreamingSpec extends GraftSpec {
       // all 3-day windows covering the 9 fixture rows eventually scored
       assert(got.keys.map(_._1).toSet.size >= 8)
     } finally query.stop()
-  }
+  }}
 
   test("stream-stream gating: rows with no suitable model never emit") {
     implicit val sqlCtx = spark.sqlContext
@@ -430,7 +430,7 @@ class StreamingSpec extends GraftSpec {
       case p if p.stateOperators.nonEmpty => p.stateOperators.map(_.numRowsTotal).sum
     }.getOrElse(-1L)
 
-  test("state bounds: closed sessions/windows/asof-keys are EVICTED, not retained") {
+  test("state bounds: closed sessions/windows/asof-keys are EVICTED, not retained") { withRocksDB {
     // The scale contract the drains document (state ∝ OPEN entities, not
     // corpus) asserted from StreamingQueryProgress state metrics: a
     // regression that starts retaining closed state fails here, not in a
@@ -471,17 +471,29 @@ class StreamingSpec extends GraftSpec {
     val aq = scored.writeStream.format("noop").outputMode("append").start()
     try {
       // events span THREE 3-day windows; once the batch's watermark lands
-      // inside the last one, the two scored windows must already be gone —
-      // state is one row per OPEN window (the buffer array is one row), so
-      // a retention regression reads 3 here, not 1
+      // inside the last one, the two scored windows must already be gone.
+      // State is insert-only append chunks (AhpWindowProcessor MapState):
+      // each microbatch adds its own chunk rows, so a retention
+      // regression (scored windows keeping their buffers) reads 3
+      // windows' worth here, not 1
       ahpMem.addData((0 until 9).map(i => (base + i * day, Array(i + 1.0, 9.0 - i))))
       aq.processAllAvailable()
       val peak = stateRows(aq)
-      assert(peak == 1, s"only the open window may hold a buffer, got $peak")
+      // one open window = its single append chunk + its 8-byte counter
+      assert(peak == 2, s"open window = 1 chunk row + 1 counter, got $peak")
+      // a second microbatch into the SAME open window must land as a NEW
+      // chunk row (insert-only append — the monolithic-buffer shape would
+      // still read one value here, rewritten in place)
+      ahpMem.addData(Seq((base + 8 * day + 3600000L, Array(2.0, 2.0))))
+      aq.processAllAvailable()
+      val grown = stateRows(aq)
+      assert(grown == 3, s"second microbatch must append a chunk row, got $grown")
       ahpMem.addData(Seq((base + 1000 * day, Array(1.0, 1.0))))
       aq.processAllAvailable()
       val post = stateRows(aq)
-      assert(post == 1, s"scored windows must evict their buffers; state rows = $post")
+      // scored windows evicted their chunks; only the sentinel's own
+      // window remains (1 chunk + 1 counter)
+      assert(post == 2, s"scored windows must evict their chunks; state rows = $post")
     } finally aq.stop()
 
     // -- as-of join: 30 keys of pending lefts + right buffers
@@ -502,7 +514,7 @@ class StreamingSpec extends GraftSpec {
       val post = stateRows(jq)
       assert(post <= 1, s"finalized asof keys must evict; state rows = $post")
     } finally jq.stop()
-  }
+  }}
 
   test("stateless pipeline ops compose onto streams unchanged") {
     // the deployment shape for the filter-class curation ops: hash
