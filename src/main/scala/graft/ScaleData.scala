@@ -37,8 +37,26 @@ object ScaleData {
     * Copies come from ONE exploded projection (row × sequence(0, N-1)),
     * not an N-way union: a 1000-branch union is a Catalyst plan Spark
     * chokes on, while the explode is a single scan at any factor. */
+  /** Text decorrelation modes for the `documents` copies:
+    *  - `suffix` (default): per-copy token suffix — rewrites every token,
+    *    so the corpus VOCABULARY grows linearly with the factor. That is
+    *    the worst case for every operator whose cost tracks distinct-term
+    *    cardinality (novelty, LM/ppl, span hot sets, count-min
+    *    candidates) — real corpora grow vocabulary sublinearly.
+    *  - `permute`: per-copy VOCABULARY permutation — each copy maps token
+    *    w to the token at (rank(w) + copy) mod V of the source vocab. A
+    *    bijection on tokens, so every within-copy shingle/near-dup
+    *    relation is preserved EXACTLY (same reason the suffix mode works)
+    *    while copies of the same doc share ~no shingles — and the
+    *    vocabulary is the source's, fixed at any factor: the realistic
+    *    text-op scaling regime. Caveat: the bijection is on raw
+    *    space-split tokens; ops that case-fold see an induced map that is
+    *    only a bijection when the source vocab is case-normalized (true
+    *    for the synthetic corpus). */
   def replicate(df: DataFrame, table: String, keys: Seq[String],
-                factor: Int): DataFrame = {
+                factor: Int, textMode: String = "suffix"): DataFrame = {
+    require(textMode == "suffix" || textMode == "permute",
+      s"unknown text mode '$textMode'")
     val copies = if (keys.isEmpty) 1 else factor
     if (copies == 1) return df
     val steps: Map[String, Long] = keys.map { k =>
@@ -50,10 +68,36 @@ object ScaleData {
       c = c.withColumn(k,
         (col(k) + col("__copy").cast("long") * steps(k)).cast(df.schema(k).dataType))
     }
-    if (table == "documents")
+    if (table == "documents" && textMode == "suffix")
       c = c.withColumn("text", when(col("__copy") === 0, col("text"))
         .otherwise(array_join(transform(split(col("text"), " "),
           w => concat(w, lit("_"), col("__copy").cast("string"))), " ")))
+    if (table == "documents" && textMode == "permute") {
+      val spark = df.sparkSession
+      // source vocabulary in deterministic order — driver-collected with a
+      // guard (the generator runs on sf-scale sources; the scaled corpora
+      // it writes never re-enter here)
+      val vocab = df.select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").distinct().orderBy("w")
+        .limit(2000001).collect().map(_.getString(0))
+      require(vocab.length <= 2000000,
+        "permute mode collects the source vocabulary to the driver; " +
+          "source vocab exceeds 2M tokens — use suffix mode")
+      val bc = spark.sparkContext.broadcast(
+        (vocab, vocab.zipWithIndex.toMap))
+      val permUdf = udf { (text: String, copy: Int) =>
+        val (v, idx) = bc.value
+        val vlen = v.length
+        text.split(" ", -1).map { w =>
+          idx.get(w) match {
+            case Some(r) => v((r + copy % vlen) % vlen)
+            case None => w // out-of-vocab (empty runs) pass through
+          }
+        }.mkString(" ")
+      }
+      c = c.withColumn("text", when(col("__copy") === 0, col("text"))
+        .otherwise(permUdf(col("text"), col("__copy"))))
+    }
     if (table == "embeddings")
       // per-copy Rademacher signs: dot(a∘s, b∘s) = dot(a, b), so all
       // within-copy cosines are preserved bit-for-bit while copies
@@ -78,8 +122,10 @@ object ScaleData {
     spark.sparkContext.setLogLevel("WARN")
 
     // optional 4th arg: comma-list restricting the tables (big-factor runs
-    // only need the tables their target queries read)
+    // only need the tables their target queries read); optional 5th arg:
+    // documents text mode, suffix (default) | permute (vocab-fixed)
     val tables = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    val textMode = args.lift(4).getOrElse("suffix")
     keyCols.filter { case (t, _) => tables.forall(_.contains(t)) }
       .foreach { case (table, keys) =>
         val df = spark.read.parquet(s"$src/$table.parquet")
@@ -94,7 +140,7 @@ object ScaleData {
         // one source task (measured: a 42 GB single-threaded shuffle at
         // factor 1000 before this was moved).
         val parts = if (keys.isEmpty) 1 else math.min(256, math.max(32, factor))
-        replicate(df.repartition(parts), table, keys, factor)
+        replicate(df.repartition(parts), table, keys, factor, textMode)
           .write.mode("overwrite").parquet(s"$out/$table.parquet")
         println(s"[scale] $table x${if (keys.isEmpty) 1 else factor} -> $out/$table.parquet ($parts files)")
       }

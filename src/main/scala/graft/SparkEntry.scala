@@ -374,6 +374,59 @@ object SparkEntry {
 
   private lazy val mhShingleCtes: String = mhShingleCtesFor("documents")
 
+  // DSIR hashed-unigram model + per-doc exact milli-sum — shared by the
+  // q_dsir scoring oracle and the q_dsir_resample selection oracle:
+  // tok = (doc, bucket) stream with the src0 target flag; w = Laplace-
+  // smoothed integer milli log-ratios; s = per-doc (sum, count).
+  private lazy val dsirCtes: String = {
+    val dim = 2048
+    s"""tok AS (SELECT doc_id,
+       |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ist,
+       |    ('0x' || substr(md5(unnest(string_split_regex(lower(text), '\\s+'))), 1, 15))::BIGINT
+       |      % $dim AS b
+       |  FROM documents),
+       |cnt AS (SELECT b, count(*) AS cr, CAST(sum(ist) AS BIGINT) AS ct
+       |  FROM tok GROUP BY b),
+       |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM cnt),
+       |w AS (SELECT b,
+       |    CAST(floor(1000.0 * ln(((ct + 1.0) / (nt + 1.0 * $dim))
+       |         / ((cr + 1.0) / (nr + 1.0 * $dim))) + 0.5) AS BIGINT) AS wm
+       |  FROM cnt, tot),
+       |s AS (SELECT doc_id, CAST(sum(wm) AS BIGINT) AS sm, count(*) AS n
+       |  FROM tok JOIN w USING (b) GROUP BY doc_id)""".stripMargin
+  }
+
+  // Recursive-CTE replay of the fixed BPE merge walk (BpeTokenizer.merges):
+  // `m` inlines the merge table rank by rank; `walk` renders each DISTINCT
+  // word codepoint-spaced with sentinel spaces and applies one literal
+  // leftmost non-overlapping replace per recursion step, advancing to the
+  // next rank only when a pass changes nothing (the fixpoint that makes a
+  // rank merge EVERY occurrence, exactly the kernel's loop). `wc(w, c)` =
+  // per-word token counts; `tok(doc_id, w)` = the word stream. Joining per
+  // doc through the distinct-word table is the SQL mirror of the kernel's
+  // memo cache.
+  private lazy val bpeMergeValues: String =
+    graft.functions.BpeTokenizer.merges.zipWithIndex
+      .map { case ((a, b), r) => s"($r, ' $a $b ', ' $a$b ')" }
+      .mkString(", ")
+  private def bpeWalkCtes(src: String): String = {
+    val n = graft.functions.BpeTokenizer.merges.length
+    s"""m(r, pat, rep) AS (VALUES $bpeMergeValues),
+       |wds AS (SELECT DISTINCT unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |        FROM $src WHERE text IS NOT NULL),
+       |walk(w, s, r) AS (
+       |  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g'), 0 FROM wds WHERE w <> ''
+       |  UNION ALL
+       |  SELECT walk.w,
+       |    CASE WHEN replace(walk.s, m.pat, m.rep) <> walk.s
+       |         THEN replace(walk.s, m.pat, m.rep) ELSE walk.s END,
+       |    CASE WHEN replace(walk.s, m.pat, m.rep) <> walk.s THEN walk.r ELSE walk.r + 1 END
+       |  FROM walk JOIN m ON m.r = walk.r),
+       |wc AS (SELECT w, len(string_split(trim(s), ' ')) AS c FROM walk WHERE r = $n),
+       |tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |        FROM $src WHERE text IS NOT NULL)""".stripMargin
+  }
+
   // Banded candidates + Jaccard verify + symmetric verified edges — the
   // near-dup core, over whatever `h` the caller's shingle CTEs define.
   private lazy val mhVerifiedEdgeCtes: String =
@@ -1190,6 +1243,24 @@ object SparkEntry {
       QualityClassifier.dsirScore(docs, "text", "doc_id", w)
     }),
 
+    // DSIR end-to-end (the full Xie et al. algorithm): the importance
+    // RESAMPLING step over the scoring pass — Efraimidis-Spirakis
+    // weighted take with weight exp(log_importance), so selection
+    // probability tracks the target/raw likelihood ratio. Zero-shuffle
+    // scoring projection + TakeOrderedAndProject: no new shuffle at all
+    "q_dsir_resample" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val (w, _) = QualityClassifier.dsirWeightsMilli(
+        docs, "text", col("source") === "src0", dim = 2048)
+      val scored = QualityClassifier.dsirScore(docs, "text", "doc_id", w)
+        .select(col("doc_id"), col("log_importance"))
+      Sampling.weightedTake(scored, col("doc_id"),
+          exp(col("log_importance")), n = 100)
+        .select(col("doc_id"),
+          round(col("log_importance"), 6).as("log_importance"),
+          col("sample_score"))
+    }),
+
     // Substring-level dedup (the suffix-array-style "k-token span appears
     // in N docs" pass): any 8-token window repeated across >= 2 distinct
     // docs is cut from EVERY doc, overlapping hot windows merging into one
@@ -1253,6 +1324,29 @@ object SparkEntry {
       Sampling.weightedTake(
         tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")),
         col("doc_id"), col("n_chars"), n = 100)
+    }),
+
+    // deterministic BPE token counting (fixed pretrained-style merge
+    // table, greedy rank-order merge walk): the token economics every
+    // budget/pack/chunk decision should run on — whitespace words
+    // understate budgets by the subword fan-out. Zero-shuffle codegen'd
+    // projection; the oracle replays the identical walk in a recursive CTE
+    "q_bpe_tokens" -> ((s, dir) => {
+      tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("n_words"),
+          graft.functions.BpeTokenCount(col("text")).as("n_tokens_bpe"))
+    }),
+
+    // the mixture-budget op re-based on BPE tokens (the q_token_budget
+    // semantics, real token economics): keep docs in doc_id order while
+    // the per-source running BPE-token total stays <= 4000
+    "q_token_budget_bpe" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("n_tokens_bpe", graft.functions.BpeTokenCount(col("text")))
+      Sampling.tokenBudget(docs, col("source"), col("doc_id"),
+          col("n_tokens_bpe"), budget = 4000L)
+        .select(col("doc_id"), col("source"), col("n_tokens_bpe"))
     }),
 
     // deterministic stratified sampling (data-mixture weighting): md5
@@ -2514,27 +2608,25 @@ object SparkEntry {
     // target/raw count ratio per bucket quantized by floor(x*1000 + 0.5)
     // to milli-units, per-doc EXACT long sum / 1000 / n in the kernel's
     // division order — margin ships unrounded (the long-sum trick).
-    "q_dsir" -> {
-      val dim = 2048
-      s"""WITH tok AS (SELECT doc_id,
-         |    CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ist,
-         |    ('0x' || substr(md5(unnest(string_split_regex(lower(text), '\\s+'))), 1, 15))::BIGINT
-         |      % $dim AS b
-         |  FROM documents),
-         |cnt AS (SELECT b, count(*) AS cr, CAST(sum(ist) AS BIGINT) AS ct
-         |  FROM tok GROUP BY b),
-         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM cnt),
-         |w AS (SELECT b,
-         |    CAST(floor(1000.0 * ln(((ct + 1.0) / (nt + 1.0 * $dim))
-         |         / ((cr + 1.0) / (nr + 1.0 * $dim))) + 0.5) AS BIGINT) AS wm
-         |  FROM cnt, tot),
-         |s AS (SELECT doc_id, CAST(sum(wm) AS BIGINT) AS sm, count(*) AS n
-         |  FROM tok JOIN w USING (b) GROUP BY doc_id)
+    "q_dsir" ->
+      s"""WITH $dsirCtes
          |SELECT doc_id, n AS n_tokens,
          |  CAST(sm AS DOUBLE) / 1000.0 / n AS log_importance,
          |  CAST(CAST(sm AS DOUBLE) / 1000.0 / n > 0 AS INT) AS selected
-         |FROM s""".stripMargin
-    },
+         |FROM s""".stripMargin,
+
+    // The resampling half of Xie et al.: Efraimidis-Spirakis take with
+    // weight exp(log_importance) — rank on the UNROUNDED score exactly
+    // like q_weighted_take, round only outputs
+    "q_dsir_resample" ->
+      s"""WITH $dsirCtes,
+         |li AS (SELECT doc_id, CAST(sm AS DOUBLE) / 1000.0 / n AS li FROM s)
+         |SELECT doc_id, round(li, 6) AS log_importance, round(score, 6) AS sample_score
+         |FROM (SELECT doc_id, li,
+         |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |        % ${Dedup.P} + 1) / CAST(${Dedup.P} AS DOUBLE)) / exp(li) AS score
+         |  FROM li)
+         |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
 
     // Replays the span pass exactly: same per-word md5 mod P, same
     // rolling combine (inlined for k=8), hot = span hash in >= 2 distinct
@@ -3299,6 +3391,27 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
         |  CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2000 ELSE 1000 END""".stripMargin,
+
+    // Replays the fixed BPE merge walk exactly (see bpeWalkCtes): same
+    // sentinel-space rendering, same leftmost non-overlapping replace,
+    // same fixpoint-per-rank recursion; per-doc counts join the
+    // distinct-word table (the SQL mirror of the kernel's memo cache)
+    "q_bpe_tokens" ->
+      s"""WITH RECURSIVE ${bpeWalkCtes("documents")}
+         |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(coalesce(wc.c, 0)) AS BIGINT) AS n_tokens_bpe
+         |FROM tok LEFT JOIN wc ON tok.w = wc.w
+         |GROUP BY tok.doc_id""".stripMargin,
+
+    "q_token_budget_bpe" ->
+      s"""WITH RECURSIVE ${bpeWalkCtes("documents")},
+         |d AS (SELECT tok.doc_id, CAST(sum(coalesce(wc.c, 0)) AS BIGINT) AS n_tokens_bpe
+         |      FROM tok LEFT JOIN wc ON tok.w = wc.w GROUP BY tok.doc_id),
+         |d2 AS (SELECT d.doc_id, doc.source, d.n_tokens_bpe
+         |       FROM d JOIN documents doc ON doc.doc_id = d.doc_id),
+         |c AS (SELECT *, sum(n_tokens_bpe) OVER (PARTITION BY source ORDER BY doc_id
+         |        ROWS UNBOUNDED PRECEDING) AS cum FROM d2)
+         |SELECT doc_id, source, n_tokens_bpe FROM c WHERE cum <= 4000""".stripMargin,
 
     // Efraimidis-Spirakis in log form with the same hash-derived u:
     // rank on the UNROUNDED score (both engines), round only the output

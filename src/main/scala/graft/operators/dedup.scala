@@ -483,6 +483,56 @@ object Dedup {
     } finally banded.unpersist(blocking = false)
   }
 
+  /**
+   * Bucket-preserving compaction of the incremental signature index:
+   * [[incrementalNearDup]] appends one file set per microbatch, so a
+   * long-lived stream accretes many small part files and every batch's
+   * index join pays their open/footer cost (the many-small-files growth
+   * SCALE.md's pipeline table acknowledges). Compaction rewrites the
+   * current snapshot into ~`targetFileBytes`-sized files REPARTITIONED BY
+   * `__bucket`, so colliding signatures cluster into the same files —
+   * restoring the co-location the bucket join exists for — then swaps:
+   * compacted files move into the index dir, the snapshot files are
+   * deleted. Appends racing in AFTER the snapshot are untouched. Run it
+   * from the stream's maintenance path (between batches — the same
+   * single-writer discipline the index append already assumes); a reader
+   * snapshotting mid-swap could otherwise see a signature twice.
+   *
+   * Invariant: the set of signature rows is unchanged (spec-pinned);
+   * only the file layout changes. Returns (files before, files after);
+   * a no-op below `minFiles` or when compaction would not shrink.
+   */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                   targetFileBytes: Long = 128L << 20,
+                   minFiles: Int = 8): (Int, Int) = {
+    require(targetFileBytes > 0 && minFiles >= 2, "bad compaction params")
+    val before = indexSnapshotFiles(spark, indexDir)
+    if (before.length < minFiles) return (before.length, before.length)
+    val dirPath = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = before.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
+    val nOut = math.max(1L, math.min(before.length - 1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes)).toInt
+    if (nOut >= before.length) return (before.length, before.length)
+    val stamp = java.lang.System.nanoTime()
+    val tmp = indexDir.stripSuffix("/") + s"_compact_$stamp"
+    spark.read.parquet(before: _*)
+      .repartition(nOut, org.apache.spark.sql.functions.col("__bucket"))
+      .write.mode("overwrite").parquet(tmp)
+    val moved = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    moved.zipWithIndex.foreach { case (st, i) =>
+      require(fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(dirPath, s"compact_${stamp}_$i.parquet")),
+        s"compaction rename failed for ${st.getPath}")
+    }
+    before.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(f), false))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    (before.length, moved.length)
+  }
+
   /** Current index part-files (empty when no index has been written). */
   private def indexSnapshotFiles(spark: org.apache.spark.sql.SparkSession,
                                  dir: String): Seq[String] = {

@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.{BpeTokenCount, BpeTokenizer}
+import org.apache.spark.sql.functions._
+
+/** The deterministic BPE token-count kernel: hand-computed merge walks,
+  * fixpoint semantics, null/empty conventions, codegen participation. */
+class BpeSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("merge walk: hand-computed token counts (incl. fixpoint re-merges)") {
+    // "thethe": one leftmost pass of (t,h) catches both occurrences, but
+    // (th,e) needs the fixpoint second pass to merge the second "th e" —
+    // the textbook every-occurrence semantics
+    val want = Map(
+      "the" -> 1, "thethe" -> 2, "ing" -> 1, "xyz" -> 3,
+      "12" -> 1, "0000" -> 2, "in" -> 1, "a" -> 1, "" -> 0)
+    want.foreach { case (w, c) =>
+      assert(BpeTokenizer.encodeWordCount(w) == c,
+        s"'$w': got ${BpeTokenizer.encodeWordCount(w)} want $c")
+    }
+  }
+
+  test("document counts: sum over words, case-folded, whitespace-run safe") {
+    // "in  a": the \s+ split yields no empty middle token; "THE" folds
+    assert(BpeTokenizer.countTokens(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        "THE thethe ing xyz 12 0000 in  a")) == 12L)
+  }
+
+  test("expression: codegen'd projection matches kernel, null text is null") {
+    val df = Seq((1L, "the thethe ing"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), BpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> 4L, 2L -> -1L))
+    // stays inside whole-stage codegen (no ScalaUDF, no fallback)
+    val p = df.select(BpeTokenCount(col("text"))).queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
+  test("bounds: 1 <= count <= codepoints for non-empty words") {
+    Seq("a", "zz", "interesting", "straightforward", "q2q2q2").foreach { w =>
+      val c = BpeTokenizer.encodeWordCount(w)
+      assert(c >= 1 && c <= w.length, s"'$w' -> $c")
+    }
+  }
+}

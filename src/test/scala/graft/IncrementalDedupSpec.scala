@@ -69,4 +69,32 @@ class IncrementalDedupSpec extends GraftSpec {
       assert(kept == Seq(1L, 3L, 5L))
     } finally query.stop()
   }
+
+  test("index compaction: fewer files, identical signature rows, index stays live") {
+    val indexDir = Files.createTempDirectory("nd_compact").toString + "/idx"
+    // 10 single-doc batches -> >= 10 append file sets of small part files
+    (1 to 10).foreach { i =>
+      dedupStep(Seq((i.toLong, doc(s"t$i"))), indexDir).unpersist()
+    }
+    def rows() = spark.read.parquet(indexDir)
+      .select("__bucket", "__id", "__sh").collect()
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1),
+        r.getAs[scala.collection.Seq[Long]](2).toSeq))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val beforeRows = rows()
+    val (nBefore, nAfter) = Dedup.compactIndex(spark, indexDir,
+      targetFileBytes = 128L << 20, minFiles = 2)
+    assert(nBefore >= 10, s"expected >=10 pre-compaction files, got $nBefore")
+    assert(nAfter < nBefore, s"compaction must shrink: $nBefore -> $nAfter")
+    // the invariant: every signature row survives, none duplicated
+    assert(rows() == beforeRows, "compaction changed the signature rows")
+    // idempotence: a second pass on the already-compacted dir is a no-op
+    val (b2, a2) = Dedup.compactIndex(spark, indexDir,
+      targetFileBytes = 128L << 20, minFiles = 2)
+    assert(b2 == a2, s"re-compaction must no-op: $b2 -> $a2")
+    // the compacted index still drives dedup: a near-dup of doc 3 drops
+    val s = dedupStep(Seq((99L, nearDup("t3")), (100L, doc("fresh"))), indexDir)
+    assert(s.select("doc_id").as[Long].collect().sorted.toSeq == Seq(100L))
+    s.unpersist()
+  }
 }

@@ -51,4 +51,33 @@ class ScaleDataSpec extends GraftSpec {
     assert(t0.intersect(t2).isEmpty)
     assert(out(2L).split(" ").toSet.intersect(out(3L).split(" ").toSet).size == 2)
   }
+
+  test("permute mode: vocabulary FIXED across copies, within-copy structure exact") {
+    val df = Seq((0L, "the cat sat"), (1L, "the cat ran")).toDF("doc_id", "text")
+    val out = ScaleData.replicate(df, "documents", Seq("doc_id"),
+        factor = 3, textMode = "permute")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val srcVocab = Set("the", "cat", "sat", "ran")
+    val allVocab = out.values.flatMap(_.split(" ")).toSet
+    // the point of the mode: NO vocabulary growth at any factor
+    assert(allVocab == srcVocab, s"vocab must stay the source's: $allVocab")
+    // bijection preserves within-copy relations: docs 0 and 1 share
+    // exactly 2 tokens in every copy (the/cat -> their shifted images)
+    Seq((0L, 1L), (2L, 3L), (4L, 5L)).foreach { case (a, b) =>
+      assert(out(a).split(" ").toSet.intersect(out(b).split(" ").toSet).size == 2,
+        s"within-copy overlap broken for ($a, $b): ${out(a)} | ${out(b)}")
+    }
+    // copies decorrelate: no token maps to itself (shift has no fixed
+    // points below V), so the same source doc never repeats a POSITION
+    // across copies — n-gram shingles decorrelate even though tiny-vocab
+    // token SETS must overlap by pigeonhole (real vocab >> doc length)
+    Seq(2L, 4L).foreach { cid =>
+      out(0L).split(" ").zip(out(cid).split(" ")).foreach { case (a, b) =>
+        assert(a != b, s"fixed point in copy of doc 0: $a")
+      }
+    }
+    // deterministic: rank order is sorted vocab (cat,ran,sat,the); copy 1
+    // maps w -> next rank
+    assert(out(2L) == "cat ran the", s"got ${out(2L)}")
+  }
 }
