@@ -158,3 +158,36 @@ object SkewProbe {
     spark.stop()
   }
 }
+
+/** Ad-hoc phase timing for noveltyScores on a scaled corpus (round-7
+  * forensics: why the vocab-FIXED permute mode costs more than the
+  * vocab-inflating suffix mode on this operator). */
+object NoveltyProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    t("warm-scan")(docs.count())
+    val sh = graft.operators.Dedup.docShingles(docs, "text", "doc_id")
+    t("explode+count")(sh.count())
+    val firstSeen = sh.groupBy(col("__sh")).agg(min(col("__doc")).as("__first"))
+    println(s"[probe] distinct shingles: ${t("firstSeen")(firstSeen.count())}")
+    t("join+final")(sh.join(firstSeen, "__sh").groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__first") === col("__doc"), 1L).otherwise(0L)).as("nn"))
+      .count())
+    t("full-operator")(
+      graft.operators.Dedup.noveltyScores(docs, "text", "doc_id").count())
+    spark.stop()
+  }
+}

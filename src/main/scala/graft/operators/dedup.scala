@@ -1038,22 +1038,36 @@ object Dedup {
    * a doc-keyed hash agg. No window-over-corpus, no driver state, no
    * pair materialization.
    */
-  def noveltyScores(df: DataFrame, textCol: String, idCol: String,
-                    shingleN: Int = 3): DataFrame = {
-    // fused JVM kernel, not the Column-form hashedTokens: no lambda-CSE
-    // re-hashing (measured 46s -> 0.3s for the explode at 5k docs).
-    // Null text carries no shingles -> no row (the LM-score convention).
+  /** The exploded (doc, shingle-hash) relation noveltyScores aggregates —
+    * exposed package-wide for scale forensics (NoveltyProbe). Fused JVM
+    * kernel, not the Column-form hashedTokens: no lambda-CSE re-hashing
+    * (measured 46s -> 0.3s for the explode at 5k docs). Null text carries
+    * no shingles -> no row (the LM-score convention). */
+  private[graft] def docShingles(df: DataFrame, textCol: String, idCol: String,
+                                 shingleN: Int = 3): DataFrame = {
     val shUdf = udf { (text: String) => shingleHashes(text, shingleN) }
-    val sh = df.filter(col(textCol).isNotNull)
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__doc"),
         explode(shUdf(col(textCol))).as("__sh"))
-    val firstSeen = sh.groupBy(col("__sh"))
-      .agg(min(col("__doc")).as("__first"))
-    sh.join(firstSeen, "__sh")
-      .groupBy(col("__doc"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("__first") === col("__doc"), 1L).otherwise(0L)).as("n_novel"))
-      .select(col("__doc").as(idCol), col("n_shingles"), col("n_novel"),
-        round(col("n_novel") / col("n_shingles"), 6).as("novelty"))
+  }
+
+  def noveltyScores(df: DataFrame, textCol: String, idCol: String,
+                    shingleN: Int = 3): DataFrame = {
+    val sh = docShingles(df, textCol, idCol, shingleN)
+    // docShingles is DISTINCT per (doc, shingle), so n_novel per doc is a
+    // recount of the per-shingle min-doc relation ALONE — the round-6
+    // shape joined the full (doc, shingle) stream back to firstSeen,
+    // which shuffled + sorted the whole exploded corpus a second time
+    // (measured 14.2s of the permute-mode 100x point's 13.9s total; this
+    // shape cuts the operator to its two map-side-combining aggs and a
+    // doc-keyed join of two doc-sized relations)
+    val novel = sh.groupBy(col("__sh")).agg(min(col("__doc")).as("__first"))
+      .groupBy(col("__first")).agg(count(lit(1)).as("n_novel"))
+    val counts = sh.groupBy(col("__doc")).agg(count(lit(1)).as("n_shingles"))
+    counts.join(novel, counts("__doc") === novel("__first"), "left")
+      .select(col("__doc").as(idCol), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)) / col("n_shingles"), 6)
+          .as("novelty"))
   }
 }

@@ -240,13 +240,20 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("ScalaUDF"), s"scoring must be the native expression:\n$p")
   }
 
-  test("q_novelty: partial-min first-seen agg, equi-join back, no window") {
+  test("q_novelty: partial-min first-seen agg, doc-sized join only, no window") {
     val p = plan("q_novelty")
     assert(p.contains("partial_min") || p.contains("partial min"),
       s"first-seen must partial-aggregate map-side:\n$p")
     assert(!p.contains("Window"), s"novelty must not window:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"novelty join must stay equi-keyed:\n$p")
+    // the round-7 shape: the exploded (doc, shingle) stream feeds ONLY
+    // aggregations — the join touches two doc-keyed aggregated relations,
+    // never the raw stream (no shuffle of the explode for a join-back).
+    // Pin it structurally: every SMJ/SHJ key in the plan is doc-keyed
+    // (__doc/__first), none is shingle-keyed
+    assert(!"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[__sh".r
+      .findFirstIn(p).isDefined, s"join must not key on shingles:\n$p")
   }
 
   test("q_semdedup: one cell-keyed shuffle, no pair join, no window") {
