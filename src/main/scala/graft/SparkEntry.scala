@@ -1326,6 +1326,22 @@ object SparkEntry {
         col("doc_id"), col("n_chars"), n = 100)
     }),
 
+    // Temperature-sampled language mixture (Conneau & Lample 2019): keep
+    // ~count^(1/2)-proportional shares of each language, upsampling
+    // low-resource langs — integer-exact thresholds, md5 keep gate
+    "q_temp_mixture" -> ((s, dir) => {
+      Sampling.temperatureSample(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"), targetN = 200L)
+    }),
+
+    // Gopher quality rules (Rae et al. 2021 §A1.1): the document-shape
+    // rule set next to the repetition trio — word-count band, mean word
+    // length, symbol ratio, bullet/ellipsis lines, alphabetic fraction,
+    // required stopwords. One pure-Column projection, scan-bound
+    "q_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherQualityRules(tbl(s, dir, "documents"), "text", "doc_id")),
+
     // deterministic BPE token counting (fixed pretrained-style merge
     // table, greedy rank-order merge walk): the token economics every
     // budget/pack/chunk decision should run on — whitespace words
@@ -1507,6 +1523,17 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
         .withColumn("n_tokens", size(split(lower(col("text")), "\\s+")).cast("long"))
       Sampling.packSequences(docs, col("doc_id"), col("n_tokens"), seqLen = 512L)
+        .select(col("doc_id"), col("seq_id"), col("seq_offset"),
+          col("doc_offset"), col("slice_len"))
+    }),
+
+    // GPT-style sequence packing on REAL token economics: the q_pack
+    // semantics with BPE counts (the sequences a trainer would actually
+    // cut) — same two-phase prefix sum, zero new shuffles over q_pack
+    "q_pack_bpe" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("n_tokens_bpe", graft.functions.BpeTokenCount(col("text")))
+      Sampling.packSequences(docs, col("doc_id"), col("n_tokens_bpe"), seqLen = 512L)
         .select(col("doc_id"), col("seq_id"), col("seq_offset"),
           col("doc_offset"), col("slice_len"))
     }),
@@ -2968,6 +2995,20 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) - 1 AS shard_pos
         |FROM d""".stripMargin,
 
+    "q_pack_bpe" ->
+      s"""WITH RECURSIVE ${bpeWalkCtes("documents")},
+         |d AS (SELECT tok.doc_id, CAST(sum(coalesce(wc.c, 0)) AS BIGINT) AS n_tokens
+         |      FROM tok LEFT JOIN wc ON tok.w = wc.w GROUP BY tok.doc_id),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM d),
+         |s AS (SELECT doc_id, n_tokens, cum, cum - n_tokens AS prev FROM c WHERE n_tokens > 0)
+         |SELECT doc_id, seq_id,
+         |  greatest(prev, seq_id*512) - seq_id*512 AS seq_offset,
+         |  greatest(prev, seq_id*512) - prev AS doc_offset,
+         |  least(cum, (seq_id+1)*512) - greatest(prev, seq_id*512) AS slice_len
+         |FROM s, unnest(generate_series(prev // 512, (cum-1) // 512)) AS t(seq_id)""".stripMargin,
+
     "q_pack" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens
@@ -3391,6 +3432,61 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
         |  CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2000 ELSE 1000 END""".stripMargin,
+
+    // floor(sqrt) weights + pure BIGINT threshold arithmetic: the
+    // allocation replays exactly (IEEE sqrt is correctly rounded)
+    "q_temp_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |w AS (SELECT lang, c, CAST(floor(sqrt(c)) AS BIGINT) AS w FROM c),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM w),
+        |t AS (SELECT lang, least(10000, (10000 * 200 * w) // (wt * c)) AS thr
+        |      FROM w, tot)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN t ON d.lang = t.lang
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 10000 < t.thr""".stripMargin,
+
+    // Every ratio is an exact int/int IEEE division over identical
+    // operands (word/line/char counts), so the rounded metrics and the
+    // threshold flags replay exactly
+    "q_gopher_rules" -> {
+      val req = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val hits = req.map(sw => s"CAST(list_contains(w, '$sw') AS INT)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, text,
+         |    string_split_regex(lower(text), '\\s+') AS w,
+         |    string_split(text, chr(10)) AS lines
+         |  FROM documents WHERE text IS NOT NULL),
+         |m AS (SELECT doc_id, len(w) AS nw,
+         |    CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+         |      / greatest(len(w), 1) AS mean_len,
+         |    ((len(text) - len(replace(text, '#', '')))
+         |      + (len(text) - len(replace(text, '...', ''))) / 3)
+         |      / CAST(greatest(len(w), 1) AS DOUBLE) AS sym,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•] '))) AS DOUBLE)
+         |      / greatest(len(lines), 1) AS bullet,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE)
+         |      / greatest(len(lines), 1) AS ell,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |      / greatest(len(w), 1) AS alpha,
+         |    $hits AS sh
+         |  FROM t)
+         |SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+         |  round(mean_len, 6) AS mean_word_len,
+         |  round(sym, 6) AS symbol_ratio,
+         |  round(alpha, 6) AS alpha_frac,
+         |  CAST(sh AS BIGINT) AS stop_hits,
+         |  CAST(nw BETWEEN 50 AND 100000 AS INT) AS words_ok,
+         |  CAST(mean_len BETWEEN 3.0 AND 10.0 AS INT) AS mean_len_ok,
+         |  CAST(sym <= 0.1 AS INT) AS symbol_ok,
+         |  CAST(bullet <= 0.9 AS INT) AS bullet_ok,
+         |  CAST(ell <= 0.3 AS INT) AS ellipsis_ok,
+         |  CAST(alpha >= 0.8 AS INT) AS alpha_ok,
+         |  CAST(sh >= 2 AS INT) AS stop_ok,
+         |  CAST(nw BETWEEN 50 AND 100000 AND mean_len BETWEEN 3.0 AND 10.0
+         |    AND sym <= 0.1 AND bullet <= 0.9 AND ell <= 0.3
+         |    AND alpha >= 0.8 AND sh >= 2 AS INT) AS gopher_pass
+         |FROM m""".stripMargin
+    },
 
     // Replays the fixed BPE merge walk exactly (see bpeWalkCtes): same
     // sentinel-space rendering, same leftmost non-overlapping replace,

@@ -31,6 +31,61 @@ object Sampling {
     df.filter(bucket(idCol) < lit((fraction * 10000).round))
   }
 
+  /**
+   * Temperature-based mixture sampling (the multilingual-pretraining
+   * upsampler of Conneau & Lample 2019 / XLM-R): groups are allocated a
+   * share of `targetN` rows proportional to count^(1/temperature) — T>1
+   * flattens the natural distribution, boosting low-resource groups —
+   * then each group keeps its share via the deterministic md5 gate of
+   * [[hashSample]].
+   *
+   * Engine-exact by construction at the default T=2: group weights are
+   * floor(sqrt(count)) — IEEE sqrt is correctly rounded, so the floor
+   * replays identically in any engine — and per-group thresholds are
+   * pure BIGINT arithmetic `min(10000, 10000·targetN·w / (W·count))`
+   * (integer division). Other temperatures go through pow, whose
+   * last-ulp is implementation-defined; they stay deterministic within
+   * one engine but are not oracle-guaranteed.
+   *
+   * Scale shape: one bounded groupBy-count collect (`maxGroups`-guarded,
+   * the takeStratified pattern — group cardinality is a mixture knob,
+   * never data-sized), thresholds ride back as a broadcast join of a
+   * #groups-row literal table, and the keep filter is a codegen'd
+   * projection — the data itself never shuffles.
+   */
+  def temperatureSample(df: DataFrame, groupCol: Column, idCol: Column,
+                        targetN: Long, temperature: Double = 2.0,
+                        maxGroups: Int = 100000): DataFrame = {
+    require(targetN > 0, "targetN must be positive")
+    require(temperature > 0, "temperature must be positive")
+    val spark = df.sparkSession
+    val outCols = df.columns.map(col)
+    val agg = df.groupBy(groupCol.as("__g")).agg(count(lit(1)).as("__c"))
+    val rows = agg.limit(maxGroups + 1).collect()
+    require(rows.length <= maxGroups,
+      s"temperatureSample saw more than $maxGroups groups — the group " +
+        "column is too fine-grained for per-group allocation")
+    def weight(c: Long): Long =
+      if (temperature == 2.0) math.floor(math.sqrt(c.toDouble)).toLong
+      else math.floor(math.pow(c.toDouble, 1.0 / temperature)).toLong
+    val wTot = rows.map(r => weight(r.getLong(1))).sum
+    require(wTot > 0, "empty input")
+    val thrRows = rows.map { r =>
+      val c = r.getLong(1); val w = weight(c)
+      org.apache.spark.sql.Row(r.get(0),
+        math.min(10000L, 10000L * targetN * w / (wTot * c)))
+    }
+    val thrDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(thrRows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        agg.schema.fields(0).copy(name = "__tg"),
+        org.apache.spark.sql.types.StructField("__thr", LongType, nullable = false))))
+    df.join(broadcast(thrDf), groupCol === col("__tg"))
+      .filter(bucket(idCol) < col("__thr"))
+      .select(outCols: _*)
+  }
+
   /** Deterministic train/val/test split label: the id's hash bucket in
     * [0,100) maps to train (< trainPct), val (< trainPct+valPct), test
     * (rest). The split is a pure projection — reproducible across

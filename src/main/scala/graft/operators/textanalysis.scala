@@ -275,6 +275,63 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher quality RULES (Rae et al. 2021 §A1.1) — the document-shape
+   * half of the Gopher filter suite (the repetition trio above is the
+   * other half): word-count band, mean-word-length band, symbol-to-word
+   * ratio ('#' and '...'), bullet-line and ellipsis-line fractions,
+   * alphabetic-word fraction, and the required-stopword count ("the, be,
+   * to, of, and, that, have, with" — a doc must contain at least
+   * `minStopHits` of them). Emits every rounded metric, each rule flag,
+   * and the conjunction `gopher_pass`.
+   *
+   * Scale shape: one pure-Column projection — no shuffle, no UDF; a
+   * full-corpus pass is scan-bound. Every ratio is an exact int/int IEEE
+   * division (same operands in any engine), so round(x, 6) compares
+   * safely; denominators are words/lines per doc, far below the
+   * 2e5 granularity where a 6-decimal half-way tie could appear.
+   */
+  def gopherQualityRules(df: org.apache.spark.sql.DataFrame, textCol: String,
+                         idCol: String, minWords: Int = 50,
+                         maxWords: Int = 100000, minMeanLen: Double = 3.0,
+                         maxMeanLen: Double = 10.0, maxSymbolRatio: Double = 0.1,
+                         maxBulletFrac: Double = 0.9, maxEllipsisFrac: Double = 0.3,
+                         minAlphaFrac: Double = 0.8, minStopHits: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val w = words(text)
+    val nW = size(w)
+    val nWd = greatest(nW, lit(1)).cast(DoubleType)
+    val meanLen = aggregate(w, lit(0.0), (acc, t) => acc + length(t).cast(DoubleType)) / nWd
+    val hashCnt = length(text) - length(regexp_replace(text, "#", ""))
+    val ellCnt = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (hashCnt + ellCnt).cast(DoubleType) / nWd
+    val lines = split(text, "\n")
+    val nLd = greatest(size(lines), lit(1)).cast(DoubleType)
+    val bulletFrac = size(filter(lines, l => l.rlike("^[-*•] "))).cast(DoubleType) / nLd
+    val ellipsisFrac = size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast(DoubleType) / nLd
+    val alphaFrac = size(filter(w, t => t.rlike("[a-z]"))).cast(DoubleType) / nWd
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = required.map(sw =>
+      array_contains(w, sw).cast(IntegerType)).reduce(_ + _)
+    val flags = Seq(
+      "words_ok" -> nW.between(minWords, maxWords),
+      "mean_len_ok" -> meanLen.between(minMeanLen, maxMeanLen),
+      "symbol_ok" -> (symbolRatio <= maxSymbolRatio),
+      "bullet_ok" -> (bulletFrac <= maxBulletFrac),
+      "ellipsis_ok" -> (ellipsisFrac <= maxEllipsisFrac),
+      "alpha_ok" -> (alphaFrac >= minAlphaFrac),
+      "stop_ok" -> (stopHits >= minStopHits))
+    df.filter(text.isNotNull).select(Seq(col(idCol),
+      nW.cast(LongType).as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      stopHits.cast(LongType).as("stop_hits")) ++
+      flags.map { case (n, c) => c.cast(IntegerType).as(n) } :+
+      flags.map(_._2).reduce(_ && _).cast(IntegerType).as("gopher_pass"): _*)
+  }
+
+  /**
    * BM25 ranked retrieval: top-k documents for a bag of query terms.
    * Lucene's formula: per matching term,
    * idf x tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with

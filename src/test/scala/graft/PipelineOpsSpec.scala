@@ -762,6 +762,54 @@ class PipelineOpsSpec extends GraftSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated vector must not pair")
   }
 
+  test("temperature sampling flattens the mixture: low-resource groups upsampled") {
+    import graft.operators.Sampling
+    // 400 'hi' docs vs 100 'lo' docs; T=2 weights sqrt: 20 vs 10 ->
+    // thresholds 10000*300*20/(30*400)=5000 and 10000*300*10/(30*100)=10000
+    val df = ((0 until 400).map(i => (i.toLong, "hi")) ++
+      (1000 until 1100).map(i => (i.toLong, "lo"))).toDF("doc_id", "grp")
+    val kept = Sampling.temperatureSample(df, col("grp"), col("doc_id"), targetN = 300L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byGrp = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // lo keeps EVERYTHING (threshold 10000); hi keeps the ~half its md5
+    // buckets admit — natural rate would be 4:1, flattened toward 2:1
+    assert(byGrp("lo") == 100, s"low-resource group must keep all: $byGrp")
+    assert(byGrp("hi") < 280 && byGrp("hi") > 120, s"hi must be ~halved: $byGrp")
+    // deterministic: same rows again
+    val again = Sampling.temperatureSample(df, col("grp"), col("doc_id"), targetN = 300L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("gopher quality rules: hand-computed metrics, thresholds gate correctly") {
+    import graft.operators.TextAnalysis
+    val passing = "the be to of and that have with " + Array.fill(42)("word").mkString(" ")
+    val df = Seq(
+      (1L, "the cat runs to the big### house ... ok"), // 9 words, symbols
+      (2L, passing),                                    // 50 words, clean
+      (3L, null.asInstanceOf[String])                   // no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQualityRules(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L))
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_words") == 9)
+    assert(math.abs(r1.getAs[Double]("mean_word_len") - 31.0 / 9) < 1e-6)
+    // 3 '#' chars + one '...' over 9 words
+    assert(math.abs(r1.getAs[Double]("symbol_ratio") - 4.0 / 9) < 1e-6)
+    assert(math.abs(r1.getAs[Double]("alpha_frac") - 8.0 / 9) < 1e-6)
+    assert(r1.getAs[Long]("stop_hits") == 2) // the, to
+    assert(r1.getAs[Int]("words_ok") == 0 && r1.getAs[Int]("symbol_ok") == 0)
+    assert(r1.getAs[Int]("stop_ok") == 1 && r1.getAs[Int]("gopher_pass") == 0)
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("n_words") == 50)
+    assert(r2.getAs[Long]("stop_hits") == 8)
+    Seq("words_ok", "mean_len_ok", "symbol_ok", "bullet_ok", "ellipsis_ok",
+      "alpha_ok", "stop_ok", "gopher_pass").foreach { f =>
+      assert(r2.getAs[Int](f) == 1, s"doc 2 must pass $f")
+    }
+  }
+
   test("new ops tolerate null text / zero vectors (convention: contribute nothing)") {
     val withNull = Seq((1L, "a b c d e"), (2L, null.asInstanceOf[String]),
       (3L, "a b c d e")).toDF("doc_id", "text")
