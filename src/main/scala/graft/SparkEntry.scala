@@ -1326,6 +1326,26 @@ object SparkEntry {
         col("doc_id"), col("n_chars"), n = 100)
     }),
 
+    // Round-7 composed curation: Gopher rule gate (minStopHits=1 — the
+    // synthetic corpus carries only "the" from the paper's required set)
+    // -> temperature-flattened language mixture -> per-language BPE token
+    // budget. Three stages, hash-checked end to end
+    "q_curate4" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pass = TextAnalysis.gopherQualityRules(docs, "text", "doc_id",
+          minStopHits = 1)
+        .filter(col("gopher_pass") === 1).select("doc_id")
+      val surv = docs.join(pass, "doc_id")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val mixed = Sampling.temperatureSample(surv, col("lang"), col("doc_id"),
+        targetN = 150L)
+      val withTok = mixed.withColumn("n_tokens_bpe",
+        graft.functions.BpeTokenCount(col("text")))
+      Sampling.tokenBudget(withTok, col("lang"), col("doc_id"),
+          col("n_tokens_bpe"), budget = 5000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens_bpe"))
+    }),
+
     // Temperature-sampled language mixture (Conneau & Lample 2019): keep
     // ~count^(1/2)-proportional shares of each language, upsampling
     // low-resource langs — integer-exact thresholds, md5 keep gate
@@ -3432,6 +3452,51 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 <
         |  CASE WHEN lang = 'en' THEN 5000 WHEN lang = 'de' THEN 2000 ELSE 1000 END""".stripMargin,
+
+    // The whole three-stage composition replayed: gopher rule gate
+    // (minStopHits=1), temperature thresholds computed on the SURVIVOR
+    // lang counts, BPE walk over the sampled survivors, per-lang budget
+    "q_curate4" -> {
+      val req = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val hits = req.map(sw => s"CAST(list_contains(w, '$sw') AS INT)").mkString(" + ")
+      s"""WITH RECURSIVE
+         |gm AS (SELECT doc_id, len(w) AS nw,
+         |    CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+         |      / greatest(len(w), 1) AS mean_len,
+         |    ((len(text) - len(replace(text, '#', '')))
+         |      + (len(text) - len(replace(text, '...', ''))) / 3)
+         |      / CAST(greatest(len(w), 1) AS DOUBLE) AS sym,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•] '))) AS DOUBLE)
+         |      / greatest(len(lines), 1) AS bullet,
+         |    CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.$$'))) AS DOUBLE)
+         |      / greatest(len(lines), 1) AS ell,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+         |      / greatest(len(w), 1) AS alpha,
+         |    $hits AS sh
+         |  FROM (SELECT doc_id, text, string_split_regex(lower(text), '\\s+') AS w,
+         |        string_split(text, chr(10)) AS lines
+         |        FROM documents WHERE text IS NOT NULL)),
+         |surv0 AS (SELECT d.doc_id, d.lang, d.text
+         |  FROM documents d JOIN gm USING (doc_id)
+         |  WHERE gm.nw BETWEEN 50 AND 100000 AND gm.mean_len BETWEEN 3.0 AND 10.0
+         |    AND gm.sym <= 0.1 AND gm.bullet <= 0.9 AND gm.ell <= 0.3
+         |    AND gm.alpha >= 0.8 AND gm.sh >= 1),
+         |lc AS (SELECT lang, count(*) AS c FROM surv0 GROUP BY lang),
+         |lw AS (SELECT lang, c, CAST(floor(sqrt(c)) AS BIGINT) AS w FROM lc),
+         |lt AS (SELECT lang, least(10000, (10000 * 150 * w)
+         |    // ((SELECT CAST(sum(w) AS BIGINT) FROM lw) * c)) AS thr FROM lw),
+         |surv AS (SELECT s.doc_id, s.lang, s.text FROM surv0 s
+         |  JOIN lt ON s.lang = lt.lang
+         |  WHERE ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |        % 10000 < lt.thr),
+         |${bpeWalkCtes("surv")},
+         |d AS (SELECT tok.doc_id, CAST(sum(coalesce(wc.c, 0)) AS BIGINT) AS n_tokens_bpe
+         |      FROM tok LEFT JOIN wc ON tok.w = wc.w GROUP BY tok.doc_id),
+         |d2 AS (SELECT d.doc_id, s.lang, d.n_tokens_bpe FROM d JOIN surv s USING (doc_id)),
+         |cm AS (SELECT *, sum(n_tokens_bpe) OVER (PARTITION BY lang ORDER BY doc_id
+         |        ROWS UNBOUNDED PRECEDING) AS cum FROM d2)
+         |SELECT doc_id, lang, n_tokens_bpe FROM cm WHERE cum <= 5000""".stripMargin
+    },
 
     // floor(sqrt) weights + pure BIGINT threshold arithmetic: the
     // allocation replays exactly (IEEE sqrt is correctly rounded)

@@ -558,16 +558,21 @@ object Dedup {
                     checkpointDir: String, textCol: String, idCol: String,
                     numHashes: Int, bands: Int, seed: Long = 42L,
                     shingleN: Int = 1, threshold: Double = 0.8,
-                    maxBucketSize: Int = 4096)
+                    maxBucketSize: Int = 4096, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val survivors = incrementalNearDup(batch, indexDir, textCol, idCol,
           numHashes, bands, seed, shingleN, threshold, maxBucketSize)
         survivors.write.mode("append").parquet(survivorDir)
         survivors.unpersist(blocking = false)
+        // index maintenance from the single-writer path (the safe spot —
+        // see compactIndex): every `compactEvery` microbatches the
+        // per-batch append files collapse into bucket-clustered files
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          compactIndex(batch.sparkSession, indexDir)
         ()
       }
       .start()

@@ -55,10 +55,13 @@ class IncrementalDedupSpec extends GraftSpec {
       (s"$base/idx", s"$base/out", s"$base/ckpt")
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
+    // compactEvery=1: maintenance runs after every batch and must never
+    // change dedup verdicts (the compaction-invariant test pins rows; this
+    // pins the integrated single-writer path)
     val query = Dedup.nearDupStream(
       mem.toDF().toDF("doc_id", "text"), indexDir, survivorDir, ckpt,
       "text", "doc_id", numHashes = 16, bands = 4, seed = 42L,
-      shingleN = 3, threshold = 0.8)
+      shingleN = 3, threshold = 0.8, compactEvery = 1)
     try {
       mem.addData(Seq((1L, doc("a")), (2L, nearDup("a")), (3L, doc("c"))))
       query.processAllAvailable()
