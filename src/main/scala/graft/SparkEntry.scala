@@ -1440,6 +1440,23 @@ object SparkEntry {
           round(col("contamination"), 6).as("contamination"))
     }),
 
+    // Bloom-filter decontamination: same benchmark (docs 0-4) as
+    // q_decontaminate, but membership through a deliberately SMALL
+    // 4096-bit Bloom filter (k=4 md5-derived positions per shingle) so
+    // the false-positive path is exercised, not just reasoned about:
+    // n_bloom_hits >= n_contaminated per doc by the filter's one-sided
+    // error, and the oracle replays the identical bit positions — false
+    // positives match exactly. Production sizes mBits to the benchmark
+    // (~1.2 GB for 1e9 shingles at 1% FPR vs 8 GB exact)
+    "q_bloom_decontam" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 5)
+      Dedup.bloomContamination(docs, "text", "doc_id", bench, "text",
+          mhShingle, mBits = 4096, k = 4)
+        .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"),
+          round(col("bloom_frac"), 6).as("bloom_frac"), col("flagged"))
+    }),
+
     // simhash near-dup pairing: 60-bit 3-gram-shingled fingerprints,
     // 4x15-bit bands (pigeonhole-exact candidates for hamming <= 3),
     // bit_count verify. Shingles matter twice here: they make the
@@ -2771,6 +2788,34 @@ object SparkEntry {
          |FROM documents d
          |LEFT JOIN sizes s ON s.doc_id = d.doc_id
          |LEFT JOIN hits t ON t.doc_id = d.doc_id""".stripMargin,
+
+    // Replays the Bloom filter bit-for-bit: same shingle hashes (shared
+    // CTE), same k=4 md5-derived positions over the same 4096-bit space —
+    // so the oracle reproduces the filter's false positives exactly, not
+    // just its true hits
+    "q_bloom_decontam" ->
+      s"""WITH $mhShingleCtes,
+         |bs AS (SELECT DISTINCT hm FROM h WHERE doc_id < 5),
+         |bits AS (SELECT DISTINCT
+         |    ('0x' || substr(md5('bl' || r.i || '_' || CAST(hm AS VARCHAR)), 1, 15))::BIGINT
+         |      % 4096 AS p
+         |  FROM bs CROSS JOIN range(0, 4) AS r(i)),
+         |pr AS (SELECT h.doc_id, h.hm, count(b.p) AS inb
+         |  FROM h CROSS JOIN range(0, 4) AS r(i)
+         |  LEFT JOIN bits b ON b.p =
+         |    ('0x' || substr(md5('bl' || r.i || '_' || CAST(h.hm AS VARCHAR)), 1, 15))::BIGINT % 4096
+         |  GROUP BY h.doc_id, h.hm),
+         |sizes AS (SELECT doc_id, count(*) AS sz,
+         |    sum(CASE WHEN inb = 4 THEN 1 ELSE 0 END) AS bh
+         |  FROM pr GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(s.sz, 0) AS INTEGER) AS n_shingles,
+         |  CAST(coalesce(s.bh, 0) AS INTEGER) AS n_bloom_hits,
+         |  CASE WHEN coalesce(s.sz, 0) > 0
+         |    THEN round(CAST(coalesce(s.bh, 0) AS DOUBLE) / s.sz, 6) ELSE 0.0 END
+         |    AS bloom_frac,
+         |  CAST(coalesce(s.bh, 0) > 0 AS INTEGER) AS flagged
+         |FROM documents d LEFT JOIN sizes s ON s.doc_id = d.doc_id""".stripMargin,
 
     "q_simhash_pairs" -> {
       val bits = 60; val radius = 3; val bands = 4; val width = 15

@@ -860,6 +860,78 @@ object Dedup {
         .otherwise(lit(0.0)))
   }
 
+  /**
+   * Bloom-filter decontamination: [[contamination]]'s membership check
+   * with the benchmark compressed to an `mBits`-bit Bloom filter
+   * (Bloom 1970) — `k` md5-derived positions per shingle — instead of the
+   * sorted shingle array. One-sided error by construction: a contaminated
+   * shingle ALWAYS hits (no false negatives, so the filter's pass-set is
+   * a superset of the exact check's); a clean shingle hits with
+   * probability ~(setBits/mBits)^k.
+   *
+   * Why this exists at 100 TB: the exact broadcast is 8 bytes/shingle
+   * (a 10^9-shingle benchmark suite = 8 GB per executor, plus a binary
+   * search per probe); the Bloom bitset at 1% FPR is ~1.2 GB and probes
+   * k cache lines. Positions are md5-derived from the shingle hash —
+   * fully deterministic, so the same document flags identically at any
+   * scale/partitioning, and the DuckDB oracle replays the exact same
+   * bits, FALSE POSITIVES INCLUDED (the registered query uses a
+   * deliberately small mBits so the FP path is exercised and checked,
+   * not just reasoned about). Build side collapses to <= mBits distinct
+   * positions before the collect — the driver never holds the benchmark
+   * shingle set, only the bitset, bounded by the mBits parameter.
+   */
+  def bloomContamination(docs: DataFrame, textCol: String, idCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         shingleN: Int = 3, mBits: Int = 1 << 20,
+                         k: Int = 4): DataFrame = {
+    require(mBits > 0 && Integer.bitCount(mBits) == 1,
+      s"mBits must be a positive power of two, got $mBits")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def posCol(h: Column, i: Column): Column =
+      md5Long(concat(lit("bl"), i.cast(StringType), lit("_"),
+        h.cast(StringType))) % mBits
+    val positions = bench
+      .select(explode(hashedTokens(col(benchTextCol), shingleN)).as("h"))
+      .distinct()
+      .select(explode(transform(sequence(lit(0), lit(k - 1)),
+        i => posCol(col("h"), i))).as("p"))
+      .distinct()                        // <= mBits rows by construction
+      .as[Long].collect()
+    val words = new Array[Long](mBits >> 6 max 1)
+    positions.foreach(p => words((p >> 6).toInt) |= 1L << (p & 63))
+    val bc = spark.sparkContext.broadcast(words)
+    val probeUdf = udf { (text: String) =>
+      if (text == null) (0, 0)
+      else {
+        val sh = shingleHashes(text, shingleN)
+        var hits = 0
+        var i = 0
+        while (i < sh.length) {
+          var all = true
+          var j = 0
+          while (all && j < k) {
+            val p = (md5LongJvm("bl" + j + "_" + sh(i)) % mBits).toInt
+            if ((bc.value(p >> 6) & (1L << (p & 63))) == 0L) all = false
+            j += 1
+          }
+          if (all) hits += 1
+          i += 1
+        }
+        (sh.length, hits)
+      }
+    }
+    docs.select(col(idCol), probeUdf(col(textCol)).as("__b"))
+      .select(col(idCol), col("__b._1").as("n_shingles"),
+        col("__b._2").as("n_bloom_hits"))
+      .withColumn("bloom_frac", when(col("n_shingles") > 0,
+        col("n_bloom_hits").cast(DoubleType) / col("n_shingles"))
+        .otherwise(lit(0.0)))
+      .withColumn("flagged", (col("n_bloom_hits") > 0).cast(IntegerType))
+  }
+
   // ------------------------------------------------------- n-gram jaccard
 
   /**

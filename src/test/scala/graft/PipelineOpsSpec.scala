@@ -437,6 +437,38 @@ class PipelineOpsSpec extends GraftSpec {
     assert(out(2L) > 0.0 && out(2L) < 1.0, "near-dup must score partial overlap")
   }
 
+  test("bloom contamination: no false negatives; wide filter matches exact; null text survives") {
+    val bench = docs.filter(col("doc_id") === 1L)
+    val exact = Dedup.contamination(docs, "text", "doc_id", bench, "text", 3)
+      .select("doc_id", "n_contaminated").as[(Long, Int)].collect().toMap
+    // a deliberately tiny filter (64 bits, k=2) forces false positives;
+    // one-sided error means hits can only EXCEED the exact count
+    val tiny = Dedup.bloomContamination(docs, "text", "doc_id", bench, "text",
+        3, mBits = 64, k = 2)
+      .select("doc_id", "n_bloom_hits").as[(Long, Int)].collect().toMap
+    exact.foreach { case (id, c) =>
+      assert(tiny(id) >= c, s"false negative on doc $id: bloom ${tiny(id)} < exact $c")
+    }
+    // a generously sized filter reproduces the exact counts on this corpus
+    val wide = Dedup.bloomContamination(docs, "text", "doc_id", bench, "text",
+        3, mBits = 1 << 20, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(4))).toList
+    assert(wide.map(t => t._1 -> t._2).toMap == exact, s"wide-filter mismatch: $wide")
+    assert(wide.collect { case (id, _, 1) => id }.sorted == List(1L, 2L, 4L),
+      "flagged must be the benchmark doc, its exact dup, and the near-dup")
+    val withNull = docs.union(Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val nullRow = Dedup.bloomContamination(withNull, "text", "doc_id", bench, "text", 3)
+      .filter(col("doc_id") === 9L).collect().head
+    assert(nullRow.getInt(1) == 0 && nullRow.getInt(2) == 0 &&
+      nullRow.getDouble(3) == 0.0 && nullRow.getInt(4) == 0)
+    // partitioning-independent: same rows at any layout
+    val a = Dedup.bloomContamination(docs, "text", "doc_id", bench, "text", 3)
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.bloomContamination(docs.repartition(7), "text", "doc_id",
+      bench, "text", 3).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("exact dedup keeps the min-id row per key") {
     val kept = Dedup.exact(docs, col("text"), "doc_id")
       .select("doc_id").as[Long].collect().sorted
