@@ -1409,6 +1409,16 @@ object SparkEntry {
           count(lit(1)).as("n_tokens"))
     }),
 
+    // tokenizer-vocab coverage: OOV rate of every document against the
+    // corpus top-20 vocabulary (count desc, term asc at the boundary;
+    // 20 of the 31 distinct corpus tokens, so the rate discriminates).
+    // Two-phase: term agg -> TakeOrdered top-V (O(V) driver, bounded by
+    // the parameter) -> zero-shuffle In-list probe
+    "q_oov_rate" -> ((s, dir) =>
+      TextAnalysis.oovRate(tbl(s, dir, "documents"), "text", "doc_id", 20)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("oov_rate"), 6).as("oov_rate"))),
+
     // epoch weighting in a data mixture: en 2.5 epochs, de 1.0, rest 0.3;
     // floor(w) deterministic copies + hash-fraction extra, copy_id keeps
     // replicas distinct
@@ -3636,6 +3646,22 @@ object SparkEntry {
         |        unnest(string_split_regex(lower(text), '\s+')) AS token
         |      FROM documents)
         |GROUP BY source""".stripMargin,
+
+    // Replays the top-V selection with the same total order (count desc,
+    // term asc) and the same SQL-split tokenization as the Spark side
+    "q_oov_rate" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |v AS (SELECT t FROM (SELECT t, count(*) AS c FROM tok
+        |  GROUP BY t ORDER BY c DESC, t LIMIT 20)),
+        |d AS (SELECT doc_id, count(*) AS n_tokens,
+        |    sum(CASE WHEN t IN (SELECT t FROM v) THEN 0 ELSE 1 END) AS n_oov
+        |  FROM tok GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_oov AS BIGINT) AS n_oov,
+        |  round(CAST(n_oov AS DOUBLE) / greatest(n_tokens, 1), 6) AS oov_rate
+        |FROM d""".stripMargin,
 
     "q_autofeature" ->
       """WITH p AS (SELECT p_partkey, p_size,

@@ -612,4 +612,44 @@ object TextAnalysis {
     }
     scored.withColumn("ppl_bucket", bucket)
   }
+
+  /**
+   * Out-of-vocabulary rate against the corpus's own top-`vocabSize`
+   * vocabulary — the tokenizer-vocab coverage check a pretraining
+   * pipeline runs before mixing: documents whose tokens mostly fall
+   * outside the model vocabulary (foreign-language spill, binary junk,
+   * OCR noise) are filtered or routed. Vocabulary selection is
+   * deterministic: count desc, term asc at the boundary — the same total
+   * order in any engine.
+   *
+   * Scale shape: one term-keyed hash agg (map-side combining — shuffle
+   * carries ~|vocab| rows per partition), top-V as a
+   * TakeOrderedAndProject (O(V) on the driver, bounded by the parameter,
+   * never corpus-sized), then a zero-shuffle probe projection. The probe
+   * is an In-list per token (fine for report-sized V like the registered
+   * query's); a production 256k tokenizer vocab swaps the In-list for a
+   * broadcast hash set in a fused kernel — same two-phase shape. Both
+   * phases tokenize with the same SQL split, so there is no
+   * kernel-vs-Column trailing-whitespace drift to pin.
+   */
+  def oovRate(df: org.apache.spark.sql.DataFrame, textCol: String,
+              idCol: String, vocabSize: Int = 30)
+      : org.apache.spark.sql.DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val live = df.filter(col(textCol).isNotNull)
+    val vocab: Array[String] = live
+      .select(explode(words(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(vocabSize)
+      .select("t").as[String].collect()
+    live.select(col(idCol), words(col(textCol)).as("__w"))
+      .select(col(idCol),
+        size(col("__w")).cast(LongType).as("n_tokens"),
+        size(filter(col("__w"), t => !t.isin(vocab.toIndexedSeq: _*)))
+          .cast(LongType).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast(DoubleType) / greatest(col("n_tokens"), lit(1L)))
+  }
 }

@@ -437,6 +437,25 @@ class PipelineOpsSpec extends GraftSpec {
     assert(out(2L) > 0.0 && out(2L) < 1.0, "near-dup must score partial overlap")
   }
 
+  test("oovRate: vocab boundary tie-breaks by term; null text dropped; probe plans no shuffle") {
+    val df = Seq(
+      (1L, "a a b c"), (2L, "a b b d"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // counts: a=3, b=3, c=1, d=1. V=2 -> {a,b}; V=3 -> tie at count 1
+    // breaks by term asc, so {a,b,c} (c in, d out)
+    val v2 = TextAnalysis.oovRate(df, "text", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList.sorted
+    assert(v2 == List((1L, 4L, 1L), (2L, 4L, 1L)), s"got $v2")
+    val v3 = TextAnalysis.oovRate(df, "text", "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toList.sorted
+    assert(v3 == List((1L, 0L), (2L, 1L)), s"tie must break by term asc: $v3")
+    // the probe phase is a zero-shuffle projection (the vocab agg ran at
+    // build time, bounded by V; nothing corpus-sized reaches the driver)
+    val plan = SparkEntry.queries("q_oov_rate")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"probe must not shuffle:\n$plan")
+  }
+
   test("bloom contamination: no false negatives; wide filter matches exact; null text survives") {
     val bench = docs.filter(col("doc_id") === 1L)
     val exact = Dedup.contamination(docs, "text", "doc_id", bench, "text", 3)
