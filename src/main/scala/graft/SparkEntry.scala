@@ -1176,6 +1176,25 @@ object SparkEntry {
         Sampling.hashSplit(col("doc_id"), trainPct = 80, valPct = 10).as("split"))
     }),
 
+    // Leakage-free split: q_split's deterministic hash split keyed on the
+    // near-dup CLUSTER id instead of the doc id, so a train doc's
+    // near-duplicate can never land in val/test (the train-on-eval leak
+    // fuzzy dedup exists to prevent — splitting by doc hash alone
+    // re-introduces it). Same verified-cluster machinery as
+    // q_dedup_minhash; singletons key on their own id, so for them the
+    // assignment IS q_split's
+    "q_split_leakfree" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pairs = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
+        mhHashes, mhBands, mhSeed, mhShingle, threshold = 0.8)
+      val clusters = Dedup.clusters(pairs).withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id")).join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .select(col("doc_id"), col("cluster_id"),
+          Sampling.hashSplit(col("cluster_id"), trainPct = 80, valPct = 10)
+            .as("split"))
+    }),
+
     // Near-dup retention POLICY beyond min-id: within every verified
     // near-dup cluster keep the highest-QUALITY member (ties -> smallest
     // id); singletons keep themselves. Same banded-LSH candidate +
@@ -2574,6 +2593,22 @@ object SparkEntry {
         |FROM (SELECT doc_id, lang,
         |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
         |  FROM documents)""".stripMargin,
+
+    // The q_dedup_minhash cluster replay (recursive closure over verified
+    // edges) + q_split's md5 bucket, keyed on the cluster id
+    "q_split_leakfree" ->
+      s"""WITH RECURSIVE $mhCandidateCtes,
+         |$mhVerifiedEdgeCtes,
+         |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |       FROM reach GROUP BY a),
+         |asg AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |  ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bk
+         |  FROM asg)""".stripMargin,
 
     // near-dup clusters exactly as q_dedup_minhash, quality exactly as
     // q_curate's filter formula, then one row_number per cluster ordered

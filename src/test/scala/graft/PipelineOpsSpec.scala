@@ -437,6 +437,24 @@ class PipelineOpsSpec extends GraftSpec {
     assert(out(2L) > 0.0 && out(2L) < 1.0, "near-dup must score partial overlap")
   }
 
+  test("leakage-free split: near-dup clusters never straddle folds; singletons match q_split") {
+    val lf = SparkEntry.queries("q_split_leakfree")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // the invariant the op exists for: one split label per cluster
+    lf.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"cluster $cid straddles folds: ${rows.toList}")
+    }
+    // clusters are real on this corpus (otherwise the test is vacuous)
+    assert(lf.exists(r => r._1 != r._2), "expected at least one non-singleton")
+    // singletons (cluster_id == doc_id) get exactly q_split's assignment
+    val plain = SparkEntry.queries("q_split")(spark, sf())
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    lf.filter(r => r._1 == r._2).foreach { case (id, _, s) =>
+      assert(plain(id) == s, s"singleton $id diverged from q_split")
+    }
+  }
+
   test("oovRate: vocab boundary tie-breaks by term; null text dropped; probe plans no shuffle") {
     val df = Seq(
       (1L, "a a b c"), (2L, "a b b d"),
