@@ -191,3 +191,38 @@ object NoveltyProbe {
     spark.stop()
   }
 }
+
+/** Ad-hoc 1000x forensics for span dedup: the registered q_span_dedup
+  * knobs (spanTokens=8, minDocs=2, 5M cap) fail-fast on the 1000x
+  * synthetic corpora because the generator's ~31-word vocabulary makes
+  * 8-gram spans collide by birthday pressure (SCALE.md round-7 table).
+  * This probe runs the operator at the corpus-appropriate spanTokens to
+  * show the guard's named remedy actually carries the op at that scale. */
+object SpanProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spanTokens = sys.env.getOrElse("SPARK_GRAFT_SPAN_TOKENS", "16").toInt
+    val minDocs = sys.env.getOrElse("SPARK_GRAFT_SPAN_MINDOCS", "2").toInt
+    val cap = sys.env.getOrElse("SPARK_GRAFT_SPAN_CAP", "5000000").toInt
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    t("warm-scan")(docs.count())
+    val out = graft.operators.Dedup.removeRepeatedSpans(
+      docs, "text", "doc_id", spanTokens = spanTokens, minDocs = minDocs,
+      maxHotSpans = cap)
+    println(s"[probe] spanTokens=$spanTokens minDocs=$minDocs cap=$cap survivors: " +
+      t("full-operator")(out.count()))
+    spark.stop()
+  }
+}
