@@ -429,13 +429,20 @@ object SparkEntry {
 
   // Banded candidates + Jaccard verify + symmetric verified edges — the
   // near-dup core, over whatever `h` the caller's shingle CTEs define.
-  private lazy val mhVerifiedEdgeCtes: String =
-    s"""sizes AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id),
+  private lazy val mhVerifiedEdgeCtes: String = mhVerifiedEdgeCtesOver("h")
+
+  // Same verified-edge block over an arbitrary (doc_id, hm) shingle
+  // relation — lets a composed oracle cluster a SURVIVOR subset while the
+  // full-corpus `h` serves other stages (candidate generation, Jaccard,
+  // and closure are all pairwise/subgraph-local, so replaying over the
+  // restricted relation matches Spark's computation over the subset).
+  private def mhVerifiedEdgeCtesOver(h: String): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS sz FROM $h GROUP BY doc_id),
        |inter AS (
        |  SELECT c.id_a, c.id_b, count(*) AS i
        |  FROM cand c
-       |  JOIN h ha ON ha.doc_id = c.id_a
-       |  JOIN h hb ON hb.doc_id = c.id_b AND hb.hm = ha.hm
+       |  JOIN $h ha ON ha.doc_id = c.id_a
+       |  JOIN $h hb ON hb.doc_id = c.id_b AND hb.hm = ha.hm
        |  GROUP BY c.id_a, c.id_b),
        |ver AS (
        |  SELECT c.id_a, c.id_b
@@ -452,7 +459,9 @@ object SparkEntry {
        |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a)""".stripMargin
 
   // Signature + banded-bucket + candidate-pair CTEs over `h`.
-  private lazy val mhSigCandCtes: String = {
+  private lazy val mhSigCandCtes: String = mhSigCandCtesOver("h")
+
+  private def mhSigCandCtesOver(h: String): String = {
     val sigCols = mhParams.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * hm + $b) % ${Dedup.P}) AS m$i"
     }.mkString(", ")
@@ -463,7 +472,7 @@ object SparkEntry {
         .mkString(" || '_' || ")
       s"SELECT doc_id, $bnd AS band, $parts AS bsig FROM sig"
     }.mkString("\nUNION ALL\n")
-    s"""sig AS (SELECT doc_id, $sigCols FROM h GROUP BY doc_id),
+    s"""sig AS (SELECT doc_id, $sigCols FROM $h GROUP BY doc_id),
        |bands AS ($bandSelects),
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
@@ -1363,6 +1372,37 @@ object SparkEntry {
       Sampling.tokenBudget(withTok, col("lang"), col("doc_id"),
           col("n_tokens_bpe"), budget = 5000L)
         .select(col("doc_id"), col("lang"), col("n_tokens_bpe"))
+    }),
+
+    // Round-7 composed curation v5, the "ship a training set" endpoint:
+    // OOV gate (vocab coverage <= 0.35) -> Bloom decontamination drop
+    // (benchmark docs, their near-dups, AND the filter's deterministic
+    // false positives all leave — one-sided error is the right direction
+    // for decontamination) -> leakage-free TRAIN fold (near-dup clusters
+    // computed over the SURVIVORS — cheap scans gate first, the LSH
+    // machinery runs on the reduced set; candidates/verify/closure are
+    // pairwise, so the subset computation is exact)
+    "q_curate5" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val oov = TextAnalysis.oovRate(docs, "text", "doc_id", 20)
+        .filter(col("oov_rate") <= 0.35)
+        .select(col("doc_id"), col("n_tokens"), col("oov_rate"))
+      val bench = docs.filter(col("doc_id") < 5)
+      val clean = Dedup.bloomContamination(docs, "text", "doc_id",
+          bench, "text", mhShingle, mBits = 4096, k = 4)
+        .filter(col("flagged") === 0).select("doc_id")
+      val surv = docs.join(oov, "doc_id").join(clean, "doc_id")
+      val pairs = Dedup.minhashNearDupPairs(surv, "text", "doc_id",
+        mhHashes, mhBands, mhSeed, mhShingle, threshold = 0.8)
+      val clusters = Dedup.clusters(pairs).withColumnRenamed("id", "doc_id")
+      surv.select("doc_id", "n_tokens", "oov_rate")
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("split",
+          Sampling.hashSplit(col("cluster_id"), trainPct = 80, valPct = 10))
+        .filter(col("split") === "train")
+        .select(col("doc_id"), col("cluster_id"), col("n_tokens"),
+          round(col("oov_rate"), 6).as("oov_rate"))
     }),
 
     // Temperature-sampled language mixture (Conneau & Lample 2019): keep
@@ -3587,6 +3627,54 @@ object SparkEntry {
          |        ROWS UNBOUNDED PRECEDING) AS cum FROM d2)
          |SELECT doc_id, lang, n_tokens_bpe FROM cm WHERE cum <= 5000""".stripMargin
     },
+
+    // Chains the three stage oracles: oov gate, bloom gate (bit-exact FP
+    // replay), then the minhash cluster closure over the SURVIVOR shingle
+    // relation hs (candidates/verify/closure are pairwise, so the subset
+    // replay matches Spark's subset computation), then the md5 train gate
+    "q_curate5" ->
+      s"""WITH RECURSIVE
+         |otok AS (SELECT doc_id,
+         |    unnest(string_split_regex(lower(text), '\\s+')) AS t
+         |  FROM documents WHERE text IS NOT NULL),
+         |ov AS (SELECT t FROM (SELECT t, count(*) AS c FROM otok
+         |  GROUP BY t ORDER BY c DESC, t LIMIT 20)),
+         |od AS (SELECT doc_id, count(*) AS n_tokens,
+         |    sum(CASE WHEN t IN (SELECT t FROM ov) THEN 0 ELSE 1 END) AS n_oov
+         |  FROM otok GROUP BY doc_id),
+         |$mhShingleCtes,
+         |bsh AS (SELECT DISTINCT hm FROM h WHERE doc_id < 5),
+         |bits AS (SELECT DISTINCT
+         |    ('0x' || substr(md5('bl' || r.i || '_' || CAST(hm AS VARCHAR)), 1, 15))::BIGINT
+         |      % 4096 AS p
+         |  FROM bsh CROSS JOIN range(0, 4) AS r(i)),
+         |bpr AS (SELECT h.doc_id, h.hm, count(b.p) AS inb
+         |  FROM h CROSS JOIN range(0, 4) AS r(i)
+         |  LEFT JOIN bits b ON b.p =
+         |    ('0x' || substr(md5('bl' || r.i || '_' || CAST(h.hm AS VARCHAR)), 1, 15))::BIGINT % 4096
+         |  GROUP BY h.doc_id, h.hm),
+         |bsum AS (SELECT doc_id,
+         |    sum(CASE WHEN inb = 4 THEN 1 ELSE 0 END) AS bh
+         |  FROM bpr GROUP BY doc_id),
+         |surv AS (SELECT od.doc_id, od.n_tokens,
+         |    CAST(od.n_oov AS DOUBLE) / greatest(od.n_tokens, 1) AS oov_rate
+         |  FROM od JOIN bsum USING (doc_id)
+         |  WHERE CAST(od.n_oov AS DOUBLE) / greatest(od.n_tokens, 1) <= 0.35
+         |    AND bsum.bh = 0),
+         |hs AS (SELECT h.doc_id, h.hm FROM h JOIN surv USING (doc_id)),
+         |${mhSigCandCtesOver("hs")},
+         |${mhVerifiedEdgeCtesOver("hs")},
+         |cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |       FROM reach GROUP BY a),
+         |asg AS (SELECT s.doc_id, coalesce(cl.cluster_id, s.doc_id) AS cluster_id,
+         |        s.n_tokens, s.oov_rate
+         |        FROM surv s LEFT JOIN cl ON cl.doc_id = s.doc_id)
+         |SELECT doc_id, cluster_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  round(oov_rate, 6) AS oov_rate
+         |FROM (SELECT *,
+         |  ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bk
+         |  FROM asg)
+         |WHERE bk < 80""".stripMargin,
 
     // floor(sqrt) weights + pure BIGINT threshold arithmetic: the
     // allocation replays exactly (IEEE sqrt is correctly rounded)
