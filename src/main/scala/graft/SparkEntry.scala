@@ -1870,6 +1870,42 @@ object SparkEntry {
           hex(col("frame")).as("frame_hex"))
     }),
 
+    // REAL WAV round trip (not the stub layer): word-hash-derived PCM16
+    // samples encoded into spec-valid RIFF blobs — including a junk LIST
+    // chunk, so a fixed-offset reader cannot pass — then decoded by the
+    // chunk-walking parser; integer-exact stats. The oracle recomputes
+    // the samples from the same word hashes: a header-offset, endianness,
+    // or chunk-walk bug corrupts recovered samples and breaks the hash.
+    // zero_crossings is ORDER-sensitive (catches sample misordering)
+    "q_wav_audio" -> ((s, dir) => {
+      val wavUdf = udf { (text: String) =>
+        Multimodal.wavBlobFromText(text, 16000)
+      }
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), wavUdf(col("text")).as("blob"))
+      Multimodal.audioStats(docs, "doc_id", "blob", batchSize = 32)
+    }),
+
+    // REAL 24-bpp BMP round trip: formula-derived pixels encoded with
+    // bottom-up rows + 4-byte padding, decoded by the real parser. The
+    // oracle recomputes both sums from the pixel formula; gy_sum is the
+    // FLIP detector (row-weighted, so forgetting bottom-up storage keeps
+    // g_sum but breaks gy_sum), and non-multiple-of-4 row widths exercise
+    // the padding arithmetic
+    "q_bmp_image" -> ((s, dir) => {
+      val bmpUdf = udf { (id: Long) =>
+        val w = (4 + id % 13).toInt
+        val h = (3 + id % 7).toInt
+        Multimodal.RealCodecs.encodeBmp24(w, h, (x, y) => (
+          ((x * 31 + y * 17 + id) % 256).toInt,
+          ((x * 7 + y * 101 + 2 * id) % 256).toInt,
+          ((x + y + 3 * id) % 256).toInt))
+      }
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), bmpUdf(col("doc_id")).as("blob"))
+      Multimodal.imageStats(docs, "doc_id", "blob", batchSize = 32)
+    }),
+
     "q_model_gate" -> ((s, dir) => {
       // A5 batch form: model-readiness gating as an event-time range join
       // (minTimestamp <= t - delay <= timestamp, earliest model wins);
@@ -3488,6 +3524,43 @@ object SparkEntry {
          |f AS (SELECT s.doc_id, $feats FROM s JOIN n ON s.doc_id = n.doc_id)
          |SELECT doc_id AS media_id, round($fold, 4) AS feat_sum FROM f""".stripMargin
     },
+
+    // Recomputes the PCM samples from the word hashes the encoder drew
+    // them from — the decode is only correct if the RIFF chunk walk,
+    // little-endian shorts, and data offset all land exactly
+    "q_wav_audio" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    list_transform(string_split_regex(lower(text), '\\s+'),
+         |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % ${Dedup.P}) AS wh
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id,
+         |    list_transform(wh, x -> (x % 65536) - 32768) AS ss FROM w)
+         |SELECT doc_id AS media_id, 'wav' AS format,
+         |  CAST(16000 AS INTEGER) AS sample_rate,
+         |  CAST(len(ss) AS BIGINT) AS n_samples,
+         |  CAST(coalesce(list_sum(list_transform(ss, v -> abs(v))), 0) AS BIGINT)
+         |    AS sum_abs,
+         |  CAST(len(list_filter(range(1, len(ss)),
+         |    i -> (ss[i] >= 0) <> (ss[i+1] >= 0))) AS BIGINT) AS zero_crossings
+         |FROM s""".stripMargin,
+
+    // Recomputes both pixel sums from the generating formula; gy_sum is
+    // row-weighted so a vertical flip (forgetting bottom-up rows) or bad
+    // 4-byte padding arithmetic cannot cancel out
+    "q_bmp_image" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(4 + doc_id % 13 AS INTEGER) AS w,
+        |    CAST(3 + doc_id % 7 AS INTEGER) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT d.doc_id, d.w, d.h, y.y,
+        |    ((x.x * 7 + y.y * 101 + 2 * d.doc_id) % 256) AS g
+        |  FROM d, range(0, 16) x(x), range(0, 9) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h)
+        |SELECT doc_id AS media_id, 'bmp' AS format, w AS width, h AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum((y + 1) * g) AS BIGINT) AS gy_sum
+        |FROM g GROUP BY doc_id, w, h""".stripMargin,
 
     // frame sampling: every 4th 32-byte slice; frames compared as hex
     // (both engines' hex() is uppercase and DuckDB lacks blob md5)

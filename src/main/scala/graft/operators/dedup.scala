@@ -171,9 +171,13 @@ object Dedup {
     }
   }
 
-  /** Hashed lowercase whitespace words of a text. */
+  /** Hashed lowercase whitespace words of a text. Null text hashes to no
+    * words — the central guard that makes every kernel built on this
+    * (signatures, spans, novelty, contamination probes) follow the house
+    * null convention (contribute nothing) instead of NPE-ing. */
   private[operators] def wordHashes(text: String): Array[Long] =
-    wsPattern.split(text.toLowerCase).map(w => md5LongJvm(w) % P)
+    if (text == null) Array.empty[Long]
+    else wsPattern.split(text.toLowerCase).map(w => md5LongJvm(w) % P)
 
   /** Distinct hashed word-shingles of a text (the set both the minhash
     * signature and exact Jaccard are computed over). */

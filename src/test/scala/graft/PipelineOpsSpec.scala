@@ -908,6 +908,17 @@ class PipelineOpsSpec extends GraftSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(tr(1L) == tr(2L), s"trailing whitespace changed tokenization: $tr")
     assert(tr(1L)._1 == 2L)
+    // leakage-free split machinery: a null-text doc produces no shingles
+    // (wordHashes' central guard), so it can sit in no verified pair and
+    // splits as its own singleton — the oracle's LEFT JOIN convention
+    val prs = Dedup.minhashNearDupPairs(withNull, "text", "doc_id",
+      16, 4, 42L, 3, 0.8)
+    val cl = Dedup.clusters(prs).withColumnRenamed("id", "doc_id")
+    val lf = withNull.select(col("doc_id")).join(cl, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lf(2L) == 2L, "null-text doc must be its own singleton")
+    assert(lf(1L) == 1L && lf(3L) == 1L, "the exact-dup pair still clusters")
     // semdedup: a zero-norm vector neither drops nor poisons neighbors
     val emb = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 0f)), (3L, Array(1f, 0f)))
       .toDF("vec_id", "embedding")
