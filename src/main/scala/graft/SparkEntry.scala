@@ -1509,6 +1509,19 @@ object SparkEntry {
           round(col("contamination"), 6).as("contamination"))
     }),
 
+    // Join-path containment (the corpus-sized-reference leg of the
+    // decontamination triad): every document's shingle containment in
+    // the src0 snapshot — the "how much of this crawl have we already
+    // got" report. Two shingle-keyed shuffles, zero driver state at any
+    // reference size; src0's own docs read 1.0 by construction
+    "q_containment" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val ref = docs.filter(col("source") === "src0")
+      Dedup.containmentJoin(docs, "text", "doc_id", ref, "text", mhShingle)
+        .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+          round(col("containment"), 6).as("containment"))
+    }),
+
     // Bloom-filter decontamination: same benchmark (docs 0-4) as
     // q_decontaminate, but membership through a deliberately SMALL
     // 4096-bit Bloom filter (k=4 md5-derived positions per shingle) so
@@ -2909,6 +2922,27 @@ object SparkEntry {
          |FROM documents d
          |LEFT JOIN sizes s ON s.doc_id = d.doc_id
          |LEFT JOIN hits t ON t.doc_id = d.doc_id""".stripMargin,
+
+    // Same shingle relation h, reference = src0's distinct shingles;
+    // LEFT JOINs keep zero-shingle docs at containment 0.0
+    "q_containment" ->
+      s"""WITH $mhShingleCtes,
+         |ref AS (SELECT DISTINCT h.hm FROM h
+         |  JOIN documents d ON d.doc_id = h.doc_id
+         |  WHERE d.source = 'src0'),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id),
+         |sn AS (SELECT h.doc_id, count(*) AS c
+         |  FROM h JOIN ref ON ref.hm = h.hm GROUP BY h.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(sz.sz, 0) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(sn.c, 0) AS BIGINT) AS n_seen,
+         |  CASE WHEN coalesce(sz.sz, 0) > 0
+         |    THEN round(CAST(coalesce(sn.c, 0) AS DOUBLE) / sz.sz, 6)
+         |    ELSE 0.0 END AS containment
+         |FROM documents d
+         |LEFT JOIN sz ON sz.doc_id = d.doc_id
+         |LEFT JOIN sn ON sn.doc_id = d.doc_id
+         |WHERE d.text IS NOT NULL""".stripMargin,
 
     // Replays the Bloom filter bit-for-bit: same shingle hashes (shared
     // CTE), same k=4 md5-derived positions over the same 4096-bit space —

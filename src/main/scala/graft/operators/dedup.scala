@@ -865,6 +865,46 @@ object Dedup {
   }
 
   /**
+   * Join-path containment: the third leg of the decontamination triad.
+   * [[contamination]] broadcasts the reference shingle set (right when
+   * the reference is an eval benchmark); [[bloomContamination]] squeezes
+   * it to a bitset (right when it is large but broadcastable at some
+   * FPR); THIS is the shape for when the reference is itself
+   * corpus-sized — the previous crawl snapshot, a 100 TB "have we seen
+   * this before" set — and nothing about it may touch the driver.
+   *
+   * Plan: both sides explode to hashed shingles; the reference side
+   * dedups with a map-side-combining agg; one shingle-keyed join (AQE
+   * skew-safe — hot shingles were deduped to one reference row) feeds a
+   * per-doc count. No collect, no broadcast, no state: two shuffles
+   * total, both on the shingle key, at any reference size. Semantics
+   * match [[contamination]] (n_seen == n_contaminated for the same
+   * reference — spec-asserted), except null-text docs emit no row here
+   * (the novelty-style convention) rather than a zero row.
+   */
+  def containmentJoin(docs: DataFrame, textCol: String, idCol: String,
+                      ref: DataFrame, refTextCol: String,
+                      shingleN: Int = 3): DataFrame = {
+    val docSh = docShingles(docs, textCol, idCol, shingleN)
+    val refSh = ref
+      .select(explode(hashedTokens(col(refTextCol), shingleN)).as("__sh"))
+      .distinct() // partial-agg dedup: collapses hot shingles map-side
+    val counted = docSh.join(refSh, Seq("__sh"), "left_semi")
+      .groupBy(col("__doc")).agg(count(lit(1)).as("n_seen"))
+    val sizes = docSh.groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_shingles"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol))
+      .join(sizes.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .join(counted.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
+      .withColumn("n_seen", coalesce(col("n_seen"), lit(0L)))
+      .withColumn("containment", when(col("n_shingles") > 0,
+        col("n_seen").cast(DoubleType) / col("n_shingles"))
+        .otherwise(lit(0.0)))
+  }
+
+  /**
    * Bloom-filter decontamination: [[contamination]]'s membership check
    * with the benchmark compressed to an `mBits`-bit Bloom filter
    * (Bloom 1970) — `k` md5-derived positions per shingle — instead of the

@@ -506,6 +506,20 @@ class PipelineOpsSpec extends GraftSpec {
     assert(a == b)
   }
 
+  test("containmentJoin: matches broadcast contamination per doc; self-containment is 1.0") {
+    val ref = docs.filter(col("doc_id") <= 2)
+    val exact = Dedup.contamination(docs, "text", "doc_id", ref, "text", 3)
+      .select("doc_id", "n_contaminated").as[(Long, Int)].collect().toMap
+    val joined = Dedup.containmentJoin(docs, "text", "doc_id", ref, "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(joined.map(t => t._1 -> t._2.toInt).toMap == exact,
+      "join path must agree with the broadcast path shingle-for-shingle")
+    val cm = joined.map(t => t._1 -> t._3).toMap
+    assert(cm(1L) == 1.0 && cm(2L) == 1.0, "reference docs contain themselves")
+    assert(cm(4L) == 1.0, "exact dup of a reference doc is fully contained")
+    assert(cm(5L) == 0.0)
+  }
+
   test("exact dedup keeps the min-id row per key") {
     val kept = Dedup.exact(docs, col("text"), "doc_id")
       .select("doc_id").as[Long].collect().sorted
