@@ -226,3 +226,43 @@ object SpanProbe {
     spark.stop()
   }
 }
+
+/** Ad-hoc 1000x forensics for cluster resolution: runs the SAME verified
+  * edge list through the driver union-find AND the distributed min-id
+  * label propagation, times both, and asserts identical labels — the
+  * evidence that the above-limit fallback is a working 100 TB path, not
+  * a vestigial branch (it had never been exercised at scale before this).
+  */
+object ClusterProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    t("warm-scan")(docs.count())
+    val pairs = graft.operators.Dedup.minhashNearDupPairs(
+        docs, "text", "doc_id", 16, 4, 42L, 3, 0.8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[probe] verified edges: ${t("pairs")(pairs.count())}")
+    val uf = t("driver-union-find")(
+      graft.operators.Dedup.clusters(pairs).collect())
+    val lp = t("distributed-label-propagation")(
+      graft.operators.Dedup.clustersDistributed(pairs).collect())
+    val ufm = uf.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpm = lp.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    println(s"[probe] labeled nodes: uf=${ufm.size} lp=${lpm.size} " +
+      s"equal=${ufm == lpm}")
+    require(ufm == lpm, "paths disagree")
+    spark.stop()
+  }
+}

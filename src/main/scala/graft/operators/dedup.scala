@@ -877,7 +877,14 @@ object Dedup {
    * dedups with a map-side-combining agg; one shingle-keyed join (AQE
    * skew-safe — hot shingles were deduped to one reference row) feeds a
    * per-doc count. No collect, no broadcast, no state: two shuffles
-   * total, both on the shingle key, at any reference size. Semantics
+   * total, both on the shingle key, at any reference size. Skew honesty:
+   * the REFERENCE side cannot skew (deduped to one row per shingle
+   * before the join), but a shingle hot on the PROBE side (a phrase in
+   * every doc) still concentrates left rows on one reducer in the
+   * shuffle-join regime — that is the standard AQE skew-split case
+   * (sort-merge join, left side), not something this operator must
+   * re-solve; under a small reference AQE broadcasts and the left side
+   * never shuffles at all. Semantics
    * match [[contamination]] (n_seen == n_contaminated for the same
    * reference — spec-asserted), except null-text docs emit no row here
    * (the novelty-style convention) rather than a zero row.
