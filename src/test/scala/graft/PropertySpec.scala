@@ -288,4 +288,41 @@ class PropertySpec extends GraftSpec {
       assert(labeled.sortBy(_._1).sameElements(again.sortBy(_._1)))
     }
   }
+
+  test("RealCodecs WAV: arbitrary PCM16 round-trips exactly, any length incl. empty") {
+    import graft.operators.Multimodal.RealCodecs
+    val wavGen = for {
+      n <- Gen.choose(0, 120)
+      ss <- Gen.listOfN(n, Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+      rate <- Gen.oneOf(8000, 16000, 44100)
+    } yield (ss.map(_.toShort).toArray, rate)
+    forSamples(wavGen, n = 10) { case (ss, rate) =>
+      val Some((m, back)) = RealCodecs.decodeWavPcm16(
+        RealCodecs.encodeWavPcm16(ss, rate))
+      assert(m.sampleRate == rate && m.nSamples == ss.length)
+      assert(back.toSeq == ss.toSeq, "samples must round-trip bit-exactly")
+    }
+  }
+
+  test("RealCodecs BMP: arbitrary dims round-trip pixel-exactly incl. padded row widths") {
+    import graft.operators.Multimodal.RealCodecs
+    val dimGen = for {
+      w <- Gen.choose(1, 9) // covers every padding residue w*3 mod 4
+      h <- Gen.choose(1, 9)
+      seed <- Gen.choose(0, 1000)
+    } yield (w, h, seed)
+    forSamples(dimGen, n = 10) { case (w, h, seed) =>
+      def pix(x: Int, y: Int) =
+        ((x * 31 + y * 17 + seed) % 256, (x * 7 + y * 101 + seed) % 256,
+          (x + y + seed) % 256)
+      val Some((m, px)) = RealCodecs.decodeBmp24(RealCodecs.encodeBmp24(w, h, pix))
+      assert((m.width, m.height) == (Some(w), Some(h)))
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = pix(x, y)
+        val o = (y * w + x) * 3
+        assert((px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff) == (r, g, b),
+          s"pixel ($x,$y) of ${w}x$h corrupted")
+      }
+    }
+  }
 }
