@@ -1306,6 +1306,20 @@ object SparkEntry {
           col("n_tokens_kept"), col("n_tokens_removed"))
     }),
 
+    // Decontamination by REDACTION: cut only the 3-token spans that
+    // overlap the benchmark (docs 0-4), keep the rest — the surgical
+    // alternative to dropping whole docs; the benchmark's own docs are
+    // fully covered and vanish. Same positional-rebuild kernel as
+    // q_span_dedup, hot set = benchmark spans instead of corpus counts
+    "q_redact" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") < 5)
+      Dedup.redactContamination(docs, "text", "doc_id", bench, "text",
+          spanTokens = 3)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("head"),
+          col("n_tokens_kept"), col("n_tokens_removed"))
+    }),
+
     // Per-doc novelty: fraction of a doc's distinct 3-gram shingles first
     // seen (min doc_id) in that doc — late near-copies score ~0. One
     // shingle-keyed shuffle (partial-min agg) + AQE-splittable join back.
@@ -2844,6 +2858,37 @@ object SparkEntry {
          |sp AS (SELECT doc_id, i, $rolled AS h FROM wins),
          |hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM sp GROUP BY h)
          |        WHERE nd >= 2),
+         |cov AS (SELECT DISTINCT sp.doc_id, sp.i + j.j AS p
+         |        FROM sp JOIN hot USING (h),
+         |             (SELECT unnest(generate_series(0, ${k - 1})) AS j) j),
+         |tok AS (SELECT doc_id, unnest(toks) AS t,
+         |        unnest(generate_series(1, len(toks))) AS p FROM w),
+         |kept AS (SELECT tok.doc_id, tok.t, tok.p FROM tok
+         |         LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+         |         WHERE cov.p IS NULL)
+         |SELECT kept.doc_id,
+         |  substr(string_agg(kept.t, ' ' ORDER BY kept.p), 1, 60) AS head,
+         |  CAST(count(*) AS BIGINT) AS n_tokens_kept,
+         |  CAST(any_value(len(w.toks)) - count(*) AS BIGINT) AS n_tokens_removed
+         |FROM kept JOIN w ON kept.doc_id = w.doc_id
+         |GROUP BY kept.doc_id""".stripMargin
+    },
+
+    // q_span_dedup's coverage replay with the hot set swapped for the
+    // benchmark's distinct 3-token span hashes
+    "q_redact" -> {
+      val k = 3
+      val rolled = (1 until k).foldLeft("wh[i]")((e, j) =>
+        s"(($e) * ${Dedup.B} + wh[i+$j]) % ${Dedup.P}")
+      s"""WITH w AS (SELECT doc_id,
+         |    string_split_regex(lower(text), '\\s+') AS toks,
+         |    list_transform(string_split_regex(lower(text), '\\s+'),
+         |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % ${Dedup.P}) AS wh
+         |  FROM documents WHERE text IS NOT NULL),
+         |wins AS (SELECT doc_id, unnest(generate_series(1, len(wh) - ${k - 1})) AS i, wh
+         |  FROM w WHERE len(wh) >= $k),
+         |sp AS (SELECT doc_id, i, $rolled AS h FROM wins),
+         |hot AS (SELECT DISTINCT h FROM sp WHERE doc_id < 5),
          |cov AS (SELECT DISTINCT sp.doc_id, sp.i + j.j AS p
          |        FROM sp JOIN hot USING (h),
          |             (SELECT unnest(generate_series(0, ${k - 1})) AS j) j),

@@ -1112,7 +1112,21 @@ object Dedup {
         "Raise spanTokens/minDocs or maxHotSpans.")
     java.util.Arrays.sort(hot)
     val bc = spark.sparkContext.broadcast(hot)
-    val rebuildUdf = udf { (text: String) =>
+    src.select(col(idCol), spanCutUdf(bc, k)(col(textCol)).as("__r"))
+      .filter(col("__r._2") > 0)
+      .select(col(idCol),
+        col("__r._1").as(textCol),
+        col("__r._2").cast(LongType).as("n_tokens_kept"),
+        col("__r._3").cast(LongType).as("n_tokens_removed"))
+  }
+
+  /** Positional span-cut kernel shared by [[removeRepeatedSpans]] and
+    * [[redactContamination]]: mark every token covered by any k-window
+    * whose rolling hash is in the sorted hot array, rebuild the text from
+    * the survivors. Returns (rebuilt text, kept, removed). */
+  private def spanCutUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Long]], k: Int) =
+    udf { (text: String) =>
       val words = wsPattern.split(text.toLowerCase)
       val wh = words.map(w => md5LongJvm(w) % P)
       val spans = rollingHashes(wh, k)
@@ -1139,7 +1153,49 @@ object Dedup {
       }
       (sb.toString, kept, words.length - kept)
     }
-    src.select(col(idCol), rebuildUdf(col(textCol)).as("__r"))
+
+  /**
+   * Decontamination by REDACTION — the third response to benchmark
+   * overlap after flagging ([[contamination]]) and dropping (the
+   * curate-pipeline gates): cut ONLY the spans that overlap the
+   * benchmark and keep the rest of the document, the Lee-et-al-style
+   * surgical alternative to discarding a 50k-token document over one
+   * quoted test question. Every token covered by any `spanTokens`-window
+   * whose rolling hash appears anywhere in the benchmark is removed,
+   * with positional reassembly of the survivors; fully-contaminated
+   * documents vanish (kept == 0), exactly like fully-boilerplate docs in
+   * [[removeRepeatedSpans]].
+   *
+   * Scale shape: the benchmark side collapses to its distinct span
+   * hashes (eval suites are small; the limit+1 guard fail-fasts with the
+   * remedy if yours is not — at which point the drop-based join path is
+   * the right tool); the corpus pass is one zero-shuffle scan with the
+   * sorted span array broadcast, binary-search per window — the same
+   * shape as [[removeRepeatedSpans]]' rebuild.
+   */
+  def redactContamination(docs: DataFrame, textCol: String, idCol: String,
+                          bench: DataFrame, benchTextCol: String,
+                          spanTokens: Int, maxBenchSpans: Int = 5000000)
+      : DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2 (got $spanTokens)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = spanTokens
+    val spanUdf = udf { (text: String) =>
+      rollingHashes(wordHashes(text), k).distinct
+    }
+    val hot = bench.filter(col(benchTextCol).isNotNull)
+      .select(explode(spanUdf(col(benchTextCol))).as("__h"))
+      .distinct().limit(maxBenchSpans + 1)
+      .as[Long].collect()
+    require(hot.length <= maxBenchSpans,
+      s"more than $maxBenchSpans benchmark spans at spanTokens=$spanTokens " +
+        "(broadcast would not fit): raise spanTokens/maxBenchSpans, or use " +
+        "the join-path drop-based decontamination for a corpus-sized reference.")
+    java.util.Arrays.sort(hot)
+    val bc = spark.sparkContext.broadcast(hot)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), spanCutUdf(bc, k)(col(textCol)).as("__r"))
       .filter(col("__r._2") > 0)
       .select(col(idCol),
         col("__r._1").as(textCol),

@@ -506,6 +506,24 @@ class PipelineOpsSpec extends GraftSpec {
     assert(a == b)
   }
 
+  test("redactContamination: cuts only benchmark-overlapping spans; full quotes vanish") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words alpha beta gamma delta closing words"), // quote inside
+      (2L, "alpha beta gamma delta"),                           // full quote
+      (3L, "totally unrelated text here")).toDF("doc_id", "text")
+    val out = Dedup.redactContamination(corpus, "text", "doc_id",
+        bench, "text", spanTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 3L),
+      "the fully-quoted doc must vanish (kept == 0)")
+    assert(out(0)._2 == "intro words closing words",
+      s"surgical cut must keep the surround: '${out(0)._2}'")
+    assert(out(0)._3 == 4 && out(0)._4 == 4)
+    assert(out(1)._2 == "totally unrelated text here" && out(1)._4 == 0)
+  }
+
   test("containmentJoin: matches broadcast contamination per doc; self-containment is 1.0") {
     val ref = docs.filter(col("doc_id") <= 2)
     val exact = Dedup.contamination(docs, "text", "doc_id", ref, "text", 3)
