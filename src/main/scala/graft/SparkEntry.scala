@@ -1428,6 +1428,29 @@ object SparkEntry {
         col("lang"), col("doc_id"), targetN = 200L)
     }),
 
+    // Head-domain flattening (CCNet/RefinedWeb-style per-domain caps):
+    // cap each source at ceil(sqrt(count)) docs by md5 rank. Tail
+    // sources pass through with no window; head sources rank a
+    // pre-filtered candidate set only
+    "q_source_cap" -> ((s, dir) => {
+      Sampling.sourceCap(
+        tbl(s, dir, "documents").select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"))
+        .select(col("doc_id"), col("source"), col("source_cap"))
+    }),
+
+    // UniMax language allocation (Chung et al. 2023): waterfill a token
+    // budget across languages, epoch-capping small ones — one
+    // lang-keyed agg over the corpus, O(#langs) driver arithmetic,
+    // all-integer so the oracle replays the allocation bit-exactly
+    "q_unimax" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("n_tokens",
+          size(split(lower(col("text")), "\\s+")).cast("long"))
+      Sampling.unimaxAllocation(docs, col("lang"), col("n_tokens"),
+        budget = 40000L, maxEpochs = 2)
+    }),
+
     // Gopher quality rules (Rae et al. 2021 §A1.1): the document-shape
     // rule set next to the repetition trio — word-count band, mean word
     // length, symbol ratio, bullet/ellipsis lines, alphabetic fraction,
@@ -3840,6 +3863,50 @@ object SparkEntry {
         |FROM documents d JOIN t ON d.lang = t.lang
         |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
         |      % 10000 < t.thr""".stripMargin,
+
+    // ceil(sqrt) is IEEE-exact; rank order = md5 bucket (mod 1e6, the
+    // operator's fine bucket) with doc_id tiebreak, replayed identically
+    "q_source_cap" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |caps AS (SELECT source, n,
+        |    greatest(2, CAST(ceil(sqrt(n)) AS BIGINT)) AS cap FROM c),
+        |r AS (SELECT d.doc_id, d.source, caps.cap, caps.n,
+        |    row_number() OVER (PARTITION BY d.source ORDER BY
+        |      ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000, d.doc_id) AS rk
+        |  FROM documents d JOIN caps USING (source))
+        |SELECT doc_id, source, cap AS source_cap FROM r
+        |WHERE n <= cap OR rk <= cap""".stripMargin,
+
+    // The waterfill's closed form: sorted ascending, epoch-capped =
+    // monotone-prefix of n*E*(L-l+1) <= B - S_{l-1} (min-over-prefix
+    // mirrors the operator's stop-at-first-failure loop), budget share =
+    // one integer division. All-BIGINT arithmetic end to end
+    "q_unimax" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS nt
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n FROM d GROUP BY lang),
+        |s AS (SELECT lang, n,
+        |    row_number() OVER (ORDER BY n, lang) AS rk,
+        |    count(*) OVER () AS nl,
+        |    coalesce(sum(n * 2) OVER (ORDER BY n, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM c),
+        |f AS (SELECT *, CASE WHEN n * 2 * (nl - rk + 1) <= 40000 - pre
+        |    THEN 1 ELSE 0 END AS capped FROM s),
+        |g AS (SELECT *, min(capped) OVER (ORDER BY rk
+        |    ROWS UNBOUNDED PRECEDING) AS is_capped FROM f),
+        |agg AS (SELECT coalesce(sum(CASE WHEN is_capped = 1 THEN n * 2 END), 0) AS sk,
+        |    coalesce(sum(is_capped), 0) AS k, max(nl) AS nl FROM g),
+        |a AS (SELECT g.lang, g.n,
+        |    CASE WHEN g.is_capped = 1 THEN g.n * 2
+        |      ELSE least((40000 - agg.sk) // greatest(agg.nl - agg.k, 1),
+        |                 g.n * 2) END AS alloc
+        |  FROM g, agg)
+        |SELECT lang, n AS n_tokens, alloc AS alloc_tokens,
+        |  CASE WHEN n > 0 THEN 1000 * alloc // n ELSE 0 END AS epochs_milli
+        |FROM a""".stripMargin,
 
     // Every ratio is an exact int/int IEEE division over identical
     // operands (word/line/char counts), so the rounded metrics and the

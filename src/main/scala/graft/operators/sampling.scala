@@ -563,4 +563,156 @@ object Sampling {
       .withColumn("shard_pos", col("__off") + row_number().over(wLoc).cast(LongType) - 1)
       .select(df.columns.map(col) :+ col("shard") :+ col("shard_pos"): _*)
   }
+
+  /**
+   * Head-domain flattening (the per-domain document cap of CCNet /
+   * RefinedWeb-style web curation): cap every source at
+   * `max(minKeep, ceil(sqrt(count)))` documents, keeping the cap
+   * lowest-md5-rank docs — a sublinear cap that leaves small sources
+   * intact while shrinking a 10M-doc domain to ~3.2k, so no head domain
+   * can dominate the mixture. Deterministic: the kept set is a pure
+   * function of ids, identical at any scale/partitioning/engine.
+   *
+   * Engine-exact: IEEE sqrt is correctly rounded so `ceil(sqrt(n))`
+   * replays identically in DuckDB; selection is the [[bucket]] hash
+   * order with id tiebreak.
+   *
+   * Scale shape — the [[takeStratified]] two-phase top-k, with caps
+   * from the same counts pass: sources AT OR UNDER their cap pass
+   * through on the broadcast-join path with no window at all (at
+   * 100 TB, the long tail of domains — most of the distinct keys —
+   * never touches a sort). Over-cap sources are pre-filtered to
+   * ~margin*cap hash-rank candidates (uniformity-checked, widened on
+   * shortfall) before the exact per-source rank, so a 10M-doc head
+   * domain contributes a bounded candidate set to its window task, not
+   * 10M rows. Driver state is one (count, cap) pair per source,
+   * `maxSources`-guarded.
+   */
+  def sourceCap(df: DataFrame, sourceCol: Column, idCol: Column,
+                minKeep: Int = 2, maxSources: Int = 100000): DataFrame = {
+    require(minKeep >= 1, "minKeep must be >= 1")
+    val reserved = Seq("__s", "__b", "__cap", "__thr", "__rn")
+    require(reserved.forall(!df.columns.contains(_)),
+      s"columns ${reserved.mkString(", ")} are reserved by sourceCap; rename them first")
+    val spark = df.sparkSession
+    val fine = 1000000
+    val counts = df.groupBy(sourceCol.as("__s"))
+      .agg(count(lit(1)).as("__cnt")).limit(maxSources + 1).collect()
+    require(counts.length <= maxSources,
+      s"more than $maxSources sources; raise maxSources (driver holds one count per source)")
+    val caps = counts.map { r =>
+      val n = r.getLong(1)
+      (r.get(0), n, math.max(minKeep.toLong, math.ceil(math.sqrt(n.toDouble)).toLong))
+    }
+    val sSchema = df.select(sourceCol.as("__s")).schema.head
+    def capDf(rows: Seq[org.apache.spark.sql.Row],
+              extra: Seq[org.apache.spark.sql.types.StructField]) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(sSchema +: extra))
+    val capField = org.apache.spark.sql.types.StructField("__cap", LongType)
+    // the long tail: cap >= count — every doc kept, no candidate filter,
+    // no window; just a broadcast semi-ish join carrying the cap along
+    val under = caps.filter { case (_, n, c) => c >= n }
+      .map { case (s, _, c) => org.apache.spark.sql.Row(s, c) }
+    val underDf = df.withColumn("__s", sourceCol)
+      .join(broadcast(capDf(under.toSeq, Seq(capField))), Seq("__s"))
+    // the head: exact top-cap by hash rank over a pre-filtered candidate
+    // set (takeStratified's margin loop, per-source thresholds)
+    val over = caps.filter { case (_, n, c) => c < n }
+    if (over.isEmpty)
+      return underDf.drop("__s").withColumnRenamed("__cap", "source_cap")
+    val b = bucket(idCol, fine)
+    var margin = 4L
+    while (margin < fine.toLong * 16) {
+      val thr = over.map { case (s, n, c) =>
+        val t = math.min(fine.toLong, math.max(1L,
+          math.ceil(fine.toLong * margin * c.toDouble / n).toLong))
+        org.apache.spark.sql.Row(s, c, t)
+      }
+      val thrField = org.apache.spark.sql.types.StructField("__thr", LongType)
+      val cand = df.withColumn("__s", sourceCol).withColumn("__b", b)
+        .join(broadcast(capDf(thr.toSeq, Seq(capField, thrField))), Seq("__s"))
+        .filter(col("__b") < col("__thr"))
+      val got = cand.groupBy(col("__s")).agg(count(lit(1)).as("__gc"))
+        .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+      if (over.forall { case (s, _, c) => got.getOrElse(s, 0L) >= c }) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__s")).orderBy(col("__b"), idCol)
+        val kept = cand.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= col("__cap"))
+          .drop("__b", "__thr", "__rn")
+        return underDf.drop("__s").unionByName(kept.drop("__s"))
+          .withColumnRenamed("__cap", "source_cap")
+      }
+      margin *= 4
+    }
+    throw new IllegalStateException(
+      "sourceCap failed to gather cap survivors; id hashing degenerate?")
+  }
+
+  /**
+   * UniMax language-balanced token allocation (Chung et al. 2023,
+   * "UniMax: Fairer and More Effective Language Sampling for
+   * Large-Scale Multilingual Pretraining"): split a total token
+   * `budget` across languages as uniformly as possible, subject to no
+   * language being repeated more than `maxEpochs` times. Languages are
+   * processed smallest-first; a language whose full `maxEpochs` epochs
+   * fit inside its uniform share of the remaining budget is epoch-capped
+   * (takes n*maxEpochs tokens), and the first language that cannot —
+   * together with every larger one — splits the remaining budget
+   * equally.
+   *
+   * The paper's sequential waterfill has a closed form once languages
+   * are sorted ascending by token count: with prefix sums
+   * S_l = sum_{j<=l} n_j*E, language l is epoch-capped iff
+   * n_l*E*(L-l+1) <= B - S_{l-1}, and that predicate is monotone in l
+   * (the difference f(l+1)-f(l) = (L-l)*E*(n_{l+1}-n_l) >= 0), so the
+   * crossover is a single prefix boundary and the budget-limited share
+   * is one integer division. All-integer arithmetic → the DuckDB oracle
+   * replays the allocation bit-exactly with window functions.
+   *
+   * Scale shape: ONE language-keyed count aggregation over the corpus
+   * (map-side partial sums; the key space is #languages, so no skew
+   * pressure), then O(#languages) driver arithmetic, `maxLangs`-guarded
+   * — the corpus itself is never re-shuffled and nothing downstream of
+   * the agg depends on corpus size. Emits one row per language:
+   * total tokens, allocated tokens, and milli-epochs (1000*alloc/n,
+   * integer) — the sampling rates a mixture builder feeds to
+   * [[hashSample]]/[[weightedResample]].
+   */
+  def unimaxAllocation(df: DataFrame, langCol: Column, tokensCol: Column,
+                       budget: Long, maxEpochs: Int,
+                       maxLangs: Int = 100000): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    val spark = df.sparkSession
+    val counts = df.groupBy(langCol.as("lang"))
+      .agg(sum(tokensCol.cast(LongType)).as("n")).limit(maxLangs + 1).collect()
+    require(counts.length <= maxLangs,
+      s"more than $maxLangs languages; raise maxLangs (driver holds one count per language)")
+    val langs = counts.map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (l, n) => (n, l) } // id tiebreak keeps ties engine-stable
+    val L = langs.length
+    val E = maxEpochs.toLong
+    var prefix = 0L // S_{l-1}: epoch-capped tokens taken by smaller langs
+    var k = 0 // number of epoch-capped languages
+    while (k < L && langs(k)._2 * E * (L - k) <= budget - prefix) {
+      prefix += langs(k)._2 * E; k += 1
+    }
+    val share = if (k < L) (budget - prefix) / (L - k) else 0L
+    val out = langs.zipWithIndex.map { case ((l, n), i) =>
+      val alloc = if (i < k) n * E else math.min(share, n * E)
+      org.apache.spark.sql.Row(l, n, alloc,
+        if (n > 0) 1000L * alloc / n else 0L)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_tokens", LongType),
+        org.apache.spark.sql.types.StructField("alloc_tokens", LongType),
+        org.apache.spark.sql.types.StructField("epochs_milli", LongType))))
+  }
 }

@@ -882,6 +882,58 @@ class PipelineOpsSpec extends GraftSpec {
     assert(kept.sorted.toSeq == again.sorted.toSeq)
   }
 
+  test("source cap: sublinear caps, tail kept whole, partition-invariant") {
+    import graft.operators.Sampling
+    // head source: 100 docs -> cap ceil(sqrt(100)) = 10; tail: 3 docs ->
+    // cap max(2, ceil(sqrt(3))=2) = 2 < 3 so it ranks too; singleton passes
+    val df = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (200 until 203).map(i => (i.toLong, "small")) ++
+      Seq((300L, "one"))).toDF("doc_id", "source")
+    val got = Sampling.sourceCap(df, col("source"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(bySrc("big").size == 10, s"head capped at sqrt: ${bySrc("big").size}")
+    assert(bySrc("small").size == 2 && got.filter(_._2 == "small").forall(_._3 == 2L))
+    assert(bySrc("one") == Set(300L), "singleton source passes through whole")
+    // physical layout must not change the kept set
+    val re = Sampling.sourceCap(df.repartition(7), col("source"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == re.toSet)
+    // kept head docs are exactly the cap lowest md5-bucket ranks
+    val ranked = df.filter(col("source") === "big")
+      .withColumn("__bb", Sampling.bucket(col("doc_id"), 1000000))
+      .orderBy(col("__bb"), col("doc_id")).limit(10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bySrc("big") == ranked)
+    intercept[IllegalArgumentException] {
+      Sampling.sourceCap(df.withColumn("__cap", lit(1)), col("source"), col("doc_id"))
+    }
+  }
+
+  test("unimax allocation: waterfill crossover, epoch caps, integer shares") {
+    import graft.operators.Sampling
+    val df = Seq(("a", 10L), ("b", 20L), ("c", 100L)).toDF("lang", "nt")
+    def run(b: Long, e: Int) =
+      Sampling.unimaxAllocation(df, col("lang"), col("nt"), b, e)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // B=100, E=2: a,b epoch-capped (60<=100, 80<=80), c splits the rest
+    val mid = run(100L, 2)
+    assert(mid("a") == ((10L, 20L, 2000L)))
+    assert(mid("b") == ((20L, 40L, 2000L)))
+    assert(mid("c") == ((100L, 40L, 400L)))
+    // budget dwarfs the corpus: everything epoch-capped
+    val big = run(1000L, 2)
+    assert(big.values.forall { case (n, a, m) => a == n * 2 && m == 2000L })
+    // budget below even the smallest full allocation: pure uniform split
+    val tight = run(30L, 2)
+    assert(tight("a") == ((10L, 10L, 1000L)))
+    assert(tight("b") == ((20L, 10L, 500L)))
+    assert(tight("c") == ((100L, 10L, 100L)))
+    // allocation never exceeds the budget
+    assert(Seq(mid, big, tight).forall(_.values.map(_._2).sum <= 1000L))
+  }
+
   test("gopher quality rules: hand-computed metrics, thresholds gate correctly") {
     import graft.operators.TextAnalysis
     val passing = "the be to of and that have with " + Array.fill(42)("word").mkString(" ")

@@ -296,6 +296,28 @@ class PlanSpec extends GraftSpec {
       s"exact counts must come from the stage table:\n$p")
   }
 
+  test("q_source_cap: window only over prefiltered candidates, keyed by source") {
+    val p = plan("q_source_cap")
+    // the rank window must partition by the source key — never a global sort
+    assert(p.contains("windowspecdefinition(__s"),
+      s"cap rank must partition by source:\n$p")
+    // and its input must be the margin-prefiltered candidate set, not the
+    // corpus: the __b < __thr gate sits below the window
+    assert(p.contains("__thr"), s"candidate prefilter missing from plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"caps/thresholds must ride as broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cap joins must stay equi-keyed:\n$p")
+  }
+
+  test("q_unimax: corpus agg happens at build; the result plan is O(#langs) local") {
+    val p = plan("q_unimax")
+    // allocation is computed from the one collected lang-keyed agg — the
+    // emitted relation must not rescan or reshuffle the corpus
+    assert(!p.contains("parquet"), s"unimax result must not rescan the corpus:\n$p")
+    assert(!p.contains("Exchange"), s"unimax result must not shuffle:\n$p")
+  }
+
   test("no persisted RDD outlives a staged query's build+run (the q_curate house rule)") {
     // pplBuckets (alone and inside q_curate3) used to persist its scored
     // relation with no unpersist path — asserting the cache manager is
