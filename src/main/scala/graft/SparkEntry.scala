@@ -1451,6 +1451,28 @@ object SparkEntry {
         budget = 40000L, maxEpochs = 2)
     }),
 
+    // the allocation APPLIED (UniMax's actual sampling step): milli-epoch
+    // rates broadcast back onto the corpus as an all-integer md5 gate —
+    // whole epochs replicate (copy_id), the fractional epoch keeps
+    // rem/1000 of docs deterministically. Epoch-capped langs upsample,
+    // the budget-limited lang downsamples, in one explode
+    "q_unimax_sample" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("n_tokens",
+          size(split(lower(col("text")), "\\s+")).cast("long"))
+      val alloc = Sampling.unimaxAllocation(docs, col("lang"), col("n_tokens"),
+        budget = 40000L, maxEpochs = 2)
+      val copies = expr("epochs_milli div 1000") +
+        when(Sampling.bucket(col("doc_id")) <
+          pmod(col("epochs_milli"), lit(1000L)) * 10L, 1L).otherwise(0L)
+      docs.select(col("doc_id"), col("lang"))
+        .join(broadcast(alloc.select(col("lang"), col("epochs_milli"))), Seq("lang"))
+        .withColumn("copy_id",
+          explode(when(copies > 0, sequence(lit(0L), copies - 1))
+            .otherwise(array().cast("array<bigint>"))))
+        .select(col("doc_id"), col("lang"), col("copy_id"))
+    }),
+
     // Gopher quality rules (Rae et al. 2021 §A1.1): the document-shape
     // rule set next to the repetition trio — word-count band, mean word
     // length, symbol ratio, bullet/ellipsis lines, alphabetic fraction,
@@ -3907,6 +3929,40 @@ object SparkEntry {
         |SELECT lang, n AS n_tokens, alloc AS alloc_tokens,
         |  CASE WHEN n > 0 THEN 1000 * alloc // n ELSE 0 END AS epochs_milli
         |FROM a""".stripMargin,
+
+    // same waterfill CTE, then the integer milli-epoch gate: div 1000
+    // whole copies + md5-bucket fractional keep, unnested to copy_id
+    "q_unimax_sample" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS nt
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n FROM d GROUP BY lang),
+        |s AS (SELECT lang, n,
+        |    row_number() OVER (ORDER BY n, lang) AS rk,
+        |    count(*) OVER () AS nl,
+        |    coalesce(sum(n * 2) OVER (ORDER BY n, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM c),
+        |f AS (SELECT *, CASE WHEN n * 2 * (nl - rk + 1) <= 40000 - pre
+        |    THEN 1 ELSE 0 END AS capped FROM s),
+        |g AS (SELECT *, min(capped) OVER (ORDER BY rk
+        |    ROWS UNBOUNDED PRECEDING) AS is_capped FROM f),
+        |agg AS (SELECT coalesce(sum(CASE WHEN is_capped = 1 THEN n * 2 END), 0) AS sk,
+        |    coalesce(sum(is_capped), 0) AS k, max(nl) AS nl FROM g),
+        |a AS (SELECT g.lang, g.n,
+        |    CASE WHEN g.is_capped = 1 THEN g.n * 2
+        |      ELSE least((40000 - agg.sk) // greatest(agg.nl - agg.k, 1),
+        |                 g.n * 2) END AS alloc
+        |  FROM g, agg),
+        |em AS (SELECT lang,
+        |    CASE WHEN n > 0 THEN 1000 * alloc // n ELSE 0 END AS m FROM a),
+        |cp AS (SELECT doc.doc_id, doc.lang,
+        |    CAST(em.m // 1000
+        |      + CASE WHEN ('0x' || substr(md5(CAST(doc.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |          % 10000 < (em.m % 1000) * 10 THEN 1 ELSE 0 END AS BIGINT) AS copies
+        |  FROM documents doc JOIN em USING (lang) WHERE doc.text IS NOT NULL)
+        |SELECT doc_id, lang, unnest(range(copies)) AS copy_id
+        |FROM cp""".stripMargin,
 
     // Every ratio is an exact int/int IEEE division over identical
     // operands (word/line/char counts), so the rounded metrics and the

@@ -934,6 +934,36 @@ class PipelineOpsSpec extends GraftSpec {
     assert(Seq(mid, big, tight).forall(_.values.map(_._2).sum <= 1000L))
   }
 
+  test("unimax sample: whole epochs replicate, fractional epoch gates by hash") {
+    val alloc = SparkEntry.queries("q_unimax")(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap // lang -> epochs_milli
+    val rows = SparkEntry.queries("q_unimax_sample")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // per (doc, lang): exactly floor(milli/1000) or floor+1 copies, with
+    // copy_id a contiguous 0-based range
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((_, l), rs) =>
+      val m = alloc(l)
+      val n = rs.length.toLong
+      assert(n == m / 1000 || n == m / 1000 + 1, s"lang $l: $n copies at $m milli")
+      assert(rs.map(_._3).sorted.toSeq == (0L until n).toSeq)
+    }
+    // the fractional gate is the exact md5 predicate: replay it per lang
+    // and compare copy totals exactly
+    val corpus = spark.read.parquet(sf() + "/documents.parquet")
+      .filter(col("text").isNotNull)
+      .withColumn("__bkt", graft.operators.Sampling.bucket(col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("__bkt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    alloc.foreach { case (l, m) =>
+      val langDocs = corpus.filter(_._2 == l)
+      val expected = langDocs.length * (m / 1000) +
+        langDocs.count(_._3 < (m % 1000) * 10)
+      assert(rows.count(_._2 == l).toLong == expected,
+        s"lang $l copy total != md5-gate replay")
+    }
+  }
+
   test("gopher quality rules: hand-computed metrics, thresholds gate correctly") {
     import graft.operators.TextAnalysis
     val passing = "the be to of and that have with " + Array.fill(42)("word").mkString(" ")
