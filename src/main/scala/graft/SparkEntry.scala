@@ -240,6 +240,37 @@ object SparkEntry {
       }
     }))
 
+  /** Complete-mode drain for BOUNDED streaming aggregations (sketch
+    * grids, O(cells) rollups): replays the documents table as a file
+    * stream, runs `build` (which must end in a streaming agg whose group
+    * count is bounded by construction, NOT by the data), drains to a
+    * complete-mode memory sink, and returns the final table localized.
+    * No watermark/sentinel machinery — complete mode re-emits the whole
+    * bounded result each batch, so end-of-stream state IS batch parity.
+    * The memory sink holds exactly the agg's group count (4096 rows for
+    * the 4x1024 sketch) — driver-bounded by the operator's shape. */
+  private def runDocStreamComplete(s: SparkSession, dir: String, name: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val docPath = s"$dir/documents.parquet"
+    val schema = s.read.parquet(docPath).schema
+    val raw =
+      if (new java.io.File(docPath).isDirectory)
+        s.readStream.schema(schema).parquet(docPath)
+      else
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val qn = s"graft_docstream_${name}_${streamRun.incrementAndGet()}"
+    val query = build(raw).writeStream
+      .format("memory").queryName(qn)
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val rows = s.table(qn).collect()
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), s.table(qn).schema)
+    } finally query.stop()
+  }
+
   private def runEventStream(s: SparkSession, dir: String, name: String)(
       build: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1834,6 +1865,17 @@ object SparkEntry {
         depth = 4, width = 1024, k = 20)
     }),
 
+    // the sketch's streaming half: replay documents as a file stream,
+    // fill the 4x1024 cell grid incrementally (streaming agg state ==
+    // sketch cells — ~4096 rows at ANY corpus size; the memory sink is
+    // bounded by the sketch shape, not the data), drain, and match the
+    // batch grid bit-for-bit under the same oracle arithmetic
+    "q_count_min_stream" -> ((s, dir) =>
+      runDocStreamComplete(s, dir, "count_min") { docs =>
+        graft.operators.TextAnalysis.countMinCells(docs, "text",
+          depth = 4, width = 1024)
+      }),
+
     // word2phrase-style collocation mining: adjacent-pair PMI over the
     // corpus, noise pairs suppressed by a min pair count
     "q_collocations" -> ((s, dir) => {
@@ -2151,6 +2193,16 @@ object SparkEntry {
         |SELECT ex.term, ex.exact_count, est.cm_estimate
         |FROM ex JOIN est USING (term)
         |ORDER BY ex.exact_count DESC, ex.term LIMIT 20""".stripMargin,
+
+    // the drained streaming grid must equal the batch sketch cells —
+    // same md5 row hashes, same long arithmetic
+    "q_count_min_stream" ->
+      """WITH t AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |cells AS (SELECT CAST(r AS BIGINT) AS r,
+        |    ('0x' || substr(md5('cm' || r || '_' || term), 1, 15))::BIGINT % 1024 AS b,
+        |    count(*) AS cc
+        |  FROM t, range(4) tr(r) GROUP BY 1, 2)
+        |SELECT r, b, cc FROM cells""".stripMargin,
 
     "q_quantiles" -> Seq(0.01, 0.25, 0.5, 0.75, 0.99).map(p =>
       s"SELECT CAST($p AS DOUBLE) AS p, quantile_disc(l_extendedprice, $p) AS value FROM lineitem")

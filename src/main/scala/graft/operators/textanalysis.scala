@@ -548,6 +548,37 @@ object TextAnalysis {
    * of the terms hashing into the cell — identical long arithmetic, so
    * the sketch replays bit-for-bit), then broadcast back.
    */
+  /** The sketch's row hash — fused JVM md5, not conv(md5(...)) Column
+    * chains: one md5 per (token, row) instead of a conv whose per-row
+    * cost profiles at 2x the md5 itself (2.4s -> 0.6s at sf0.1).
+    * Shared by the batch and streaming sketch paths so both fill
+    * IDENTICAL cells. */
+  private def cmBucket(width: Int) = udf { (term: String, r: Int) =>
+    (Dedup.md5LongJvm("cm" + r + "_" + term) % width).toInt
+  }
+
+  /**
+   * The count-min cell grid computed directly from the (possibly
+   * streaming) token stream — the incremental half of
+   * [[countMinTopTerms]]. A streaming aggregation over this relation
+   * carries EXACTLY depth*width state rows regardless of corpus size or
+   * stream length (the sketch's whole point): cell occupancy = count of
+   * (token, row) pairs hashing into the cell, identical long arithmetic
+   * to the batch path's staged derivation, so a drained stream matches
+   * the batch grid bit-for-bit. Complete-mode output is bounded by the
+   * sketch shape (4096 rows at the default 4x1024), never by the data.
+   */
+  def countMinCells(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    depth: Int = 4, width: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape ($depth x $width)")
+    val rows = explode(sequence(lit(0), lit(depth - 1))).as("r")
+    df.select(explode(words(col(textCol))).as("term"))
+      .select(col("term"), rows)
+      .select(col("r").cast("long").as("r"),
+        cmBucket(width)(col("term"), col("r")).cast("long").as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cc"))
+  }
+
   def countMinTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
                        depth: Int = 4, width: Int = 1024,
                        k: Int = 20): org.apache.spark.sql.DataFrame = {
@@ -556,12 +587,7 @@ object TextAnalysis {
     val exact = graft.core.Stage.materialize(
       toks.groupBy(col("term")).agg(count(lit(1)).as("exact_count")), "cm_exact")
     val rows = explode(sequence(lit(0), lit(depth - 1))).as("r")
-    // fused JVM hash, not conv(md5(...)) Column chains: one md5 per
-    // (token, row) instead of a conv whose per-row cost profiles at 2x
-    // the md5 itself (2.4s -> 0.6s at sf0.1)
-    val bucketUdf = udf { (term: String, r: Int) =>
-      (Dedup.md5LongJvm("cm" + r + "_" + term) % width).toInt
-    }
+    val bucketUdf = cmBucket(width)
     val cells = exact.select(col("term"), col("exact_count"), rows)
       .select(col("r"), bucketUdf(col("term"), col("r")).as("b"), col("exact_count"))
       .groupBy(col("r"), col("b")).agg(sum(col("exact_count")).as("cc"))

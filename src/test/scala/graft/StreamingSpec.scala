@@ -104,6 +104,36 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("streaming count-min: cells accumulate across batches, state bounded by the grid") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val cells = graft.operators.TextAnalysis.countMinCells(
+      mem.toDF().toDF("doc_id", "text"), "text", depth = 4, width = 32)
+    val query = cells.writeStream
+      .format("memory").queryName("cm_out").outputMode("complete").start()
+    try {
+      val b1 = Seq((1L, "spark spark flink"), (2L, "spark beam"))
+      val b2 = Seq((3L, "flink flink ray"), (4L, "spark"))
+      mem.addData(b1)
+      query.processAllAvailable()
+      val mid = spark.table("cm_out").agg(sum("cc")).head.getLong(0)
+      assert(mid == 5L * 4, s"batch-1 grid must hold 5 tokens x 4 rows: $mid")
+      mem.addData(b2)
+      query.processAllAvailable()
+      val got = spark.table("cm_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the drained grid equals the batch grid over the union — cell-exact
+      val batch = graft.operators.TextAnalysis.countMinCells(
+        (b1 ++ b2).toDF("doc_id", "text"), "text", depth = 4, width = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == batch, s"stream grid != batch grid")
+      // streaming agg state is the sketch: never more rows than cells
+      val state = query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(state <= 4L * 32, s"state rows $state exceed the 4x32 grid")
+    } finally query.stop()
+  }
+
   test("streaming OnlineTopsis fit: window means + per-batch TOPSIS reach the sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Array[Double])]
