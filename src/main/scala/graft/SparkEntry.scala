@@ -1865,6 +1865,19 @@ object SparkEntry {
         depth = 4, width = 1024, k = 20)
     }),
 
+    // HyperLogLog register table per source (distinct-term cardinality
+    // as a mergeable sketch): one group+register-keyed max agg, <=
+    // #sources * 1024 output rows at any corpus size. The registers are
+    // the oracle surface (integer-exact); the float estimate formula
+    // stays test-side
+    "q_hll_vocab" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("term"))
+      TextAnalysis.hllRegisters(toks, col("source"), col("term"), m = 1024)
+        .select(col("grp").as("source"), col("register"), col("max_rho"))
+    }),
+
     // the sketch's streaming half: replay documents as a file stream,
     // fill the 4x1024 cell grid incrementally (streaming agg state ==
     // sketch cells — ~4096 rows at ANY corpus size; the memory sink is
@@ -2203,6 +2216,21 @@ object SparkEntry {
         |    count(*) AS cc
         |  FROM t, range(4) tr(r) GROUP BY 1, 2)
         |SELECT r, b, cc FROM cells""".stripMargin,
+
+    // registers replay exactly: 60-bit md5 value, register = h mod 1024,
+    // rho = 51 - length(bin(h div 1024)) — no floating logs anywhere
+    "q_hll_vocab" ->
+      """WITH t AS (SELECT source,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT source,
+        |    ('0x' || substr(md5('hll_' || term), 1, 15))::BIGINT AS h FROM t),
+        |r AS (SELECT source, h % 1024 AS register,
+        |    CASE WHEN h // 1024 = 0 THEN 51
+        |      ELSE 51 - length(bin(h // 1024)) END AS rho
+        |  FROM h)
+        |SELECT source, register, CAST(max(rho) AS BIGINT) AS max_rho
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "q_quantiles" -> Seq(0.01, 0.25, 0.5, 0.75, 0.99).map(p =>
       s"SELECT CAST($p AS DOUBLE) AS p, quantile_disc(l_extendedprice, $p) AS value FROM lineitem")

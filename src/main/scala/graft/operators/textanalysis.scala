@@ -678,4 +678,61 @@ object TextAnalysis {
       .withColumn("oov_rate",
         col("n_oov").cast(DoubleType) / greatest(col("n_tokens"), lit(1L)))
   }
+
+  /**
+   * HyperLogLog register table (Flajolet et al. 2007) with DETERMINISTIC
+   * md5-derived hashes — the mergeable distinct-count sketch as data:
+   * per group, `m` registers each holding the max leading-zero rank of
+   * the values hashing into it. Like [[countMinCells]], the REGISTERS
+   * are the contract (integer-exact, engine-replayable, mergeable by
+   * cell-wise max across shards/streams/days); the cardinality estimate
+   * alpha*m^2 / sum(2^-M_j) is a driver- or test-side formula over
+   * m rows, deliberately kept out of the oracle surface because its
+   * floating-point reduction order is engine-defined.
+   *
+   * rho avoids floating logs entirely: the 60-bit md5 value splits into
+   * register = h mod m and w = h div m (a (60-log2 m)-bit suffix), and
+   * rho = suffixBits + 1 - length(bin(w)) — `bin` (leading-zero-free
+   * binary string) is integer-exact in both Spark and DuckDB.
+   *
+   * Scale shape: ONE group+register-keyed hash agg (max partial-
+   * aggregates map-side); output is <= #groups * m rows at ANY corpus
+   * size. This is how you count distinct terms/urls/users per source at
+   * 100 TB without a distinct's full shuffle: the exchange carries only
+   * register maxima.
+   */
+  def hllRegisters(df: org.apache.spark.sql.DataFrame, groupCol: Column,
+                   valueCol: Column, m: Int = 1024): org.apache.spark.sql.DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
+    val p = 63 - java.lang.Long.numberOfLeadingZeros(m.toLong) // log2 m
+    val suffixBits = 60 - p
+    val h = conv(substring(md5(concat(lit("hll_"), valueCol.cast("string"))), 1, 15), 16, 10)
+      .cast(LongType)
+    // w = h div m via shift — NOT `/` (double division is lossy past
+    // 2^53; h is 60-bit). Both engines shift/`//` non-negative h exactly.
+    val w = shiftright(h, p)
+    val rho = when(w === 0, lit(suffixBits + 1))
+      .otherwise(lit(suffixBits + 1) - length(bin(w)))
+    df.select(groupCol.as("grp"),
+        pmod(h, lit(m.toLong)).as("register"), rho.cast(LongType).as("__rho"))
+      .groupBy(col("grp"), col("register"))
+      .agg(max(col("__rho")).as("max_rho"))
+  }
+
+  /** The standard HLL estimate over a [[hllRegisters]] table localized to
+    * the driver (m doubles) — test/report-side companion, see scaladoc
+    * above for why it stays out of the oracle surface. */
+  def hllEstimate(registers: Map[Long, Long], m: Int): Double = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val zeros = m - registers.size
+    val sum = registers.values.map(r => math.pow(2.0, -r.toDouble)).sum + zeros.toDouble
+    val raw = alpha * m.toLong * m.toLong / sum
+    // small-range correction (linear counting) below the 5m/2 knee
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
 }

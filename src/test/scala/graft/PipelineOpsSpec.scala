@@ -964,6 +964,28 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("hll registers: estimate within error bound, merge = cell-wise max") {
+    import graft.operators.TextAnalysis
+    val df = ((0 until 3000).map(i => ("big", s"v$i")) ++ // 3000 distinct
+      (0 until 3000).map(i => ("big", s"v${i % 10}")) ++  // dups change nothing
+      (0 until 40).map(i => ("small", s"w$i"))).toDF("grp", "value")
+    def regs(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.hllRegisters(d, col("grp"), col("value"), m = 1024)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = regs(df)
+    def est(g: String) = TextAnalysis.hllEstimate(
+      full.collect { case ((`g`, reg), rho) => reg -> rho }.toMap, 1024)
+    assert(math.abs(est("big") - 3000) / 3000.0 < 0.15, s"big est ${est("big")}")
+    assert(math.abs(est("small") - 40) / 40.0 < 0.25, s"small est ${est("small")}")
+    // mergeable: registers over the union == cell-wise max of two halves
+    val (h1, h2) = (df.filter(col("value") < "v2"), df.filter(col("value") >= "v2"))
+    val merged = (regs(h1).toSeq ++ regs(h2).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(merged == full, "sharded registers must merge to the full sketch")
+    // rho never exceeds the 50-bit suffix + 1
+    assert(full.values.forall(r => r >= 1 && r <= 51))
+  }
+
   test("gopher quality rules: hand-computed metrics, thresholds gate correctly") {
     import graft.operators.TextAnalysis
     val passing = "the be to of and that have with " + Array.fill(42)("word").mkString(" ")
