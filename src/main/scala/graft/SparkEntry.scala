@@ -1450,6 +1450,43 @@ object SparkEntry {
           round(col("oov_rate"), 6).as("oov_rate"))
     }),
 
+    // composed curation v6 — the standard web-pretraining mixture recipe
+    // as one pipeline: flatten head domains (CCNet/RefinedWeb caps), then
+    // balance languages over the SURVIVORS with the UniMax waterfill and
+    // apply its milli-epoch rates. Allocation reacts to capping (the caps
+    // change per-lang token mass), which is why the stages compose rather
+    // than run independently
+    "q_curate6" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val capped = Sampling.sourceCap(
+        docs.select(col("doc_id"), col("source")), col("source"), col("doc_id"))
+      // stage the survivor relation (sum-of-caps rows — SMALL by the cap
+      // construction): the allocation's build-time collect AND the final
+      // gate both anchor on it, and without the stage each re-runs the
+      // whole cap lineage (two corpus scans + the candidate window)
+      // broadcast the kept-id set: provably sum-of-caps rows (sublinear in
+      // the corpus by the cap construction) — without the hint the
+      // window-derived side has no stats and AQE shuffles the text-carrying
+      // corpus side instead
+      val surv = graft.core.Stage.materialize(
+        docs.join(broadcast(capped.select("doc_id")), Seq("doc_id"))
+          .withColumn("n_tokens",
+            size(split(lower(col("text")), "\\s+")).cast("long"))
+          .select(col("doc_id"), col("source"), col("lang"), col("n_tokens")),
+        "curate6_surv")
+      val alloc = Sampling.unimaxAllocation(surv, col("lang"), col("n_tokens"),
+        budget = 8000L, maxEpochs = 2)
+      val copies = expr("epochs_milli div 1000") +
+        when(Sampling.bucket(col("doc_id")) <
+          pmod(col("epochs_milli"), lit(1000L)) * 10L, 1L).otherwise(0L)
+      surv.select(col("doc_id"), col("source"), col("lang"))
+        .join(broadcast(alloc.select(col("lang"), col("epochs_milli"))), Seq("lang"))
+        .withColumn("copy_id",
+          explode(when(copies > 0, sequence(lit(0L), copies - 1))
+            .otherwise(array().cast("array<bigint>"))))
+        .select(col("doc_id"), col("source"), col("lang"), col("copy_id"))
+    }),
+
     // Temperature-sampled language mixture (Conneau & Lample 2019): keep
     // ~count^(1/2)-proportional shares of each language, upsampling
     // low-resource langs — integer-exact thresholds, md5 keep gate
@@ -4042,6 +4079,49 @@ object SparkEntry {
         |          % 10000 < (em.m % 1000) * 10 THEN 1 ELSE 0 END AS BIGINT) AS copies
         |  FROM documents doc JOIN em USING (lang) WHERE doc.text IS NOT NULL)
         |SELECT doc_id, lang, unnest(range(copies)) AS copy_id
+        |FROM cp""".stripMargin,
+
+    // cap -> waterfill -> gate, composed: the caps CTE feeds the
+    // allocation's lang token mass, so the whole recipe replays end to end
+    "q_curate6" ->
+      """WITH base AS (SELECT * FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT source, count(*) AS n FROM base GROUP BY source),
+        |caps AS (SELECT source, n,
+        |    greatest(2, CAST(ceil(sqrt(n)) AS BIGINT)) AS cap FROM c),
+        |rr AS (SELECT d.doc_id, d.source, d.lang, d.text, caps.cap, caps.n,
+        |    row_number() OVER (PARTITION BY d.source ORDER BY
+        |      ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000, d.doc_id) AS rk
+        |  FROM base d JOIN caps USING (source)),
+        |surv AS (SELECT doc_id, source, lang,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS nt
+        |  FROM rr WHERE n <= cap OR rk <= cap),
+        |cc AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n FROM surv GROUP BY lang),
+        |s AS (SELECT lang, n,
+        |    row_number() OVER (ORDER BY n, lang) AS rk,
+        |    count(*) OVER () AS nl,
+        |    coalesce(sum(n * 2) OVER (ORDER BY n, lang
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM cc),
+        |f AS (SELECT *, CASE WHEN n * 2 * (nl - rk + 1) <= 8000 - pre
+        |    THEN 1 ELSE 0 END AS capped FROM s),
+        |g AS (SELECT *, min(capped) OVER (ORDER BY rk
+        |    ROWS UNBOUNDED PRECEDING) AS is_capped FROM f),
+        |agg AS (SELECT coalesce(sum(CASE WHEN is_capped = 1 THEN n * 2 END), 0) AS sk,
+        |    coalesce(sum(is_capped), 0) AS k, max(nl) AS nl FROM g),
+        |a AS (SELECT g.lang, g.n,
+        |    CASE WHEN g.is_capped = 1 THEN g.n * 2
+        |      ELSE least((8000 - agg.sk) // greatest(agg.nl - agg.k, 1),
+        |                 g.n * 2) END AS alloc
+        |  FROM g, agg),
+        |em AS (SELECT lang,
+        |    CASE WHEN n > 0 THEN 1000 * alloc // n ELSE 0 END AS m FROM a),
+        |cp AS (SELECT surv.doc_id, surv.source, surv.lang,
+        |    CAST(em.m // 1000
+        |      + CASE WHEN ('0x' || substr(md5(CAST(surv.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |          % 10000 < (em.m % 1000) * 10 THEN 1 ELSE 0 END AS BIGINT) AS copies
+        |  FROM surv JOIN em USING (lang))
+        |SELECT doc_id, source, lang, unnest(range(copies)) AS copy_id
         |FROM cp""".stripMargin,
 
     // Every ratio is an exact int/int IEEE division over identical
