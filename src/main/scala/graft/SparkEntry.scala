@@ -1915,6 +1915,18 @@ object SparkEntry {
         .select(col("grp").as("source"), col("register"), col("max_rho"))
     }),
 
+    // streaming HLL: the register table as a complete-mode max agg —
+    // state == #sources * m registers at any corpus size, and the
+    // drained registers equal the batch table (max is the merge)
+    "q_hll_stream" -> ((s, dir) =>
+      runDocStreamComplete(s, dir, "hll") { docs =>
+        graft.operators.TextAnalysis.hllRegisters(
+          docs.filter(col("text").isNotNull)
+            .select(col("source"),
+              explode(split(lower(col("text")), "\\s+")).as("term")),
+          col("source"), col("term"), m = 1024)
+      }.select(col("grp").as("source"), col("register"), col("max_rho"))),
+
     // the sketch's streaming half: replay documents as a file stream,
     // fill the 4x1024 cell grid incrementally (streaming agg state ==
     // sketch cells — ~4096 rows at ANY corpus size; the memory sink is
@@ -2253,6 +2265,21 @@ object SparkEntry {
         |    count(*) AS cc
         |  FROM t, range(4) tr(r) GROUP BY 1, 2)
         |SELECT r, b, cc FROM cells""".stripMargin,
+
+    // the drained streaming registers must equal the batch table — max
+    // IS the merge, so end-of-stream state is the full-corpus sketch
+    "q_hll_stream" ->
+      """WITH t AS (SELECT source,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT source,
+        |    ('0x' || substr(md5('hll_' || term), 1, 15))::BIGINT AS h FROM t),
+        |r AS (SELECT source, h % 1024 AS register,
+        |    CASE WHEN h // 1024 = 0 THEN 51
+        |      ELSE 51 - length(bin(h // 1024)) END AS rho
+        |  FROM h)
+        |SELECT source, register, CAST(max(rho) AS BIGINT) AS max_rho
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     // registers replay exactly: 60-bit md5 value, register = h mod 1024,
     // rho = 51 - length(bin(h div 1024)) — no floating logs anywhere
