@@ -1902,6 +1902,18 @@ object SparkEntry {
         depth = 4, width = 1024, k = 20)
     }),
 
+    // the tokenizer applied: the flattened (doc, pos, token) BPE
+    // sequence — the training artifact itself, not just its count.
+    // Zero-shuffle codegen'd projection + posexplode; the oracle replays
+    // the identical merge walk per distinct word and reassembles
+    // sequences by word/subtoken order
+    "q_bpe_encode" -> ((s, dir) => {
+      tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(graft.functions.BpeEncode(col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
+    }),
+
     // HyperLogLog register table per source (distinct-term cardinality
     // as a mergeable sketch): one group+register-keyed max agg, <=
     // #sources * 1024 output rows at any corpus size. The registers are
@@ -2265,6 +2277,25 @@ object SparkEntry {
         |    count(*) AS cc
         |  FROM t, range(4) tr(r) GROUP BY 1, 2)
         |SELECT r, b, cc FROM cells""".stripMargin,
+
+    // walk per distinct word -> token lists; sequences reassembled by
+    // (word position, subtoken position); pos = 0-based row_number
+    "q_bpe_encode" ->
+      s"""WITH RECURSIVE ${bpeWalkCtes("documents")},
+         |wt AS (SELECT w, string_split(trim(s), ' ') AS toks
+         |       FROM walk WHERE r = ${graft.functions.BpeTokenizer.merges.length}),
+         |dw AS (SELECT doc_id, generate_subscripts(l, 1) AS wi, unnest(l) AS w
+         |       FROM (SELECT doc_id,
+         |               string_split_regex(lower(text), '\\s+') AS l
+         |             FROM documents WHERE text IS NOT NULL)),
+         |ft AS (SELECT dw.doc_id, dw.wi,
+         |         generate_subscripts(wt.toks, 1) AS ti, unnest(wt.toks) AS token
+         |       FROM dw JOIN wt ON wt.w = dw.w)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti) - 1
+         |    AS BIGINT) AS pos,
+         |  token
+         |FROM ft""".stripMargin,
 
     // the drained streaming registers must equal the batch table — max
     // IS the merge, so end-of-stream state is the full-corpus sketch

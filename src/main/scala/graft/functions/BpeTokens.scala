@@ -60,15 +60,18 @@ object BpeTokenizer {
   require(merges.map { case (a, b) => a + b }.distinct.length == merges.length,
     "merged symbols must be distinct")
 
-  /** Memo cache: word -> token count. Bounded; overflow recomputes. */
+  /** Memo cache: word -> merged space-delimited form (" th e " shape).
+    * One cache serves both the count and the encode paths. Bounded;
+    * overflow recomputes. */
   private val cacheCap = 1 << 20
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Encode one already-lowercased word, return its BPE token count. */
-  def encodeWordCount(word: String): Int = {
-    if (word.isEmpty) return 0
+  /** The merge walk for one already-lowercased word: the fixpoint-merged
+    * space-delimited form (empty word -> empty string). */
+  private def mergeWord(word: String): String = {
+    if (word.isEmpty) return ""
     val hit = cache.get(word)
-    if (hit != null) return hit.intValue
+    if (hit != null) return hit
     val sb = new java.lang.StringBuilder(word.length * 2 + 2)
     sb.append(' ')
     word.codePoints().forEach { cp =>
@@ -84,9 +87,16 @@ object BpeTokenizer {
       s = t
       i += 1
     }
+    if (cache.size < cacheCap) cache.putIfAbsent(word, s)
+    s
+  }
+
+  /** Encode one already-lowercased word, return its BPE token count. */
+  def encodeWordCount(word: String): Int = {
+    val s = mergeWord(word)
+    if (s.isEmpty) return 0
     var n = -1; var j = 0
     while (j < s.length) { if (s.charAt(j) == ' ') n += 1; j += 1 }
-    if (cache.size < cacheCap) cache.putIfAbsent(word, Integer.valueOf(n))
     n
   }
 
@@ -97,6 +107,33 @@ object BpeTokenizer {
     var i = 0
     while (i < words.length) { sum += encodeWordCount(words(i)); i += 1 }
     sum
+  }
+
+  /** Document-level encode (called from generated code): the flattened
+    * BPE token sequence, word order then within-word merge order — the
+    * id-surrogate sequence a training pipeline materializes. Token
+    * STRINGS are the portable ids (a fixed vocab->int mapping is a
+    * broadcast dictionary lookup away and adds nothing replayable). */
+  def encodeTokens(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = Dedup.wsPattern.split(text.toString.toLowerCase)
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](words.length * 2)
+    var i = 0
+    while (i < words.length) {
+      val s = mergeWord(words(i))
+      if (s.nonEmpty) {
+        var start = 1 // skip leading sentinel space
+        var j = 1
+        while (j < s.length) {
+          if (s.charAt(j) == ' ') {
+            out += UTF8String.fromString(s.substring(start, j))
+            start = j + 1
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
   }
 }
 
@@ -123,4 +160,31 @@ case class BpeTokenCount(child: Expression) extends UnaryExpression {
 object BpeTokenCount {
   def apply(text: Column): Column =
     GraftSqlBridge.column(BpeTokenCount(GraftSqlBridge.expression(text)))
+}
+
+/** `bpe_encode(text)`: the document's flattened BPE token sequence under
+  * the fixed [[BpeTokenizer]] merge table — same codegen'd kernel tier as
+  * [[BpeTokenCount]], returning `array<string>` for `posexplode` into the
+  * (doc, pos, token) training artifact. */
+case class BpeEncode(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeTokenizer.encodeTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeTokenizer.encodeTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+object BpeEncode {
+  def apply(text: Column): Column =
+    GraftSqlBridge.column(BpeEncode(GraftSqlBridge.expression(text)))
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BpeTokenCount, BpeTokenizer}
+import graft.functions.{BpeEncode, BpeTokenCount, BpeTokenizer}
 import org.apache.spark.sql.functions._
 
 /** The deterministic BPE token-count kernel: hand-computed merge walks,
@@ -44,5 +44,39 @@ class BpeSpec extends GraftSpec {
       val c = BpeTokenizer.encodeWordCount(w)
       assert(c >= 1 && c <= w.length, s"'$w' -> $c")
     }
+  }
+
+  test("encode: hand-computed token sequences; length always equals the count") {
+    def enc(t: String): Seq[String] = {
+      val a = BpeTokenizer.encodeTokens(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      (0 until a.numElements()).map(i =>
+        a.getUTF8String(i).toString)
+    }
+    // the: t h -> th -> the; thinking: th | in | k | ing (fixpoint (i,n)
+    // twice, then (in,g) on the g-adjacent one)
+    assert(enc("the") == Seq("the"))
+    assert(enc("thinking") == Seq("th", "in", "k", "ing"))
+    assert(enc("THE thinking") == Seq("the", "th", "in", "k", "ing"))
+    assert(enc("") == Seq())
+    // sequence length == count, on arbitrary-ish inputs
+    Seq("the thethe ing xyz 12 0000 in  a", "straightforward q2q2q2", "  ")
+      .foreach { t =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+        assert(BpeTokenizer.encodeTokens(u).numElements().toLong ==
+          BpeTokenizer.countTokens(u), s"'$t'")
+      }
+  }
+
+  test("encode expression: posexplode order, codegen'd, null text drops") {
+    val df = Seq((1L, "the thinking"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = df.filter(col("text").isNotNull)
+      .select(col("doc_id"), posexplode(BpeEncode(col("text"))))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 0, "the"), (1L, 1, "th"), (1L, 2, "in"),
+      (1L, 3, "k"), (1L, 4, "ing")))
+    val p = df.select(BpeEncode(col("text"))).queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF"), p)
   }
 }
