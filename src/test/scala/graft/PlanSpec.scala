@@ -318,6 +318,33 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("Exchange"), s"unimax result must not shuffle:\n$p")
   }
 
+  test("q_bpe_encode: zero-shuffle codegen'd projection + generate, no UDF") {
+    val p = plan("q_bpe_encode")
+    assert(!p.contains("Exchange"), s"encode must not shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), s"encode must stay a codegen'd kernel:\n$p")
+    assert(p.contains("Generate"), s"expected posexplode Generate:\n$p")
+  }
+
+  test("q_hll_vocab: one register-keyed shuffle, partial max map-side") {
+    val p = plan("q_hll_vocab")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 1, s"expected the one register agg shuffle, got $shuffles:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial max"),
+      s"register max must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"registers are a pure agg — no window, no join:\n$p")
+  }
+
+  test("q_unimax_sample / q_curate6 gates: rates ride as broadcast joins") {
+    Seq("q_unimax_sample", "q_curate6").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the O(#langs) rate table must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: no corpus-vs-corpus sorted join should exist:\n$p")
+    }
+  }
+
   test("no persisted RDD outlives a staged query's build+run (the q_curate house rule)") {
     // pplBuckets (alone and inside q_curate3) used to persist its scored
     // relation with no unpersist path — asserting the cache manager is
