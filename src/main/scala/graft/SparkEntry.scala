@@ -1784,6 +1784,34 @@ object SparkEntry {
           col("doc_offset"), col("slice_len"))
     }),
 
+    // the END of the pipeline: the packed token stream itself —
+    // (seq_id, seq_pos, token) ready to write as training shards. The
+    // BPE-count packing assignment (two-phase prefix sum) range-joins
+    // the encoded (doc, pos, token) sequence on doc_id: one doc-keyed
+    // equi-join carrying the token stream, intrinsic to materializing
+    // every token; slices are per-doc-bounded so no skew beyond doc
+    // length. Counts and positions come from the SAME merge-walk kernel,
+    // so the slice arithmetic is exact by construction
+    "q_pack_tokens" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val enc = docs
+        .select(col("doc_id"),
+          posexplode(graft.functions.BpeEncode(col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").as("token"))
+      val slices = Sampling.packSequences(
+        docs.withColumn("n_tokens_bpe", graft.functions.BpeTokenCount(col("text"))),
+        col("doc_id"), col("n_tokens_bpe"), seqLen = 512L)
+        .select(col("doc_id").as("__d"), col("seq_id"), col("seq_offset"),
+          col("doc_offset"), col("slice_len"))
+      enc.join(slices, col("doc_id") === col("__d") &&
+          col("pos") >= col("doc_offset") &&
+          col("pos") < col("doc_offset") + col("slice_len"))
+        .select(col("seq_id"),
+          (col("seq_offset") + col("pos") - col("doc_offset")).as("seq_pos"),
+          col("token"))
+    }),
+
     "q_chunk" -> ((s, dir) => {
       // 64-token chunks with 16-token overlap over the documents corpus
       TextAnalysis.chunk(tbl(s, dir, "documents").select("doc_id", "text"),
@@ -3493,6 +3521,40 @@ object SparkEntry {
          |  greatest(prev, seq_id*512) - prev AS doc_offset,
          |  least(cum, (seq_id+1)*512) - greatest(prev, seq_id*512) AS slice_len
          |FROM s, unnest(generate_series(prev // 512, (cum-1) // 512)) AS t(seq_id)""".stripMargin,
+
+    // pack CTE + encode CTE joined on (doc, pos-in-slice): seq_pos =
+    // seq_offset + (pos - doc_offset); counts and positions share the
+    // walk, so every token lands in exactly one slice
+    "q_pack_tokens" ->
+      s"""WITH RECURSIVE ${bpeWalkCtes("documents")},
+         |d AS (SELECT tok.doc_id, CAST(sum(coalesce(wc.c, 0)) AS BIGINT) AS n_tokens
+         |      FROM tok LEFT JOIN wc ON tok.w = wc.w GROUP BY tok.doc_id),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM d),
+         |s AS (SELECT doc_id, n_tokens, cum, cum - n_tokens AS prev FROM c WHERE n_tokens > 0),
+         |slices AS (SELECT doc_id, seq_id,
+         |    greatest(prev, seq_id*512) - seq_id*512 AS seq_offset,
+         |    greatest(prev, seq_id*512) - prev AS doc_offset,
+         |    least(cum, (seq_id+1)*512) - greatest(prev, seq_id*512) AS slice_len
+         |  FROM s, unnest(generate_series(prev // 512, (cum-1) // 512)) AS t(seq_id)),
+         |wt AS (SELECT w, string_split(trim(s), ' ') AS toks
+         |       FROM walk WHERE r = ${graft.functions.BpeTokenizer.merges.length}),
+         |dw AS (SELECT doc_id, generate_subscripts(l, 1) AS wi, unnest(l) AS w
+         |       FROM (SELECT doc_id,
+         |               string_split_regex(lower(text), '\\s+') AS l
+         |             FROM documents WHERE text IS NOT NULL)),
+         |ft AS (SELECT dw.doc_id, dw.wi,
+         |         generate_subscripts(wt.toks, 1) AS ti, unnest(wt.toks) AS token
+         |       FROM dw JOIN wt ON wt.w = dw.w),
+         |enc AS (SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti) - 1
+         |      AS BIGINT) AS pos, token
+         |  FROM ft)
+         |SELECT p.seq_id,
+         |  CAST(p.seq_offset + e.pos - p.doc_offset AS BIGINT) AS seq_pos, e.token
+         |FROM enc e JOIN slices p ON p.doc_id = e.doc_id
+         |  AND e.pos >= p.doc_offset AND e.pos < p.doc_offset + p.slice_len""".stripMargin,
 
     "q_pack" ->
       """WITH d AS (SELECT doc_id,

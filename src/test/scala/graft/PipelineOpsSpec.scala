@@ -986,6 +986,25 @@ class PipelineOpsSpec extends GraftSpec {
     assert(full.values.forall(r => r >= 1 && r <= 51))
   }
 
+  test("packed token stream: every sequence densely filled 0..511, last ragged") {
+    val rows = SparkEntry.queries("q_pack_tokens")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    val bySeq = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (seq, ps) =>
+      assert(ps == (0L until ps.length), s"seq $seq positions not dense from 0")
+      if (seq != lastSeq) assert(ps.length == 512, s"seq $seq not full: ${ps.length}")
+      else assert(ps.length <= 512)
+    }
+    // token budget conservation: stream length == corpus BPE token total
+    val total = spark.read.parquet(sf() + "/documents.parquet")
+      .filter(col("text").isNotNull)
+      .select(graft.functions.BpeTokenCount(col("text")).as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(rows.length.toLong == total, s"${rows.length} != $total")
+  }
+
   test("gopher quality rules: hand-computed metrics, thresholds gate correctly") {
     import graft.operators.TextAnalysis
     val passing = "the be to of and that have with " + Array.fill(42)("word").mkString(" ")
