@@ -304,6 +304,65 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("sourceCap: per-source counts = min(n, cap), kept set is a subset, caps sublinear") {
+    import graft.operators.Sampling
+    val corpGen = for {
+      nSrc <- Gen.choose(1, 5)
+      sizes <- Gen.listOfN(nSrc, Gen.choose(1, 40))
+    } yield sizes
+    forSamples(corpGen, n = 6) { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (sz, s) =>
+        (0 until sz).map(i => (s * 1000L + i, s"s$s"))
+      }
+      val df = rows.toDF("doc_id", "source")
+      val got = Sampling.sourceCap(df, col("source"), col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(got.map(_._1).toSet.subsetOf(rows.map(_._1).toSet))
+      val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+      sizes.zipWithIndex.foreach { case (sz, s) =>
+        val cap = math.max(2L, math.ceil(math.sqrt(sz.toDouble)).toLong)
+        assert(bySrc.getOrElse(s"s$s", 0) == math.min(sz.toLong, cap).toInt,
+          s"source s$s size $sz cap $cap got ${bySrc.get(s"s$s")}")
+        // the emitted cap column agrees with the formula
+        got.filter(_._2 == s"s$s").foreach { case (_, _, c) => assert(c == cap) }
+      }
+    }
+  }
+
+  test("unimaxAllocation: never over budget, never over epochs, exhausts the binding constraint") {
+    import graft.operators.Sampling
+    val gen = for {
+      nl <- Gen.choose(1, 6)
+      ns <- Gen.listOfN(nl, Gen.choose(1L, 500L))
+      b <- Gen.choose(10L, 3000L)
+      e <- Gen.choose(1, 4)
+    } yield (ns, b, e)
+    forSamples(gen, n = 8) { case (ns, b, e) =>
+      val df = ns.zipWithIndex.map { case (n, i) => (s"l$i", n) }.toDF("lang", "nt")
+      val got = Sampling.unimaxAllocation(df, col("lang"), col("nt"), b, e)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val total = got.map(_._3).sum
+      assert(total <= b, s"allocated $total over budget $b")
+      got.foreach { case (l, n, a, m) =>
+        assert(a <= n * e, s"$l epoch cap violated: $a > $n*$e")
+        assert(m == (if (n > 0) 1000L * a / n else 0L))
+      }
+      // one constraint binds: either the whole corpus*E fits (all
+      // epoch-capped) or the leftover budget is under #uncapped langs
+      // (integer-division remainder only)
+      val fullNeed = got.map { case (_, n, _, _) => n * e }.sum
+      if (fullNeed > b) {
+        // budget-limited: uncapped langs each take exactly share =
+        // (B - S_k) div (L - k), so the leftover is the integer-division
+        // remainder — strictly under the uncapped count
+        val uncapped = got.count { case (_, n, a, _) => a < n * e }
+        assert(uncapped > 0, "budget-limited case must have uncapped langs")
+        assert(b - total < uncapped,
+          s"leftover ${b - total} >= uncapped $uncapped — not a division remainder")
+      } else assert(total == fullNeed, "everything fits -> exact epoch-capped total")
+    }
+  }
+
   test("RealCodecs BMP: arbitrary dims round-trip pixel-exactly incl. padded row widths") {
     import graft.operators.Multimodal.RealCodecs
     val dimGen = for {
