@@ -1794,22 +1794,26 @@ object SparkEntry {
     // so the slice arithmetic is exact by construction
     "q_pack_tokens" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
-      val enc = docs
-        .select(col("doc_id"),
-          posexplode(graft.functions.BpeEncode(col("text"))))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          col("col").as("token"))
       val slices = Sampling.packSequences(
         docs.withColumn("n_tokens_bpe", graft.functions.BpeTokenCount(col("text"))),
         col("doc_id"), col("n_tokens_bpe"), seqLen = 512L)
-        .select(col("doc_id").as("__d"), col("seq_id"), col("seq_offset"),
+        .select(col("doc_id"), col("seq_id"), col("seq_offset"),
           col("doc_offset"), col("slice_len"))
-      enc.join(slices, col("doc_id") === col("__d") &&
-          col("pos") >= col("doc_offset") &&
+      // join slices to the TEXT and explode AFTER: the doc_id shuffle
+      // carries ~#docs + #slices doc-sized records, never the token
+      // stream (joining the exploded (doc, pos, token) relation instead
+      // shuffles one record PER TOKEN — measured 255s vs 46s at the
+      // 5M-doc point, pure shuffle-record overhead). Multi-slice docs
+      // re-encode per slice; the word memo makes that re-walk ~free
+      slices.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("seq_id"), col("seq_offset"), col("doc_offset"),
+          col("slice_len"),
+          posexplode(graft.functions.BpeEncode(col("text"))))
+        .filter(col("pos") >= col("doc_offset") &&
           col("pos") < col("doc_offset") + col("slice_len"))
         .select(col("seq_id"),
           (col("seq_offset") + col("pos") - col("doc_offset")).as("seq_pos"),
-          col("token"))
+          col("col").as("token"))
     }),
 
     "q_chunk" -> ((s, dir) => {
