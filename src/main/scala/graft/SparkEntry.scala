@@ -1743,6 +1743,27 @@ object SparkEntry {
       Similarity.embeddingStats(tbl(s, dir, "embeddings"), "embedding")
     }),
 
+    // JL random projection (the ANN compute/bytes lever): 64 → 16 dims
+    // through the codegen'd ±1 kernel — zero-shuffle, engine-exact
+    // ordered fold; output exploded so the oracle compares scalars
+    "q_rand_proj" -> ((s, dir) => {
+      Similarity.randomProjection(tbl(s, dir, "embeddings"),
+          "embedding", "proj", inDims = 64, outDims = 16, tag = "16")
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim", "__v")))
+        .select(col("vec_id"), col("dim"), round(col("__v"), 6).as("v"))
+    }),
+
+    // two-stage ANN: JL-projected dot-product candidates (top-10),
+    // exact-cosine re-rank (top-3) — approximate vs brute force but the
+    // whole cascade is deterministic, so the oracle replays it exactly
+    "q_ann_proj" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.projTopK(emb, "vec_id", "embedding", queries, "qid", "qvec",
+        k = 3, candK = 10, inDims = 64, outDims = 16)
+    }),
+
     // int8 embedding quantization (the ANN memory lever): per-vector
     // scale + code stats — checksum-style output keeps the oracle scalar
     "q_quantize" -> ((s, dir) => {
@@ -3467,6 +3488,79 @@ object SparkEntry {
          |  CAST(p.mx IS NULL OR p.mx < $tau AS INT) AS kept
          |FROM asg LEFT JOIN p ON asg.vec_id = p.vec_id""".stripMargin
     },
+
+    // JL projection replayed exactly: md5-parity ±1 signs, the same
+    // i-ascending left fold as the kernel (list ORDER BY i + list_reduce
+    // — IEEE double adds in identical order are bit-equal), ×0.25 scale
+    "q_rand_proj" ->
+      """WITH flat AS (
+        |  SELECT vec_id, i, CAST(list_extract(embedding, CAST(i + 1 AS INTEGER)) AS DOUBLE) AS x
+        |  FROM embeddings, range(64) ti(i)),
+        |m AS (
+        |  SELECT j, i,
+        |    CASE WHEN ('0x' || substr(md5('rp_16_' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
+        |  FROM range(16) tj(j), range(64) ti(i)),
+        |t AS (
+        |  SELECT f.vec_id, m.j, list(m.s * f.x ORDER BY f.i) AS terms
+        |  FROM flat f JOIN m ON m.i = f.i GROUP BY f.vec_id, m.j)
+        |SELECT vec_id, CAST(j AS INTEGER) AS dim,
+        |  round(0.25 * list_reduce(list_prepend(CAST(0 AS DOUBLE), terms),
+        |    (a, x) -> a + x), 6) AS v
+        |FROM t""".stripMargin,
+
+    // the projected-candidate cascade: stage-1 rank by (round(pdot,4)
+    // desc, id) keeps 10, stage-2 exact cosine keeps 3 — both ranks are
+    // the ANN determinism convention, so approximate != inexact
+    "q_ann_proj" ->
+      """WITH flat AS (
+        |  SELECT vec_id, i, CAST(list_extract(embedding, CAST(i + 1 AS INTEGER)) AS DOUBLE) AS x
+        |  FROM embeddings, range(64) ti(i)),
+        |m AS (
+        |  SELECT j, i,
+        |    CASE WHEN ('0x' || substr(md5('rp_16_' || CAST(j AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+        |         THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
+        |  FROM range(16) tj(j), range(64) ti(i)),
+        |n2 AS (
+        |  SELECT vec_id, sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list(x * x ORDER BY i)), (a, x) -> a + x)) AS nrm
+        |  FROM flat GROUP BY vec_id),
+        |proj AS (
+        |  SELECT t.vec_id, t.j,
+        |    CASE WHEN n2.nrm > 0 THEN
+        |      (0.25 * list_reduce(list_prepend(CAST(0 AS DOUBLE), terms),
+        |        (a, x) -> a + x)) / n2.nrm
+        |    ELSE CAST(0 AS DOUBLE) END AS p
+        |  FROM (SELECT f.vec_id, m.j, list(m.s * f.x ORDER BY f.i) AS terms
+        |        FROM flat f JOIN m ON m.i = f.i GROUP BY f.vec_id, m.j) t
+        |  JOIN n2 ON n2.vec_id = t.vec_id),
+        |pd AS (
+        |  SELECT qid, vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), terms), (a, x) -> a + x) AS pdot
+        |  FROM (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+        |          list(q.p * c.p ORDER BY q.j) AS terms
+        |        FROM proj q JOIN proj c ON q.j = c.j AND c.vec_id <> q.vec_id
+        |        WHERE q.vec_id < 5 GROUP BY q.vec_id, c.vec_id)),
+        |ck AS (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT qid, vec_id,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY round(pdot, 4) DESC, vec_id) AS prank
+        |    FROM pd) WHERE prank <= 10),
+        |s AS (
+        |  SELECT ck.qid, ck.vec_id,
+        |    sum(fa.x * fb.x) AS dot, sum(fa.x * fa.x) AS na, sum(fb.x * fb.x) AS nb
+        |  FROM ck
+        |  JOIN flat fa ON fa.vec_id = ck.qid
+        |  JOIN flat fb ON fb.vec_id = ck.vec_id AND fb.i = fa.i
+        |  GROUP BY ck.qid, ck.vec_id),
+        |sc AS (
+        |  SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS score,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 4) DESC, vec_id) AS rank
+        |  FROM s)
+        |SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, score
+        |FROM sc WHERE rank <= 3""".stripMargin,
 
     // flat (vec, dim) join via scalar range — same decimal-truncate-
     // then-sum exactness as the LM scores, same division order

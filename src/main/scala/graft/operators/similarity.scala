@@ -334,4 +334,71 @@ object Similarity {
         round(graft.functions.ArrayKernels.l2(col(vecCol), col("centroid")), 4)
           .as("centroid_dist"))
   }
+
+  /** JL ±1 sign matrix, row-major (outDims × inDims), md5-derived so any
+    * engine replays it: s(j,i) = +1 iff md5("rp_tag_j_i") is even. */
+  def rpSigns(inDims: Int, outDims: Int, tag: String): Array[Byte] =
+    Array.tabulate(outDims * inDims) { n =>
+      val (j, i) = (n / inDims, n % inDims)
+      if (Dedup.md5LongJvm(s"rp_${tag}_${j}_${i}") % 2 == 0) 1: Byte else -1: Byte
+    }
+
+  /** Adds `projCol` = the JL projection of `vecCol` to outDims dims
+    * (scale 1/√outDims — exact in doubles for power-of-4 outDims).
+    * Zero-shuffle codegen'd map; see [[graft.functions.RandomProject]]
+    * for the scale rationale and the engine-exactness contract. */
+  def randomProjection(df: DataFrame, vecCol: String, projCol: String,
+                       inDims: Int, outDims: Int, tag: String,
+                       normalize: Boolean = false): DataFrame =
+    df.withColumn(projCol, graft.functions.RandomProject(
+      col(vecCol), rpSigns(inDims, outDims, tag), outDims,
+      1.0 / math.sqrt(outDims.toDouble), normalize))
+
+  /**
+   * Two-stage ANN: JL-projected candidate generation + exact re-rank.
+   * Stage 1 scores every (query, corpus) pair by DOT PRODUCT in the
+   * projected space — outDims muls instead of inDims (the 4× compute
+   * cut at 64→16), same bounded-heap top-k shuffle shape as
+   * [[bruteForceTopK]] — keeping `candK` candidates per query. Stage 2
+   * re-scores only those candidates by exact cosine on the full
+   * vectors and keeps `k`. Both stages rank by (round(score,4) desc,
+   * id) — the deterministic ANN convention — so the whole cascade has
+   * an exact oracle despite being approximate vs brute force.
+   *
+   * At 100 TB the corpus-side win compounds: the projected vectors are
+   * the only thing the candidate stage touches, so the scan reads
+   * outDims doubles per row (columnar pruning drops the full vector
+   * until the candK-sized re-rank join, which is candidate-sized, not
+   * corpus-sized).
+   */
+  def projTopK(corpus: DataFrame, idCol: String, vecCol: String,
+               queries: DataFrame, qidCol: String, qvecCol: String,
+               k: Int, candK: Int, inDims: Int, outDims: Int,
+               tag: String = "16"): DataFrame = {
+    // project the UNIT vectors: stage-1 ranks by dot product, and the
+    // target metric is cosine — unnormalized dots would let a long
+    // vector outrank a better-aligned short one. NB the synthetic test
+    // embeddings are near-orthogonal noise (pairwise cosine gaps below
+    // the JL error at any useful compression), so corpus-wide recall@3
+    // there is the noise floor (~0.2 at candK=10, rising with candK);
+    // with real neighbor structure (planted near-dup cluster, spec'd)
+    // the cascade recovers the whole cluster at rank 1-3. candK is the
+    // recall dial; the JL error shrinks as 1/√outDims.
+    val cp = randomProjection(corpus, vecCol, "__p", inDims, outDims, tag,
+      normalize = true).select(col(idCol), col("__p"))
+    val qp = randomProjection(queries, qvecCol, "__qp", inDims, outDims, tag,
+      normalize = true).select(col(qidCol), col("__qp"))
+    val scored = cp.crossJoin(broadcast(qp))
+      .filter(col(qidCol) =!= col(idCol))
+      .withColumn("score", graft.functions.ArrayKernels.dot(col("__qp"), col("__p")))
+    val cands = topKPerQuery(scored, qidCol, idCol, candK)
+      .select(col(qidCol), col(idCol))
+    // candidates are queries×candK rows — broadcast THEM at the corpus,
+    // so the re-rank join is a semi-join-shaped scan, never a shuffle
+    val rescored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col(qvecCol))), Seq(qidCol))
+      .withColumn("score", cosine(col(qvecCol), col(vecCol)))
+    topKPerQuery(rescored, qidCol, idCol, k)
+  }
 }

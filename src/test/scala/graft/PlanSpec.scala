@@ -213,6 +213,25 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("q_rand_proj: projection is a zero-shuffle codegen'd map (matrix plan-embedded)") {
+    val p = plan("q_rand_proj")
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"the sign matrix must ride the plan, not a join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"projection must be the native expression:\n$p")
+    assert(p.contains("*(1)"), s"projection must participate in codegen:\n$p")
+  }
+
+  test("q_ann_proj: candidate + re-rank joins broadcast; only top-k heap shuffles") {
+    val p = plan("q_ann_proj")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-sized join side exists:\n$p")
+    // two bounded-heap top-k merges (candidates, re-rank) are the only
+    // hash shuffles; everything else is broadcast-shaped
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 2, s"expected only the two top-k merges, got $shuffles:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query/candidate sides must broadcast:\n$p")
+  }
+
   test("q_quality_clf: inference is a zero-shuffle codegen'd projection") {
     val p = plan("q_quality_clf")
     assert(!p.contains("Exchange"), s"classifier inference must not shuffle:\n$p")
