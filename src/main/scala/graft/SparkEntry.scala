@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AHP, Apriori, AutoFeatureTransformer, Canopy, Dedup, FCMModel, Joins, MeanImputer, Multimodal, OnlineAHP, OnlineTopsis, QualityClassifier, Quantiles, Sampling, Similarity, StandardScalerEst, TextAnalysis, Topsis}
+import graft.operators.{AHP, Apriori, AutoFeatureTransformer, BpeTrain, Canopy, Dedup, FCMModel, Joins, MeanImputer, Multimodal, OnlineAHP, OnlineTopsis, QualityClassifier, Quantiles, Sampling, Similarity, StandardScalerEst, TextAnalysis, Topsis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -456,6 +456,56 @@ object SparkEntry {
        |wc AS (SELECT w, len(string_split(trim(s), ' ')) AS c FROM walk WHERE r = $n),
        |tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
        |        FROM $src WHERE text IS NOT NULL)""".stripMargin
+  }
+
+  // BPE TRAINING replayed merge by merge — the q_fcm_fit unrolled-oracle
+  // pattern: each learned merge k is a pair-count aggregation (pairs_k),
+  // a (count desc, lhs, rhs) argmax (best_k), and a recursive fixpoint
+  // application over the dictionary forms (st_k), chained N times. The
+  // final SELECT unions the N argmax rows — the learned merge table.
+  private def bpeTrainSql(src: String, vocabCap: Int, nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |  FROM $src WHERE text IS NOT NULL),
+         |wcnt AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq
+         |         FROM tok WHERE w <> '' GROUP BY w),
+         |st0f(w, freq, f) AS MATERIALIZED (
+         |  SELECT w, freq, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g')
+         |  FROM (SELECT w, freq,
+         |          row_number() OVER (ORDER BY freq DESC, w) AS rn FROM wcnt)
+         |  WHERE rn <= $vocabCap)""".stripMargin)
+    for (k <- 1 to nMerges) {
+      val prev = s"st${k - 1}f"
+      sb.append(
+        s""",
+           |pairs$k AS MATERIALIZED (
+           |  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           |    SELECT x.freq, x.toks[CAST(t.i AS INTEGER)] AS a,
+           |           x.toks[CAST(t.i + 1 AS INTEGER)] AS b
+           |    FROM (SELECT freq, string_split(trim(f), ' ') AS toks FROM $prev) x,
+           |         unnest(generate_series(1, len(x.toks) - 1)) AS t(i))
+           |  GROUP BY a, b),
+           |best$k AS MATERIALIZED (
+           |  SELECT a, b, cnt, ' ' || a || ' ' || b || ' ' AS pat,
+           |         ' ' || a || b || ' ' AS rep
+           |  FROM pairs$k ORDER BY cnt DESC, a, b LIMIT 1),
+           |st$k(w, freq, f, done) AS (
+           |  SELECT w, freq, f, 0 FROM $prev
+           |  UNION ALL
+           |  SELECT s.w, s.freq,
+           |    CASE WHEN replace(s.f, b.pat, b.rep) <> s.f
+           |         THEN replace(s.f, b.pat, b.rep) ELSE s.f END,
+           |    CASE WHEN replace(s.f, b.pat, b.rep) <> s.f THEN 0 ELSE 1 END
+           |  FROM st$k s JOIN best$k b ON s.done = 0),
+           |st${k}f AS MATERIALIZED (SELECT w, freq, f FROM st$k WHERE done = 1)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to nMerges).map(k =>
+      s"SELECT CAST($k AS INTEGER) AS rank, a AS lhs, b AS rhs, cnt AS pair_count FROM best$k")
+      .mkString("", "\nUNION ALL\n", ""))
+    sb.toString
   }
 
   // Banded candidates + Jaccard verify + symmetric verified edges — the
@@ -1967,6 +2017,14 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("token"))
     }),
 
+    // BPE TRAINING (Sennrich): learn the top-16 merges from the corpus's
+    // own word frequencies — one corpus scan (vocab-keyed partial agg),
+    // bounded top-1024 dictionary, driver merge loop. Output = the
+    // learned merge table, replayed merge-by-merge by the oracle
+    "q_bpe_train" -> ((s, dir) =>
+      BpeTrain.bpeTrain(tbl(s, dir, "documents"), "text",
+        vocabCap = 1024, nMerges = 16)),
+
     // HyperLogLog register table per source (distinct-term cardinality
     // as a mergeable sketch): one group+register-keyed max agg, <=
     // #sources * 1024 output rows at any corpus size. The registers are
@@ -2349,6 +2407,11 @@ object SparkEntry {
          |    AS BIGINT) AS pos,
          |  token
          |FROM ft""".stripMargin,
+
+    // training replayed merge by merge (see bpeTrainSql): 16 chained
+    // (pair-count agg → argmax → recursive fixpoint apply) steps over
+    // the same bounded top-1024 dictionary the Spark side collects
+    "q_bpe_train" -> bpeTrainSql("documents", vocabCap = 1024, nMerges = 16),
 
     // the drained streaming registers must equal the batch table — max
     // IS the merge, so end-of-stream state is the full-corpus sketch

@@ -79,4 +79,44 @@ class BpeSpec extends GraftSpec {
     val p = df.select(BpeEncode(col("text"))).queryExecution.executedPlan.toString
     assert(!p.contains("ScalaUDF"), p)
   }
+
+  test("training: hand-traced merge sequence (overlap counts, fixpoint apply)") {
+    import graft.operators.BpeTrain
+    // "aaab"×3 + "ab"×2: (a,a) counts 6 (two OVERLAPPING index pairs per
+    // "aaab"), beating (a,b)=5; the fixpoint apply leaves " aa a b "
+    // (the shared delimiter stops a second merge, same as the walk);
+    // then (a,b)=5 beats (aa,a)=3; then only (aa,ab) remains
+    val got = BpeTrain.trainOnDict(Array(("aaab", 3L), ("ab", 2L)), 3)
+    assert(got.toSeq == Seq((1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L)))
+  }
+
+  test("training: count ties break (lhs, rhs) ascending") {
+    import graft.operators.BpeTrain
+    val got = BpeTrain.trainOnDict(Array(("bc", 1L), ("ba", 1L)), 1)
+    assert(got.head == ((1, "b", "a", 1L)), got.toSeq)
+    val got2 = BpeTrain.trainOnDict(Array(("ba", 1L), ("ab", 1L)), 1)
+    assert(got2.head == ((1, "a", "b", 1L)), got2.toSeq)
+  }
+
+  test("training: exhausted dictionary fails fast, not short") {
+    import graft.operators.BpeTrain
+    // one two-char word supports exactly one merge
+    intercept[IllegalArgumentException] {
+      BpeTrain.trainOnDict(Array(("ab", 5L)), 2)
+    }
+  }
+
+  test("q_bpe_train: 16 ranked merges on the corpus, positive weighted counts") {
+    val rows = SparkEntry.queries("q_bpe_train")(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.map(_._1).sorted.toSeq == (1 to 16))
+    assert(rows.forall(r => r._2.nonEmpty && r._3.nonEmpty && r._4 > 0))
+    // every learned symbol is buildable from earlier merges or single chars
+    val symbols = scala.collection.mutable.Set[String]()
+    rows.sortBy(_._1).foreach { case (_, a, b, _) =>
+      assert(a.length == 1 || symbols.contains(a), s"unbuildable lhs $a")
+      assert(b.length == 1 || symbols.contains(b), s"unbuildable rhs $b")
+      symbols += a + b
+    }
+  }
 }
