@@ -2112,6 +2112,86 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"), col("mean_nll2"))
     }),
 
+    // Moore-Lewis cross-entropy difference selection (Moore & Lewis
+    // 2010): in-domain LM = the English slice, general LM = the whole
+    // corpus; select docs the in-domain model likes better. One token
+    // explode, two vocab-keyed count joins, decimal-exact per-doc means
+    "q_moore_lewis" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      TextAnalysis.mooreLewis(docs, "text", "doc_id", col("lang") === "en")
+    }),
+
+    // per-source token-distribution drift: Jensen-Shannon divergence of
+    // each source's unigram distribution vs the corpus — the mixture
+    // health check that flags a drifted shard/source/day
+    "q_js_drift" -> ((s, dir) => {
+      TextAnalysis.jsDivergence(tbl(s, dir, "documents"), "text", col("source"))
+        .select(col("grp").as("source"), col("n_tokens"), col("js_div"))
+    }),
+
+    // substring blocklist filter (UT1-style word/phrase lists): per-doc
+    // leftmost non-overlapping match counts from the codegen'd kernel —
+    // zero-shuffle corpus pass; blocked = any pattern hit
+    "q_blocklist" -> ((s, dir) => {
+      val hits = graft.functions.BlocklistHits(col("text"))
+      tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), hits.as("__h"))
+        .select(col("doc_id"),
+          aggregate(col("__h"), lit(0L), (a, x) => a + x).as("n_hits"),
+          size(filter(col("__h"), _ > 0L)).cast("long").as("n_patterns"))
+        .withColumn("blocked", col("n_hits") >= 1L)
+    }),
+
+    // tokenizer economics per language: BPE fertility (subword tokens per
+    // whitespace word) and compression (chars per token) — the health
+    // stat that catches a tokenizer under-serving a language. Integer
+    // sums shuffle; the ratios are one rounded division at the end
+    "q_bpe_fertility" -> ((s, dir) => {
+      tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("lang"),
+          graft.functions.BpeTokenCount(col("text")).as("__bt"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("__w"),
+          length(col("text")).cast("long").as("__ch"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__bt")).as("n_tokens_bpe"),
+          sum(col("__w")).as("n_words"), sum(col("__ch")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_tokens_bpe"),
+          col("n_words"), col("n_chars"),
+          round(col("n_tokens_bpe").cast("double") / col("n_words"), 6).as("fertility"),
+          round(col("n_chars").cast("double") / col("n_tokens_bpe"), 6).as("chars_per_token"))
+    }),
+
+    // Zipf rank-frequency fit over the vocabulary head: the corpus-health
+    // regression (slope near -1 for natural text). Vocab agg + top-K via
+    // TakeOrderedAndProject; one output row, decimal-exact ln sums
+    "q_zipf_fit" -> ((s, dir) => {
+      TextAnalysis.zipfFit(tbl(s, dir, "documents"), "text", topK = 25)
+    }),
+
+    // RefinedWeb/FineWeb-style DOMAIN-level gating: score every doc with
+    // the hash-TF classifier kernel (zero-shuffle), aggregate the mean
+    // margin per source (bounded groups), and gate whole sources that
+    // fall below the RELATIVE bar (the mean of source means) — a fixed
+    // absolute bar either keeps or drops everything on a homogeneous
+    // corpus; the relative bar always splits unless sources tie
+    "q_domain_filter" -> ((s, dir) => {
+      val w = QualityClassifier.syntheticWeightsMilli(512)
+      val scored = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          graft.functions.HashTfLinearMargin(col("text"), w, 0.1).as("__m"))
+      val bySrc = scored.groupBy(col("source"))
+        .agg(round(sum(col("__m").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("source_quality"))
+      val bar = bySrc.agg(
+        round(sum(col("source_quality").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("quality_bar"))
+      scored.join(broadcast(bySrc), Seq("source"))
+        .crossJoin(broadcast(bar))
+        .select(col("doc_id"), col("source"), col("source_quality"),
+          col("quality_bar"),
+          (col("source_quality") >= col("quality_bar")).as("kept"))
+    }),
+
     // training-mix construction: sample the corpus DOWN to 40/30/20/10
     // source proportions — the binding stratum stays whole, the others
     // hash-threshold down; sources outside the mix drop entirely
@@ -3945,6 +4025,137 @@ object SparkEntry {
         |    / count(*), 6) AS mean_nll
         |FROM t JOIN lm USING (term), tot
         |GROUP BY doc_id""".stripMargin,
+
+    // the q_lm_score unigram-LM CTEs twice (general + in-domain), the
+    // per-token ln difference truncated to decimal before the doc sum —
+    // identical IEEE double steps to the Spark expression
+    "q_moore_lewis" ->
+      """WITH t AS (SELECT doc_id, (lang = 'en') AS ind,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |g AS (SELECT term, count(*) AS cg FROM t GROUP BY 1),
+        |i AS (SELECT term, count(*) AS ci FROM t WHERE ind GROUP BY 1),
+        |tg AS (SELECT CAST(sum(cg) AS DOUBLE) AS tg, CAST(count(*) AS DOUBLE) AS vg FROM g),
+        |ti AS (SELECT CAST(sum(ci) AS DOUBLE) AS ti, CAST(count(*) AS DOUBLE) AS vi FROM i)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(CAST(ln((cg + 1.0) / (tg + vg))
+        |      - ln((coalesce(ci, 0) + 1.0) / (ti + vi)) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / count(*), 6) AS ce_diff,
+        |  (round(CAST(sum(CAST(ln((cg + 1.0) / (tg + vg))
+        |      - ln((coalesce(ci, 0) + 1.0) / (ti + vi)) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / count(*), 6) < 0) AS selected
+        |FROM t JOIN g USING (term) LEFT JOIN i USING (term), tg, ti
+        |GROUP BY doc_id""".stripMargin,
+
+    // per-term JS contributions with the same double arithmetic order as
+    // the Spark column expression (p and q derived fresh at each use —
+    // identical IEEE values), truncated to decimal before the group sum
+    "q_js_drift" ->
+      """WITH t AS (SELECT source AS grp,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |cgt AS (SELECT grp, term, count(*) AS cg FROM t GROUP BY 1, 2),
+        |tgt AS (SELECT grp, count(*) AS tg FROM t GROUP BY 1),
+        |ct AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tt FROM ct),
+        |base AS (SELECT ct.term, ct.c, tgt.grp, tgt.tg, cgt.cg
+        |         FROM ct CROSS JOIN tgt
+        |         LEFT JOIN cgt ON cgt.grp = tgt.grp AND cgt.term = ct.term),
+        |j AS (SELECT grp, tg, CAST((
+        |    (CASE WHEN cg IS NOT NULL
+        |        THEN (CAST(coalesce(cg, 0) AS DOUBLE) / tg)
+        |          * ln((CAST(coalesce(cg, 0) AS DOUBLE) / tg)
+        |            / ((CAST(coalesce(cg, 0) AS DOUBLE) / tg + CAST(c AS DOUBLE) / tt) / 2.0))
+        |        ELSE 0.0 END
+        |     + (CAST(c AS DOUBLE) / tt)
+        |        * ln((CAST(c AS DOUBLE) / tt)
+        |          / ((CAST(coalesce(cg, 0) AS DOUBLE) / tg + CAST(c AS DOUBLE) / tt) / 2.0))
+        |    ) * 0.5) AS DECIMAL(28,12)) AS contrib
+        |  FROM base, tot)
+        |SELECT grp AS source, CAST(max(tg) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(contrib) AS DOUBLE), 6) AS js_div
+        |FROM j GROUP BY grp""".stripMargin,
+
+    // each pattern's leftmost non-overlapping count replayed as the SQL
+    // replace() length identity — the kernel's contract by construction
+    "q_blocklist" -> {
+      val per = graft.functions.Blocklist.patterns.map { p =>
+        s"((length(lower(text)) - length(replace(lower(text), '$p', ''))) // ${p.length})"
+      }
+      val total = per.mkString(" + ")
+      val distinctHit = per.map(e => s"(CASE WHEN $e > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""SELECT doc_id, CAST($total AS BIGINT) AS n_hits,
+         |  CAST($distinctHit AS BIGINT) AS n_patterns,
+         |  (($total) >= 1) AS blocked
+         |FROM documents WHERE text IS NOT NULL""".stripMargin
+    },
+
+    // the q_bpe_tokens walk rolled up by language; ratios are single
+    // rounded divisions over engine-exact integer sums
+    "q_bpe_fertility" ->
+      s"""WITH RECURSIVE ${bpeWalkCtes("documents")},
+         |d AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS w,
+         |        CAST(sum(coalesce(wc.c, 0)) AS BIGINT) AS bt
+         |      FROM tok LEFT JOIN wc ON tok.w = wc.w GROUP BY tok.doc_id),
+         |j AS (SELECT doc.lang, d.w, d.bt, length(doc.text) AS ch
+         |      FROM d JOIN documents doc ON doc.doc_id = d.doc_id)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(bt) AS BIGINT) AS n_tokens_bpe,
+         |  CAST(sum(w) AS BIGINT) AS n_words, CAST(sum(ch) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(bt) AS DOUBLE) / sum(w), 6) AS fertility,
+         |  round(CAST(sum(ch) AS DOUBLE) / sum(bt), 6) AS chars_per_token
+         |FROM j GROUP BY lang""".stripMargin,
+
+    // same top-K head (freq desc, term ties), same closed-form least
+    // squares with decimal-truncated ln sums and identical double
+    // formula ordering
+    "q_zipf_fit" ->
+      """WITH c AS (SELECT term, count(*) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+        |    FROM documents) GROUP BY 1),
+        |top AS (SELECT term, freq, row_number() OVER (ORDER BY freq DESC, term) AS rank
+        |        FROM c ORDER BY freq DESC, term LIMIT 25),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |    CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(ln(CAST(freq AS DOUBLE)) * ln(CAST(freq AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE)) AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+        |  FROM top)
+        |SELECT n_terms,
+        |  round((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+        |  round((sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
+        |    / CAST(n_terms AS DOUBLE), 6) AS intercept,
+        |  round(CASE WHEN CAST(n_terms AS DOUBLE) * syy - sy * sy = 0 THEN 1.0
+        |    ELSE (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+        |      * (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+        |    / ((CAST(n_terms AS DOUBLE) * sxx - sx * sx)
+        |      * (CAST(n_terms AS DOUBLE) * syy - sy * sy)) END, 6) AS r2
+        |FROM a""".stripMargin,
+
+    // the q_quality_clf margin CTEs with source carried through; source
+    // means decimal-truncated, docs gated on the rounded source mean
+    "q_domain_filter" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS bk FROM t),
+        |s AS (SELECT doc_id, source,
+        |    CAST(SUM(('0x' || substr(md5('w' || bk), 1, 15))::BIGINT % 2001 - 1000) AS DOUBLE)
+        |      / 1000.0 / count(*) + 0.1 AS margin
+        |  FROM b GROUP BY doc_id, source),
+        |g AS (SELECT source,
+        |    round(CAST(sum(CAST(margin AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+        |      AS source_quality
+        |  FROM s GROUP BY source),
+        |bar AS (SELECT
+        |    round(CAST(sum(CAST(source_quality AS DECIMAL(28,12))) AS DOUBLE)
+        |      / count(*), 6) AS quality_bar
+        |  FROM g)
+        |SELECT s.doc_id, s.source, g.source_quality, bar.quality_bar,
+        |  (g.source_quality >= bar.quality_bar) AS kept
+        |FROM s JOIN g USING (source), bar""".stripMargin,
 
     // the q_lm_score CTEs + quantile_disc terciles (ceil(p*n) order
     // statistics — verified identical to exactQuantiles' convention);

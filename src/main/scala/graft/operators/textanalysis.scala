@@ -719,6 +719,149 @@ object TextAnalysis {
       .agg(max(col("__rho")).as("max_rho"))
   }
 
+  /**
+   * Moore–Lewis cross-entropy difference selection (Moore & Lewis 2010,
+   * "Intelligent Selection of Language Model Training Data"): score every
+   * document by `H_in(d) - H_gen(d)` — its mean token NLL under an
+   * IN-DOMAIN unigram LM minus its mean NLL under the GENERAL (whole
+   * corpus) LM — and select documents where the difference is negative
+   * (the in-domain model finds them more likely than the background
+   * model does). This is the classic data-selection step for building a
+   * domain-targeted training mix from a general crawl; DSIR
+   * (q_dsir) is its hashed-feature descendant.
+   *
+   * Both LMs are add-1 smoothed over their own vocabularies, the same
+   * convention as [[unigramNll]]; tokens unseen in-domain fall back to
+   * the smoothing mass via a left join (coalesce 0), never dropped.
+   *
+   * Scale shape (same as [[unigramNll]] run twice over one token
+   * explode): the corpus tokenizes ONCE, both count tables are
+   * vocabulary-keyed partial-agg shuffles joined back BY KEY (AQE
+   * broadcasts them when provably small), the two (total, vocab) scalars
+   * ride in as one-row broadcasts, and the per-doc mean is a doc-keyed
+   * partial agg. Per-token diffs truncate to decimal(28,12) before the
+   * sum so the reduction is engine- and partitioning-exact.
+   *
+   * `inDomain` must select a non-empty subset (an empty in-domain LM has
+   * no cross-entropy to difference against).
+   */
+  def mooreLewis(df: org.apache.spark.sql.DataFrame, textCol: String,
+                 idCol: String, inDomain: Column): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), inDomain.as("__in"),
+      explode(words(col(textCol))).as("term"))
+    val lmGen = toks.groupBy(col("term")).agg(count(lit(1)).as("__cg"))
+    val lmIn = toks.filter(col("__in")).groupBy(col("term"))
+      .agg(count(lit(1)).as("__ci"))
+    val totGen = lmGen.agg(sum(col("__cg")).cast(DoubleType).as("__tg"),
+      count(lit(1)).cast(DoubleType).as("__vg"))
+    val totIn = lmIn.agg(sum(col("__ci")).cast(DoubleType).as("__ti"),
+      count(lit(1)).cast(DoubleType).as("__vi"))
+    // per-token ce diff = nll_in - nll_gen = ln(pGen) - ln(pIn)
+    val d = log((col("__cg") + 1.0) / (col("__tg") + col("__vg"))) -
+      log((coalesce(col("__ci"), lit(0L)) + 1.0) / (col("__ti") + col("__vi")))
+    val mean = col("__s").cast(DoubleType) / col("n_tokens")
+    toks.join(lmGen, Seq("term"))
+      .join(lmIn, Seq("term"), "left")
+      .crossJoin(broadcast(totGen))
+      .crossJoin(broadcast(totIn))
+      .withColumn("__d", d)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__d").cast("decimal(28,12)")).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        round(mean, 6).as("ce_diff"),
+        // the select gate compares the ROUNDED mean so both engines
+        // decide ties from the same digits
+        (round(mean, 6) < 0.0).as("selected"))
+  }
+
+  /**
+   * Per-group token-distribution drift: Jensen–Shannon divergence of each
+   * group's unigram distribution against the whole-corpus distribution —
+   * the mixture-health diagnostic that tells you which source/shard/day
+   * has drifted from the corpus it feeds (JS, not KL, because groups
+   * missing corpus terms would send KL to infinity; JS is bounded by
+   * ln 2 and symmetric-safe with zeros).
+   *
+   * For group g with distribution P and corpus distribution Q:
+   * `JS = 0.5·Σ p·ln(p/m) + 0.5·Σ q·ln(q/m)` over the CORPUS vocabulary
+   * (every group term is a corpus term by construction), `m = (p+q)/2`,
+   * `p·ln(p/m) := 0` when p = 0.
+   *
+   * Scale shape: one token explode feeds a (group, term) partial-agg
+   * shuffle and a (term) partial-agg shuffle; the per-group totals and
+   * the corpus total are group-count-bounded broadcasts (sources/langs/
+   * days — small by construction, which is the operator's contract); the
+   * vocab×groups contribution relation reduces by group with decimal
+   * sums. The exchange never carries more than the (group, term) count
+   * table that any per-group vocabulary stat already needs.
+   */
+  def jsDivergence(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   groupCol: Column): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(groupCol.as("grp"), explode(words(col(textCol))).as("term"))
+    val cg = toks.groupBy(col("grp"), col("term")).agg(count(lit(1)).as("__cg"))
+    val tg = toks.groupBy(col("grp")).agg(count(lit(1)).as("__tg"))
+    val c = toks.groupBy(col("term")).agg(count(lit(1)).as("__c"))
+    val tot = c.agg(sum(col("__c")).cast(DoubleType).as("__t"))
+    val p = coalesce(col("__cg"), lit(0L)).cast(DoubleType) / col("__tg")
+    val q = col("__c").cast(DoubleType) / col("__t")
+    val m = (p + q) / lit(2.0)
+    val contrib = (when(col("__cg").isNotNull, p * log(p / m)).otherwise(lit(0.0))
+      + q * log(q / m)) * lit(0.5)
+    c.crossJoin(broadcast(tg))
+      .join(cg, Seq("grp", "term"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__j", contrib.cast("decimal(28,12)"))
+      .groupBy(col("grp"))
+      .agg(max(col("__tg")).as("n_tokens"), sum(col("__j")).as("__s"))
+      .select(col("grp"), col("n_tokens"),
+        round(col("__s").cast(DoubleType), 6).as("js_div"))
+  }
+
+  /**
+   * Zipf rank-frequency fit over the vocabulary HEAD — the corpus-health
+   * diagnostic (a natural-language corpus fits ln f ≈ a + s·ln r with
+   * slope s near −1; machine-generated or template-heavy corpora bend
+   * away from it). Fit is closed-form least squares of ln(freq) on
+   * ln(rank) over the top-`topK` terms: the head is where Zipf holds and
+   * where a deterministic fit is cheap — the hapax tail both distorts
+   * the regression and would force a vocabulary-sized global sort.
+   *
+   * Scale shape: one vocab partial-agg shuffle, then top-K via
+   * TakeOrderedAndProject (never a global sort); the rank window runs
+   * over the K retained rows (K is a constant knob, same precedent as
+   * the q_window pre-limited top-10). Output is ONE row; the ln sums
+   * truncate to decimal so the K-row reduction is engine-exact.
+   */
+  def zipfFit(df: org.apache.spark.sql.DataFrame, textCol: String,
+              topK: Int = 1000): org.apache.spark.sql.DataFrame = {
+    require(topK >= 3, s"need >= 3 points to fit (got $topK)")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(explode(words(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val top = counts.orderBy(col("freq").desc, col("term")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("term"))))
+    val x = log(col("rank").cast(DoubleType))
+    val y = log(col("freq").cast(DoubleType))
+    def dsum(c: Column) = sum(c.cast("decimal(28,12)")).cast(DoubleType)
+    val agg = top.agg(count(lit(1)).as("n_terms"), dsum(x).as("sx"),
+      dsum(y).as("sy"), dsum(x * x).as("sxx"), dsum(y * y).as("syy"),
+      dsum(x * y).as("sxy"))
+    val nd = col("n_terms").cast(DoubleType)
+    val num = nd * col("sxy") - col("sx") * col("sy")
+    val den = nd * col("sxx") - col("sx") * col("sx")
+    val denY = nd * col("syy") - col("sy") * col("sy")
+    val slope = num / den
+    agg.select(col("n_terms"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / nd, 6).as("intercept"),
+      // zero y-variance = the flat line fits exactly; r2 := 1 (the 0/0
+      // limit), and it keeps ANSI division happy on degenerate corpora
+      round(when(denY === 0.0, lit(1.0))
+        .otherwise(num * num / (den * denY)), 6).as("r2"))
+  }
+
   /** The standard HLL estimate over a [[hllRegisters]] table localized to
     * the driver (m doubles) — test/report-side companion, see scaladoc
     * above for why it stays out of the oracle surface. */

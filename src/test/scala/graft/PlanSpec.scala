@@ -364,6 +364,42 @@ class PlanSpec extends GraftSpec {
     }
   }
 
+  test("q_blocklist: zero-shuffle codegen'd projection, no UDF") {
+    val p = plan("q_blocklist")
+    assert(!p.contains("Exchange"), s"blocklist filter must not shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), s"blocklist must stay a codegen'd kernel:\n$p")
+  }
+
+  test("q_moore_lewis / q_js_drift: vocab joins by key, no window, no pair blowup") {
+    Seq("q_moore_lewis", "q_js_drift").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: no window over the corpus:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: only broadcast one-row/group-bounded cross joins allowed:\n$p")
+    }
+  }
+
+  test("q_bpe_fertility: one lang-keyed agg shuffle over the codegen'd count") {
+    val p = plan("q_bpe_fertility")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 1, s"expected the one lang agg shuffle, got $shuffles:\n$p")
+    assert(!p.contains("ScalaUDF"), s"BPE count must stay codegen'd:\n$p")
+  }
+
+  test("q_zipf_fit: top-K head via TakeOrderedAndProject, never a global sort") {
+    val p = plan("q_zipf_fit")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-K operator:\n$p")
+    assert(!"Sort \\[freq".r.findFirstIn(p).exists(_ => p.contains("Exchange rangepartitioning")),
+      s"no range-partitioned global sort over the vocabulary:\n$p")
+  }
+
+  test("q_domain_filter: source means ride back as broadcasts, no corpus re-shuffle") {
+    val p = plan("q_domain_filter")
+    assert(p.contains("BroadcastHashJoin"), s"source-mean join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no sorted corpus join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"margin must stay the codegen'd kernel:\n$p")
+  }
+
   test("no persisted RDD outlives a staged query's build+run (the q_curate house rule)") {
     // pplBuckets (alone and inside q_curate3) used to persist its scored
     // relation with no unpersist path — asserting the cache manager is
