@@ -2161,6 +2161,14 @@ object SparkEntry {
           round(col("n_chars").cast("double") / col("n_tokens_bpe"), 6).as("chars_per_token"))
     }),
 
+    // interpolated Kneser-Ney bigram perplexity (the smoothing real
+    // n-gram filters ship): discounted bigram ML + continuation-prob
+    // backoff, all from integer count tables off one bigram explode
+    "q_kn_score" -> ((s, dir) => {
+      TextAnalysis.kneserNeyNll(tbl(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"), col("mean_nll_kn"))
+    }),
+
     // Zipf rank-frequency fit over the vocabulary head: the corpus-health
     // regression (slope near -1 for natural text). Vocab agg + top-K via
     // TakeOrderedAndProject; one output row, decimal-exact ln sums
@@ -4103,6 +4111,27 @@ object SparkEntry {
          |  round(CAST(sum(bt) AS DOUBLE) / sum(w), 6) AS fertility,
          |  round(CAST(sum(ch) AS DOUBLE) / sum(bt), 6) AS chars_per_token
          |FROM j GROUP BY lang""".stripMargin,
+
+    // Kneser-Ney replay: the same four count tables and the same
+    // double-formula ordering (term1 + D*fwd/cv * (bwd/T)), per-bigram
+    // NLL truncated to decimal before the doc sum
+    "q_kn_score" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |t AS (SELECT doc_id, bg['a'] AS w1, bg['b'] AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> {'a': w[i], 'b': w[i+1]})) AS bg FROM w)),
+        |bi AS (SELECT w1, w2, count(*) AS cb FROM t GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(cb) AS DOUBLE) AS cv,
+        |        CAST(count(*) AS DOUBLE) AS fwd FROM bi GROUP BY 1),
+        |cont AS (SELECT w2, CAST(count(*) AS DOUBLE) AS bwd FROM bi GROUP BY 1),
+        |ty AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM bi)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(CAST(-ln(greatest(cb - 0.75, 0.0) / cv
+        |      + 0.75 * fwd / cv * (bwd / tt)) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / count(*), 6) AS mean_nll_kn
+        |FROM t JOIN bi USING (w1, w2) JOIN ctx USING (w1) JOIN cont USING (w2), ty
+        |GROUP BY doc_id""".stripMargin,
 
     // same top-K head (freq desc, term ties), same closed-form least
     // squares with decimal-truncated ln sums and identical double

@@ -506,6 +506,53 @@ object TextAnalysis {
         round(col("__s").cast(DoubleType) / col("n_bigrams"), 6).as("mean_nll2"))
   }
 
+  /**
+   * Interpolated Kneser–Ney bigram mean NLL (Kneser & Ney 1995; the
+   * formulation of Chen & Goodman 1998) — the smoothing that actually
+   * ships in n-gram LM filters, replacing [[bigramNll]]'s add-1:
+   *
+   * `p(w|v) = max(c(v,w) − D, 0)/c(v·) + D·N1+(v,·)/c(v·) · p_cont(w)`
+   * with `p_cont(w) = N1+(·,w) / |bigram types|` — the continuation
+   * probability that famously scores "francisco" low however frequent,
+   * because it follows only "san". D fixed at 0.75 (the Chen–Goodman
+   * default); contexts are per-document bigrams, docs with < 2 tokens
+   * emit no row (same convention as [[bigramNll]]).
+   *
+   * All model quantities are integer count tables off ONE bigram
+   * explode: c(v,w), the context marginals (c(v·), N1+(v,·)), the
+   * continuation marginals (N1+(·,w)), and the one-row type total.
+   * Scale shape identical to [[bigramNll]]: vocabulary-keyed partial-agg
+   * shuffles joined BY KEY, a one-row broadcast, decimal per-doc sums.
+   */
+  def kneserNeyNll(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   idCol: String, discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    val w = words(col(textCol))
+    val n = greatest(size(w) - 1, lit(0))
+    val toks = df.select(col(idCol),
+        explode(zip_with(slice(w, lit(1), n), slice(w, lit(2), n),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1"), col("bg.w2"))
+    val bi = toks.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__cb"))
+    val ctx = bi.groupBy(col("w1"))
+      .agg(sum(col("__cb")).cast(DoubleType).as("__cv"),
+        count(lit(1)).cast(DoubleType).as("__fwd"))
+    val cont = bi.groupBy(col("w2")).agg(count(lit(1)).cast(DoubleType).as("__bwd"))
+    val types = bi.agg(count(lit(1)).cast(DoubleType).as("__tt"))
+    val p = greatest(col("__cb") - discount, lit(0.0)) / col("__cv") +
+      lit(discount) * col("__fwd") / col("__cv") * (col("__bwd") / col("__tt"))
+    toks.join(bi, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("__nll", -log(p))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__nll").cast("decimal(28,12)")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s").cast(DoubleType) / col("n_bigrams"), 6).as("mean_nll_kn"))
+  }
+
   def unigramNll(df: org.apache.spark.sql.DataFrame, textCol: String,
                  idCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol), explode(words(col(textCol))).as("term"))

@@ -123,6 +123,36 @@ class SelectionSpec extends GraftSpec {
     assert(verdicts == Set(true, false), s"bar must split sources: $verdicts")
   }
 
+  test("kneserNeyNll: matches an independent in-memory replication; short docs drop") {
+    val docs = Seq(
+      (1L, "a b a b a c"), (2L, "b a c a"), (3L, "only"), (4L, "a b")
+    ).toDF("doc_id", "text")
+    // independent replication of the interpolated-KN formula
+    val texts = Map(1L -> "a b a b a c", 2L -> "b a c a", 4L -> "a b")
+    def bigrams(t: String) = t.split("\\s+").sliding(2).map(a => (a(0), a(1))).toSeq
+    val all = texts.values.flatMap(bigrams).toSeq
+    val cb = all.groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+    val cv = all.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    val fwd = cb.keys.groupBy(_._1).map { case (k, v) => k -> v.size.toDouble }
+    val bwd = cb.keys.groupBy(_._2).map { case (k, v) => k -> v.size.toDouble }
+    val tt = cb.size.toDouble
+    def p(v: String, w: String) =
+      math.max(cb((v, w)) - 0.75, 0.0) / cv(v) + 0.75 * fwd(v) / cv(v) * (bwd(w) / tt)
+    def meanNll(t: String) = {
+      val bs = bigrams(t)
+      BigDecimal(bs.map(b => -math.log(p(b._1, b._2)))
+        .map(x => BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+        .toDouble / bs.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = TextAnalysis.kneserNeyNll(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!got.contains(3L), "a 1-token doc has no bigrams and must emit no row")
+    texts.foreach { case (id, t) =>
+      assert(got(id)._1 == bigrams(t).size)
+      assert(math.abs(got(id)._2 - meanNll(t)) < 2e-6, s"doc $id: ${got(id)} vs ${meanNll(t)}")
+    }
+  }
+
   test("q_blocklist / q_bpe_fertility query semantics on the tiny sf") {
     val bl = SparkEntry.queries("q_blocklist")(spark, sf()).collect()
     assert(bl.nonEmpty)
