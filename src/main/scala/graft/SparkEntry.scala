@@ -1506,6 +1506,36 @@ object SparkEntry {
     // apply its milli-epoch rates. Allocation reacts to capping (the caps
     // change per-lang token mass), which is why the stages compose rather
     // than run independently
+    // composed curation v7 — this round's selection tier end to end:
+    // (1) relative-bar DOMAIN gate (zero-shuffle margins -> source means),
+    // (2) Moore-Lewis CE-difference selection trained ON THE GATED corpus
+    // (in-domain = English slice), (3) substring blocklist veto. The
+    // surviving (doc, source, ce_diff) set is the hash-checked output
+    "q_curate7" -> ((s, dir) => {
+      val w = QualityClassifier.syntheticWeightsMilli(512)
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val scored = docs.select(col("doc_id"), col("source"),
+        graft.functions.HashTfLinearMargin(col("text"), w, 0.1).as("__m"))
+      val bySrc = scored.groupBy(col("source"))
+        .agg(round(sum(col("__m").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("source_quality"))
+      val bar = bySrc.agg(
+        round(sum(col("source_quality").cast("decimal(28,12)")).cast("double")
+          / count(lit(1)), 6).as("quality_bar"))
+      val keptSrc = bySrc.crossJoin(broadcast(bar))
+        .filter(col("source_quality") >= col("quality_bar")).select(col("source"))
+      val kept = docs.join(broadcast(keptSrc), Seq("source"))
+      val ml = TextAnalysis.mooreLewis(kept, "text", "doc_id", col("lang") === "en")
+      val hits = kept.select(col("doc_id"),
+        aggregate(graft.functions.BlocklistHits(col("text")), lit(0L),
+          (a, x) => a + x).as("__hits"))
+      ml.filter(col("selected"))
+        .join(kept.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .join(hits, Seq("doc_id"))
+        .filter(col("__hits") === 0L)
+        .select(col("doc_id"), col("source"), col("ce_diff"))
+    }),
+
     "q_curate6" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
       val capped = Sampling.sourceCap(
@@ -4601,6 +4631,50 @@ object SparkEntry {
         |  FROM documents doc JOIN em USING (lang) WHERE doc.text IS NOT NULL)
         |SELECT doc_id, lang, unnest(range(copies)) AS copy_id
         |FROM cp""".stripMargin,
+
+    // v7 replay: the q_domain_filter gate CTEs -> kept docs, the
+    // q_moore_lewis CTEs retrained over the kept corpus, the blocklist
+    // replace-count veto — one chained statement, hash-exact end to end
+    "q_curate7" -> {
+      val per = graft.functions.Blocklist.patterns.map { p =>
+        s"((length(lower(kd.text)) - length(replace(lower(kd.text), '$p', ''))) // ${p.length})"
+      }.mkString(" + ")
+      s"""WITH d0 AS (SELECT * FROM documents WHERE text IS NOT NULL),
+         |t0 AS (SELECT doc_id, source,
+         |    unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM d0),
+         |b0 AS (SELECT doc_id, source,
+         |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS bk FROM t0),
+         |s0 AS (SELECT doc_id, source,
+         |    CAST(SUM(('0x' || substr(md5('w' || bk), 1, 15))::BIGINT % 2001 - 1000) AS DOUBLE)
+         |      / 1000.0 / count(*) + 0.1 AS margin
+         |  FROM b0 GROUP BY doc_id, source),
+         |g AS (SELECT source,
+         |    round(CAST(sum(CAST(margin AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6)
+         |      AS source_quality
+         |  FROM s0 GROUP BY source),
+         |bar AS (SELECT
+         |    round(CAST(sum(CAST(source_quality AS DECIMAL(28,12))) AS DOUBLE)
+         |      / count(*), 6) AS quality_bar
+         |  FROM g),
+         |ks AS (SELECT source FROM g, bar WHERE source_quality >= quality_bar),
+         |kd AS (SELECT d0.* FROM d0 JOIN ks USING (source)),
+         |t AS (SELECT doc_id, (lang = 'en') AS ind,
+         |    unnest(string_split_regex(lower(text), '\\s+')) AS term FROM kd),
+         |lg AS (SELECT term, count(*) AS cg FROM t GROUP BY 1),
+         |li AS (SELECT term, count(*) AS ci FROM t WHERE ind GROUP BY 1),
+         |tg AS (SELECT CAST(sum(cg) AS DOUBLE) AS tg, CAST(count(*) AS DOUBLE) AS vg FROM lg),
+         |ti AS (SELECT CAST(sum(ci) AS DOUBLE) AS ti, CAST(count(*) AS DOUBLE) AS vi FROM li),
+         |ml AS (SELECT doc_id,
+         |    round(CAST(sum(CAST(ln((cg + 1.0) / (tg + vg))
+         |        - ln((coalesce(ci, 0) + 1.0) / (ti + vi)) AS DECIMAL(28,12))) AS DOUBLE)
+         |      / count(*), 6) AS ce_diff
+         |  FROM t JOIN lg USING (term) LEFT JOIN li USING (term), tg, ti
+         |  GROUP BY doc_id),
+         |bl AS (SELECT kd.doc_id, CAST($per AS BIGINT) AS n_hits FROM kd)
+         |SELECT ml.doc_id, kd.source, ml.ce_diff
+         |FROM ml JOIN kd USING (doc_id) JOIN bl ON bl.doc_id = ml.doc_id
+         |WHERE ml.ce_diff < 0 AND bl.n_hits = 0""".stripMargin
+    },
 
     // cap -> waterfill -> gate, composed: the caps CTE feeds the
     // allocation's lang token mass, so the whole recipe replays end to end

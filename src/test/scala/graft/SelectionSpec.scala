@@ -153,6 +153,23 @@ class SelectionSpec extends GraftSpec {
     }
   }
 
+  test("q_curate7: survivors pass all three gates (domain bar, ML<0, zero hits)") {
+    val surv = SparkEntry.queries("q_curate7")(spark, sf()).collect()
+    assert(surv.nonEmpty, "the composed funnel must keep something at sf0.001")
+    // every survivor is from a kept source and carries a negative ce_diff
+    val kept = SparkEntry.queries("q_domain_filter")(spark, sf())
+      .filter(col("kept")).select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    val blocked = SparkEntry.queries("q_blocklist")(spark, sf())
+      .filter(col("n_hits") >= 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    surv.foreach { r =>
+      assert(kept.contains(r.getString(1)), s"survivor from dropped source: $r")
+      assert(r.getDouble(2) < 0, s"survivor with non-negative ce_diff: $r")
+      assert(!blocked.contains(r.getLong(0)), s"survivor with blocklist hits: $r")
+    }
+  }
+
   test("q_blocklist / q_bpe_fertility query semantics on the tiny sf") {
     val bl = SparkEntry.queries("q_blocklist")(spark, sf()).collect()
     assert(bl.nonEmpty)
