@@ -1823,6 +1823,12 @@ object SparkEntry {
       Similarity.embeddingStats(tbl(s, dir, "embeddings"), "embedding")
     }),
 
+    // embedding covariance (the PCA/whitening input): upper-triangle
+    // (i,j) cells, decimal-exact sums; pair explode -> d^2-bounded agg
+    "q_embed_cov" -> ((s, dir) => {
+      Similarity.embeddingCovariance(tbl(s, dir, "embeddings"), "embedding")
+    }),
+
     // JL random projection (the ANN compute/bytes lever): 64 → 16 dims
     // through the codegen'd ±1 kernel — zero-shuffle, engine-exact
     // ordered fold; output exploded so the oracle compares scalars
@@ -3758,6 +3764,21 @@ object SparkEntry {
         |  round(CAST(sv AS DOUBLE) / n, 6) AS mean,
         |  round(CAST(sq AS DOUBLE) / n
         |    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 6) AS variance
+        |FROM s""".stripMargin,
+
+    "q_embed_cov" ->
+      """WITH f AS (SELECT a.d AS i, b.d AS j,
+        |    CAST(list_extract(embedding, CAST(a.d + 1 AS INTEGER)) AS DOUBLE) AS xi,
+        |    CAST(list_extract(embedding, CAST(b.d + 1 AS INTEGER)) AS DOUBLE) AS xj
+        |  FROM embeddings, range(64) a(d), range(64) b(d) WHERE b.d >= a.d),
+        |s AS (SELECT i, j, count(*) AS n,
+        |    sum(CAST(xi AS DECIMAL(28,12))) AS si,
+        |    sum(CAST(xj AS DECIMAL(28,12))) AS sj,
+        |    sum(CAST(xi * xj AS DECIMAL(28,12))) AS sij
+        |  FROM f GROUP BY i, j)
+        |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, n,
+        |  round(CAST(sij AS DOUBLE) / n
+        |    - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n), 6) + 0.0 AS cov
         |FROM s""".stripMargin,
 
     "q_quantize" ->

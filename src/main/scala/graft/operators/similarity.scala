@@ -401,4 +401,85 @@ object Similarity {
       .withColumn("score", cosine(col(qvecCol), col(vecCol)))
     topKPerQuery(rescored, qidCol, idCol, k)
   }
+
+  /**
+   * Full covariance matrix of the embedding table (the input PCA/
+   * whitening runs on): upper-triangle (i, j, cov) cells with
+   * `cov = E[x_i·x_j] − E[x_i]·E[x_j]`. Complements [[embeddingStats]]
+   * (its diagonal) with the cross terms that reveal correlated /
+   * near-duplicate dimensions.
+   *
+   * Engine-exact like embeddingStats: every product truncates to a
+   * fixed decimal scale once, the cell sums are exact, one fixed-order
+   * double division chain at the end.
+   *
+   * Scale shape: the pair explode is d(d+1)/2 rows per vector feeding a
+   * d²-bounded hash agg — partial aggregation reduces every partition
+   * to ≤ d(d+1)/2 cells before the exchange, so the shuffle carries
+   * O(d² × partitions) cells, never data. The per-row d² multiply cost
+   * is covariance's intrinsic FLOP count (the same products a
+   * treeAggregate outer-product would do); the agg formulation buys
+   * bit-exact replay on any engine or partitioning.
+   */
+  def embeddingCovariance(df: DataFrame, vecCol: String): DataFrame = {
+    val v = df.select(col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+    v.select(col("__v"), posexplode(col("__v")).as(Seq("i", "__xi")))
+      .select(col("i"), col("__xi"), posexplode(col("__v")).as(Seq("j", "__xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__xi").cast("decimal(28,12)")).as("__si"),
+        sum(col("__xj").cast("decimal(28,12)")).as("__sj"),
+        sum((col("__xi") * col("__xj")).cast("decimal(28,12)")).as("__sij"))
+      .select(col("i"), col("j"), col("n"),
+        // + 0.0 normalizes IEEE negative zero (round of a tiny negative
+        // covariance yields -0.0, and engines disagree on its sign)
+        (round(col("__sij").cast(DoubleType) / col("n")
+          - (col("__si").cast(DoubleType) / col("n"))
+            * (col("__sj").cast(DoubleType) / col("n")), 6) + lit(0.0)).as("cov"))
+  }
+
+  /**
+   * Deterministic top-k eigenpairs of a symmetric matrix by power
+   * iteration with Hotelling deflation — the driver-side half of PCA
+   * over [[embeddingCovariance]] (the matrix is model-sized: d², never
+   * data-sized). Fixed all-ones start vector and iteration count, so
+   * the result is reproducible run to run; convergence for the corpus
+   * covariance is spec-asserted (‖Av − λv‖ small), not assumed.
+   */
+  def topEigen(m: Array[Array[Double]], k: Int, iters: Int = 200): Seq[(Double, Array[Double])] = {
+    val d = m.length
+    require(m.forall(_.length == d), "matrix must be square")
+    require(k >= 1 && k <= d, s"k in [1, $d]")
+    val a = m.map(_.clone())
+    (0 until k).map { _ =>
+      // graded deterministic start (1+ε·i), not all-ones: a symmetric
+      // matrix can have the uniform vector exactly orthogonal to an
+      // eigenspace (any ±-balanced component), which stalls the
+      // iteration at a zero image; the grading breaks every such tie
+      val v0 = Array.tabulate(d)(i => 1.0 + 0.001 * (i + 1))
+      val n0 = math.sqrt(v0.map(x => x * x).sum)
+      var v = v0.map(_ / n0)
+      for (_ <- 0 until iters) {
+        val av = Array.tabulate(d)(i => {
+          var s = 0.0; var j = 0
+          while (j < d) { s += a(i)(j) * v(j); j += 1 }
+          s
+        })
+        val n = math.sqrt(av.map(x => x * x).sum)
+        // a deflated-out (or zero) direction: keep the previous vector
+        if (n > 1e-300) v = av.map(_ / n)
+      }
+      // Rayleigh quotient for the signed eigenvalue
+      val av = Array.tabulate(d)(i => {
+        var s = 0.0; var j = 0
+        while (j < d) { s += a(i)(j) * v(j); j += 1 }
+        s
+      })
+      val lambda = v.zip(av).map { case (x, y) => x * y }.sum
+      // Hotelling deflation: A <- A - lambda v v^T
+      for (i <- 0 until d; j <- 0 until d) a(i)(j) -= lambda * v(i) * v(j)
+      (lambda, v)
+    }
+  }
 }

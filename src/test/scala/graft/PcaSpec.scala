@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Embedding covariance + the driver-side eigensolver (the PCA pair). */
+class PcaSpec extends GraftSpec {
+
+  test("embeddingCovariance: diagonal equals embeddingStats variance; symmetry by construction") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val cov = Similarity.embeddingCovariance(emb, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val vars = Similarity.embeddingStats(emb, "embedding")
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(cov.size == 64 * 65 / 2, s"upper triangle of 64 dims: ${cov.size}")
+    vars.foreach { case (d, v) =>
+      assert(math.abs(cov((d, d)) - v) <= 1e-6, s"diag($d): ${cov((d, d))} vs $v")
+    }
+  }
+
+  test("topEigen: recovers a planted spectrum; eigenpairs satisfy Av = lv") {
+    // A = 5 u u^T + 2 w w^T with orthonormal u, w in R^4
+    val u = Array(0.5, 0.5, 0.5, 0.5)
+    val w = Array(0.5, -0.5, 0.5, -0.5)
+    val a = Array.tabulate(4, 4)((i, j) => 5.0 * u(i) * u(j) + 2.0 * w(i) * w(j))
+    val eig = Similarity.topEigen(a, 2, iters = 500)
+    assert(math.abs(eig.head._1 - 5.0) < 1e-9, s"l1 ${eig.head._1}")
+    assert(math.abs(eig(1)._1 - 2.0) < 1e-9, s"l2 ${eig(1)._1}")
+    eig.foreach { case (l, v) =>
+      val av = a.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+      av.zip(v).foreach { case (x, y) => assert(math.abs(x - l * y) < 1e-8) }
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "unit norm")
+    }
+    // orthogonality of the two components
+    val dot = eig.head._2.zip(eig(1)._2).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot) < 1e-8, s"components not orthogonal: $dot")
+  }
+
+  test("topEigen on the corpus covariance: residual small, spectrum descending") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val cells = Similarity.embeddingCovariance(emb, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val m = Array.tabulate(64, 64)((i, j) =>
+      cells.getOrElse((math.min(i, j), math.max(i, j)), 0.0))
+    val eig = Similarity.topEigen(m, 3)
+    assert(eig.map(_._1) == eig.map(_._1).sortBy(-_), s"descending: ${eig.map(_._1)}")
+    eig.foreach { case (l, v) =>
+      val av = m.map(row => row.zip(v).map { case (x, y) => x * y }.sum)
+      val res = math.sqrt(av.zip(v).map { case (x, y) => (x - l * y) * (x - l * y) }.sum)
+      // near-isotropic synthetic spectrum converges slowly; the bound
+      // asserts the pair is a genuine approximate eigenpair, scale-aware
+      assert(res < 1e-3 * math.max(math.abs(l), 1e-9) + 1e-6, s"residual $res for l=$l")
+    }
+  }
+}
