@@ -1776,6 +1776,18 @@ object SparkEntry {
         queries, "qid", "qvec", k = 3)
     }),
 
+    // contrastive-training data: per anchor, the top-3 most-similar
+    // vectors with a DIFFERENT label (the hard negatives); the label
+    // test rides the same broadcast scan as the cosine
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val anchors = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        anchors, "qid", "qvec", "qlabel", k = 3)
+    }),
+
     // embedding-quality monitoring: every vector's L2 distance to its
     // own label centroid — mislabel / garbage-embedding candidates
     "q_embed_outliers" -> ((s, dir) => {
@@ -3540,6 +3552,24 @@ object SparkEntry {
         |flat AS (
         |  SELECT q.qid, e.vec_id, unnest(q.qe) AS qa, unnest(e.embedding) AS ca
         |  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+        |s AS (SELECT qid, vec_id,
+        |        sum(CAST(qa AS DOUBLE) * CAST(ca AS DOUBLE)) AS dot,
+        |        sum(CAST(qa AS DOUBLE) * CAST(qa AS DOUBLE)) AS na,
+        |        sum(CAST(ca AS DOUBLE) * CAST(ca AS DOUBLE)) AS nb
+        |      FROM flat GROUP BY qid, vec_id),
+        |sc AS (SELECT qid, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS score,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 4) DESC, vec_id) AS rank
+        |       FROM s)
+        |SELECT qid, vec_id, CAST(rank AS INTEGER) AS rank, score FROM sc WHERE rank <= 3""".stripMargin,
+
+    // the q_ann_topk replay with the different-label gate in the flat join
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+        |           FROM embeddings WHERE vec_id < 5),
+        |flat AS (
+        |  SELECT q.qid, e.vec_id, unnest(q.qe) AS qa, unnest(e.embedding) AS ca
+        |  FROM q, embeddings e WHERE e.vec_id <> q.qid AND e.label <> q.ql),
         |s AS (SELECT qid, vec_id,
         |        sum(CAST(qa AS DOUBLE) * CAST(ca AS DOUBLE)) AS dot,
         |        sum(CAST(qa AS DOUBLE) * CAST(qa AS DOUBLE)) AS na,

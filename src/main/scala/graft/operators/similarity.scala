@@ -96,6 +96,24 @@ object Similarity {
     topKPerQuery(joined, qidCol, idCol, k)
   }
 
+  /**
+   * Hard-negative mining for contrastive/metric training data: for each
+   * anchor, the top-k most-similar corpus vectors carrying a DIFFERENT
+   * label — the negatives that actually move an embedding model, as
+   * opposed to random negatives a trained model already separates.
+   * Same scale shape as [[bruteForceTopK]]: anchors broadcast (anchor
+   * sets are small by construction), one corpus scan, bounded
+   * per-partition top-k heaps; the label test rides the same scan.
+   */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, anchors: DataFrame, qidCol: String,
+                    qvecCol: String, qlabelCol: String, k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(anchors))
+      .filter(col(qidCol) =!= col(idCol) && col(qlabelCol) =!= col(labelCol))
+      .withColumn("score", cosine(col(qvecCol), col(vecCol)))
+    topKPerQuery(joined, qidCol, idCol, k)
+  }
+
   /** Seeded random hyperplanes. Components are md5-derived uniforms in
     * [-1, 1) rather than JVM RNG gaussians: h = md5("hp_seed_bit_dim")
     * mod p, w = 2h/p - 1 — reproducible from any engine (the DuckDB

@@ -36,6 +36,23 @@ class PcaSpec extends GraftSpec {
     assert(math.abs(dot) < 1e-8, s"components not orthogonal: $dot")
   }
 
+  test("hardNegatives: every negative carries a different label, ranks descend") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val labels = emb.select("vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SparkEntry.queries("q_hard_negatives")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      rs.foreach { r =>
+        assert(labels(r.getLong(1)) != labels(qid),
+          s"negative ${r.getLong(1)} shares anchor $qid's label")
+      }
+      val byRank = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"scores must descend with rank: ${byRank.toSeq}")
+    }
+  }
+
   test("topEigen on the corpus covariance: residual small, spectrum descending") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val cells = Similarity.embeddingCovariance(emb, "embedding")
