@@ -405,6 +405,86 @@ object SparkEntry {
 
   private lazy val mhShingleCtes: String = mhShingleCtesFor("documents")
 
+  // q_lr_train / q_lr_predict hyperparameters — shared by the builders
+  // and the unrolled oracle. lr/lrBias are powers of two so g*lr stays
+  // exact; tau=61 (milli) splits the corpus ~50/50 on the target.
+  // Tuned by replaying the exact integer dynamics offline: lr=32 gives
+  // monotone convergence to ~94% train accuracy in 10 steps; 512 was
+  // measured to diverge (weights blow past |20|, accuracy pins at 50%).
+  private val lrDim = 256
+  private val lrIters = 10
+  private val lrLr = 32.0
+  private val lrLrBias = 0.25
+  private val lrTau = 61
+  private val lrStopwords = Seq("the", "a")
+  // The training target: a stopword-DENSITY gate (>= tau milli-ratio of
+  // {the, a} tokens) — a deliberately LINEAR function of the token
+  // stream, so the mean-margin hash-TF hypothesis class contains the
+  // true model and training measurably recovers it (heuristic-gate
+  // distillation, the way production fastText quality filters are
+  // actually built). All-integer comparison: engine-exact.
+  private def lrLabelCol: org.apache.spark.sql.Column = {
+    val toks = split(regexp_replace(lower(col("text")), "\\s+$", ""), "\\s+")
+    val sw = filter(toks, t => t.isInCollection(lrStopwords))
+    lit(1000) * size(sw) >= lit(lrTau) * size(toks)
+  }
+
+  /**
+   * Unrolled-SQL replay of [[graft.operators.QualityClassifier
+   * .trainLogisticMilli]] — the q_fcm_fit pattern for a trainer: each
+   * of the T full-batch steps is (score s_k via a tok⋈w_k join, margin →
+   * algebraic sigmoid → integer residuals e/f, dim-keyed gradient g_k,
+   * one fixed-shape double update back to integer milli weights). All
+   * cross-row sums are BIGINT; the only doubles are the per-row margin/
+   * link (fixed op order) and the per-bucket update expression — the
+   * same ops the JVM trainer runs, so the trajectory is bit-identical.
+   */
+  private def lrTrainCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""tok AS MATERIALIZED (SELECT doc_id,
+         |    ('0x' || substr(md5(unnest(string_split_regex(lower(text), '\\s+'))), 1, 15))::BIGINT
+         |      % $lrDim AS b
+         |  FROM documents WHERE text IS NOT NULL),
+         |d AS MATERIALIZED (SELECT tok.doc_id, count(*) AS n FROM tok GROUP BY tok.doc_id),
+         |dy AS MATERIALIZED (SELECT doc_id, CASE WHEN 1000 * len(list_filter(
+         |      string_split_regex(regexp_replace(lower(text), '\\s+$$', ''), '\\s+'),
+         |      t -> t IN (${lrStopwords.map(w => s"'$w'").mkString(", ")})))
+         |    >= $lrTau * len(string_split_regex(regexp_replace(lower(text), '\\s+$$', ''), '\\s+'))
+         |    THEN 1 ELSE 0 END AS y
+         |  FROM documents WHERE text IS NOT NULL),
+         |nn AS MATERIALIZED (SELECT count(*) AS nd FROM d),
+         |w0 AS MATERIALIZED (SELECT CAST(range AS BIGINT) AS b, CAST(0 AS BIGINT) AS wm FROM range($lrDim)),
+         |b0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS bm)""".stripMargin)
+    for (k <- 1 to iters) {
+      val (wp, bp) = (s"w${k - 1}", s"b${k - 1}")
+      sb.append(
+        s""",
+           |s$k AS MATERIALIZED (SELECT tok.doc_id, CAST(sum($wp.wm) AS BIGINT) AS sm
+           |  FROM tok JOIN $wp ON tok.b = $wp.b GROUP BY tok.doc_id),
+           |e$k AS MATERIALIZED (SELECT doc_id,
+           |    CAST(floor(((p - y) / n) * 1000000000.0 + 0.5) AS BIGINT) AS e,
+           |    CAST(floor((p - y) * 1000000000.0 + 0.5) AS BIGINT) AS f
+           |  FROM (SELECT q$k.doc_id, CAST(dy.y AS DOUBLE) AS y, CAST(d.n AS DOUBLE) AS n,
+           |      0.5 * (1.0 + m / (1.0 + abs(m))) AS p
+           |    FROM (SELECT s$k.doc_id,
+           |        (CAST(s$k.sm AS DOUBLE) / 1000.0) / CAST(d.n AS DOUBLE)
+           |          + CAST((SELECT bm FROM $bp) AS DOUBLE) / 1000.0 AS m
+           |      FROM s$k JOIN d USING (doc_id)) q$k
+           |      JOIN d ON q$k.doc_id = d.doc_id JOIN dy ON q$k.doc_id = dy.doc_id)),
+           |g$k AS MATERIALIZED (SELECT tok.b, CAST(sum(e$k.e) AS BIGINT) AS g
+           |  FROM tok JOIN e$k USING (doc_id) GROUP BY tok.b),
+           |w$k AS MATERIALIZED (SELECT $wp.b, $wp.wm
+           |    - CAST(floor(CAST(coalesce(g$k.g, 0) AS DOUBLE) * $lrLr
+           |        / (1000000.0 * (SELECT nd FROM nn)) + 0.5) AS BIGINT) AS wm
+           |  FROM $wp LEFT JOIN g$k ON $wp.b = g$k.b),
+           |b$k AS MATERIALIZED (SELECT (SELECT bm FROM $bp)
+           |    - CAST(floor(CAST((SELECT sum(f) FROM e$k) AS DOUBLE) * $lrLrBias
+           |        / (1000000.0 * (SELECT nd FROM nn)) + 0.5) AS BIGINT) AS bm)""".stripMargin)
+    }
+    sb.toString
+  }
+
   // DSIR hashed-unigram model + per-doc exact milli-sum — shared by the
   // q_dsir scoring oracle and the q_dsir_resample selection oracle:
   // tok = (doc, bucket) stream with the src0 target flag; w = Laplace-
@@ -1370,6 +1450,41 @@ object SparkEntry {
           col("sample_score"))
     }),
 
+    // IN-ENGINE classifier training (q_lr_train): full-batch gradient
+    // descent on the same hash-TF mean-margin model the inference kernel
+    // scores — heuristic-gate DISTILLATION (label = the stopword-density
+    // gate, a linear function of the token stream, so training
+    // measurably recovers it: ~94% train accuracy in 10 steps from the
+    // all-zeros model). Algebraic-sigmoid link + integer residuals make
+    // every cross-row sum an exact long sum, so the whole trajectory
+    // replays bit-identically in the unrolled oracle (the q_fcm_fit
+    // discipline applied to a trainer). Per iteration: one zero-shuffle
+    // scoring scan of the cached tokenized projection + one dim-bounded
+    // gradient agg + O(dim) driver collect.
+    "q_lr_train" -> ((s, dir) => {
+      val (w, bias) = QualityClassifier.trainLogisticMilli(
+        tbl(s, dir, "documents"), "text", lrLabelCol,
+        dim = lrDim, iters = lrIters, lr = lrLr, lrBias = lrLrBias)
+      QualityClassifier.trainedModelDF(s, w, bias)
+    }),
+
+    // The trained model applied: margins/labels over the corpus via the
+    // codegen'd inference kernel (zero-shuffle projection — training's
+    // driver-side model array is the plan-embedded broadcast), with the
+    // true label alongside so the distillation accuracy is auditable
+    // row by row.
+    "q_lr_predict" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val (w, bias) = QualityClassifier.trainLogisticMilli(
+        docs, "text", lrLabelCol,
+        dim = lrDim, iters = lrIters, lr = lrLr, lrBias = lrLrBias)
+      QualityClassifier.classify(docs.filter(col("text").isNotNull),
+          "text", "doc_id", w, bias / 1000.0)
+        .withColumnRenamed("label", "pred")
+        .join(docs.filter(col("text").isNotNull).select(col("doc_id"),
+          lrLabelCol.cast("int").as("y")), Seq("doc_id"))
+    }),
+
     // Substring-level dedup (the suffix-array-style "k-token span appears
     // in N docs" pass): any 8-token window repeated across >= 2 distinct
     // docs is cut from EVERY doc, overlapping hot windows merging into one
@@ -1426,6 +1541,21 @@ object SparkEntry {
       val verified = Dedup.minhashNearDupPairs(docs, "text", "doc_id",
         mhHashes, mhBands, mhSeed, mhShingle, threshold = 0.8)
       Dedup.clusters(verified).select(col("id").as("doc_id"), col("cluster_id"))
+    }),
+
+    // Distributed connected components, standalone and FORCED onto the
+    // iterative min-label-propagation path (driverEdgeLimit = 0): the
+    // q_dedup_minhash oracle covers the driver union-find that small
+    // edge lists take; this one pins the 100 TB path — O(log diameter)
+    // join+min rounds, per-generation cache discipline — under the same
+    // recursive-closure oracle. ClusterProbe showed the two paths agree
+    // on 1000x edges; this makes the distributed path's exactness a
+    // per-round gate instead of a one-off experiment.
+    "q_cc" -> ((s, dir) => {
+      val verified = Dedup.minhashNearDupPairs(tbl(s, dir, "documents"),
+        "text", "doc_id", mhHashes, mhBands, mhSeed, mhShingle,
+        threshold = 0.8)
+      Dedup.clusters(verified, driverEdgeLimit = 0)
     }),
 
     // per-source corpus profiling: counts + mean + EXACT interpolated
@@ -3299,6 +3429,28 @@ object SparkEntry {
          |  CAST(CAST(sm AS DOUBLE) / 1000.0 / n > 0 AS INT) AS selected
          |FROM s""".stripMargin,
 
+    // the trainer replayed step by step (unrolled like q_fcm_fit): the
+    // final weight table + the bias at bucket -1
+    "q_lr_train" ->
+      s"""WITH ${lrTrainCtes(lrIters)}
+         |SELECT b AS bucket, wm AS weight_milli FROM w$lrIters
+         |UNION ALL SELECT CAST(-1 AS BIGINT), bm FROM b$lrIters""".stripMargin,
+
+    // the trained model applied back to the corpus: one more scoring
+    // join off the final weight/bias tables, margin exactly the kernel's
+    // (sm/1000)/n + bias/1000 double chain, pred = margin > 0
+    "q_lr_predict" ->
+      s"""WITH ${lrTrainCtes(lrIters)},
+         |sf AS (SELECT tok.doc_id, CAST(sum(w$lrIters.wm) AS BIGINT) AS sm
+         |  FROM tok JOIN w$lrIters ON tok.b = w$lrIters.b GROUP BY tok.doc_id)
+         |SELECT sf.doc_id,
+         |  (CAST(sf.sm AS DOUBLE) / 1000.0) / CAST(d.n AS DOUBLE)
+         |    + CAST((SELECT bm FROM b$lrIters) AS DOUBLE) / 1000.0 AS margin,
+         |  CAST((CAST(sf.sm AS DOUBLE) / 1000.0) / CAST(d.n AS DOUBLE)
+         |    + CAST((SELECT bm FROM b$lrIters) AS DOUBLE) / 1000.0 > 0.0 AS INT) AS pred,
+         |  dy.y AS y
+         |FROM sf JOIN d USING (doc_id) JOIN dy ON sf.doc_id = dy.doc_id""".stripMargin,
+
     // The resampling half of Xie et al.: Efraimidis-Spirakis take with
     // weight exp(log_importance) — rank on the UNROUNDED score exactly
     // like q_weighted_take, round only outputs
@@ -3403,6 +3555,15 @@ object SparkEntry {
       s"""WITH RECURSIVE $mhCandidateCtes,
          |$mhVerifiedEdgeCtes
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
+
+    // same closure, but the Spark side is FORCED onto the distributed
+    // label-propagation path — the oracle certifies the iterative
+    // join+min rounds converge to exact min-reachable-id labels
+    "q_cc" ->
+      s"""WITH RECURSIVE $mhCandidateCtes,
+         |$mhVerifiedEdgeCtes
+         |SELECT a AS id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a""".stripMargin,
 
     "q_upsample" ->

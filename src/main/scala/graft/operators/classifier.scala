@@ -1,9 +1,9 @@
 package graft.operators
 
 import graft.functions.HashTfLinearMargin
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /**
  * Learned quality-classifier inference for corpus curation — the scoring
@@ -133,6 +133,115 @@ object QualityClassifier {
       .select(col(idCol), nTok.cast(LongType).as("n_tokens"),
         m.as("log_importance"),
         (m > 0.0).cast(IntegerType).as("selected"))
+  }
+
+  /**
+   * Deterministic IN-ENGINE training of the hash-TF linear model —
+   * full-batch gradient descent on the mean-margin classifier the
+   * inference kernel scores, closing the loop the scaladoc above calls
+   * "out of scope": the engine now trains the same model it serves.
+   *
+   * The model is `margin_i = (Σ_t w[b(t)]) / 1000 / n_i + bias` (the
+   * exact [[HashTfLinearMargin]] formula); the link is the ALGEBRAIC
+   * sigmoid `p = ½(1 + m/(1+|m|))` — rational, so both engines compute
+   * it from the same IEEE ops with zero transcendental skew (the same
+   * reason the LM ops truncate their ln sums; here no ln/exp exists at
+   * all). Per iteration, per doc:
+   *
+   *   e_i = floor(((p_i − y_i) / n_i) · 1e9 + 0.5)   (long)
+   *   f_i = floor( (p_i − y_i)        · 1e9 + 0.5)   (long)
+   *
+   * so the full-batch gradients g_b = Σ_i e_i·c_{i,b} (each token
+   * instance contributes its doc's e_i) and g_bias = Σ_i f_i are EXACT
+   * LONG SUMS — order-free, partition-free, engine-free. The update
+   * re-enters milli-units through one fixed double expression:
+   *
+   *   w_b    −= floor(g_b    · lr     / (1e6 · N) + 0.5)
+   *   bias_m −= floor(g_bias · lrBias / (1e6 · N) + 0.5)
+   *
+   * (g exactly double-representable while |g| < 2^53 ≈ 9e15 — at 1e9
+   * residual scale that is ~9M token-instances per bucket per sign;
+   * beyond that a production trainer would carry g in two longs. lr is
+   * a power of two so `g·lr` stays exact. lrBias is separate because
+   * the bias residual f lacks the 1/n damping of e — at the corpus's
+   * ~170-token docs a shared rate makes the bias step ~170× the weight
+   * step and the trajectory oscillates; lrBias ≈ lr/128 restores the
+   * balance, measured, not guessed.) Every quantity any engine
+   * sums across rows is an integer; every float op has one fixed shape
+   * — the whole T-iteration trajectory replays bit-identically in SQL,
+   * the q_fcm_fit unrolled-oracle discipline applied to a trainer.
+   *
+   * Scale shape (100 TB): the corpus is tokenized ONCE into a cached
+   * (y, n, buckets) projection; each iteration is one zero-shuffle
+   * scoring scan (weights ride as a task-local array) plus one
+   * dim-bounded hash aggregation (map-side partial sums — dim keys
+   * total, no skew possible) and an O(dim) driver collect. Driver state
+   * is the model itself, never data. T corpus scans for T iterations is
+   * the same contract as FCM/KMeans fit.
+   *
+   * Returns (weightsMilli, biasMilli) after `iters` full-batch steps
+   * from the all-zeros model.
+   */
+  def trainLogisticMilli(df: DataFrame, textCol: String, label: Column,
+                         dim: Int, iters: Int, lr: Double,
+                         lrBias: Double): (Array[Long], Long) = {
+    require(dim > 0 && dim <= (1 << 20), s"dim must be in [1, 2^20] (got $dim)")
+    require(iters >= 0 && iters <= 64, s"iters must be in [0, 64] (got $iters)")
+    val spark = df.sparkSession
+    val bucketUdf = udf { (text: String) =>
+      Dedup.wsPattern.split(text.toLowerCase)
+        .map(w => (Dedup.md5LongJvm(w) % dim).toInt)
+    }
+    val base = df.filter(col(textCol).isNotNull)
+      .select(label.cast(LongType).as("y"), bucketUdf(col(textCol)).as("bs"))
+      .withColumn("n", size(col("bs")).cast(LongType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = base.count()
+      require(nDocs > 0, "trainLogisticMilli: empty corpus")
+      val w = Array.fill(dim)(0L)
+      var biasMilli = 0L
+      for (_ <- 0 until iters) {
+        val wLocal = w.clone()
+        val sumUdf = udf { (bs: Seq[Int]) =>
+          var s = 0L; bs.foreach(b => s += wLocal(b)); s
+        }
+        val nD = col("n").cast(DoubleType)
+        val yD = col("y").cast(DoubleType)
+        // the margin formula verbatim from HashTfLinearMargin.score, then
+        // the rational link — every op mirrored 1:1 in the oracle SQL
+        val m = (col("s").cast(DoubleType) / lit(1000.0)) / nD +
+          lit(biasMilli.toDouble / 1000.0)
+        val p = lit(0.5) * (lit(1.0) + m / (lit(1.0) + abs(m)))
+        val scored = base
+          .select(col("y"), col("n"), col("bs"), sumUdf(col("bs")).as("s"))
+          .withColumn("p", p)
+          .withColumn("e", floor(((col("p") - yD) / nD) * lit(1000000000.0) + lit(0.5)))
+          .withColumn("f", floor((col("p") - yD) * lit(1000000000.0) + lit(0.5)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val grads = scored.select(explode(col("bs")).as("b"), col("e"))
+            .groupBy(col("b")).agg(sum(col("e")).as("g"))
+            .collect() // O(dim) — the model, never the data
+          val fSum = scored.agg(sum(col("f"))).first().getLong(0)
+          grads.foreach { r =>
+            val b = r.getInt(0); val g = r.getLong(1)
+            w(b) -= math.floor(g.toDouble * lr / (1000000.0 * nDocs) + 0.5).toLong
+          }
+          biasMilli -= math.floor(fSum.toDouble * lrBias / (1000000.0 * nDocs) + 0.5).toLong
+        } finally scored.unpersist(blocking = false)
+      }
+      (w, biasMilli)
+    } finally base.unpersist(blocking = false)
+  }
+
+  /** The trained model as the persistable DataFrame form: one row per
+    * bucket plus the bias at bucket −1 (all BIGINT — the exact shape the
+    * unrolled-SQL oracle replays). */
+  def trainedModelDF(spark: SparkSession, w: Array[Long], biasMilli: Long): DataFrame = {
+    import spark.implicits._
+    (w.zipWithIndex.map { case (wm, b) => (b.toLong, wm) } :+ (-1L, biasMilli))
+      .toSeq.toDF("bucket", "weight_milli")
   }
 
   /** Model-DataFrame entry: collect the `dim`-row model table into the

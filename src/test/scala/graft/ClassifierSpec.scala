@@ -106,4 +106,90 @@ class ClassifierSpec extends GraftSpec {
     assert(scores(1L)._1 == 5 && scores(3L)._1 == 5)
     assert(scores(1L)._2 > scores(3L)._2)
   }
+
+  // ---------------------------------------- in-engine trainer (q_lr_train)
+
+  /** Exact scalar replay of one trained model's margin for a doc. */
+  private def trainedMargin(text: String, wts: Array[Long], biasMilli: Long): Double = {
+    val toks = Dedup.wsPattern.split(text.toLowerCase)
+    val s = toks.map(t => wts((Dedup.md5LongJvm(t) % wts.length).toInt)).sum
+    s / 1000.0 / toks.length + biasMilli / 1000.0
+  }
+
+  test("trainer recovers a linear target: separable toy corpus trains to 100%") {
+    // y = doc contains 'good' — a linear function of the token stream
+    val corpus = Seq(
+      (1L, "good stuff here today", 1), (2L, "really good and fine", 1),
+      (3L, "good good good yes", 1), (4L, "bad junk spam here", 0),
+      (5L, "terrible awful junk spam", 0), (6L, "bad bad spam no", 0),
+      (7L, "quite good indeed friend", 1), (8L, "awful spam junk flood", 0)
+    ).toDF("doc_id", "text", "y")
+    val (wts, bias) = QualityClassifier.trainLogisticMilli(
+      corpus, "text", col("y") === 1, dim = 64, iters = 12,
+      lr = 32.0, lrBias = 0.25)
+    val preds = corpus.collect().map { r =>
+      (r.getInt(2), trainedMargin(r.getString(1), wts, bias) > 0.0)
+    }
+    assert(preds.forall { case (y, p) => p == (y == 1) },
+      s"misclassified: ${preds.mkString(",")}; bias=$bias")
+    // the discriminative token carries the largest positive weight
+    val wGood = wts((Dedup.md5LongJvm("good") % 64).toInt)
+    assert(wGood == wts.max && wGood > 0, s"w(good)=$wGood max=${wts.max}")
+  }
+
+  test("trainer trajectory is deterministic across repartitionings") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "beta beta delta"),
+      (3L, "gamma delta epsilon"), (4L, "alpha alpha zeta"),
+      (5L, "zeta eta theta"), (6L, "theta beta alpha")
+    ).toDF("doc_id", "text")
+    val y = col("doc_id") <= 3
+    val (w1, b1) = QualityClassifier.trainLogisticMilli(
+      corpus, "text", y, dim = 32, iters = 5, lr = 32.0, lrBias = 0.25)
+    val (w2, b2) = QualityClassifier.trainLogisticMilli(
+      corpus.repartition(7), "text", y, dim = 32, iters = 5,
+      lr = 32.0, lrBias = 0.25)
+    assert(w1.sameElements(w2) && b1 == b2,
+      "integer-residual gradients must be partitioning-invariant")
+  }
+
+  test("trainer: zero iterations returns the all-zeros model; null text excluded") {
+    val corpus = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val (wts, bias) = QualityClassifier.trainLogisticMilli(
+      corpus, "text", col("doc_id") === 1L, dim = 16, iters = 0,
+      lr = 32.0, lrBias = 0.25)
+    assert(wts.forall(_ == 0L) && bias == 0L)
+    // one iteration over the 1-doc corpus (null dropped): N = 1, y = 1,
+    // p = 0.5 -> e = floor(0.5/3*-1e9... sign: (0.5-1) = -0.5
+    val (w1, b1) = QualityClassifier.trainLogisticMilli(
+      corpus, "text", col("doc_id") === 1L, dim = 16, iters = 1,
+      lr = 32.0, lrBias = 0.25)
+    // e = floor(-0.5/3*1e9+0.5) = -166666667; per touched bucket
+    // dw = floor(-166666667*32/1e6 + 0.5) = floor(-5332.83) = -5333
+    // (buckets 10/14/3 for a/b/c at dim=16 — no collision)
+    val touched = Seq("a", "b", "c").map(t => (Dedup.md5LongJvm(t) % 16).toInt).distinct
+    assert(touched.size == 3)
+    touched.foreach(b => assert(w1(b) == 5333L, s"bucket $b: ${w1(b)}"))
+    // f = floor(-0.5*1e9+0.5) = -500000000; db = floor(-5e8*0.25/1e6+0.5)
+    //   = floor(-124.5... ) -> -125 => bias = +125
+    assert(b1 == 125L, s"bias $b1")
+  }
+
+  test("trained model round-trips through the DataFrame form into inference") {
+    val corpus = Seq((1L, "good news"), (2L, "bad spam")).toDF("doc_id", "text")
+    val (wts, bias) = QualityClassifier.trainLogisticMilli(
+      corpus, "text", col("doc_id") === 1L, dim = 32, iters = 3,
+      lr = 32.0, lrBias = 0.25)
+    val model = QualityClassifier.trainedModelDF(spark, wts, bias)
+    assert(model.count() == 33)
+    val biasRow = model.filter(col("bucket") === -1L).head.getLong(1)
+    assert(biasRow == bias)
+    val viaDf = QualityClassifier.classifyWithModel(corpus, "text", "doc_id",
+      model.filter(col("bucket") >= 0L), bias / 1000.0)
+      .orderBy("doc_id").collect().map(_.getDouble(1))
+    val direct = QualityClassifier.classify(corpus, "text", "doc_id",
+      wts, bias / 1000.0).orderBy("doc_id").collect().map(_.getDouble(1))
+    assert(viaDf.sameElements(direct))
+  }
 }
