@@ -538,6 +538,51 @@ object SparkEntry {
        |        FROM $src WHERE text IS NOT NULL)""".stripMargin
   }
 
+  // PCA power iteration unrolled step by step: the moment cells (the
+  // q_embed_cov aggregate kept raw), the symmetric matrix, the graded
+  // start, then per step a decimal matvec (n_k), a decimal norm (s_k)
+  // and the round-9 normalize (v_k) — exactly the arithmetic
+  // Similarity.pcaLeadingComponent runs on the driver. The final SELECT
+  // is the centered projection, decimal-summed per vector.
+  private def pcaProjectSql(dims: Int, steps: Int): String = {
+    val stepCtes = (1 to steps).map { k =>
+      s"""n$k AS (SELECT a.i AS i,
+         |    sum(CAST(a.cov * v${k - 1}.v AS DECIMAL(28,12))) AS num
+         |  FROM a JOIN v${k - 1} ON a.j = v${k - 1}.i GROUP BY a.i),
+         |s$k AS (SELECT CAST(sum(CAST(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+         |    AS DECIMAL(28,12))) AS DOUBLE) AS ss FROM n$k),
+         |v$k AS (SELECT i, round(CAST(num AS DOUBLE) / sqrt(ss), 9) AS v
+         |  FROM n$k, s$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (SELECT a.d AS i, b.d AS j,
+       |    CAST(list_extract(embedding, CAST(a.d + 1 AS INTEGER)) AS DOUBLE) AS xi,
+       |    CAST(list_extract(embedding, CAST(b.d + 1 AS INTEGER)) AS DOUBLE) AS xj
+       |  FROM embeddings, range($dims) a(d), range($dims) b(d) WHERE b.d >= a.d),
+       |s AS (SELECT i, j, count(*) AS n,
+       |    sum(CAST(xi AS DECIMAL(28,12))) AS si,
+       |    sum(CAST(xj AS DECIMAL(28,12))) AS sj,
+       |    sum(CAST(xi * xj AS DECIMAL(28,12))) AS sij
+       |  FROM f GROUP BY i, j),
+       |c AS (SELECT i, j, round(CAST(sij AS DOUBLE) / n
+       |    - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n), 6) + 0.0 AS cov
+       |  FROM s),
+       |a AS (SELECT i, j, cov FROM c
+       |      UNION ALL SELECT j AS i, i AS j, cov FROM c WHERE i <> j),
+       |m AS (SELECT i, CAST(si AS DOUBLE) / n AS m FROM s WHERE i = j),
+       |v0 AS (SELECT t.d AS i,
+       |    CAST(1.0 AS DOUBLE) + CAST(0.001 AS DOUBLE) * (t.d + 1) AS v
+       |  FROM range($dims) t(d)),
+       |$stepCtes,
+       |p AS (SELECT vec_id, t.d AS i,
+       |    CAST(list_extract(embedding, CAST(t.d + 1 AS INTEGER)) AS DOUBLE) AS x
+       |  FROM embeddings, range($dims) t(d))
+       |SELECT vec_id,
+       |  round(CAST(sum(CAST((p.x - m.m) * v$steps.v AS DECIMAL(28,12)))
+       |    AS DOUBLE), 6) + 0.0 AS pc1
+       |FROM p JOIN m ON p.i = m.i JOIN v$steps ON p.i = v$steps.i
+       |GROUP BY vec_id""".stripMargin
+  }
+
   // BPE TRAINING replayed merge by merge — the q_fcm_fit unrolled-oracle
   // pattern: each learned merge k is a pair-count aggregation (pairs_k),
   // a (count desc, lhs, rhs) argmax (best_k), and a recursive fixpoint
@@ -1971,6 +2016,18 @@ object SparkEntry {
       Similarity.embeddingCovariance(tbl(s, dir, "embeddings"), "embedding")
     }),
 
+    // PCA projection (the first whitening coordinate): one d^2-cell
+    // moment scan collected model-sized, a FIXED 8-step power iterate on
+    // the driver under the decimal discipline (the iterate IS the
+    // contract — engine-exact, converged or not), then a zero-shuffle
+    // centered projection with the component riding as literals
+    "q_pca_project" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val (means, comp) = Similarity.pcaLeadingComponent(
+        Similarity.pcaMomentCells(emb, "embedding"))
+      Similarity.pcaProject(emb, "vec_id", "embedding", means, comp)
+    }),
+
     // JL random projection (the ANN compute/bytes lever): 64 → 16 dims
     // through the codegen'd ±1 kernel — zero-shuffle, engine-exact
     // ordered fold; output exploded so the oracle compares scalars
@@ -2297,6 +2354,15 @@ object SparkEntry {
     "q_moore_lewis" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       TextAnalysis.mooreLewis(docs, "text", "doc_id", col("lang") === "en")
+    }),
+
+    // DoReMi Group-DRO domain reweighting (Xie et al. 2023): per-domain
+    // excess loss of the unigram reference over the bigram proxy,
+    // exponentiated over the baseline token share into integer
+    // milli-weights — the mixture the resampling gate would apply
+    "q_doremi" -> ((s, dir) => {
+      TextAnalysis.doremiWeights(tbl(s, dir, "documents"), "text", "doc_id",
+        col("source"))
     }),
 
     // per-source token-distribution drift: Jensen-Shannon divergence of
@@ -3972,6 +4038,8 @@ object SparkEntry {
         |    - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n), 6) + 0.0 AS cov
         |FROM s""".stripMargin,
 
+    "q_pca_project" -> pcaProjectSql(dims = 64, steps = 8),
+
     "q_quantize" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -4295,6 +4363,45 @@ object SparkEntry {
         |    / count(*), 6) < 0) AS selected
         |FROM t JOIN g USING (term) LEFT JOIN i USING (term), tg, ti
         |GROUP BY doc_id""".stripMargin,
+
+    // the q_lm_score and q_lm2_score CTEs (one shared unigram table),
+    // then the DoReMi update replayed with the same guards: round-6 LM
+    // means, decimal excess sums, round-9 exp, decimal weight total,
+    // one fixed floor(1000*w/tot + 0.5)
+    "q_doremi" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS term FROM w),
+        |lm AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS v FROM lm),
+        |u AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    round(CAST(sum(CAST(-ln((c + 1.0) / (tot + v)) AS DECIMAL(28,12))) AS DOUBLE)
+        |      / count(*), 6) AS mean_nll
+        |  FROM t JOIN lm USING (term), tot GROUP BY doc_id),
+        |bgt AS (SELECT doc_id, bg['a'] AS w1, bg['b'] AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> {'a': w[i], 'b': w[i+1]})) AS bg FROM w)),
+        |bi AS (SELECT w1, w2, count(*) AS cb FROM bgt GROUP BY 1, 2),
+        |b AS (SELECT doc_id,
+        |    round(CAST(sum(CAST(-ln((cb + 1.0) / (c + v)) AS DECIMAL(28,12))) AS DOUBLE)
+        |      / count(*), 6) AS mean_nll2
+        |  FROM bgt JOIN bi USING (w1, w2) JOIN lm ON bgt.w1 = lm.term, tot
+        |  GROUP BY doc_id),
+        |j AS (SELECT d.source, u.n_tokens,
+        |    greatest(0.0, u.mean_nll - b.mean_nll2) AS ex
+        |  FROM (SELECT doc_id, source FROM documents) d
+        |  JOIN u USING (doc_id) JOIN b USING (doc_id)),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |    sum(CAST(ex AS DECIMAL(18,6))) AS se FROM j GROUP BY source),
+        |g2 AS (SELECT source, n_docs, tokens,
+        |    round(CAST(se AS DOUBLE) / n_docs, 6) AS excess FROM g),
+        |wt AS (SELECT *, CAST(tokens AS DOUBLE) * round(exp(1.0 * excess), 9) AS wr
+        |  FROM g2),
+        |tw AS (SELECT CAST(sum(CAST(wr AS DECIMAL(28,6))) AS DOUBLE) AS tw FROM wt)
+        |SELECT source, n_docs, tokens, excess,
+        |  CAST(floor(1000.0 * wr / tw + 0.5) AS BIGINT) AS weight_milli
+        |FROM wt, tw""".stripMargin,
 
     // per-term JS contributions with the same double arithmetic order as
     // the Spark column expression (p and q derived fresh at each use —

@@ -262,19 +262,38 @@ object KMeansDet extends DefaultParamsReadable[KMeansDet] {
   /** x as a scale-12 unscaled long with Spark's cast semantics:
     * BigDecimal over the double's SHORTEST decimal representation
     * (valueOf = Double.toString, exactly what Spark's Decimal(double)
-    * builds), HALF_UP at scale 12 (what changePrecision applies). Direct
-    * java.math use keeps it at two allocations per value — this runs
-    * n*dim times per fit and is the cache build's dominant term. */
-  private[operators] def quantize12(x: Double): Long = {
+    * builds), HALF_UP at scale 12 (what changePrecision applies).
+    *
+    * Fast path: `Math.round(x·1e12)` — valid whenever the scaled value
+    * sits clearly away from a rounding boundary. The computed y and the
+    * true shortest-repr decimal T differ by ≤ ~3 ulp(y) (one IEEE
+    * multiply + the shortest-repr gap), so outside a 4·ulp guard band
+    * around the half-integer boundary both round to the same long, and
+    * ties/near-ties fall back to the exact BigDecimal path (~1e-3 of
+    * calls). This removes the two-allocations-per-value cost that
+    * dominated both the k-means cache build and the covariance moment
+    * kernel (430M calls at the 100× embeddings point ≈ 34 GB of
+    * BigDecimal churn). Exactness is pinned by PropertySpec against the
+    * BigDecimal reference, and end-to-end by the hash-exact kmeans /
+    * embed-cov oracles. */
+  private[graft] def quantize12(x: Double): Long = {
     require(!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x),
       s"KMeansDet: non-finite feature value $x")
     require(math.abs(x) < 1e6,
       s"KMeansDet: feature value $x out of range (exact scale-12 sums " +
         "need |x| < 1e6; rescale the features)")
+    val y = x * 1e12
+    val f = y - Math.floor(y)
+    val band = Math.ulp(y) * 4.0 + 1e-9
+    if (Math.abs(f - 0.5) > band) Math.round(y) else quantize12Exact(x)
+  }
+
+  /** The exact reference path (and boundary fallback) for
+    * [[quantize12]]. */
+  private[graft] def quantize12Exact(x: Double): Long =
     java.math.BigDecimal.valueOf(x)
       .setScale(12, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
-  }
 
   /** (hi, lo) 128-bit sums at flat index idx += sign-extended v — the
     * same arithmetic DuckDB's decimal sum runs in int128. */

@@ -431,30 +431,113 @@ object Similarity {
    * fixed decimal scale once, the cell sums are exact, one fixed-order
    * double division chain at the end.
    *
-   * Scale shape: the pair explode is d(d+1)/2 rows per vector feeding a
-   * d²-bounded hash agg — partial aggregation reduces every partition
-   * to ≤ d(d+1)/2 cells before the exchange, so the shuffle carries
-   * O(d² × partitions) cells, never data. The per-row d² multiply cost
-   * is covariance's intrinsic FLOP count (the same products a
-   * treeAggregate outer-product would do); the agg formulation buys
-   * bit-exact replay on any engine or partitioning.
+   * Scale shape: one [[momentAggregate]] treeAggregate pass — per-task
+   * 128-bit scale-12 partial sums, so the merge carries O(d² × tasks)
+   * longs, never data. The per-row d² multiply cost is covariance's
+   * intrinsic FLOP count; the quantized-long formulation keeps the
+   * replay bit-exact on any engine or partitioning while avoiding the
+   * measured 25× Decimal-aggregate overhead (see [[momentAggregate]]).
    */
   def embeddingCovariance(df: DataFrame, vecCol: String): DataFrame = {
-    val v = df.select(col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
-    v.select(col("__v"), posexplode(col("__v")).as(Seq("i", "__xi")))
-      .select(col("i"), col("__xi"), posexplode(col("__v")).as(Seq("j", "__xj")))
-      .filter(col("j") >= col("i"))
-      .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("__xi").cast("decimal(28,12)")).as("__si"),
-        sum(col("__xj").cast("decimal(28,12)")).as("__sj"),
-        sum((col("__xi") * col("__xj")).cast("decimal(28,12)")).as("__sij"))
-      .select(col("i"), col("j"), col("n"),
-        // + 0.0 normalizes IEEE negative zero (round of a tiny negative
-        // covariance yields -0.0, and engines disagree on its sign)
-        (round(col("__sij").cast(DoubleType) / col("n")
-          - (col("__si").cast(DoubleType) / col("n"))
-            * (col("__sj").cast(DoubleType) / col("n")), 6) + lit(0.0)).as("cov"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (n, d, singles, pairs) = momentAggregate(df, vecCol)
+    val cells = for { i <- 0 until d; j <- i until d } yield {
+      val sij = pairs(pairIdx(i, j, d)).doubleValue()
+      val cov = roundAt(sij / n
+        - (singles(i).doubleValue() / n) * (singles(j).doubleValue() / n), 6) + 0.0
+      (i, j, n, cov)
+    }
+    cells.toDF("i", "j", "n", "cov")
+  }
+
+  /** Flat upper-triangle index of (i, j), i <= j, in a d-dim matrix. */
+  @inline private def pairIdx(i: Int, j: Int, d: Int): Int =
+    i * d - i * (i - 1) / 2 + (j - i)
+
+  /**
+   * The single corpus pass behind [[embeddingCovariance]] and
+   * [[pcaMomentCells]]: per-partition 128-bit scale-12 long sums of
+   * every xᵢ and every upper-triangle product xᵢ·xⱼ, merged by
+   * treeAggregate — numerically IDENTICAL to
+   * `sum(cast(x AS decimal(28,12)))` ([[KMeansDet.quantize12]] is
+   * Spark's cast, add128 is the int128 decimal sum, the proof is the
+   * hash-exact kmeans fit oracle), but ~25× cheaper: the declarative
+   * pair-explode + decimal-agg formulation paid a Double.toString +
+   * BigDecimal allocation AND a non-vectorized Decimal add per product
+   * INSIDE the aggregate (≈15 s at sf0.1 — masked in early bench
+   * records because `count()` pruned the unused sum columns; the
+   * kernel makes the recorded cost the honest one). The partial state
+   * is O(d²) longs per partition, the merge O(d² · partitions) — the
+   * same exchange-carries-cells scale shape as before.
+   *
+   * Returns (rowCount, dims, singles Σxᵢ, pairs Σxᵢxⱼ) with exact
+   * scale-12 decimals reconstructed from the 128-bit sums.
+   */
+  private def momentAggregate(df: DataFrame, vecCol: String)
+      : (Long, Int, Array[java.math.BigDecimal], Array[java.math.BigDecimal]) = {
+    import KMeansDet.{quantize12, add128}
+    val rdd0 = df.select(col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .rdd.map(_.getSeq[Double](0).toArray)
+    // the d² quantize work per ROW dwarfs the row itself, so a
+    // single-file source (one scan partition) serializes the whole pass
+    // on one core; widen ONLY under-partitioned inputs — a corpus-scale
+    // table already arrives with plenty of splits and skips the shuffle
+    val para = df.sparkSession.sparkContext.defaultParallelism
+    val rdd = if (rdd0.getNumPartitions < para) rdd0.repartition(para) else rdd0
+    val d = rdd.take(1).headOption.map(_.length).getOrElse(0)
+    if (d == 0) return (0L, 0, Array.empty, Array.empty)
+    require(d <= 1024,
+      s"momentAggregate: $d dims — beyond 1024 the O(d²) cell state is " +
+        "driver-hostile; project first (randomProjection)")
+    val nPairs = d * (d + 1) / 2
+    // acc layout: (rowCount[1], sHi[d], sLo[d], pHi[nPairs], pLo[nPairs])
+    type Acc = (Array[Long], Array[Long], Array[Long], Array[Long], Array[Long])
+    def zero: Acc = (new Array[Long](1), new Array[Long](d), new Array[Long](d),
+      new Array[Long](nPairs), new Array[Long](nPairs))
+    val (cnt, sHi, sLo, pHi, pLo) = rdd.treeAggregate(zero)(
+      seqOp = { case (acc, x) =>
+        require(x.length == d,
+          s"momentAggregate: ragged vector (${x.length} vs $d dims)")
+        acc._1(0) += 1
+        var i = 0
+        while (i < d) {
+          add128(acc._2, acc._3, i, quantize12(x(i)))
+          var j = i
+          var idx = pairIdx(i, i, d)
+          while (j < d) {
+            add128(acc._4, acc._5, idx, quantize12(x(i) * x(j)))
+            j += 1; idx += 1
+          }
+          i += 1
+        }
+        acc
+      },
+      combOp = { case (a, b) =>
+        a._1(0) += b._1(0)
+        def merge(hi1: Array[Long], lo1: Array[Long],
+                  hi2: Array[Long], lo2: Array[Long]): Unit = {
+          var k = 0
+          while (k < hi1.length) {
+            val nlo = lo1(k) + lo2(k)
+            // unsigned-overflow carry of the low words
+            hi1(k) += hi2(k) + (((lo1(k) & lo2(k)) | ((lo1(k) | lo2(k)) & ~nlo)) >>> 63)
+            lo1(k) = nlo
+            k += 1
+          }
+        }
+        merge(a._2, a._3, b._2, b._3)
+        merge(a._4, a._5, b._4, b._5)
+        a
+      })
+    def toDec(hi: Long, lo: Long): java.math.BigDecimal = {
+      val big = (BigInt(hi) << 64) + BigInt(java.lang.Long.toUnsignedString(lo))
+      new java.math.BigDecimal(big.bigInteger, 12)
+    }
+    (cnt(0), d,
+      Array.tabulate(d)(i => toDec(sHi(i), sLo(i))),
+      Array.tabulate(nPairs)(k => toDec(pHi(k), pLo(k))))
   }
 
   /**
@@ -499,5 +582,113 @@ object Similarity {
       for (i <- 0 until d; j <- 0 until d) a(i)(j) -= lambda * v(i) * v(j)
       (lambda, v)
     }
+  }
+
+  /** x cast to decimal(28,12) with Spark's Cast semantics (shortest-repr
+    * BigDecimal, HALF_UP at scale 12) — the same quantization
+    * [[graft.operators.KMeansDet.quantize12]] uses, kept as a BigDecimal
+    * here because the PCA sums stay driver-side. */
+  private def dec12(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+
+  /** Spark's round(x, s) on a double: HALF_UP over the shortest decimal
+    * representation (DuckDB's round-half-away agrees for every
+    * magnitude). */
+  private def roundAt(x: Double, s: Int): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /**
+   * One corpus pass collecting the d²-bounded moment cells PCA runs on:
+   * upper-triangle (i, j, n, Σxi, Σxj, Σxi·xj) with exact decimal(28,12)
+   * sums — the [[embeddingCovariance]] aggregate, collected raw so the
+   * driver can derive means AND covariances from one scan. The collect
+   * is O(d²) = model-sized by construction (d ≤ 1024 guarded), never
+   * corpus-sized.
+   */
+  def pcaMomentCells(df: DataFrame, vecCol: String)
+      : Array[(Int, Int, Long, java.math.BigDecimal, java.math.BigDecimal, java.math.BigDecimal)] = {
+    val (n, d, singles, pairs) = momentAggregate(df, vecCol)
+    (for { i <- 0 until d; j <- i until d } yield
+      (i, j, n, singles(i), singles(j), pairs(pairIdx(i, j, d)))).toArray
+  }
+
+  /**
+   * The leading principal component as a FIXED-STEP power iterate over
+   * the covariance derived from [[pcaMomentCells]] — every arithmetic
+   * step replicates what the SQL oracle's unrolled CTEs compute, so the
+   * vector (and everything projected through it) is engine-exact:
+   *
+   *  - cov(i,j) = round(sij/n − (si/n)(sj/n), 6) + 0.0 (the
+   *    embeddingCovariance formula, doubles from decimal casts);
+   *  - v₀ᵢ = 1 + 0.001·(i+1) (graded start — see [[topEigen]] for why
+   *    uniform starts can stall);
+   *  - each step: numᵢ = Σⱼ dec12(cov(i,j)·vⱼ) exactly (decimal sums are
+   *    order-independent), ss = Σ dec12(numᵢ²), v′ᵢ = round(numᵢ/√ss, 9).
+   *
+   * Unlike [[topEigen]] (200 free-double iterations, driver-only), the
+   * step count here is part of the operator's CONTRACT — the output is
+   * "the k-step iterate", exactly replayable, converged or not. Eight
+   * steps separate a dominant component by ~(λ₂/λ₁)⁸.
+   *
+   * Returns (means, component): both length-d double arrays.
+   */
+  def pcaLeadingComponent(
+      cells: Array[(Int, Int, Long, java.math.BigDecimal, java.math.BigDecimal, java.math.BigDecimal)],
+      steps: Int = 8): (Array[Double], Array[Double]) = {
+    require(cells.nonEmpty, "pcaLeadingComponent: no moment cells")
+    val d = cells.map(_._2).max + 1
+    val a = Array.ofDim[Double](d, d)
+    val means = new Array[Double](d)
+    cells.foreach { case (i, j, n, si, sj, sij) =>
+      val cov = roundAt(sij.doubleValue() / n
+        - (si.doubleValue() / n) * (sj.doubleValue() / n), 6) + 0.0
+      a(i)(j) = cov; a(j)(i) = cov
+      if (i == j) means(i) = si.doubleValue() / n
+    }
+    var v = Array.tabulate(d)(i => 1.0 + 0.001 * (i + 1))
+    for (_ <- 0 until steps) {
+      val num = Array.tabulate(d) { i =>
+        var s = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < d) { s = s.add(dec12(a(i)(j) * v(j))); j += 1 }
+        s.doubleValue()
+      }
+      var ss = java.math.BigDecimal.ZERO
+      num.foreach(x => ss = ss.add(dec12(x * x)))
+      val nrm = math.sqrt(ss.doubleValue())
+      v = num.map(x => roundAt(x / nrm, 9))
+    }
+    (means, v)
+  }
+
+  /**
+   * The corpus projected onto a principal component: per row
+   * pc = round(Σᵢ dec12((xᵢ − mᵢ)·vᵢ), 6) — centered, so this IS the
+   * first whitening coordinate. The component and means ride the plan
+   * as literals (model-sized broadcast by construction): the projection
+   * is a pure zero-shuffle codegen'd scan — a d-term decimal Add chain,
+   * no UDF, no join — the only shape that survives a 100 TB corpus.
+   * Decimal terms keep the fold order-independent, so the result is
+   * identical on any partitioning and any engine.
+   */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String,
+                 means: Array[Double], component: Array[Double],
+                 outCol: String = "pc1"): DataFrame = {
+    require(means.length == component.length, "means/component dim mismatch")
+    val x = col(vecCol).cast(ArrayType(DoubleType))
+    // each intermediate is re-capped at decimal(30,12): a naive 64-term
+    // Add chain escalates precision past 38, where Spark's
+    // allowPrecisionLoss quietly drops the scale to ~6 digits — the
+    // 2e-6-level skew the oracle caught. (30,12)+(18,12) -> (31,12) is
+    // exact and under the cap at every step, and the cast back to
+    // (30,12) never truncates (|partial sum| < 1e18 by construction),
+    // so the fold stays bit-exact AND whole-stage-codegen'd.
+    val terms = component.indices.map(i =>
+      ((x.getItem(i) - lit(means(i))) * lit(component(i))).cast("decimal(18,12)"))
+    val sum = terms.reduce((a, b) => (a + b).cast("decimal(30,12)"))
+    df.select(col(idCol),
+      (round(sum.cast(DoubleType), 6) + lit(0.0)).as(outCol))
   }
 }

@@ -829,6 +829,61 @@ object TextAnalysis {
   }
 
   /**
+   * DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+   * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+   * the Group-DRO multiplicative-weights update over per-domain EXCESS
+   * LOSS, instantiated with the engine's two deterministic LMs — the
+   * add-1 unigram model as the reference and the add-1 bigram model as
+   * the proxy. excess(doc) = max(0, nll_uni − nll_bi): how much a
+   * context-aware model improves on the domain — DoReMi's
+   * hard-but-LEARNABLE signal (already-easy domains score ~0 on both,
+   * unlearnable noise scores high on both; the difference isolates the
+   * learnable middle). Domain weight is the paper's exponentiated
+   * update over the baseline token share:
+   * `w_k ∝ tokens_k · exp(η · mean_excess_k)`, emitted as integer
+   * milli-weights ready for the milli-epoch resampling gate
+   * (q_unimax_sample's apply pattern).
+   *
+   * Determinism discipline: per-doc means are the LM operators' own
+   * round-6 outputs; per-domain excess sums go through decimal(18,6)
+   * (exact, order-independent); exp is rounded to 9 decimals before the
+   * token-share product so a last-ulp libm divergence cannot reach the
+   * weight; the weight total is a decimal(28,6) sum; the final
+   * normalization is one fixed floor(1000·w/tot + 0.5).
+   *
+   * Scale shape: the two LM passes are the existing vocab-keyed join
+   * shapes ([[unigramNll]]/[[bigramNll]]), the doc-keyed join uniting
+   * them is doc-bounded, the domain agg is O(#domains), and the weight
+   * table is model-sized. Docs with < 2 tokens have no bigram score and
+   * drop from the excess estimate (the [[bigramNll]] convention).
+   */
+  def doremiWeights(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String, domain: Column,
+                    eta: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    val uni = unigramNll(df, textCol, idCol)
+    val bi = bigramNll(df, textCol, idCol)
+    val scored = df.select(col(idCol), domain.as("source"))
+      .join(uni, Seq(idCol))
+      .join(bi, Seq(idCol))
+      .withColumn("__ex",
+        greatest(lit(0.0), col("mean_nll") - col("mean_nll2")))
+    val dom = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("__ex").cast("decimal(18,6)")).as("__se"))
+      .withColumn("excess",
+        round(col("__se").cast(DoubleType) / col("n_docs"), 6))
+      .withColumn("__w",
+        col("tokens").cast(DoubleType) * round(exp(lit(eta) * col("excess")), 9))
+    val tot = dom.agg(
+      sum(col("__w").cast("decimal(28,6)")).cast(DoubleType).as("__tw"))
+    dom.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("tokens"), col("excess"),
+        floor(lit(1000.0) * col("__w") / col("__tw") + 0.5)
+          .cast(org.apache.spark.sql.types.LongType).as("weight_milli"))
+  }
+
+  /**
    * Per-group token-distribution drift: Jensen–Shannon divergence of each
    * group's unigram distribution against the whole-corpus distribution —
    * the mixture-health diagnostic that tells you which source/shard/day

@@ -53,6 +53,44 @@ class PcaSpec extends GraftSpec {
     }
   }
 
+  test("pcaLeadingComponent: 8-step iterate recovers a planted dominant direction") {
+    // vectors = s * u + noise-free minor component: dominant direction u
+    val u = Array(0.6, 0.0, 0.8, 0.0)
+    val w = Array(0.0, 1.0, 0.0, 0.0)
+    val rows = (0 until 40).map { i =>
+      val s = (i % 7) - 3.0; val t = ((i % 3) - 1.0) * 0.1
+      (i.toLong, u.map(_ * s).zip(w.map(_ * t)).map { case (a, b) => a + b }.toSeq)
+    }
+    val df = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    val (means, comp) = Similarity.pcaLeadingComponent(
+      Similarity.pcaMomentCells(df, "embedding"))
+    assert(math.abs(comp.map(x => x * x).sum - 1.0) < 1e-6, "unit norm")
+    val cos = comp.zip(u).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 0.999, s"|cos(component, planted)| = ${math.abs(cos)}")
+    // means of the minor coordinate: t cycles -0.1/0/0.1 evenly over 39 of
+    // 40 rows; just assert the dominant coords' means track s's mean
+    val sBar = (0 until 40).map(i => (i % 7) - 3.0).sum / 40.0
+    assert(math.abs(means(0) - 0.6 * sBar) < 1e-9)
+  }
+
+  test("pcaProject: centered projection has ~zero mean; matches a driver dot product") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val (means, comp) = Similarity.pcaLeadingComponent(
+      Similarity.pcaMomentCells(emb, "embedding"))
+    val out = Similarity.pcaProject(emb, "vec_id", "embedding", means, comp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val raw = emb.select("vec_id", "embedding").collect().map { r =>
+      val x = r.getSeq[Float](1).map(_.toDouble)
+      r.getLong(0) -> x.indices.map(i => (x(i) - means(i)) * comp(i)).sum
+    }.toMap
+    assert(out.size == raw.size)
+    out.foreach { case (id, p) =>
+      assert(math.abs(p - raw(id)) < 1e-5, s"vec $id: $p vs ${raw(id)}")
+    }
+    val mean = out.values.sum / out.size
+    assert(math.abs(mean) < 1e-4, s"centered projection mean $mean")
+  }
+
   test("topEigen on the corpus covariance: residual small, spectrum descending") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val cells = Similarity.embeddingCovariance(emb, "embedding")

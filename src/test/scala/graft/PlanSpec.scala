@@ -232,6 +232,16 @@ class PlanSpec extends GraftSpec {
       s"query/candidate sides must broadcast:\n$p")
   }
 
+  test("q_pca_project: projection is a zero-shuffle codegen'd scan (component plan-embedded)") {
+    // the moment scan + power iterate run (model-sized collect) when the
+    // query is BUILT; the returned projection must be a pure scan
+    val p = plan("q_pca_project")
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"component/means must ride as literals, not a join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"projection must stay native expressions:\n$p")
+    assert(p.contains("*(1)"), s"projection must participate in codegen:\n$p")
+  }
+
   test("q_quality_clf: inference is a zero-shuffle codegen'd projection") {
     val p = plan("q_quality_clf")
     assert(!p.contains("Exchange"), s"classifier inference must not shuffle:\n$p")

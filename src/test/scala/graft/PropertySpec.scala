@@ -22,6 +22,23 @@ class PropertySpec extends GraftSpec {
   private val rowGen = Gen.listOfN(4, Gen.choose(0.1, 100.0))
   private val dataGen = Gen.choose(4, 15).flatMap(n => Gen.listOfN(n, rowGen))
 
+  test("quantize12 fast path matches the BigDecimal reference everywhere") {
+    import graft.operators.KMeansDet
+    // adversarial grid: exact scale-12 half-boundaries k.5e-12, their
+    // float-origin neighbours, and broad random magnitudes
+    val gens = Seq(
+      Gen.choose(-1000000L, 1000000L).map(k => (2 * k + 1) / 2.0 * 1e-12),
+      Gen.choose(-1e-6, 1e-6), Gen.choose(-1.0, 1.0),
+      Gen.choose(-1e5, 1e5), Gen.choose(-999999.0, 999999.0),
+      Gen.choose(-1f, 1f).map(_.toDouble))
+    gens.foreach { g =>
+      forSamples(g, n = 500) { x =>
+        assert(KMeansDet.quantize12(x) == KMeansDet.quantize12Exact(x),
+          s"fast path diverges at $x")
+      }
+    }
+  }
+
   test("TOPSIS scores always land in [0,1] for type-1/2 criteria") {
     forSamples(dataGen) { data =>
       val df = data.map(r => Tuple1(r.toArray)).toDF("features")

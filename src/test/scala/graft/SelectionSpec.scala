@@ -40,6 +40,38 @@ class SelectionSpec extends GraftSpec {
     assert(got == Map(1L -> 2L, 2L -> 3L))
   }
 
+  test("doremiWeights: learnable domain upweighted over its token share; weights normalize") {
+    // dom A: repetitive bigram structure (unigram poor, bigram sharp) —
+    // high excess, the hard-but-learnable signal. dom B: the same
+    // unigram bag shuffled per-doc so bigram context buys little.
+    // dom C: one word, both models nail it — excess ~ 0.
+    val docs = Seq(
+      (1L, "a", "x y x y x y x y"), (2L, "a", "y x y x y x y x"),
+      (3L, "b", "x x y y x y y x"), (4L, "b", "y y x x y x x y"),
+      (5L, "c", "z z z z z z z z"), (6L, "c", "z z z z z z z z")
+    ).toDF("doc_id", "source", "text")
+    val w = TextAnalysis.doremiWeights(docs, "text", "doc_id", col("source"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(w.size == 3)
+    val milliSum = w.values.map(_._3).sum
+    assert(math.abs(milliSum - 1000L) <= w.size,
+      s"milli-weights must normalize (got $milliSum)")
+    w.values.foreach { case (_, ex, _) => assert(ex >= 0.0, s"excess $ex < 0") }
+    // a and b share the same unigram bag; a's deterministic alternation
+    // concentrates its bigram mass (context predicts), b's shuffle
+    // spreads it — so a is the more bigram-learnable domain. (c, the
+    // single-token domain, is ALSO high-excess: z→z is near-certain
+    // where the unigram model spreads over the vocabulary — the add-1
+    // smoothing arithmetic, worth remembering when reading real runs.)
+    assert(w("a")._2 > w("b")._2, "structured domain must out-excess the shuffled one")
+    // equal token shares => the weight ordering IS the excess ordering
+    val shares = w.values.map(_._1).toSeq
+    assert(shares.distinct.size == 1, s"fixture should have equal shares: $shares")
+    assert(w("a")._3 > w("b")._3,
+      "higher-excess domain must take more of the mixture at equal share")
+  }
+
   test("jsDivergence: a group distributed like the corpus scores exactly 0") {
     // two groups with IDENTICAL token bags -> each equals the corpus
     // distribution -> every ln(1) term is exactly 0.0, no rounding needed
