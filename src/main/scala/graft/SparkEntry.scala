@@ -2068,6 +2068,28 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("shard_pos"))
     }),
 
+    // shard manifests: per-shard counts, id range, and an
+    // order-independent bit_xor content checksum — the reproducibility
+    // artifact shipped alongside the shards; one scan, 8-cell agg
+    "q_manifest" -> ((s, dir) => {
+      Sampling.shardManifest(tbl(s, dir, "documents"),
+        col("doc_id"), col("text"), nShards = 8)
+    }),
+
+    // snapshot delta (incremental-crawl bookkeeping): prev/curr derived
+    // deterministically from the corpus (removals, additions, and
+    // content edits by id residue), statuses from a hash-only
+    // full-outer join — the join never carries text
+    "q_snapshot_diff" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val curr = docs.filter(pmod(col("doc_id"), lit(13)) =!= 5)
+      val prev = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 3,
+          concat(coalesce(col("text"), lit("")), lit(" [prev-rev]")))
+          .otherwise(col("text")))
+      Dedup.snapshotDiff(prev, curr, "doc_id", "text")
+    }),
+
     // GPT-style sequence packing: the corpus token stream in doc_id
     // order cut into 512-token training sequences, one row per
     // (doc, sequence) slice — fully replayable from a window prefix sum
@@ -4066,6 +4088,35 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) - 1 AS shard_pos
         |FROM d""".stripMargin,
+
+    "q_manifest" ->
+      """WITH d AS (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS shard,
+        |    CASE WHEN text IS NULL THEN 0
+        |         ELSE len(string_split_regex(lower(text), '\s+')) END AS nt,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || coalesce(text, '')),
+        |      1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS id_min, max(doc_id) AS id_max,
+        |  bit_xor(h) AS checksum
+        |FROM d GROUP BY shard""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH curr AS (SELECT doc_id, md5(coalesce(text, '')) AS hc
+        |  FROM documents WHERE doc_id % 13 <> 5),
+        |prev AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 3
+        |        THEN coalesce(text, '') || ' [prev-rev]'
+        |        ELSE coalesce(text, '') END) AS hp
+        |  FROM documents WHERE doc_id % 11 <> 0)
+        |SELECT coalesce(prev.doc_id, curr.doc_id) AS doc_id,
+        |  CASE WHEN hp IS NULL THEN 'added'
+        |       WHEN hc IS NULL THEN 'removed'
+        |       WHEN hp = hc THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM prev FULL OUTER JOIN curr ON prev.doc_id = curr.doc_id""".stripMargin,
 
     "q_pack_bpe" ->
       s"""WITH RECURSIVE ${bpeWalkCtes("documents")},

@@ -1254,4 +1254,29 @@ object Dedup {
         round(coalesce(col("n_novel"), lit(0L)) / col("n_shingles"), 6)
           .as("novelty"))
   }
+
+  /**
+   * Snapshot delta between two corpus versions — the incremental-crawl
+   * bookkeeping every recurring 100 TB ingest needs (what changed since
+   * the last snapshot decides what re-enters dedup/scoring): per id,
+   * `added` (only in curr), `removed` (only in prev), `changed`
+   * (content hash differs), `unchanged`.
+   *
+   * Scale shape: each side projects to (id, md5(content)) BEFORE the
+   * full-outer id join, so the corpus-sized shuffle carries ~40 bytes a
+   * row regardless of document size — the join never sees text. Null
+   * content hashes as '' (the diff convention; a null-vs-empty edit is
+   * not a change).
+   */
+  def snapshotDiff(prev: DataFrame, curr: DataFrame, idCol: String,
+                   contentCol: String): DataFrame = {
+    def hashed(df: DataFrame, h: String) = df.select(col(idCol).as("__id"),
+      md5(coalesce(col(contentCol).cast("string"), lit(""))).as(h))
+    hashed(prev, "__hp").join(hashed(curr, "__hc"), Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__hp").isNull, "added")
+          .when(col("__hc").isNull, "removed")
+          .when(col("__hp") === col("__hc"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

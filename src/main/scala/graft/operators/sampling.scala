@@ -715,4 +715,36 @@ object Sampling {
         org.apache.spark.sql.types.StructField("alloc_tokens", LongType),
         org.apache.spark.sql.types.StructField("epochs_milli", LongType))))
   }
+
+  /**
+   * Shard manifests — the reproducibility artifact a training run ships
+   * with its shards: per shard (the [[bucket]]-hash assignment, the
+   * q_shards convention), doc/token counts, the id range, and an
+   * ORDER-INDEPENDENT content checksum (bit_xor of a 60-bit md5 over
+   * `id:text`) — XOR commutes, so the checksum is identical under any
+   * partitioning, any write order, and any engine, and two manifests
+   * disagree exactly where shard content differs.
+   *
+   * Scale shape: one scan, map-side partial agg into nShards cells —
+   * the exchange carries O(shards × partitions) rows. Null text counts
+   * 0 tokens and hashes as `id:` (the [[Dedup.snapshotDiff]]
+   * convention).
+   */
+  def shardManifest(df: DataFrame, idCol: Column, textCol: Column,
+                    nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = graft.operators.Dedup.md5Long(
+      concat(idCol.cast("string"), lit(":"), coalesce(textCol, lit(""))))
+    df.select(pmod(graft.operators.Dedup.md5Long(idCol.cast("string")),
+        lit(nShards.toLong)).as("shard"),
+        idCol.cast(LongType).as("__id"),
+        when(textCol.isNotNull,
+          size(split(lower(textCol), "\\s+")).cast(LongType))
+          .otherwise(0L).as("__nt"),
+        h.as("__h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"),
+        min(col("__id")).as("id_min"), max(col("__id")).as("id_max"),
+        expr("bit_xor(__h)").as("checksum"))
+  }
 }

@@ -1144,6 +1144,39 @@ class PipelineOpsSpec extends GraftSpec {
     assert(q.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("snapshotDiff: all four statuses, null-vs-empty is not a change") {
+    val prev = Seq((1L, "a"), (2L, "old"), (3L, null.asInstanceOf[String]),
+      (4L, "gone")).toDF("doc_id", "text")
+    val curr = Seq((1L, "a"), (2L, "new"), (3L, ""),
+      (5L, "fresh")).toDF("doc_id", "text")
+    val st = Dedup.snapshotDiff(prev, curr, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "added"), st.toString)
+  }
+
+  test("shardManifest: checksum is order/partitioning-independent; nulls count 0 tokens") {
+    val d = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]), (3L, "x y"),
+      (10L, "p q r s"), (11L, "m"), (12L, "n o")).toDF("doc_id", "text")
+    val m1 = Sampling.shardManifest(d, col("doc_id"), col("text"), 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    val m2 = Sampling.shardManifest(
+      d.orderBy(col("doc_id").desc).repartition(7), col("doc_id"), col("text"), 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    assert(m1 == m2, s"manifest must be layout-invariant:\n$m1\n$m2")
+    assert(m1.values.map(_._1).sum == 6L)
+    // the null-text doc contributes 0 tokens wherever it lands
+    assert(m1.values.map(_._2).sum ==
+      Seq("a b c", "x y", "p q r s", "m", "n o").map(_.split("\\s+").length).sum)
+    // a content edit flips exactly its shard's checksum
+    val edited = Sampling.shardManifest(
+      d.withColumn("text", when(col("doc_id") === 1L, lit("a b C")).otherwise(col("text"))),
+      col("doc_id"), col("text"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val flipped = m1.keys.filter(s => edited(s) != m1(s)._3)
+    assert(flipped.size == 1, s"exactly one shard checksum must change: $flipped")
+  }
+
   test("qualityUdf is byte-identical to statsUdf().quality on real docs") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
     val both = docs.select(
