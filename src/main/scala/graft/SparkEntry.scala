@@ -542,6 +542,41 @@ object SparkEntry {
        |        FROM $src WHERE text IS NOT NULL)""".stripMargin
   }
 
+  // The DoReMi replay chain shared by q_doremi and q_doremi_sample:
+  // unigram + bigram per-doc NLL (one shared term table), per-source
+  // excess aggregation, round-9 exp update, decimal weight total.
+  private val doremiCtes: String =
+    """w AS (SELECT doc_id, source,
+      |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+      |t AS (SELECT doc_id, unnest(w) AS term FROM w),
+      |lm AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS v FROM lm),
+      |u AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    round(CAST(sum(CAST(-ln((c + 1.0) / (tot + v)) AS DECIMAL(28,12))) AS DOUBLE)
+      |      / count(*), 6) AS mean_nll
+      |  FROM t JOIN lm USING (term), tot GROUP BY doc_id),
+      |bgt AS (SELECT doc_id, bg['a'] AS w1, bg['b'] AS w2 FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+      |    i -> {'a': w[i], 'b': w[i+1]})) AS bg FROM w)),
+      |bi AS (SELECT w1, w2, count(*) AS cb FROM bgt GROUP BY 1, 2),
+      |b AS (SELECT doc_id,
+      |    round(CAST(sum(CAST(-ln((cb + 1.0) / (c + v)) AS DECIMAL(28,12))) AS DOUBLE)
+      |      / count(*), 6) AS mean_nll2
+      |  FROM bgt JOIN bi USING (w1, w2) JOIN lm ON bgt.w1 = lm.term, tot
+      |  GROUP BY doc_id),
+      |j AS (SELECT d.source, u.n_tokens,
+      |    greatest(0.0, u.mean_nll - b.mean_nll2) AS ex
+      |  FROM (SELECT doc_id, source FROM documents) d
+      |  JOIN u USING (doc_id) JOIN b USING (doc_id)),
+      |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS tokens,
+      |    sum(CAST(ex AS DECIMAL(18,6))) AS se FROM j GROUP BY source),
+      |g2 AS (SELECT source, n_docs, tokens,
+      |    round(CAST(se AS DOUBLE) / n_docs, 6) AS excess FROM g),
+      |wt AS (SELECT *, CAST(tokens AS DOUBLE) * round(exp(1.0 * excess), 9) AS wr
+      |  FROM g2),
+      |tw AS (SELECT CAST(sum(CAST(wr AS DECIMAL(28,6))) AS DOUBLE) AS tw FROM wt)""".stripMargin
+
   // PCA power iteration unrolled step by step: the moment cells (the
   // q_embed_cov aggregate kept raw), the symmetric matrix, the graded
   // start, then per step a decimal matvec (n_k), a decimal norm (s_k)
@@ -2113,6 +2148,39 @@ object SparkEntry {
       Dedup.snapshotDiff(prev, curr, "doc_id", "text")
     }),
 
+    // composed curation v8 — the INCREMENTAL ingest path (at 100 TB you
+    // re-curate the delta, not the corpus): snapshot diff selects
+    // added/changed docs; exact dedup keeps the lowest id per content
+    // hash WITHIN the delta and drops anything whose content already
+    // stands unchanged in the corpus (hash semi/anti joins — no text
+    // ever shuffles); a Gopher word-count band gates what remains.
+    // Every stage keyed on the content hash or doc_id — no windows
+    "q_curate8" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val curr = docs.filter(pmod(col("doc_id"), lit(13)) =!= 5)
+      val prev = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(7)) === 3,
+          concat(coalesce(col("text"), lit("")), lit(" [prev-rev]")))
+          .otherwise(col("text")))
+      val st = Dedup.snapshotDiff(prev, curr, "doc_id", "text")
+      val hashed = curr.select(col("doc_id"), col("text"),
+        md5(coalesce(col("text").cast("string"), lit(""))).as("__h"))
+        .join(st, Seq("doc_id"))
+      val delta = hashed.filter(col("status").isin("added", "changed"))
+      val standing = delta.join(
+        hashed.filter(col("status") === "unchanged").select(col("__h")).distinct(),
+        Seq("__h"), "left_anti")
+      val keepIds = standing.groupBy(col("__h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      standing.join(keepIds, Seq("doc_id"), "left_semi")
+        .withColumn("n_tokens",
+          when(col("text").isNotNull,
+            size(split(lower(col("text")), "\\s+")).cast("long")).otherwise(0L))
+        .filter(col("n_tokens").between(5, 5000))
+        .select(col("doc_id"), col("status"), col("n_tokens"))
+    }),
+
     // GPT-style sequence packing: the corpus token stream in doc_id
     // order cut into 512-token training sequences, one row per
     // (doc, sequence) slice — fully replayable from a window prefix sum
@@ -2408,6 +2476,20 @@ object SparkEntry {
     "q_doremi" -> ((s, dir) => {
       TextAnalysis.doremiWeights(tbl(s, dir, "documents"), "text", "doc_id",
         col("source"))
+    }),
+
+    // the DoReMi loop CLOSED: the learned milli-weights become the
+    // target mixture and the corpus is downsampled to it (the paper's
+    // "train on the reweighted mixture" step) — weights collect
+    // model-sized at build, the gate is the q_mixture threshold replay
+    "q_doremi_sample" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val w = TextAnalysis.doremiWeights(docs, "text", "doc_id", col("source"))
+        .select(col("source"), col("weight_milli")).collect()
+      val targets = w.filter(_.getLong(1) > 0L)
+        .map(r => r.getString(0) -> r.getLong(1) / 1000.0).toMap
+      Sampling.sampleToMixture(docs, col("source"), col("doc_id"), targets)
+        .select(col("doc_id"), col("source"))
     }),
 
     // per-source token-distribution drift: Jensen-Shannon divergence of
@@ -4182,6 +4264,30 @@ object SparkEntry {
         |       ELSE 'changed' END AS status
         |FROM prev FULL OUTER JOIN curr ON prev.doc_id = curr.doc_id""".stripMargin,
 
+    // the snapshot CTEs + hash dedup (min-id within delta, anti vs the
+    // standing unchanged hashes) + the word-count band — one chain
+    "q_curate8" ->
+      """WITH curr AS (SELECT doc_id, text, md5(coalesce(text, '')) AS h
+        |  FROM documents WHERE doc_id % 13 <> 5),
+        |prev AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 3
+        |        THEN coalesce(text, '') || ' [prev-rev]'
+        |        ELSE coalesce(text, '') END) AS hp
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |st AS (SELECT curr.doc_id, curr.text, curr.h,
+        |    CASE WHEN hp IS NULL THEN 'added'
+        |         WHEN hp = h THEN 'unchanged' ELSE 'changed' END AS status
+        |  FROM curr LEFT JOIN prev ON prev.doc_id = curr.doc_id),
+        |delta AS (SELECT * FROM st WHERE status IN ('added', 'changed')
+        |  AND h NOT IN (SELECT h FROM st WHERE status = 'unchanged')),
+        |keep AS (SELECT h, min(doc_id) AS doc_id FROM delta GROUP BY h)
+        |SELECT d.doc_id, d.status,
+        |  CAST(CASE WHEN d.text IS NULL THEN 0
+        |    ELSE len(string_split_regex(lower(d.text), '\s+')) END AS BIGINT) AS n_tokens
+        |FROM delta d JOIN keep ON keep.doc_id = d.doc_id
+        |WHERE (CASE WHEN d.text IS NULL THEN 0
+        |    ELSE len(string_split_regex(lower(d.text), '\s+')) END) BETWEEN 5 AND 5000""".stripMargin,
+
     "q_pack_bpe" ->
       s"""WITH RECURSIVE ${bpeWalkCtes("documents")},
          |d AS (SELECT tok.doc_id, CAST(sum(coalesce(wc.c, 0)) AS BIGINT) AS n_tokens
@@ -4484,39 +4590,28 @@ object SparkEntry {
     // means, decimal excess sums, round-9 exp, decimal weight total,
     // one fixed floor(1000*w/tot + 0.5)
     "q_doremi" ->
-      """WITH w AS (SELECT doc_id, source,
-        |    string_split_regex(lower(text), '\s+') AS w FROM documents),
-        |t AS (SELECT doc_id, unnest(w) AS term FROM w),
-        |lm AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS v FROM lm),
-        |u AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |    round(CAST(sum(CAST(-ln((c + 1.0) / (tot + v)) AS DECIMAL(28,12))) AS DOUBLE)
-        |      / count(*), 6) AS mean_nll
-        |  FROM t JOIN lm USING (term), tot GROUP BY doc_id),
-        |bgt AS (SELECT doc_id, bg['a'] AS w1, bg['b'] AS w2 FROM (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
-        |    i -> {'a': w[i], 'b': w[i+1]})) AS bg FROM w)),
-        |bi AS (SELECT w1, w2, count(*) AS cb FROM bgt GROUP BY 1, 2),
-        |b AS (SELECT doc_id,
-        |    round(CAST(sum(CAST(-ln((cb + 1.0) / (c + v)) AS DECIMAL(28,12))) AS DOUBLE)
-        |      / count(*), 6) AS mean_nll2
-        |  FROM bgt JOIN bi USING (w1, w2) JOIN lm ON bgt.w1 = lm.term, tot
-        |  GROUP BY doc_id),
-        |j AS (SELECT d.source, u.n_tokens,
-        |    greatest(0.0, u.mean_nll - b.mean_nll2) AS ex
-        |  FROM (SELECT doc_id, source FROM documents) d
-        |  JOIN u USING (doc_id) JOIN b USING (doc_id)),
-        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(n_tokens) AS BIGINT) AS tokens,
-        |    sum(CAST(ex AS DECIMAL(18,6))) AS se FROM j GROUP BY source),
-        |g2 AS (SELECT source, n_docs, tokens,
-        |    round(CAST(se AS DOUBLE) / n_docs, 6) AS excess FROM g),
-        |wt AS (SELECT *, CAST(tokens AS DOUBLE) * round(exp(1.0 * excess), 9) AS wr
-        |  FROM g2),
-        |tw AS (SELECT CAST(sum(CAST(wr AS DECIMAL(28,6))) AS DOUBLE) AS tw FROM wt)
+      s"""WITH $doremiCtes
         |SELECT source, n_docs, tokens, excess,
         |  CAST(floor(1000.0 * wr / tw + 0.5) AS BIGINT) AS weight_milli
         |FROM wt, tw""".stripMargin,
+
+    // the doremi chain feeding the q_mixture threshold replay: targets
+    // are the milli-weights / 1000, counts the full per-source corpus,
+    // the binding stratum keeps the full bucket range outright
+    "q_doremi_sample" ->
+      s"""WITH $doremiCtes,
+        |tgt AS (SELECT source,
+        |    CAST(floor(1000.0 * wr / tw + 0.5) AS BIGINT) / 1000.0 AS t
+        |  FROM wt, tw
+        |  WHERE CAST(floor(1000.0 * wr / tw + 0.5) AS BIGINT) > 0),
+        |c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |s AS (SELECT min(n / t) AS scale FROM c JOIN tgt USING (source)),
+        |r AS (SELECT tgt.source,
+        |    CASE WHEN n / t = scale THEN 1000000
+        |         ELSE CAST(floor(scale * t / n * 1000000) AS BIGINT) END AS thr
+        |  FROM c JOIN tgt ON c.source = tgt.source, s)
+        |SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.source
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < r.thr""".stripMargin,
 
     // per-term JS contributions with the same double arithmetic order as
     // the Spark column expression (p and q derived fresh at each use —

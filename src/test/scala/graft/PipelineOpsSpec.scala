@@ -1177,6 +1177,38 @@ class PipelineOpsSpec extends GraftSpec {
     assert(flipped.size == 1, s"exactly one shard checksum must change: $flipped")
   }
 
+  test("q_curate8: delta-only statuses, no standing-content dupes, token band holds") {
+    val rows = SparkEntry.queries("q_curate8")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Set("added", "changed")(r.getString(1)), r.toString)
+      assert(r.getLong(2) >= 5 && r.getLong(2) <= 5000, r.toString)
+    }
+    // survivors are unique by content: rebuild their hashes from curr
+    val ids = rows.map(_.getLong(0)).toSet
+    val curr = spark.read.parquet(sf() + "/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(13)) =!= 5)
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hs = ids.toSeq.map(curr)
+    assert(hs.distinct.size == hs.size, "two survivors share content")
+  }
+
+  test("q_doremi_sample: kept set is a deterministic per-source subset honoring the weights") {
+    val kept = SparkEntry.queries("q_doremi_sample")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.nonEmpty && kept.map(_._1).distinct.length == kept.length)
+    val keptBySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    val weights = SparkEntry.queries("q_doremi")(spark, sf()).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    // every positive-weight source survives with at least one doc, and
+    // the binding source (largest weight per corpus doc) keeps everything
+    weights.filter(_._2 > 0).keys.foreach(s =>
+      assert(keptBySrc.getOrElse(s, 0) > 0, s"source $s sampled away"))
+    val total = spark.read.parquet(sf() + "/documents.parquet").count()
+    assert(kept.length < total, "mixture sampling must drop something")
+  }
+
   test("qualityUdf is byte-identical to statsUdf().quality on real docs") {
     val docs = spark.read.parquet(s"${sf("sf0.001")}/documents.parquet")
     val both = docs.select(
