@@ -494,11 +494,15 @@ object TextAnalysis {
       .groupBy("w1").agg(count(lit(1)).as("__c1"))
     val vocab = uni.agg(count(lit(1)).cast(DoubleType).as("__v"))
     val bi = toks.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
-    toks.join(bi, Seq("w1", "w2"))
-      .join(uni, Seq("w1"))
+    // assemble the per-bigram-TYPE nll model at vocab size first, then
+    // join the corpus ONCE — the kneserNeyNll restructure applied to
+    // the add-1 sibling (two corpus-sized joins collapsed to one; the
+    // nll doubles are identical, computed from the same counts)
+    val model = bi.join(uni, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .withColumn("__nll",
-        -log((col("__cb") + 1.0) / (col("__c1") + col("__v"))))
+      .select(col("w1"), col("w2"),
+        (-log((col("__cb") + 1.0) / (col("__c1") + col("__v")))).as("__nll"))
+    toks.join(model, Seq("w1", "w2"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("__nll").cast("decimal(28,12)")).as("__s"))
