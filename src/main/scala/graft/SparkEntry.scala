@@ -2126,6 +2126,28 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("shard_pos"))
     }),
 
+    // blocked fuzzy entity matching (entity resolution): catalog names
+    // carry a stable 8-hex id suffix (the normalized-key situation); the
+    // dirty feed corrupts the final character; candidates come from a
+    // discriminative (first token | suffix prefix, length band)
+    // equi-join — the key's cardinality grows with the data, which is
+    // what keeps the blocks from going quadratic at scale (the naive
+    // first-token key measured minutes at 100x on the fixed name vocab)
+    "q_fuzzy_match" -> ((s, dir) => {
+      val part = tbl(s, dir, "part")
+      val cat = part.select(col("p_partkey"),
+        concat(col("p_name"), lit(" "),
+          substring(md5(col("p_partkey").cast("string")), 1, 8)).as("name"))
+      val dirty = cat.filter(pmod(col("p_partkey"), lit(5)) === 0)
+        .select(col("p_partkey").as("k"),
+          concat(col("name").substr(lit(1), length(col("name")) - 1),
+            lit("q")).as("nm"))
+      val block = (c: org.apache.spark.sql.Column) => concat(split(c, " ").getItem(0), lit("|"),
+        substring(element_at(split(c, " "), -1), 1, 4))
+      Joins.fuzzyMatch(dirty, col("k"), col("nm"),
+        cat, col("p_partkey"), col("name"), maxDist = 2, blockOf = block)
+    }),
+
     // shard manifests: per-shard counts, id range, and an
     // order-independent bit_xor content checksum — the reproducibility
     // artifact shipped alongside the shards; one scan, 8-cell agg
@@ -4248,6 +4270,28 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS BIGINT) - 1 AS shard_pos
         |FROM d""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """WITH cat AS (SELECT p_partkey AS clean_id,
+        |    p_name || ' ' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 8) AS clean_name
+        |  FROM part),
+        |catb AS (SELECT clean_id, clean_name,
+        |    string_split(clean_name, ' ')[1] || '|'
+        |      || substr(string_split(clean_name, ' ')[-1], 1, 4) AS blk,
+        |    len(clean_name) // 3 AS bd FROM cat),
+        |dirty AS (SELECT clean_id AS dirty_id,
+        |    substr(clean_name, 1, len(clean_name) - 1) || 'q' AS nm
+        |  FROM cat WHERE clean_id % 5 = 0),
+        |db AS (SELECT dirty_id, nm,
+        |    string_split(nm, ' ')[1] || '|'
+        |      || substr(string_split(nm, ' ')[-1], 1, 4) AS blk,
+        |    unnest(list_distinct(generate_series(
+        |      (len(nm) - 2) // 3, (len(nm) + 2) // 3))) AS bd
+        |  FROM dirty)
+        |SELECT dirty_id, clean_id,
+        |  CAST(levenshtein(db.nm, catb.clean_name) AS INTEGER) AS dist
+        |FROM db JOIN catb USING (blk, bd)
+        |WHERE levenshtein(db.nm, catb.clean_name) <= 2""".stripMargin,
 
     "q_manifest" ->
       """WITH d AS (SELECT doc_id,

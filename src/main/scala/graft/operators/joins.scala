@@ -141,4 +141,58 @@ object Joins {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /**
+   * Blocked fuzzy entity matching — the entity-resolution primitive: a
+   * dirty feed matched against a canonical catalog by edit distance,
+   * emitting every (dirty, clean) pair with
+   * `levenshtein(names) <= maxDist`.
+   *
+   * Never all-pairs: candidates are an equi-join on the compound block
+   * (caller's `blockOf(name)`, length band). A true match can sit at
+   * most `maxDist` characters away in length, so the dirty side
+   * EXPLODES the bands its length±maxDist window touches (an
+   * array_distinct'd sequence) while the catalog keeps its single band —
+   * each candidate pair forms exactly once. The levenshtein verify runs
+   * only inside blocks.
+   *
+   * The block expression is a first-class parameter because it IS the
+   * scale lever: candidate volume per block grows with (block
+   * frequency)², so the key's cardinality must grow with the data. A
+   * low-cardinality key (e.g. the name's first token over a fixed
+   * vocabulary) goes quadratic the moment the corpus outgrows the
+   * vocabulary — measured here: first-token blocking on the synthetic
+   * part names ran minutes at 100× while a mutation-stable
+   * discriminative key (first token + a stable suffix prefix) stays
+   * flat. Design rule: derive the key only from characters the expected
+   * corruption cannot touch.
+   *
+   * Null/empty names block as `blockOf`'s value on '' — such rows only
+   * meet each other, and only within band.
+   */
+  def fuzzyMatch(dirty: DataFrame, dirtyId: Column, dirtyName: Column,
+                 catalog: DataFrame, cleanId: Column, cleanName: Column,
+                 maxDist: Int, blockOf: Column => Column,
+                 bandWidth: Int = 3): DataFrame = {
+    require(maxDist >= 0 && bandWidth > 0, "maxDist >= 0, bandWidth > 0")
+    def nn(c: Column) = coalesce(c, lit(""))
+    val cat = catalog.select(cleanId.as("clean_id"), cleanName.as("clean_name"),
+      coalesce(blockOf(nn(cleanName)), lit("")).as("__blk"),
+      floor(length(nn(cleanName)) / bandWidth).cast("int").as("__bd"))
+    val d = dirty.select(dirtyId.as("dirty_id"), dirtyName.as("dirty_name"),
+        coalesce(blockOf(nn(dirtyName)), lit("")).as("__blk"),
+        array_distinct(sequence(
+          floor((length(nn(dirtyName)) - maxDist) / bandWidth).cast("int"),
+          floor((length(nn(dirtyName)) + maxDist) / bandWidth).cast("int")))
+          .as("__bds"))
+      .withColumn("__bd", explode(col("__bds"))).drop("__bds")
+    d.join(cat, Seq("__blk", "__bd"))
+      .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name")))
+      .filter(col("dist") <= maxDist)
+      .select(col("dirty_id"), col("clean_id"), col("dist"))
+  }
+
+  /** The default block key for [[fuzzyMatch]]: the name's first token. */
+  def firstTokenBlock(name: Column): Column =
+    coalesce(split(name, " ").getItem(0), lit(""))
 }

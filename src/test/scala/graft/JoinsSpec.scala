@@ -137,4 +137,26 @@ class JoinsSpec extends GraftSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 1, s"asof should shuffle once (by key), got $exchanges:\n$p")
   }
+
+  test("fuzzyMatch: typos resolve across band boundaries, strangers don't match") {
+    import graft.operators.Joins
+    val catalog = Seq((1L, "red widget"), (2L, "red widgets"), (3L, "blue bolt"),
+      (4L, "red sprocket")).toDF("id", "name")
+    // "red widgetX" (insert) crosses the len-band of "red widget" (10 -> 11
+    // chars, band 3 -> 3); "red widgett" matches both widget forms
+    val dirty = Seq((101L, "red widgett"), (102L, "blue boltt"),
+      (103L, "green gear"), (104L, null.asInstanceOf[String])).toDF("id", "name")
+    val out = Joins.fuzzyMatch(dirty, col("id"), col("name"),
+        catalog, col("id"), col("name"), maxDist = 2,
+        blockOf = Joins.firstTokenBlock)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((101L, 1L, 1), (101L, 2L, 1), (102L, 3L, 1)), out.toString)
+  }
+
+  test("fuzzyMatch: candidate generation is a hash equi-join, not a nested loop") {
+    val p = SparkEntry.queries("q_fuzzy_match")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"fuzzy match must block, not cross:\n$p")
+  }
 }
