@@ -583,7 +583,8 @@ object SparkEntry {
   // and the round-9 normalize (v_k) — exactly the arithmetic
   // Similarity.pcaLeadingComponent runs on the driver. The final SELECT
   // is the centered projection, decimal-summed per vector.
-  private def pcaProjectSql(dims: Int, steps: Int): String = {
+  private def pcaProjectSql(dims: Int, steps: Int,
+                            finalOverride: String = ""): String = {
     val stepCtes = (1 to steps).map { k =>
       s"""n$k AS (SELECT a.i AS i,
          |    sum(CAST(a.cov * v${k - 1}.v AS DECIMAL(28,12))) AS num
@@ -614,12 +615,13 @@ object SparkEntry {
        |$stepCtes,
        |p AS (SELECT vec_id, t.d AS i,
        |    CAST(list_extract(embedding, CAST(t.d + 1 AS INTEGER)) AS DOUBLE) AS x
-       |  FROM embeddings, range($dims) t(d))
-       |SELECT vec_id,
-       |  round(CAST(sum(CAST((p.x - m.m) * v$steps.v AS DECIMAL(28,12)))
-       |    AS DOUBLE), 6) + 0.0 AS pc1
-       |FROM p JOIN m ON p.i = m.i JOIN v$steps ON p.i = v$steps.i
-       |GROUP BY vec_id""".stripMargin
+       |  FROM embeddings, range($dims) t(d)),
+       |pj AS (SELECT vec_id,
+       |    round(CAST(sum(CAST((p.x - m.m) * v$steps.v AS DECIMAL(28,12)))
+       |      AS DOUBLE), 6) + 0.0 AS pc1
+       |  FROM p JOIN m ON p.i = m.i JOIN v$steps ON p.i = v$steps.i
+       |  GROUP BY vec_id)${if (finalOverride.nonEmpty) ",\n" + finalOverride
+          else "\nSELECT vec_id, pc1 FROM pj"}""".stripMargin
   }
 
   // BPE TRAINING replayed merge by merge — the q_fcm_fit unrolled-oracle
@@ -2084,6 +2086,40 @@ object SparkEntry {
       val (means, comp) = Similarity.pcaLeadingComponent(
         Similarity.pcaMomentCells(emb, "embedding"))
       Similarity.pcaProject(emb, "vec_id", "embedding", means, comp)
+    }),
+
+    // PCA spectrum health report: variance along the 8-step leading
+    // component vs total variance (trace) — the one-row answer to "is
+    // this embedding space collapsing onto one direction?" (a
+    // var_ratio near 1/d is healthy isotropy; near 1 is collapse).
+    // Derived entirely from engine-exact pieces: the projection's
+    // decimal variance over the cov-diagonal trace
+    "q_pca_var" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cells = Similarity.pcaMomentCells(emb, "embedding")
+      val (means, comp) = Similarity.pcaLeadingComponent(cells)
+      val n = cells.head._3
+      // trace = sum of diagonal covs (the round-6 values, exact sum in
+      // decimal — setScale(6, HALF_UP) IS round(x, 6) as a decimal);
+      // computed driver-side from the same cells
+      val trace = cells.filter(c => c._1 == c._2).map { case (_, _, nn, si, _, sij) =>
+        java.math.BigDecimal.valueOf(sij.doubleValue() / nn
+            - (si.doubleValue() / nn) * (si.doubleValue() / nn))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+      }.foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue()
+      Similarity.pcaProject(emb, "vec_id", "embedding", means, comp)
+        .agg(count(lit(1)).as("n"),
+          sum(col("pc1").cast("decimal(28,6)")).as("__s"),
+          sum((col("pc1") * col("pc1")).cast("decimal(28,12)")).as("__ss"))
+        .select(col("n"),
+          round(col("__ss").cast("double") / col("n")
+            - (col("__s").cast("double") / col("n"))
+              * (col("__s").cast("double") / col("n")), 6).as("pc1_var"),
+          round(lit(trace), 6).as("trace"),
+          round((col("__ss").cast("double") / col("n")
+            - (col("__s").cast("double") / col("n"))
+              * (col("__s").cast("double") / col("n"))) / lit(trace), 6)
+            .as("var_ratio"))
     }),
 
     // JL random projection (the ANN compute/bytes lever): 64 → 16 dims
@@ -4243,6 +4279,21 @@ object SparkEntry {
         |FROM s""".stripMargin,
 
     "q_pca_project" -> pcaProjectSql(dims = 64, steps = 8),
+
+    // the projection chain with the final select swapped for the
+    // spectrum report: decimal variance of pc1 over the cov-diagonal
+    // trace (both sides sum scale-6/12 decimals exactly)
+    "q_pca_var" -> pcaProjectSql(dims = 64, steps = 8, finalOverride =
+      """tr AS (SELECT CAST(sum(CAST(cov AS DECIMAL(28,6))) AS DOUBLE) AS trace
+        |  FROM c WHERE i = j),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(pc1 AS DECIMAL(28,6))) AS DOUBLE) AS s,
+        |    CAST(sum(CAST(pc1 * pc1 AS DECIMAL(28,12))) AS DOUBLE) AS ss
+        |  FROM pj)
+        |SELECT n, round(ss / n - (s / n) * (s / n), 6) AS pc1_var,
+        |  round(trace, 6) AS trace,
+        |  round((ss / n - (s / n) * (s / n)) / trace, 6) AS var_ratio
+        |FROM ag, tr""".stripMargin),
 
     "q_quantize" ->
       """WITH v AS (SELECT vec_id,

@@ -91,6 +91,17 @@ class PcaSpec extends GraftSpec {
     assert(math.abs(mean) < 1e-4, s"centered projection mean $mean")
   }
 
+  test("q_pca_var: spectrum report is internally consistent") {
+    val r = SparkEntry.queries("q_pca_var")(spark, sf()).collect().head
+    val (n, v, tr, ratio) = (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(n > 0 && v > 0.0 && tr > 0.0)
+    assert(v <= tr + 1e-6, s"pc1 variance $v cannot exceed the trace $tr")
+    assert(math.abs(ratio - v / tr) < 1e-5, s"ratio $ratio vs ${v / tr}")
+    // a unit direction's variance is at least the isotropic floor when
+    // the iterate tracks the dominant component at all
+    assert(ratio >= 1.0 / 64 / 2, s"ratio $ratio below half the isotropic floor")
+  }
+
   test("topEigen on the corpus covariance: residual small, spectrum descending") {
     val emb = spark.read.parquet(sf() + "/embeddings.parquet")
     val cells = Similarity.embeddingCovariance(emb, "embedding")
