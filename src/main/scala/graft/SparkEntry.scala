@@ -2307,6 +2307,31 @@ object SparkEntry {
           col("col").as("token"))
     }),
 
+    // the packed stream with DOCUMENT BOUNDARIES: every doc contributes
+    // its BPE tokens plus one trailing </s> (what an actual trainer
+    // packs, so attention masks / loss masking can find the seams) —
+    // identical join-then-explode shape to q_pack_tokens, the EOS is
+    // one array concat in the same codegen'd projection
+    "q_pack_eos" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val slices = Sampling.packSequences(
+        docs.withColumn("n_tok",
+          graft.functions.BpeTokenCount(col("text")) + lit(1L)),
+        col("doc_id"), col("n_tok"), seqLen = 512L)
+        .select(col("doc_id"), col("seq_id"), col("seq_offset"),
+          col("doc_offset"), col("slice_len"))
+      slices.join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("seq_id"), col("seq_offset"), col("doc_offset"),
+          col("slice_len"),
+          posexplode(concat(graft.functions.BpeEncode(col("text")),
+            array(lit("</s>")))))
+        .filter(col("pos") >= col("doc_offset") &&
+          col("pos") < col("doc_offset") + col("slice_len"))
+        .select(col("seq_id"),
+          (col("seq_offset") + col("pos") - col("doc_offset")).as("seq_pos"),
+          col("col").as("token"))
+    }),
+
     "q_chunk" -> ((s, dir) => {
       // 64-token chunks with 16-token overlap over the documents corpus
       TextAnalysis.chunk(tbl(s, dir, "documents").select("doc_id", "text"),
@@ -4440,6 +4465,42 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti) - 1
          |      AS BIGINT) AS pos, token
          |  FROM ft)
+         |SELECT p.seq_id,
+         |  CAST(p.seq_offset + e.pos - p.doc_offset AS BIGINT) AS seq_pos, e.token
+         |FROM enc e JOIN slices p ON p.doc_id = e.doc_id
+         |  AND e.pos >= p.doc_offset AND e.pos < p.doc_offset + p.slice_len""".stripMargin,
+
+    // the q_pack_tokens chain with every per-doc count +1 and the EOS
+    // row unioned into the encoded stream at its terminal position
+    "q_pack_eos" ->
+      s"""WITH RECURSIVE ${bpeWalkCtes("documents")},
+         |d AS (SELECT tok.doc_id,
+         |      CAST(sum(coalesce(wc.c, 0)) + 1 AS BIGINT) AS n_tokens
+         |      FROM tok LEFT JOIN wc ON tok.w = wc.w GROUP BY tok.doc_id),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM d),
+         |s AS (SELECT doc_id, n_tokens, cum, cum - n_tokens AS prev FROM c WHERE n_tokens > 0),
+         |slices AS (SELECT doc_id, seq_id,
+         |    greatest(prev, seq_id*512) - seq_id*512 AS seq_offset,
+         |    greatest(prev, seq_id*512) - prev AS doc_offset,
+         |    least(cum, (seq_id+1)*512) - greatest(prev, seq_id*512) AS slice_len
+         |  FROM s, unnest(generate_series(prev // 512, (cum-1) // 512)) AS t(seq_id)),
+         |wt AS (SELECT w, string_split(trim(s), ' ') AS toks
+         |       FROM walk WHERE r = ${graft.functions.BpeTokenizer.merges.length}),
+         |dw AS (SELECT doc_id, generate_subscripts(l, 1) AS wi, unnest(l) AS w
+         |       FROM (SELECT doc_id,
+         |               string_split_regex(lower(text), '\\s+') AS l
+         |             FROM documents WHERE text IS NOT NULL)),
+         |ft AS (SELECT dw.doc_id, dw.wi,
+         |         generate_subscripts(wt.toks, 1) AS ti, unnest(wt.toks) AS token
+         |       FROM dw JOIN wt ON wt.w = dw.w),
+         |enc0 AS (SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, ti) - 1
+         |      AS BIGINT) AS pos, token
+         |  FROM ft),
+         |enc AS (SELECT doc_id, pos, token FROM enc0
+         |        UNION ALL SELECT doc_id, n_tokens - 1 AS pos, '</s>' FROM d)
          |SELECT p.seq_id,
          |  CAST(p.seq_offset + e.pos - p.doc_offset AS BIGINT) AS seq_pos, e.token
          |FROM enc e JOIN slices p ON p.doc_id = e.doc_id

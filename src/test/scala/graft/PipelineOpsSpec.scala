@@ -1177,6 +1177,22 @@ class PipelineOpsSpec extends GraftSpec {
     assert(flipped.size == 1, s"exactly one shard checksum must change: $flipped")
   }
 
+  test("q_pack_eos: one EOS per doc, dense in-range positions") {
+    val rows = SparkEntry.queries("q_pack_eos")(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val nDocs = spark.read.parquet(sf() + "/documents.parquet")
+      .filter(col("text").isNotNull).count()
+    assert(rows.count(_._3 == "</s>") == nDocs,
+      s"expected $nDocs EOS tokens, got ${rows.count(_._3 == "</s>")}")
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 512), "seq_pos out of range")
+    rows.groupBy(_._1).foreach { case (seq, rs) =>
+      val ps = rs.map(_._2).sorted
+      assert(ps.distinct.length == ps.length, s"seq $seq has duplicate positions")
+      assert(ps.head == 0L && ps.last == ps.length - 1,
+        s"seq $seq not dense: ${ps.take(5)}..${ps.last}")
+    }
+  }
+
   test("q_curate8: delta-only statuses, no standing-content dupes, token band holds") {
     val rows = SparkEntry.queries("q_curate8")(spark, sf()).collect()
     assert(rows.nonEmpty)
