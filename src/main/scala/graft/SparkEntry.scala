@@ -2184,6 +2184,32 @@ object SparkEntry {
         cat, col("p_partkey"), col("name"), maxDist = 2, blockOf = block)
     }),
 
+    // one-row corpus DATA CARD (the summary a dataset release ships):
+    // doc/token/char totals, language/source breadth, null-text and
+    // exact-duplicate rates — single scan + exact distinct aggs
+    "q_datacard" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          when(col("text").isNotNull,
+            size(split(lower(col("text")), "\\s+")).cast("long")).otherwise(0L)
+            .as("__nt"),
+          col("text").isNull.cast("long").as("__isnull"),
+          md5(coalesce(col("text"), lit(""))).as("__h"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__isnull")).as("n_null_text"),
+          sum(col("__nt")).as("n_tokens_ws"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("__h")).as("n_distinct_texts"),
+          sum(col("n_chars").cast("decimal(28,0)")).as("__chars"))
+        .select(col("n_docs"), col("n_null_text"), col("n_tokens_ws"),
+          col("n_langs"), col("n_sources"),
+          round(lit(1.0) - col("n_distinct_texts").cast("double")
+            / col("n_docs"), 6).as("dup_rate"),
+          round(col("__chars").cast("double") / col("n_docs"), 6)
+            .as("mean_chars"))
+    }),
+
     // shard manifests: per-shard counts, id range, and an
     // order-independent bit_xor content checksum — the reproducibility
     // artifact shipped alongside the shards; one scan, 8-cell agg
@@ -4368,6 +4394,23 @@ object SparkEntry {
         |  CAST(levenshtein(db.nm, catb.clean_name) AS INTEGER) AS dist
         |FROM db JOIN catb USING (blk, bd)
         |WHERE levenshtein(db.nm, catb.clean_name) <= 2""".stripMargin,
+
+    "q_datacard" ->
+      """WITH d AS (SELECT doc_id, lang, source, n_chars,
+        |    CASE WHEN text IS NULL THEN 0
+        |         ELSE len(string_split_regex(lower(text), '\s+')) END AS nt,
+        |    CASE WHEN text IS NULL THEN 1 ELSE 0 END AS nul,
+        |    md5(coalesce(text, '')) AS h
+        |  FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nul) AS BIGINT) AS n_null_text,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens_ws,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS dup_rate,
+        |  round(CAST(sum(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE) / count(*), 6)
+        |    AS mean_chars
+        |FROM d""".stripMargin,
 
     "q_manifest" ->
       """WITH d AS (SELECT doc_id,
