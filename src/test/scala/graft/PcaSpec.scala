@@ -91,6 +91,14 @@ class PcaSpec extends GraftSpec {
     assert(math.abs(mean) < 1e-4, s"centered projection mean $mean")
   }
 
+  test("q_embed_cov_stream: drained cells equal the batch kernel bit-for-bit") {
+    val stream = SparkEntry.queries("q_embed_cov_stream")(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = SparkEntry.queries("q_embed_cov")(spark, sf())
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(stream == batch, "streaming cell grid must equal the batch covariance")
+  }
+
   test("q_pca_var: spectrum report is internally consistent") {
     val r = SparkEntry.queries("q_pca_var")(spark, sf()).collect().head
     val (n, v, tr, ratio) = (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))

@@ -134,6 +134,35 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("streaming covariance: cells accumulate across batches, state bounded by the grid") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Array[Double])]
+    val d = 3
+    val cells = graft.operators.Similarity.covCellStream(
+      mem.toDF().toDF("id", "v"), "v")
+    val query = cells.writeStream
+      .format("memory").queryName("cov_out").outputMode("complete").start()
+    try {
+      val b1 = Seq((1L, Array(1.0, 2.0, 3.0)), (2L, Array(0.5, -1.0, 2.5)))
+      val b2 = Seq((3L, Array(-2.0, 0.0, 1.0)), (4L, Array(3.5, 1.5, -0.5)))
+      mem.addData(b1)
+      query.processAllAvailable()
+      mem.addData(b2)
+      query.processAllAvailable()
+      // finished drained grid == the batch treeAggregate kernel, value-exact
+      val got = graft.operators.Similarity.covCellsFinish(spark.table("cov_out"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val batch = graft.operators.Similarity.embeddingCovariance(
+        (b1 ++ b2).toDF("id", "v"), "v")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2).toLong, r.getDouble(3))).toMap
+      assert(got == batch, s"stream cov grid $got != batch kernel $batch")
+      // streaming agg state is the moment grid: pair cells + dim sentinels
+      val state = query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(state <= d * (d + 1) / 2 + d, s"state rows $state exceed the moment grid")
+    } finally query.stop()
+  }
+
   test("streaming OnlineTopsis fit: window means + per-batch TOPSIS reach the sink") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Array[Double])]
