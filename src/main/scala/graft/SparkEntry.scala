@@ -2572,6 +2572,24 @@ object SparkEntry {
       Similarity.covCellsFinish(cells)
     }),
 
+    // STREAMING rank statistics: live token-length quantiles off a
+    // fixed 256-bin integer histogram grid in complete mode — state ==
+    // the grid at any corpus size, quantile error bounded by the bin
+    // width (16 tokens). All-integer (div binning, ceil-by-integer
+    // ranks) so the replay is exact on any engine; the length monitor
+    // a live ingest runs where exactQuantiles would need the corpus.
+    "q_quantile_stream" -> ((s, dir) => {
+      val cells = runDocStreamComplete(s, dir, "qtile") { docs =>
+        Quantiles.boundedHistCells(
+          docs.filter(col("text").isNotNull),
+          size(split(lower(col("text")), "\\s+")).cast("long"),
+          binWidth = 16L, bins = 256)
+      }
+      Quantiles.boundedHistQuantiles(cells, binWidth = 16L,
+        ps = Seq((25, 1L, 4L), (50, 1L, 2L), (75, 3L, 4L),
+          (95, 19L, 20L), (99, 99L, 100L)))
+    }),
+
     // word2phrase-style collocation mining: adjacent-pair PMI over the
     // corpus, noise pairs suppressed by a min pair count
     "q_collocations" -> ((s, dir) => {
@@ -3010,6 +3028,24 @@ object SparkEntry {
         |    count(*) AS cc
         |  FROM t, range(4) tr(r) GROUP BY 1, 2)
         |SELECT r, b, cc FROM cells""".stripMargin,
+
+    // all-integer replay: same div binning, same integer-ceiling ranks,
+    // same first-bin-reaching-rank walk as the drained grid's finish
+    "q_quantile_stream" ->
+      """WITH t AS (SELECT CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS nt
+        |    FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT), nt // 16)) AS bin,
+        |    count(*) AS cnt FROM t GROUP BY 1),
+        |c AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum,
+        |    (SELECT sum(cnt) FROM b) AS n FROM b),
+        |p(pct, num, den) AS (VALUES (25, 1, 4), (50, 1, 2), (75, 3, 4),
+        |    (95, 19, 20), (99, 99, 100)),
+        |hits AS (SELECT pct, (num * n + den - 1) // den AS rank, bin, cum,
+        |    row_number() OVER (PARTITION BY pct ORDER BY bin) AS rn
+        |  FROM p, c WHERE cum >= (num * n + den - 1) // den)
+        |SELECT CAST(pct AS INTEGER) AS p_pct, CAST(rank AS BIGINT) AS rank,
+        |  bin, bin * 16 AS lo, (bin + 1) * 16 - 1 AS hi, CAST(cum AS BIGINT) AS n_le
+        |FROM hits WHERE rn = 1""".stripMargin,
 
     // walk per distinct word -> token lists; sequences reassembled by
     // (word position, subtoken position); pos = 0-based row_number

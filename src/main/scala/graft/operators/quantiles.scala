@@ -31,6 +31,61 @@ import org.apache.spark.sql.functions._
  */
 object Quantiles {
 
+  /**
+   * Streaming-composable quantile sketch cells: a FIXED-WIDTH integer
+   * histogram grid maintained as a plain keyed count aggregation — the
+   * bounded-state streaming family (count-min grid, HLL registers,
+   * covariance moment cells) extended to rank statistics. State is at
+   * most `bins` rows at any corpus size; shards/streams merge by
+   * adding counts cell-wise. Unlike [[exactQuantiles]] (whose
+   * recursive range-narrowing needs the full corpus per round and is
+   * not a streaming-updatable plan), the grid trades a documented
+   * error bound — the true quantile lies inside the reported bin, so
+   * the bound is the bin width — for single-pass incrementality.
+   *
+   * All-integer by design: `bin = least(bins-1, greatest(0, v div
+   * binWidth))` over a LONG value, so two engines (or a replay oracle)
+   * cannot disagree on a cell. Values above the grid clamp into the
+   * top bin (its `hi` edge is nominal — document, don't widen).
+   */
+  def boundedHistCells(df: DataFrame, value: Column, binWidth: Long,
+                       bins: Int): DataFrame = {
+    require(binWidth >= 1 && bins >= 2, "binWidth >= 1, bins >= 2")
+    df.select(value.cast("long").as("__v")).filter(col("__v").isNotNull)
+      .select(least(lit(bins - 1L), greatest(lit(0L),
+        expr(s"__v div $binWidth"))).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Finishing step for a drained [[boundedHistCells]] grid: for each
+   * requested rank fraction `num/den` (kept as an integer pair — `0.95`
+   * is not an IEEE double and engines disagree on decimal-vs-double
+   * literal arithmetic; `(num·n + den − 1) div den` is the exact
+   * ceiling), the first bin whose cumulative count reaches the rank,
+   * with its integer value edges. The grid is model-sized (≤ bins
+   * rows) so this collects and walks it on the driver.
+   * Output: (p_pct, rank, bin, lo, hi, n_le) — `n_le` the cumulative
+   * count through the reported bin.
+   */
+  def boundedHistQuantiles(cells: DataFrame, binWidth: Long,
+                           ps: Seq[(Int, Long, Long)]): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val grid = cells.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = grid.map(_._2).sum
+    val out = if (n == 0L) Seq.empty else ps.map { case (pct, num, den) =>
+      val rank = (num * n + den - 1) / den
+      var cum = 0L
+      val (bin, nLe) = grid.collectFirst {
+        case (b, c) if { cum += c; cum >= rank } => (b, cum)
+      }.get
+      (pct, rank, bin, bin * binWidth, (bin + 1) * binWidth - 1, nLe)
+    }
+    out.toDF("p_pct", "rank", "bin", "lo", "hi", "n_le")
+  }
+
   /** Thrown by [[groupedQuantilesHistogram]] when the group count
     * exceeds its cap; the dispatcher catches exactly this to fall back
     * to the window regime. */

@@ -134,6 +134,31 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("streaming quantile grid: cells accumulate across batches, state bounded by bins") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Long]
+    val cells = graft.operators.Quantiles.boundedHistCells(
+      mem.toDF().toDF("v"), col("v"), binWidth = 10L, bins = 8)
+    val query = cells.writeStream
+      .format("memory").queryName("qtile_out").outputMode("complete").start()
+    try {
+      mem.addData(Seq(0L, 5L, 12L, 37L, 999L)) // 999 clamps into the top bin
+      query.processAllAvailable()
+      mem.addData(Seq(5L, 41L, 12L))
+      query.processAllAvailable()
+      val q = graft.operators.Quantiles.boundedHistQuantiles(
+        spark.table("qtile_out"), binWidth = 10L,
+        ps = Seq((50, 1L, 2L), (99, 99L, 100L)))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+      // 8 values, p50 rank 4 -> sorted (0,5,5,12,12,37,41,999) 4th = 12 -> bin 1
+      // p99 rank 8 -> 999 clamped to top bin 7
+      assert(q == List((50, 4L, 1L, 10L), (99, 8L, 7L, 70L)), s"got $q")
+      val state = query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(state <= 8L, s"state rows $state exceed the 8-bin grid")
+    } finally query.stop()
+  }
+
   test("streaming covariance: cells accumulate across batches, state bounded by the grid") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
