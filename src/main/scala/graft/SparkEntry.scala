@@ -649,6 +649,83 @@ object SparkEntry {
           else "\nSELECT vec_id, pc1 FROM pj"}""".stripMargin
   }
 
+  // q_whiten's oracle: pcaProjectSql generalized to k components with
+  // Hotelling deflation. The iterate/Rayleigh sums replay
+  // Similarity.pcaTopComponents' FIXED-ORDER double folds via
+  // `list_reduce(list(term ORDER BY …), +)` — NOT decimal sums: the
+  // iterate multiplies short decimals (round-6 cov × round-9 v), whose
+  // exact products land on scale-12 half boundaries ~1/1000 of the
+  // time, where Scala/Spark (shortest-repr HALF_UP) and DuckDB
+  // (exact-binary half-away) casts disagree. The final select emits
+  // w_c = round(pc_c/√λ_c, 6) + 0.0; the projection keeps the decimal
+  // discipline (raw-mantissa products — boundary-safe, and the Spark
+  // side is a distributed scan that needs order independence).
+  private def pcaWhitenSql(dims: Int, steps: Int, k: Int): String = {
+    def stepCtes(c: Int, mat: String): String = (1 to steps).map { s =>
+      s"""n${c}_$s AS (SELECT i,
+         |    list_reduce(list(t ORDER BY j), (x, y) -> x + y) AS num
+         |  FROM (SELECT mm.i AS i, mm.j AS j, mm.cov * vv.v AS t
+         |        FROM $mat mm JOIN v${c}_${s - 1} vv ON mm.j = vv.i)
+         |  GROUP BY i),
+         |s${c}_$s AS (SELECT sqrt(list_reduce(list(num * num ORDER BY i),
+         |    (x, y) -> x + y)) AS nrm FROM n${c}_$s),
+         |v${c}_$s AS (SELECT i, round(num / nrm, 9) AS v
+         |  FROM n${c}_$s, s${c}_$s)""".stripMargin
+    }.mkString(",\n")
+    val perComp = (1 to k).map { c =>
+      val mat = s"a$c"
+      val vLast = s"v${c}_$steps"
+      val deflate = if (c < k)
+        s""",
+           |a${c + 1} AS MATERIALIZED (SELECT mm.i, mm.j,
+           |    round(mm.cov - lam$c.lam * vi.v * vj.v, 6) + 0.0 AS cov
+           |  FROM $mat mm JOIN $vLast vi ON mm.i = vi.i
+           |  JOIN $vLast vj ON mm.j = vj.i, lam$c)""".stripMargin
+      else ""
+      s"""v${c}_0 AS (SELECT t.d AS i,
+         |    CAST(1.0 AS DOUBLE) + CAST(0.001 AS DOUBLE) * (t.d + 1) AS v
+         |  FROM range($dims) t(d)),
+         |${stepCtes(c, mat)},
+         |lam$c AS (SELECT list_reduce(list(t ORDER BY i, j), (x, y) -> x + y) AS lam
+         |  FROM (SELECT mm.i AS i, mm.j AS j, mm.cov * vi.v * vj.v AS t
+         |        FROM $mat mm JOIN $vLast vi ON mm.i = vi.i
+         |        JOIN $vLast vj ON mm.j = vj.i))$deflate""".stripMargin
+    }.mkString(",\n")
+    val pjCols = (1 to k).map { c =>
+      s"""    round(CAST(sum(CAST((p.x - m.m) * v${c}_$steps.v AS DECIMAL(28,12)))
+         |      AS DOUBLE), 6) + 0.0 AS pc$c""".stripMargin
+    }.mkString(",\n")
+    val pjJoins = (1 to k).map(c => s"JOIN v${c}_$steps ON p.i = v${c}_$steps.i")
+      .mkString(" ")
+    val finalCols = (1 to k).map(c =>
+      s"round(pc$c / sqrt(lam$c.lam), 6) + 0.0 AS w$c").mkString(", ")
+    val finalFrom = (1 to k).map(c => s"lam$c").mkString(", ")
+    s"""WITH f AS (SELECT a.d AS i, b.d AS j,
+       |    CAST(list_extract(embedding, CAST(a.d + 1 AS INTEGER)) AS DOUBLE) AS xi,
+       |    CAST(list_extract(embedding, CAST(b.d + 1 AS INTEGER)) AS DOUBLE) AS xj
+       |  FROM embeddings, range($dims) a(d), range($dims) b(d) WHERE b.d >= a.d),
+       |s AS MATERIALIZED (SELECT i, j, count(*) AS n,
+       |    sum(CAST(xi AS DECIMAL(28,12))) AS si,
+       |    sum(CAST(xj AS DECIMAL(28,12))) AS sj,
+       |    sum(CAST(xi * xj AS DECIMAL(28,12))) AS sij
+       |  FROM f GROUP BY i, j),
+       |c AS (SELECT i, j, round(CAST(sij AS DOUBLE) / n
+       |    - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n), 6) + 0.0 AS cov
+       |  FROM s),
+       |a1 AS MATERIALIZED (SELECT i, j, cov FROM c
+       |      UNION ALL SELECT j AS i, i AS j, cov FROM c WHERE i <> j),
+       |m AS (SELECT i, CAST(si AS DOUBLE) / n AS m FROM s WHERE i = j),
+       |$perComp,
+       |p AS (SELECT vec_id, t.d AS i,
+       |    CAST(list_extract(embedding, CAST(t.d + 1 AS INTEGER)) AS DOUBLE) AS x
+       |  FROM embeddings, range($dims) t(d)),
+       |pj AS (SELECT vec_id,
+       |$pjCols
+       |  FROM p JOIN m ON p.i = m.i $pjJoins
+       |  GROUP BY vec_id)
+       |SELECT vec_id, $finalCols FROM pj, $finalFrom""".stripMargin
+  }
+
   // BPE TRAINING replayed merge by merge — the q_fcm_fit unrolled-oracle
   // pattern: each learned merge k is a pair-count aggregation (pairs_k),
   // a (count desc, lhs, rhs) argmax (best_k), and a recursive fixpoint
@@ -2111,6 +2188,20 @@ object SparkEntry {
       val (means, comp) = Similarity.pcaLeadingComponent(
         Similarity.pcaMomentCells(emb, "embedding"))
       Similarity.pcaProject(emb, "vec_id", "embedding", means, comp)
+    }),
+
+    // PCA WHITENING: top-2 components by Hotelling deflation (Rayleigh
+    // eigenvalue + round-6 deflated matrix, every step engine-exact),
+    // then the decorrelated unit-variance coordinates w_c = pc_c/√λ_c —
+    // the preprocessing contrastive embedding work and Mahalanobis-ish
+    // outlier scores want. Same scale shape as q_pca_project: one
+    // moment scan + one zero-shuffle projection scan; the whole model
+    // (2 components, means, 2 scales) rides the plan as literals.
+    "q_whiten" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val (means, comps) = Similarity.pcaTopComponents(
+        Similarity.pcaMomentCells(emb, "embedding"), k = 2)
+      Similarity.pcaWhitenProject(emb, "vec_id", "embedding", means, comps)
     }),
 
     // PCA spectrum health report: variance along the 8-step leading
@@ -4397,6 +4488,8 @@ object SparkEntry {
     "q_embed_cov_stream" -> embedCovSql,
 
     "q_pca_project" -> pcaProjectSql(dims = 64, steps = 8),
+
+    "q_whiten" -> pcaWhitenSql(dims = 64, steps = 8, k = 2),
 
     // the projection chain with the final select swapped for the
     // spectrum report: decimal variance of pc1 over the cov-diagonal

@@ -728,6 +728,70 @@ object Similarity {
   }
 
   /**
+   * Top-k engine-exact principal components with Hotelling deflation —
+   * [[pcaLeadingComponent]] generalized: after each fixed-step iterate
+   * v the eigenvalue is the Rayleigh quotient λ = Σᵢⱼ aᵢⱼ·vᵢ·vⱼ and the
+   * matrix deflates cell-wise to round(aᵢⱼ − λ·vᵢ·vⱼ, 6) + 0.0 before
+   * the next component's iterate.
+   *
+   * Replay discipline — FIXED-ORDER double folds, not decimal sums:
+   * every sum here is a sequential IEEE fold in a declared order
+   * (matvec over j ascending, norm over i ascending, Rayleigh in
+   * row-major (i,j)), which DuckDB replays exactly with
+   * `list_reduce(list(term ORDER BY …), (x,y) -> x+y)`. The decimal
+   * discipline the single-component path uses is order-independent but
+   * quantizes ~200k generic doubles per component chain, and Scala/
+   * Spark (shortest-repr HALF_UP) vs DuckDB (exact-binary half-away)
+   * disagree inside a ~4-ulp band around each scale-12 half boundary —
+   * at this volume a collision is EXPECTED (observed in the first cut
+   * of this operator: one hit in component 2's chain skewed w2 by 7e-6
+   * at sf0.01). An ordered fold has no quantization step at all; the
+   * only residual rounds are the round-9 normalize and round-6
+   * deflation (~5k values, band ~1e-8 each). These sums are driver-
+   * side on the model-sized d² matrix, so order-independence buys
+   * nothing — the distributed sums (moment cells, projections) keep
+   * the decimal discipline.
+   *
+   * Returns (means, per-component (vector, λ)).
+   */
+  def pcaTopComponents(
+      cells: Array[(Int, Int, Long, java.math.BigDecimal, java.math.BigDecimal, java.math.BigDecimal)],
+      k: Int, steps: Int = 8): (Array[Double], Seq[(Array[Double], Double)]) = {
+    require(cells.nonEmpty, "pcaTopComponents: no moment cells")
+    val d = cells.map(_._2).max + 1
+    require(k >= 1 && k <= d, s"k in [1, $d]")
+    val a = Array.ofDim[Double](d, d)
+    val means = new Array[Double](d)
+    cells.foreach { case (i, j, n, si, sj, sij) =>
+      val cov = roundAt(sij.doubleValue() / n
+        - (si.doubleValue() / n) * (sj.doubleValue() / n), 6) + 0.0
+      a(i)(j) = cov; a(j)(i) = cov
+      if (i == j) means(i) = si.doubleValue() / n
+    }
+    val comps = (0 until k).map { _ =>
+      var v = Array.tabulate(d)(i => 1.0 + 0.001 * (i + 1))
+      for (_ <- 0 until steps) {
+        val num = Array.tabulate(d) { i =>
+          var s = 0.0
+          var j = 0
+          while (j < d) { s += a(i)(j) * v(j); j += 1 }
+          s
+        }
+        var ss = 0.0
+        num.foreach(x => ss += x * x)
+        val nrm = math.sqrt(ss)
+        v = num.map(x => roundAt(x / nrm, 9))
+      }
+      var lam = 0.0
+      for (i <- 0 until d; j <- 0 until d) lam += a(i)(j) * v(i) * v(j)
+      for (i <- 0 until d; j <- 0 until d)
+        a(i)(j) = roundAt(a(i)(j) - lam * v(i) * v(j), 6) + 0.0
+      (v, lam)
+    }
+    (means, comps)
+  }
+
+  /**
    * The corpus projected onto a principal component: per row
    * pc = round(Σᵢ dec12((xᵢ − mᵢ)·vᵢ), 6) — centered, so this IS the
    * first whitening coordinate. The component and means ride the plan
@@ -741,18 +805,47 @@ object Similarity {
                  means: Array[Double], component: Array[Double],
                  outCol: String = "pc1"): DataFrame = {
     require(means.length == component.length, "means/component dim mismatch")
-    val x = col(vecCol).cast(ArrayType(DoubleType))
-    // each intermediate is re-capped at decimal(30,12): a naive 64-term
-    // Add chain escalates precision past 38, where Spark's
-    // allowPrecisionLoss quietly drops the scale to ~6 digits — the
-    // 2e-6-level skew the oracle caught. (30,12)+(18,12) -> (31,12) is
-    // exact and under the cap at every step, and the cast back to
-    // (30,12) never truncates (|partial sum| < 1e18 by construction),
-    // so the fold stays bit-exact AND whole-stage-codegen'd.
+    df.select(col(idCol),
+      centeredProj(col(vecCol), means, component).as(outCol))
+  }
+
+  // each intermediate is re-capped at decimal(30,12): a naive 64-term
+  // Add chain escalates precision past 38, where Spark's
+  // allowPrecisionLoss quietly drops the scale to ~6 digits — the
+  // 2e-6-level skew the oracle caught. (30,12)+(18,12) -> (31,12) is
+  // exact and under the cap at every step, and the cast back to
+  // (30,12) never truncates (|partial sum| < 1e18 by construction),
+  // so the fold stays bit-exact AND whole-stage-codegen'd.
+  private def centeredProj(vec: Column, means: Array[Double],
+                           component: Array[Double]): Column = {
+    val x = vec.cast(ArrayType(DoubleType))
     val terms = component.indices.map(i =>
       ((x.getItem(i) - lit(means(i))) * lit(component(i))).cast("decimal(18,12)"))
     val sum = terms.reduce((a, b) => (a + b).cast("decimal(30,12)"))
-    df.select(col(idCol),
-      (round(sum.cast(DoubleType), 6) + lit(0.0)).as(outCol))
+    round(sum.cast(DoubleType), 6) + lit(0.0)
+  }
+
+  /**
+   * PCA-whitened coordinates: each [[pcaTopComponents]] component's
+   * centered projection scaled to unit variance, w_c = round(pc_c /
+   * √λ_c, 6) — decorrelated, equal-scale axes (the preprocessing
+   * contrastive training and Mahalanobis-style outlier scoring want).
+   * Same zero-shuffle shape as [[pcaProject]]: components, means and
+   * the √λ scales all ride the plan as literals; one codegen'd scan,
+   * no UDF, no join. Requires every λ > 0 (a non-positive Rayleigh
+   * value means the component is noise — whitening by it would blow
+   * up; ask for fewer components).
+   */
+  def pcaWhitenProject(df: DataFrame, idCol: String, vecCol: String,
+                       means: Array[Double],
+                       comps: Seq[(Array[Double], Double)]): DataFrame = {
+    require(comps.nonEmpty, "pcaWhitenProject: no components")
+    comps.foreach { case (_, lam) =>
+      require(lam > 0, s"pcaWhitenProject: non-positive eigenvalue $lam") }
+    val cols = comps.zipWithIndex.map { case ((v, lam), c) =>
+      (round(centeredProj(col(vecCol), means, v) / lit(math.sqrt(lam)), 6)
+        + lit(0.0)).as(s"w${c + 1}")
+    }
+    df.select(col(idCol) +: cols: _*)
   }
 }

@@ -91,6 +91,45 @@ class PcaSpec extends GraftSpec {
     assert(math.abs(mean) < 1e-4, s"centered projection mean $mean")
   }
 
+  test("q_whiten: coordinates are decorrelated with ~unit variance; pc1 axis matches q_pca_project") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val cells = Similarity.pcaMomentCells(emb, "embedding")
+    val (means, comps) = Similarity.pcaTopComponents(cells, k = 2)
+    // both Rayleigh values positive (whitening precondition). Strict
+    // descent is NOT asserted: the synthetic embeddings are near-
+    // isotropic (lambda1 ~ lambda2), and an 8-step iterate — a contract,
+    // not a converged eigenvector — can land on a mix whose deflated
+    // complement carries marginally more variance. Within 20% of a tie
+    // is the expected regime here.
+    assert(comps(0)._2 > 0 && comps(1)._2 > 0, s"spectrum ${comps.map(_._2)}")
+    assert(comps(1)._2 <= comps(0)._2 * 1.2, s"spectrum ${comps.map(_._2)}")
+    // component 1 tracks the single-component contract to the round-9
+    // last digit — NOT bit-equal: pcaLeadingComponent sums in decimal
+    // (order-independent), pcaTopComponents in fixed-order doubles (the
+    // boundary-band-free discipline its oracle replays); both are
+    // contracts, each exact against its own replay
+    val (_, c1) = Similarity.pcaLeadingComponent(cells)
+    comps(0)._1.zip(c1).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 2e-9, s"components diverge: $a vs $b") }
+    val w = SparkEntry.queries("q_whiten")(spark, sf())
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val n = w.length.toDouble
+    def meanOf(f: ((Double, Double)) => Double) = w.map(f).sum / n
+    val (m1, m2) = (meanOf(_._1), meanOf(_._2))
+    val v1 = meanOf(t => t._1 * t._1) - m1 * m1
+    val v2 = meanOf(t => t._2 * t._2) - m2 * m2
+    val cov12 = meanOf(t => t._1 * t._2) - m1 * m2
+    // variances ~1 (whitened); cross-correlation bounded (deflation
+    // worked — without it v2 ~ v1 and the correlation is ~1). The
+    // correlation tolerance is deliberately loose: on this near-tied
+    // spectrum the 8-step power iterate decays the off-axis mix by only
+    // (lambda2/lambda1)^8 ~ 1, so residual correlation is the expected
+    // regime, not a defect (observed ~0.12 at sf0.001).
+    assert(math.abs(v1 - 1.0) < 0.05, s"w1 variance $v1")
+    assert(math.abs(v2 - 1.0) < 0.05, s"w2 variance $v2")
+    assert(math.abs(cov12 / math.sqrt(v1 * v2)) < 0.25, s"w1/w2 correlation ${cov12 / math.sqrt(v1 * v2)}")
+  }
+
   test("q_embed_cov_stream: drained cells equal the batch kernel bit-for-bit") {
     val stream = SparkEntry.queries("q_embed_cov_stream")(spark, sf())
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap

@@ -242,6 +242,16 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("*(1)"), s"projection must participate in codegen:\n$p")
   }
 
+  test("q_whiten: whitened projection is a zero-shuffle codegen'd scan") {
+    // both components, means and the two sqrt-eigenvalue scales ride the
+    // plan as literals; the corpus is touched by exactly one scan
+    val p = plan("q_whiten")
+    assert(!p.contains("Exchange"), s"whitening must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"model must ride as literals, not a join:\n$p")
+    assert(!p.contains("ScalaUDF"), s"whitening must stay native expressions:\n$p")
+    assert(p.contains("*(1)"), s"whitening must participate in codegen:\n$p")
+  }
+
   test("q_quality_clf: inference is a zero-shuffle codegen'd projection") {
     val p = plan("q_quality_clf")
     assert(!p.contains("Exchange"), s"classifier inference must not shuffle:\n$p")
