@@ -2725,6 +2725,24 @@ object SparkEntry {
       TextAnalysis.pplBuckets(tbl(s, dir, "documents"), "text", "doc_id")
     }),
 
+    // Curriculum data ordering: unigram perplexity as difficulty,
+    // quartile stages from exact quantiles (driver scalars, no global
+    // sort), hash shards, and a two-phase rank inside each
+    // (shard, stage) — every shard reads the same easy->hard ramp,
+    // each stage pseudo-shuffled. The manifest a curriculum-trained
+    // run materializes next to its shards.
+    "q_curriculum" -> ((s, dir) => {
+      val scored = graft.core.Stage.materialize(
+        TextAnalysis.unigramNll(tbl(s, dir, "documents"), "text", "doc_id")
+          .select(col("doc_id"), col("mean_nll")), "curriculum_scored")
+      val thr = Quantiles.exactQuantiles(scored, "mean_nll", Seq(0.25, 0.5, 0.75))
+        .orderBy("p").collect().toSeq
+        .map(r => if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+      Sampling.curriculum(scored, col("doc_id"), col("mean_nll"), thr, nShards = 4)
+        .select(col("doc_id"), col("mean_nll"), col("shard"), col("stage"),
+          col("stage_pos"))
+    }),
+
     // bigram-LM perplexity: the sharper filter (context-conditioned);
     // docs with < 2 tokens have no bigrams and emit no row
     "q_lm2_score" -> ((s, dir) => {
@@ -5136,6 +5154,30 @@ object SparkEntry {
          |       WHEN mean_nll <= t2 THEN 'middle'
          |       ELSE 'tail' END AS ppl_bucket
          |FROM sc, th""".stripMargin,
+
+    // the q_lm_score CTEs + quantile_disc quartiles (exactQuantiles'
+    // ceil(p*n) convention) + the q_shards hash/rank machinery keyed on
+    // the composite (shard, stage)
+    "q_curriculum" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents),
+        |lm AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS v FROM lm),
+        |sc AS (SELECT doc_id,
+        |    round(CAST(sum(CAST(-ln((c + 1.0) / (tot + v)) AS DECIMAL(28,12))) AS DOUBLE)
+        |      / count(*), 6) AS mean_nll
+        |  FROM t JOIN lm USING (term), tot GROUP BY doc_id),
+        |th AS (SELECT quantile_disc(mean_nll, 0.25) AS t1,
+        |              quantile_disc(mean_nll, 0.5) AS t2,
+        |              quantile_disc(mean_nll, 0.75) AS t3 FROM sc),
+        |d AS (SELECT doc_id, mean_nll,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS shard,
+        |    CAST(CASE WHEN mean_nll <= t1 THEN 0 WHEN mean_nll <= t2 THEN 1
+        |         WHEN mean_nll <= t3 THEN 2 ELSE 3 END AS BIGINT) AS stage,
+        |    ('0x' || substr(md5('pos_' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000007 AS ord
+        |  FROM sc, th)
+        |SELECT doc_id, mean_nll, shard, stage,
+        |  CAST(row_number() OVER (PARTITION BY shard, stage ORDER BY ord, doc_id) AS BIGINT) - 1 AS stage_pos
+        |FROM d""".stripMargin,
 
     // scalar-context range() builds the bigram index list (the proven
     // shingle-CTE pattern — range as a TABLE function can't take lateral

@@ -565,6 +565,72 @@ object Sampling {
   }
 
   /**
+   * Curriculum training order (easy→hard data ordering): documents
+   * staged by a difficulty score against precomputed stage THRESHOLDS
+   * (from [[Quantiles.exactQuantiles]] — O(#cuts) driver scalars, never
+   * a global sort), sharded by an independent id hash, and ranked
+   * inside each (shard, stage) by a second order hash — every shard
+   * sees the same difficulty ramp: a trainer reads its shard's stages
+   * in order, each stage internally pseudo-shuffled. The curriculum
+   * position within a shard is the pair (stage, stage_pos); a
+   * cross-stage global rank is never materialized.
+   *
+   * Scale shape — [[shardAssignment]]'s two-phase rank on the composite
+   * (shard, stage) group: per-(group, block) counts collected once at
+   * build (a nShards·nStages·blocks cell table, capped at 65,536 cells
+   * so offsets always fit the array-literal fast path — with more
+   * groups, fewer blocks per group still gives group·block-wide
+   * parallelism), then row_number only inside a (group, block) hash
+   * range. Stage assignment is a broadcast-threshold projection.
+   * Deterministic: stages, shards and positions are pure functions of
+   * (difficulty, id) — identical at any scale, partitioning or engine.
+   */
+  def curriculum(df: DataFrame, idCol: Column, difficulty: Column,
+                 thresholds: Seq[Double], nShards: Int,
+                 nBlocks: Int = 64): DataFrame = {
+    require(thresholds.nonEmpty && thresholds == thresholds.sorted,
+      s"thresholds must be non-empty ascending: ${thresholds.mkString(", ")}")
+    require(nShards >= 1, "nShards must be >= 1")
+    val nStages = thresholds.length + 1
+    val nGroups = nShards * nStages
+    val stage = thresholds.indices.foldRight(lit(thresholds.length.toLong): Column) {
+      (i, rest) => when(difficulty <= thresholds(i), lit(i.toLong)).otherwise(rest)
+    }
+    val blocks = math.max(1, math.min(nBlocks, (1 << 16) / math.max(1, nGroups)))
+    val P = 1000000007L
+    val order = pmod(conv(substring(md5(concat(lit("pos_"), idCol.cast("string"))), 1, 15), 16, 10)
+      .cast(LongType), lit(P))
+    val blk = least(floor(order * blocks / P).cast(LongType), lit(blocks - 1L))
+    val blocked = df
+      .withColumn("shard", bucket(idCol, nShards))
+      .withColumn("stage", stage)
+      .withColumn("__g", col("shard") * nStages + col("stage"))
+      .withColumn("__ord", order)
+      .withColumn("__blk", blk)
+    val counts = blocked.groupBy(col("__g"), col("__blk"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getLong(0) * blocks + r.getLong(1), r.getLong(2))).toMap
+    val offArr = new Array[Long](nGroups * blocks)
+    var g = 0
+    while (g < nGroups) {
+      var acc = 0L; var b = 0
+      while (b < blocks) {
+        offArr(g * blocks + b) = acc
+        acc += counts.getOrElse(g.toLong * blocks + b, 0L)
+        b += 1
+      }
+      g += 1
+    }
+    val wLoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"), col("__blk")).orderBy(col("__ord").asc, idCol.asc)
+    blocked
+      .withColumn("__off", element_at(typedlit(offArr),
+        (col("__g") * blocks + col("__blk") + 1).cast("int")))
+      .withColumn("stage_pos", col("__off") + row_number().over(wLoc).cast(LongType) - 1)
+      .select(df.columns.map(col) :+ col("shard") :+ col("stage") :+ col("stage_pos"): _*)
+  }
+
+  /**
    * Head-domain flattening (the per-domain document cap of CCNet /
    * RefinedWeb-style web curation): cap every source at
    * `max(minKeep, ceil(sqrt(count)))` documents, keeping the cap

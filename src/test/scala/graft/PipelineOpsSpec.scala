@@ -408,6 +408,28 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("curriculum: stages partition by thresholds, positions dense per (shard, stage), partitioning-invariant") {
+    val df = (0L until 1500L).map(i => (i, (i % 97).toDouble / 10.0)).toDF("id", "diff")
+    val thr = Seq(2.0, 5.0, 8.0)
+    val a = Sampling.curriculum(df, col("id"), col("diff"), thr, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val b = Sampling.curriculum(df.repartition(7), col("id"), col("diff"), thr, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(a.toSet == b.toSet, "curriculum must not depend on partitioning")
+    // stage boundaries are exactly the thresholds
+    a.foreach { case (_, d, _, st, _) =>
+      val expect = thr.indexWhere(d <= _) match { case -1 => 3L; case i => i.toLong }
+      assert(st == expect, s"difficulty $d got stage $st")
+    }
+    // positions dense 0..n-1 within every (shard, stage)
+    a.groupBy(t => (t._3, t._4)).foreach { case (g, rows) =>
+      val ps = rows.map(_._5).sorted
+      assert(ps.toSeq == (0L until rows.length).toSeq, s"group $g positions not dense: ${ps.take(5).toSeq}")
+    }
+    // every (shard, stage) cell is populated (the ramp exists per shard)
+    assert(a.groupBy(t => (t._3, t._4)).size == 16, "all 4x4 cells populated")
+  }
+
   test("shard assignment: stable, balanced-ish, positions contiguous per shard") {
     val df = (0L until 2000L).toDF("id")
     val a = Sampling.shardAssignment(df, col("id"), 8).collect()
