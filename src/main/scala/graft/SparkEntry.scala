@@ -2303,6 +2303,22 @@ object SparkEntry {
     // one-row corpus DATA CARD (the summary a dataset release ships):
     // doc/token/char totals, language/source breadth, null-text and
     // exact-duplicate rates — single scan + exact distinct aggs
+    // Ingest/egress format edges: the corpus pushed through Spark's
+    // native CSV / JSON-Lines writers and read back under the same
+    // schema — the round trip is LOSSLESS by contract (nulls as an
+    // explicit token, quote-escaped text, schema-driven parse), and the
+    // oracle is the original parquet table itself: any quoting, null,
+    // or type drift through the format edge is a hash mismatch. The
+    // Spark-first counterpart of the reference's BufferedReader CSV
+    // parsing (AHPExample.java:51-72).
+    "q_csv_source" -> ((s, dir) =>
+      graft.sources.TextFormats.csvRoundTrip(
+        tbl(s, dir, "documents"), "docs")),
+
+    "q_jsonl_source" -> ((s, dir) =>
+      graft.sources.TextFormats.jsonlRoundTrip(
+        tbl(s, dir, "documents"), "docs")),
+
     "q_datacard" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
@@ -4572,6 +4588,15 @@ object SparkEntry {
         |  CAST(levenshtein(db.nm, catb.clean_name) AS INTEGER) AS dist
         |FROM db JOIN catb USING (blk, bd)
         |WHERE levenshtein(db.nm, catb.clean_name) <= 2""".stripMargin,
+
+    // round trips are lossless by contract: the oracle is the source
+    // table verbatim — a quoting/null/type drift through the format
+    // edge shows up as a hash mismatch
+    "q_csv_source" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "q_jsonl_source" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "q_datacard" ->
       """WITH d AS (SELECT doc_id, lang, source, n_chars,

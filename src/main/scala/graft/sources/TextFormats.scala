@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Corpus interchange formats: CSV and JSONL round-trips through Spark's
+ * native readers/writers — the Spark-first counterpart of the
+ * reference's hand-rolled CSV parsing (`AHPExample.java:51-72`,
+ * `FCMExample.java:56-79`, `AprioriExample.java:69-88` read Iris/NFLX/
+ * Groceries by BufferedReader + split). Here the format handling is
+ * entirely `spark.read`/`df.write` — schema-checked, quoted/escaped,
+ * null-distinguishing, splittable where the format allows — and the
+ * round-trip queries PROVE losslessness against the original parquet
+ * table as the oracle.
+ *
+ * Losslessness contract:
+ *  - nulls serialize as an explicit `\N` token (CSV) so they stay
+ *    distinct from empty strings; JSONL omits null fields and the
+ *    schema-driven read restores them.
+ *  - longs round-trip textually exactly; doubles via shortest-repr
+ *    (Spark writes the shortest decimal that parses back to the same
+ *    IEEE value).
+ *  - text with separators/quotes/newlines survives via standard CSV
+ *    double-quote escaping.
+ *
+ * Scale shape (100 TB): JSONL is line-splittable — a corpus-sized read
+ * parallelizes like parquet (minus columnar pruning: every byte is
+ * scanned, which is why the pipeline's STANDING format is parquet and
+ * these are ingest/egress edges). CSV here reads with `multiLine=true`
+ * to honor quoted newlines, which makes a file NON-splittable — one
+ * task per file; a production ingest shards into many files (as this
+ * writer already does, one per partition) or strips newlines upstream
+ * and drops multiLine.
+ */
+object TextFormats {
+  private val dirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      dirs.forEach { root =>
+        try java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        catch { case _: Exception => } // best-effort: shutdown must not fail
+      }
+    }))
+  private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def tempDir(tag: String): String = {
+    hookInstalled
+    val dir = java.nio.file.Files
+      .createTempDirectory(s"graft_fmt_${tag}_${runId.incrementAndGet()}_")
+    dirs.add(dir)
+    dir.resolve("data").toString
+  }
+
+  /** Write `df` as headered, `\N`-null, quote-escaped CSV and read it
+    * back under the same schema. */
+  def csvRoundTrip(df: DataFrame, tag: String): DataFrame = {
+    val path = tempDir(tag)
+    df.write
+      .option("header", "true").option("nullValue", "\\N")
+      .option("escape", "\"")
+      .csv(path)
+    df.sparkSession.read.schema(df.schema)
+      .option("header", "true").option("nullValue", "\\N")
+      .option("escape", "\"").option("multiLine", "true")
+      .csv(path)
+  }
+
+  /** Write `df` as JSON Lines and read it back under the same schema. */
+  def jsonlRoundTrip(df: DataFrame, tag: String): DataFrame = {
+    val path = tempDir(tag)
+    df.write.json(path)
+    df.sparkSession.read.schema(df.schema).json(path)
+  }
+}

@@ -408,6 +408,30 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("csv/jsonl round-trips are lossless on adversarial content") {
+    // the hostile cases a format edge must survive: separators, quotes,
+    // newlines, the null token AS LITERAL TEXT, empty vs null, unicode
+    val rows = Seq(
+      (1L, "plain words", Some(3.5)),
+      (2L, "comma, inside", None),
+      (3L, "a \"quoted\" phrase", Some(-0.0)),
+      (4L, "line\nbreak and \r carriage", Some(1e-300)),
+      (5L, "literal \\N not a null", Some(2.0)),
+      (6L, null.asInstanceOf[String], Some(7.25)),
+      (7L, "", Some(0.1)),
+      (8L, "ünïcødé 🚀 text", None))
+    val df = rows.toDF("id", "text", "score")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    val want = canon(df)
+    assert(canon(graft.sources.TextFormats.csvRoundTrip(df, "spec")) == want,
+      "csv round trip lost content")
+    assert(canon(graft.sources.TextFormats.jsonlRoundTrip(df, "spec")) == want,
+      "jsonl round trip lost content")
+  }
+
   test("curriculum: stages partition by thresholds, positions dense per (shard, stage), partitioning-invariant") {
     val df = (0L until 1500L).map(i => (i, (i % 97).toDouble / 10.0)).toDF("id", "diff")
     val thr = Seq(2.0, 5.0, 8.0)
