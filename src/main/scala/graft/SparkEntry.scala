@@ -2741,6 +2741,31 @@ object SparkEntry {
       TextAnalysis.pplBuckets(tbl(s, dir, "documents"), "text", "doc_id")
     }),
 
+    // Learnability selection (the RHO-1/Mindermann excess-loss idea at
+    // document granularity): excess = reference-model NLL minus
+    // proxy-model NLL — here the context-free unigram LM is the weak
+    // reference and the bigram LM the stronger proxy, so a LARGE excess
+    // marks text whose structure context actually predicts (learnable
+    // prose), near-zero marks unstructured/random token soup, and the
+    // top quartile by excess is selected. Distinct from Moore-Lewis
+    // (in-domain vs general corpus) and DoReMi (the same excess
+    // aggregated per DOMAIN): this is the per-document form that feeds
+    // a selection gate directly.
+    "q_rho_select" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val scored = graft.core.Stage.materialize(
+        TextAnalysis.unigramNll(docs, "text", "doc_id")
+          .select(col("doc_id"), col("mean_nll"))
+          .join(TextAnalysis.bigramNll(docs, "text", "doc_id")
+            .select(col("doc_id"), col("mean_nll2")), Seq("doc_id"))
+          .select(col("doc_id"), col("mean_nll"), col("mean_nll2"),
+            (col("mean_nll") - col("mean_nll2")).as("excess")), "rho_scored")
+      val thr = Quantiles.exactQuantiles(scored, "excess", Seq(0.75))
+        .collect().headOption
+        .map(r => if (r.isNullAt(1)) 0.0 else r.getDouble(1)).getOrElse(0.0)
+      scored.withColumn("selected", col("excess") >= thr)
+    }),
+
     // Curriculum data ordering: unigram perplexity as difficulty,
     // quartile stages from exact quantiles (driver scalars, no global
     // sort), hash shards, and a two-phase rank inside each
@@ -5010,6 +5035,17 @@ object SparkEntry {
         |SELECT source, n_docs, tokens, excess,
         |  CAST(floor(1000.0 * wr / tw + 0.5) AS BIGINT) AS weight_milli
         |FROM wt, tw""".stripMargin,
+
+    // the doremi chain's u/b CTEs reused verbatim (same LM arithmetic);
+    // threshold = quantile_disc (exactQuantiles' ceil(p*n) convention)
+    "q_rho_select" ->
+      s"""WITH $doremiCtes,
+        |sc AS (SELECT u.doc_id, u.mean_nll, b.mean_nll2,
+        |    u.mean_nll - b.mean_nll2 AS excess
+        |  FROM u JOIN b USING (doc_id)),
+        |rth AS (SELECT quantile_disc(excess, 0.75) AS thr FROM sc)
+        |SELECT doc_id, mean_nll, mean_nll2, excess, (excess >= thr) AS selected
+        |FROM sc, rth""".stripMargin,
 
     // the doremi chain feeding the q_mixture threshold replay: targets
     // are the milli-weights / 1000, counts the full per-source corpus,

@@ -408,6 +408,21 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("q_rho_select: selection is the excess-loss top quartile (clean partition at the threshold)") {
+    val rows = SparkEntry.queries("q_rho_select")(spark, sf())
+      .collect().map(r => (r.getDouble(3), r.getBoolean(4)))
+    val n = rows.length
+    assert(n > 100, s"expected a scored corpus, got $n rows")
+    val sel = rows.filter(_._2).map(_._1)
+    val rej = rows.filterNot(_._2).map(_._1)
+    // every selected excess clears every rejected one (>= threshold is a
+    // clean cut; ties land on the selected side)
+    assert(sel.min >= rej.max, s"partition broken: ${sel.min} < ${rej.max}")
+    // ~top quartile, allowing threshold ties
+    val frac = sel.length.toDouble / n
+    assert(frac >= 0.2 && frac <= 0.35, s"selected fraction $frac")
+  }
+
   test("csv/jsonl round-trips are lossless on adversarial content") {
     // the hostile cases a format edge must survive: separators, quotes,
     // newlines, the null token AS LITERAL TEXT, empty vs null, unicode
