@@ -1489,6 +1489,23 @@ object SparkEntry {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), col("duration_ms"))),
 
+    // Event-time windowed HLL: distinct users per day as register
+    // tables, maintained as a WATERMARKED append-mode streaming agg —
+    // unlike the complete-mode sketch drains (count-min grid, HLL per
+    // source), windows EVICT when the watermark passes, so standing
+    // state is (open windows) x m registers, bounded by the watermark
+    // horizon at any corpus size. The registers are the same
+    // engine-exact contract as q_hll_vocab's; the oracle replays the
+    // batch window assignment.
+    "q_hll_window" -> ((s, dir) =>
+      runEventStream(s, dir, "hll_window") { ev =>
+        val t = ev.withColumn("__t", timestamp_millis(col("tms")))
+          .withWatermark("__t", "0 seconds")
+        graft.operators.TextAnalysis.hllWindowRegisters(
+          t, col("__t"), "1 day", col("user_id"), m = 1024)
+      }.filter(col("w_start") < 4102444800000L) // the flush sentinel's window never emits; belt-and-braces
+        .select(col("w_start"), col("register"), col("max_rho"))),
+
     // Streaming windowed AHP over the same replay: the
     // flatMapGroupsWithState window buffer (the reference's Flink
     // trigger-point semantics) scores each 3-day tumbling window once the
@@ -3249,6 +3266,19 @@ object SparkEntry {
         |      ELSE 51 - length(bin(h // 1024)) END AS rho
         |  FROM h)
         |SELECT source, register, CAST(max(rho) AS BIGINT) AS max_rho
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // batch replay of the streaming windowed registers: epoch-aligned
+    // day windows + the q_hll_vocab hash/rho formula
+    "q_hll_window" ->
+      """WITH e AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS w_start, user_id FROM events),
+        |h AS (SELECT w_start,
+        |    ('0x' || substr(md5('hll_' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM e),
+        |r AS (SELECT w_start, h % 1024 AS register,
+        |    CASE WHEN h // 1024 = 0 THEN 51
+        |      ELSE 51 - length(bin(h // 1024)) END AS rho
+        |  FROM h)
+        |SELECT w_start, register, CAST(max(rho) AS BIGINT) AS max_rho
         |FROM r GROUP BY 1, 2""".stripMargin,
 
     "q_quantiles" -> Seq(0.01, 0.25, 0.5, 0.75, 0.99).map(p =>

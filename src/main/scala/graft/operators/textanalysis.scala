@@ -760,6 +760,16 @@ object TextAnalysis {
    */
   def hllRegisters(df: org.apache.spark.sql.DataFrame, groupCol: Column,
                    valueCol: Column, m: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val (reg, rho) = hllHash(valueCol, m)
+    df.select(groupCol.as("grp"), reg.as("register"), rho.as("__rho"))
+      .groupBy(col("grp"), col("register"))
+      .agg(max(col("__rho")).as("max_rho"))
+  }
+
+  /** The (register, rho) pair behind [[hllRegisters]] and
+    * [[hllWindowRegisters]] — one md5-derived 60-bit hash split into a
+    * register index and a leading-zero rank. */
+  private def hllHash(valueCol: Column, m: Int): (Column, Column) = {
     require(m >= 16 && (m & (m - 1)) == 0, s"m must be a power of two >= 16, got $m")
     val p = 63 - java.lang.Long.numberOfLeadingZeros(m.toLong) // log2 m
     val suffixBits = 60 - p
@@ -770,10 +780,34 @@ object TextAnalysis {
     val w = shiftright(h, p)
     val rho = when(w === 0, lit(suffixBits + 1))
       .otherwise(lit(suffixBits + 1) - length(bin(w)))
-    df.select(groupCol.as("grp"),
-        pmod(h, lit(m.toLong)).as("register"), rho.cast(LongType).as("__rho"))
-      .groupBy(col("grp"), col("register"))
+    (pmod(h, lit(m.toLong)), rho.cast(LongType))
+  }
+
+  /**
+   * [[hllRegisters]] keyed by an event-time tumbling window — distinct
+   * counts over time ("unique users per day") as a mergeable register
+   * table per window. In a stream this is a WATERMARKED append-mode
+   * aggregation: a window's registers emit once the watermark passes
+   * its end and their state is EVICTED — so standing state is
+   * (open windows) × m rows, bounded by the watermark horizon, never
+   * by the corpus. The registers are the engine-exact contract, same
+   * as the batch table; late windows merge cell-wise by max like any
+   * HLL shards.
+   *
+   * `tsCol` must be a TIMESTAMP column (already watermarked by the
+   * caller when streaming); output keys the window by its start epoch
+   * millis.
+   */
+  def hllWindowRegisters(df: org.apache.spark.sql.DataFrame, tsCol: Column,
+                         windowDur: String, valueCol: Column,
+                         m: Int = 1024): org.apache.spark.sql.DataFrame = {
+    val (reg, rho) = hllHash(valueCol, m)
+    df.select(window(tsCol, windowDur).as("__w"),
+        reg.as("register"), rho.as("__rho"))
+      .groupBy(col("__w"), col("register"))
       .agg(max(col("__rho")).as("max_rho"))
+      .select(unix_millis(col("__w.start")).as("w_start"),
+        col("register"), col("max_rho"))
   }
 
   /**

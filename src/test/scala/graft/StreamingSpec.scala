@@ -134,6 +134,38 @@ class StreamingSpec extends GraftSpec {
     } finally query.stop()
   }
 
+  test("windowed HLL: registers emit as the watermark closes windows; state evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val day = 86400000L
+    val mem = MemoryStream[(Long, Long)]
+    val cells = graft.operators.TextAnalysis.hllWindowRegisters(
+      mem.toDF().toDF("tms", "user_id")
+        .withColumn("__t", timestamp_millis(col("tms")))
+        .withWatermark("__t", "0 seconds"),
+      col("__t"), "1 day", col("user_id"), m = 16)
+    val query = cells.writeStream
+      .format("memory").queryName("hllw_out").outputMode("append").start()
+    try {
+      // day-0 users, then a day-2 event whose watermark closes day 0
+      mem.addData(Seq((100L, 1L), (200L, 2L), (300L, 1L)))
+      query.processAllAvailable()
+      mem.addData(Seq((2 * day + 5L, 9L)))
+      query.processAllAvailable()
+      val emitted = spark.table("hllw_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.TextAnalysis.hllWindowRegisters(
+        Seq((100L, 1L), (200L, 2L), (300L, 1L)).toDF("tms", "user_id")
+          .withColumn("__t", timestamp_millis(col("tms"))),
+        col("__t"), "1 day", col("user_id"), m = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(emitted == batch, s"closed day-0 registers $emitted != batch $batch")
+      // only the open day-2 window's registers remain in state
+      val state = query.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(state <= 16L, s"state rows $state exceed one open window's registers")
+    } finally query.stop()
+  }
+
   test("streaming quantile grid: cells accumulate across batches, state bounded by bins") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
