@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AHP, Apriori, AutoFeatureTransformer, BpeTrain, Canopy, Dedup, FCMModel, Joins, MeanImputer, Multimodal, OnlineAHP, OnlineTopsis, QualityClassifier, Quantiles, Sampling, Similarity, StandardScalerEst, TextAnalysis, Topsis}
+import graft.operators.{AHP, Apriori, AutoFeatureTransformer, BpeTrain, Canopy, Dedup, FCMModel, Joins, Layout, MeanImputer, Multimodal, OnlineAHP, OnlineTopsis, QualityClassifier, Quantiles, Sampling, Similarity, StandardScalerEst, TextAnalysis, Topsis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2289,6 +2289,19 @@ object SparkEntry {
 
     // deterministic training-shard assembly: 8 shards, stable in-shard
     // pseudo-shuffle by an independent hash
+    // Z-order layout key: the Morton interleave of (partkey, suppkey)
+    // grid coordinates — written range-partitioned on this column, a
+    // box predicate on EITHER key prunes parquet files by min/max stats
+    // instead of scanning the table (LayoutSpec measures the file-skip
+    // directly). The key is pure integer bit arithmetic, replayed
+    // verbatim by the oracle.
+    "q_zorder" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        Layout.zValue(pmod(col("l_partkey"), lit(1024)),
+          pmod(col("l_suppkey"), lit(1024)), bits = 10).as("zval"))
+    }),
+
     "q_shards" -> ((s, dir) => {
       Sampling.shardAssignment(
         tbl(s, dir, "documents").select("doc_id"), col("doc_id"), nShards = 8)
@@ -4612,6 +4625,11 @@ object SparkEntry {
         |  CAST(list_min(codes) AS INTEGER) AS code_min,
         |  CAST(list_max(codes) AS INTEGER) AS code_max
         |FROM c""".stripMargin,
+
+    "q_zorder" ->
+      s"""SELECT l_orderkey, l_partkey, l_suppkey,
+         |  ${Layout.zValueSql("(l_partkey % 1024)", "(l_suppkey % 1024)", bits = 10)} AS zval
+         |FROM lineitem""".stripMargin,
 
     "q_shards" ->
       """WITH d AS (SELECT doc_id,

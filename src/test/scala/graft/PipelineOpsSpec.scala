@@ -408,6 +408,30 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("boundedHistCells: nulls dropped, negatives clamp to bin 0, overflow clamps to the top bin") {
+    val df = Seq[java.lang.Long](null, -5L, 0L, 9L, 10L, 79L, 80L, 100000L)
+      .toDF("v")
+    val cells = graft.operators.Quantiles.boundedHistCells(
+      df, col("v"), binWidth = 10L, bins = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // -5 and 0 and 9 -> bin 0; 10 -> bin 1; 79 -> bin 7; 80 and 100000 clamp -> bin 7
+    assert(cells == Map(0L -> 3L, 1L -> 1L, 7L -> 3L), s"got $cells")
+    assert(cells.values.sum == 7, "null must not be counted")
+  }
+
+  test("covCellStream: null vectors contribute nothing (grid equals the non-null batch kernel)") {
+    val rows: Seq[(Long, Array[Double])] = Seq(
+      (1L, Array(1.0, 2.0)), (2L, null), (3L, Array(-0.5, 4.0)))
+    val df = rows.toDF("id", "v")
+    val grid = graft.operators.Similarity.covCellsFinish(
+      graft.operators.Similarity.covCellStream(df, "v"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val batch = graft.operators.Similarity.embeddingCovariance(
+      rows.filter(_._2 != null).toDF("id", "v"), "v")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(grid == batch, s"null rows leaked into the grid: $grid vs $batch")
+  }
+
   test("q_rho_select: selection is the excess-loss top quartile (clean partition at the threshold)") {
     val rows = SparkEntry.queries("q_rho_select")(spark, sf())
       .collect().map(r => (r.getDouble(3), r.getBoolean(4)))
