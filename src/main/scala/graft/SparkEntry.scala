@@ -2796,6 +2796,23 @@ object SparkEntry {
       scored.withColumn("selected", col("excess") >= thr)
     }),
 
+    // The incremental-model loop closed: the STREAMING-maintained
+    // moment grid (q_embed_cov_stream's complete-mode cells) feeds the
+    // same deflation/whitening builder as the batch kernel and projects
+    // the corpus — model maintained incrementally, applied exactly.
+    // Bit-identical to q_whiten by construction (decimal sums of the
+    // same multiset; the PcaSpec parity test pins it), so the oracle is
+    // shared verbatim.
+    "q_whiten_stream" -> ((s, dir) => {
+      val grid = runTableStreamComplete(s, dir, "embeddings", "whiten") { raw =>
+        Similarity.covCellStream(raw, "embedding")
+      }
+      val (means, comps) = Similarity.pcaTopComponents(
+        Similarity.momentCellsFromGrid(grid), k = 2)
+      Similarity.pcaWhitenProject(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", means, comps)
+    }),
+
     // Curriculum data ordering: unigram perplexity as difficulty,
     // quartile stages from exact quantiles (driver scalars, no global
     // sort), hash shards, and a two-phase rank inside each
@@ -4592,6 +4609,9 @@ object SparkEntry {
     "q_pca_project" -> pcaProjectSql(dims = 64, steps = 8),
 
     "q_whiten" -> pcaWhitenSql(dims = 64, steps = 8, k = 2),
+
+    // stream-maintained model, batch-exact application: same replay
+    "q_whiten_stream" -> pcaWhitenSql(dims = 64, steps = 8, k = 2),
 
     // the projection chain with the final select swapped for the
     // spectrum report: decimal variance of pc1 over the cov-diagonal

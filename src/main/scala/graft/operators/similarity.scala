@@ -500,6 +500,28 @@ object Similarity {
   }
 
   /**
+   * A drained [[covCellStream]] grid reshaped into [[pcaMomentCells]]'
+   * layout — (i, j, n, Σxi, Σxj, Σxixj) with exact decimals — so the
+   * streaming-maintained grid can feed the SAME model builders
+   * ([[pcaTopComponents]], [[pcaLeadingComponent]]) as the batch
+   * kernel. Value-identical to the kernel's cells by construction:
+   * decimal sums of one multiset grouped coarser (the per-dim
+   * sentinels) equal the per-pair sums, and the stream's
+   * sum(cast(decimal(28,12))) is the quantize12 discipline. The grid
+   * is model-sized; this collects it.
+   */
+  def momentCellsFromGrid(grid: DataFrame)
+      : Array[(Int, Int, Long, java.math.BigDecimal, java.math.BigDecimal, java.math.BigDecimal)] = {
+    val rows = grid.collect()
+    val dims = rows.filter(r => r.getInt(1) == -1)
+      .map(r => r.getInt(0) -> r.getDecimal(3).setScale(12)).toMap
+    rows.filter(r => r.getInt(1) >= 0).map { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      (i, j, r.getLong(2), dims(i), dims(j), r.getDecimal(3).setScale(12))
+    }
+  }
+
+  /**
    * Finishing step for a drained [[covCellStream]] grid: join the two
    * sentinel dim cells back onto each pair cell and apply the same
    * fixed-order cov formula as [[embeddingCovariance]]. The grid is

@@ -130,6 +130,13 @@ class PcaSpec extends GraftSpec {
     assert(math.abs(cov12 / math.sqrt(v1 * v2)) < 0.25, s"w1/w2 correlation ${cov12 / math.sqrt(v1 * v2)}")
   }
 
+  test("q_whiten_stream: the stream-maintained model whitens bit-identically to the batch kernel's") {
+    def m(q: String) = SparkEntry.queries(q)(spark, sf())
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(m("q_whiten_stream") == m("q_whiten"),
+      "streaming-grid model must reproduce the batch whitening exactly")
+  }
+
   test("q_embed_cov_stream: drained cells equal the batch kernel bit-for-bit") {
     val stream = SparkEntry.queries("q_embed_cov_stream")(spark, sf())
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
