@@ -2289,6 +2289,17 @@ object SparkEntry {
 
     // deterministic training-shard assembly: 8 shards, stable in-shard
     // pseudo-shuffle by an independent hash
+    // EXACT set-similarity self-join by prefix filtering (the PPJoin
+    // family) at the LSH pipeline's own threshold and shingle sets:
+    // every pair with hashed-3-gram Jaccard >= 0.8, no probabilistic
+    // misses — the exact ground truth q_minhash_pairs approximates
+    // (DedupSpec pins verified-LSH ⊆ this). Candidates come only from
+    // RARE shingles (rarest-first prefixes); verification is
+    // all-integer (inter*100 >= union*80).
+    "q_ssjoin" -> ((s, dir) =>
+      Dedup.prefixFilterJoin(tbl(s, dir, "documents"), "text", "doc_id",
+        tauPct = 80)),
+
     // Z-order layout key: the Morton interleave of (partkey, suppkey)
     // grid coordinates — written range-partitioned on this column, a
     // box predicate on EITHER key prunes parquet files by min/max stats
@@ -4645,6 +4656,34 @@ object SparkEntry {
         |  CAST(list_min(codes) AS INTEGER) AS code_min,
         |  CAST(list_max(codes) AS INTEGER) AS code_max
         |FROM c""".stripMargin,
+
+    // the minhash shingle CTEs + the rarest-first (df, hash) sort keys
+    // (no global rank — the pair IS the total order), prefix slice,
+    // candidate join and integer verify
+    "q_ssjoin" ->
+      s"""WITH $mhShingleCtes,
+        |rk AS MATERIALIZED (SELECT hm, CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY hm),
+        |docs AS MATERIALIZED (SELECT doc_id,
+        |    list_transform(ks, x -> x.h) AS rs, ks, n FROM (
+        |  SELECT doc_id, list_sort(list({'d': cnt, 'h': hm})) AS ks,
+        |      CAST(count(*) AS BIGINT) AS n
+        |    FROM h JOIN rk USING (hm) GROUP BY doc_id)),
+        |pref AS MATERIALIZED (SELECT doc_id, rs, n, CAST(t.i - 1 AS BIGINT) AS i0,
+        |    ks[CAST(t.i AS INTEGER)].d AS pd, ks[CAST(t.i AS INTEGER)].h AS ph
+        |  FROM docs, unnest(generate_series(1,
+        |    CAST(n - (n * 80 + 99) // 100 + 1 AS INTEGER))) AS t(i)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM pref a JOIN pref b ON a.pd = b.pd AND a.ph = b.ph AND a.doc_id < b.doc_id
+        |  WHERE a.n * 100 >= b.n * 80 AND b.n * 100 >= a.n * 80
+        |    AND 1 + least(a.i0, b.i0) + least(a.n - a.i0 - 1, b.n - b.i0 - 1)
+        |      >= ((a.n + b.n) * 80) // 180
+        |         + CASE WHEN ((a.n + b.n) * 80) % 180 = 0 THEN 0 ELSE 1 END),
+        |v AS (SELECT c.a, c.b,
+        |    CAST(len(list_intersect(da.rs, db.rs)) AS BIGINT) AS n_inter,
+        |    da.n + db.n AS nn
+        |  FROM cand c JOIN docs da ON da.doc_id = c.a JOIN docs db ON db.doc_id = c.b)
+        |SELECT a, b, n_inter, nn - n_inter AS n_union FROM v
+        |WHERE n_inter * 100 >= (nn - n_inter) * 80""".stripMargin,
 
     "q_zorder" ->
       s"""SELECT l_orderkey, l_partkey, l_suppkey,

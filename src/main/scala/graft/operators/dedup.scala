@@ -1256,6 +1256,126 @@ object Dedup {
   }
 
   /**
+   * EXACT set-similarity self-join by prefix filtering (Chaudhuri 2006 /
+   * Xiao et al. 2008, the PPJoin family) — every pair of documents
+   * whose distinct-SHINGLE Jaccard reaches `tauPct`/100, with NO
+   * probabilistic misses: the guarantee MinHash LSH trades away. Runs
+   * on the SAME hashed `shingleN`-gram sets as [[minhashNearDupPairs]]'
+   * verify stage, so at the same threshold its output is the exact
+   * ground truth the LSH pipeline approximates (every verified LSH pair
+   * is here; anything extra here is an LSH false NEGATIVE — a banding
+   * miss). The filter is the classic one: order the shingle vocabulary
+   * rarest-first (document frequency asc, hash asc — a deterministic
+   * total order), sort each document's distinct shingles by that order,
+   * and keep only the first `n − ceil(τ·n) + 1` as its PREFIX; two sets
+   * with Jaccard ≥ τ MUST share a prefix element, so the candidate
+   * space is the prefix self-join — driven entirely by RARE shingles
+   * (an element's candidate contribution is quadratic in its document
+   * frequency, and the hot shingles that would blow that up are exactly
+   * the ones the ordering pushes OUT of prefixes; at τ = 0.8 a prefix
+   * is ≲ 20% of a document's shingles).
+   *
+   * Verification is all-integer: `inter·100 ≥ τpct·union` over exact
+   * intersection/union counts — no double ever enters the contract, so
+   * the replay is engine-exact by construction.
+   *
+   * Scale shape: one distinct-shingle explode, a shingle-keyed df count
+   * (map-side partials) joined back BY KEY, a per-DOC sort of its own
+   * shingle list, prefix explode, a key-equality candidate self-join
+   * (bucket-local, the LSH-band shape), and a candidate-bounded array
+   * verify. There is NO global rank anywhere: the rarest-first order is
+   * realized as the (df, hash) pair itself — any deterministic total
+   * order works for the prefix theorem, and a dense row_number rank
+   * (the first cut) cost a single-task window sort over the whole
+   * shingle vocabulary, 158 s at the 100× point's inflated vocab vs
+   * ~24 s for this shape. The all-pairs space never materializes.
+   */
+  def prefixFilterJoin(df: DataFrame, textCol: String, idCol: String,
+                       tauPct: Int, shingleN: Int = 3,
+                       maxCandidates: Long = 200000000L): DataFrame = {
+    require(tauPct >= 1 && tauPct <= 100, s"tauPct in [1,100], got $tauPct")
+    val toks = docShingles(df, textCol, idCol, shingleN)
+      .withColumnRenamed("__sh", "__t")
+    val dfs = toks.groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+    val keyed = toks.join(dfs, Seq("__t"))
+      .select(col("__doc"),
+        struct(col("__df").as("d"), col("__t").as("h")).as("__k"))
+    // the (df, hash) structs exist ONLY to pick prefixes; verification
+    // runs on plain LONG hash arrays (codegen'd intersect — struct
+    // arrays pay an interpreted comparator per element, measured ~10×
+    // on the candidate-verify stage), and the candidate join keys on
+    // the two scalar fields
+    // staged once: the guard pass and BOTH self-join sides read this
+    // relation — without the stage the shingle explode + doc agg lineage
+    // runs three times
+    val docs = graft.core.Stage.materialize(
+      keyed.groupBy(col("__doc"))
+        .agg(sort_array(collect_list(col("__k"))).as("__ks"),
+          count(lit(1)).as("__n"))
+        .withColumn("__rs", expr("transform(__ks, x -> x.h)")),
+      "ssjoin_docs")
+    // prefix length n - ceil(tau*n) + 1, ceil as integer arithmetic
+    val prefLen = (col("__n") - floor((col("__n") * tauPct + 99) / 100) + 1)
+      .cast("int")
+    val pref = docs.select(col("__doc"), col("__rs"), col("__n"),
+        posexplode(slice(col("__ks"), lit(1), prefLen)).as(Seq("__i", "__p")))
+      .select(col("__doc"), col("__rs"), col("__n"), col("__i"),
+        col("__p.d").as("__pd"), col("__p.h").as("__ph"))
+    val a = pref.select(col("__doc").as("a"), col("__rs").as("__ra"),
+      col("__n").as("__na"), col("__i").as("__ia"), col("__pd"), col("__ph"))
+    val b = pref.select(col("__doc").as("b"), col("__rs").as("__rb"),
+      col("__n").as("__nb"), col("__i").as("__ib"), col("__pd"), col("__ph"))
+    // PPJoin's two candidate prunes, both all-integer and per matching
+    // occurrence (a pair survives if ANY shared prefix position passes,
+    // so the per-occurrence bound must be SAFE — no false negatives):
+    //  - length filter: |x| >= tau|y| is NECESSARY for Jaccard >= tau
+    //  - positional filter: with a match at 0-based sorted positions
+    //    (ia, ib), overlap <= min(ia, ib) [earlier tokens may still be
+    //    common — possibly beyond the other side's prefix] + 1 +
+    //    min(nx-ia-1, ny-ib-1) [the suffixes]; it must reach
+    //    alpha = ceil(tau/(1+tau) * (nx+ny))
+    // These are what keep a hot shingle from going quadratic: a pair
+    // must ALSO be length-compatible and position-compatible before the
+    // verify ever sees it.
+    val alpha = floor((col("__na") + col("__nb")) * tauPct / (100 + tauPct))
+      .cast("long") + when(
+        ((col("__na") + col("__nb")) * tauPct) % (100 + tauPct) === 0, 0L)
+      .otherwise(1L)
+    // FAIL-FAST candidate-volume guard (the house limit+1 pattern): an
+    // exact tau-Jaccard join is inherently quadratic when even the
+    // RAREST shingles of many docs are corpus-hot (template-heavy
+    // crawls; the permute-mode 100x generator manufactures this — 1.86G
+    // candidates where the suffix layout has 12M). One cheap partial-agg
+    // pass over the prefix relation (~tau-fraction of the explode)
+    // estimates sum(pc choose 2); past the cap the operator REFUSES,
+    // naming the knobs, instead of melting the cluster: raise tauPct,
+    // raise shingleN, or exact-dedup templates first.
+    val vol = pref.groupBy(col("__pd"), col("__ph"))
+      .agg(count(lit(1)).as("__pc"))
+      .agg(sum(col("__pc") * (col("__pc") - 1) / 2).cast("long"))
+      .head()
+    val candVol = if (vol.isNullAt(0)) 0L else vol.getLong(0)
+    require(candVol <= maxCandidates,
+      s"prefixFilterJoin: ~$candVol candidate pairs exceed maxCandidates=" +
+        s"$maxCandidates — the corpus is template-hot at shingleN=$shingleN, " +
+        s"tauPct=$tauPct; raise tauPct/shingleN, exact-dedup first, or raise " +
+        "maxCandidates knowingly")
+    a.join(b, Seq("__pd", "__ph")).filter(col("a") < col("b"))
+      .filter(col("__na") * 100 >= col("__nb") * tauPct &&
+        col("__nb") * 100 >= col("__na") * tauPct)
+      .filter(lit(1L) + least(col("__ia"), col("__ib"))
+        + least(col("__na") - col("__ia") - 1L,
+          col("__nb") - col("__ib") - 1L) >= alpha)
+      .select(col("a"), col("b"), col("__ra"), col("__rb"),
+        col("__na"), col("__nb"))
+      .dropDuplicates("a", "b")
+      .withColumn("n_inter", size(array_intersect(col("__ra"), col("__rb"))).cast("long"))
+      .withColumn("n_union", col("__na") + col("__nb") - col("n_inter"))
+      .filter(col("n_inter") * 100 >= col("n_union") * tauPct)
+      .select(col("a"), col("b"), col("n_inter"), col("n_union"))
+  }
+
+  /**
    * Snapshot delta between two corpus versions — the incremental-crawl
    * bookkeeping every recurring 100 TB ingest needs (what changed since
    * the last snapshot decides what re-enters dedup/scoring): per id,

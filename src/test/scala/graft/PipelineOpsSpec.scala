@@ -821,6 +821,39 @@ class PipelineOpsSpec extends GraftSpec {
     assert(fused == reference)
   }
 
+  test("prefix-filter join is the exact ground truth over the LSH pipeline's pairs") {
+    // q_ssjoin and the minhash verify stage score the SAME hashed
+    // 3-gram shingle sets at the same threshold, so every verified LSH
+    // pair must appear in the exact join; anything extra in the exact
+    // join is an LSH banding miss (allowed — LSH is probabilistic; the
+    // exact join, by the prefix-filter theorem, misses nothing)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = graft.operators.Dedup.prefixFilterJoin(real, "text", "doc_id", tauPct = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDupPairs(real, "text", "doc_id",
+        numHashes = 16, bands = 4, seed = 42L, shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "fixture must exercise both paths")
+    assert(lsh.subsetOf(exact),
+      s"LSH emitted pairs the exact join rejects: ${lsh.diff(exact)}")
+  }
+
+  test("prefix-filter join fail-fast: template-hot corpus trips the candidate-volume guard") {
+    // 60 identical docs: every prefix key carries all 60 -> ~1.7k
+    // candidates; a cap below that must REFUSE with the knobs named
+    val docs = (0 until 60).map(i => (i.toLong,
+      "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.prefixFilterJoin(docs, "text", "doc_id",
+        tauPct = 80, maxCandidates = 100L)
+    }
+    assert(e.getMessage.contains("maxCandidates"), e.getMessage)
+    // and with an adequate cap the same corpus resolves exactly
+    val pairs = graft.operators.Dedup.prefixFilterJoin(docs, "text", "doc_id",
+      tauPct = 80, maxCandidates = 10000L).count()
+    assert(pairs == 60L * 59 / 2, s"identical docs must all pair: $pairs")
+  }
+
   test("minhash oversized-bucket cap: adversarial all-identical corpus stays bounded") {
     // 600 identical docs collide in every band: pairwise verify would be
     // O(n²) per bucket. Past maxBucketSize the pivot scheme does
