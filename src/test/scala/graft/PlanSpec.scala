@@ -242,6 +242,24 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("*(1)"), s"projection must participate in codegen:\n$p")
   }
 
+  test("q_zorder: the layout key is a zero-shuffle codegen'd projection") {
+    val p = plan("q_zorder")
+    assert(!p.contains("Exchange"), s"z-value must not shuffle:\n$p")
+    assert(!p.contains("ScalaUDF"), s"bit interleave must stay native:\n$p")
+    assert(p.contains("*(1)"), s"interleave must participate in codegen:\n$p")
+  }
+
+  test("q_ssjoin: no global sort, no cartesian — candidates come from the prefix-key hash join") {
+    // the first cut ranked the shingle vocabulary with an unpartitioned
+    // row_number Window (single-task sort over a vocab that inflates
+    // with the corpus — 158s at the 100x point); the committed shape
+    // must never reintroduce one
+    val p = plan("q_ssjoin")
+    assert(!p.contains("Window"), s"no vocabulary rank window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the equi-join on prefix keys:\n$p")
+  }
+
   test("q_whiten: whitened projection is a zero-shuffle codegen'd scan") {
     // both components, means and the two sqrt-eigenvalue scales ride the
     // plan as literals; the corpus is touched by exactly one scan
