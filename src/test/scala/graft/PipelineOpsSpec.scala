@@ -408,6 +408,19 @@ class PipelineOpsSpec extends GraftSpec {
     }
   }
 
+  test("boundedHistCells: shards merge by adding counts cell-wise") {
+    // the mergeable-summary property every bounded sketch in the kit
+    // claims: grid(all) == cellwise-sum(grid(shard_i))
+    val all = (0L until 400L).map(i => (i * 7) % 190)
+    val (s1, s2) = all.splitAt(137)
+    def grid(xs: Seq[Long]) = graft.operators.Quantiles.boundedHistCells(
+      xs.toDF("v"), col("v"), binWidth = 10L, bins = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = (grid(s1).toSeq ++ grid(s2).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(merged == grid(all), "cell-wise sum must equal the whole-corpus grid")
+  }
+
   test("boundedHistCells: nulls dropped, negatives clamp to bin 0, overflow clamps to the top bin") {
     val df = Seq[java.lang.Long](null, -5L, 0L, 9L, 10L, 79L, 80L, 100000L)
       .toDF("v")
