@@ -233,6 +233,71 @@ object SpanProbe {
   * evidence that the above-limit fallback is a working 100 TB path, not
   * a vestigial branch (it had never been exercised at scale before this).
   */
+/** Per-delta streaming covariance measurement (the SCALE.md claim that
+  * production pays per-DELTA explode only, made a number): splits the
+  * embeddings table into N equal parquet files, drains covCellStream
+  * with maxFilesPerTrigger=1 so every microbatch is one 1/N delta, and
+  * prints each microbatch's rows + wall ms from the progress feed. Run
+  * at several N (SPARK_GRAFT_COV_BATCHES, default "1,4,16") to see
+  * per-batch cost track delta size while state stays the fixed grid. */
+object CovStreamProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val batches = sys.env.getOrElse("SPARK_GRAFT_COV_BATCHES", "1,4,16")
+      .split(",").map(_.trim.toInt)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val total = emb.count()
+    // batch-parity reference for the drained grid
+    val batchCells = graft.operators.Similarity.covCellsFinish(
+      graft.operators.Similarity.covCellStream(emb, "embedding"))
+      .collect().map(_.toSeq).sortBy(_.toString)
+    batches.foreach { n =>
+      val stage = java.nio.file.Files
+        .createTempDirectory(s"graft_covprobe_${n}_").toString
+      // one file per delta: repartition BEFORE write so each microbatch
+      // is a 1/n slice of the corpus
+      emb.repartition(n).write.mode("overwrite").parquet(s"$stage/in")
+      val schema = emb.schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$stage/in")
+      val qn = s"covprobe_$n"
+      val q = graft.operators.Similarity.covCellStream(src, "embedding")
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", s"$stage/ckpt")
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      val prog = q.recentProgress.filter(_.numInputRows > 0)
+      prog.zipWithIndex.foreach { case (p, i) =>
+        println(f"[probe] n=$n batch=$i rows=${p.numInputRows}%7d " +
+          f"batchMs=${p.batchDuration}%6d " +
+          f"stateRows=${Option(p.stateOperators).filter(_.nonEmpty).map(_.head.numRowsTotal).getOrElse(-1L)}")
+      }
+      val perRow = prog.map(p => p.batchDuration.toDouble / p.numInputRows)
+      println(f"[probe] n=$n deltaRows~${total / n} batches=${prog.length} " +
+        f"medianBatchMs=${prog.map(_.batchDuration).sorted.apply(prog.length / 2)} " +
+        f"msPerKRow=${perRow.sorted.apply(perRow.length / 2) * 1000}%.1f")
+      val streamed = graft.operators.Similarity.covCellsFinish(
+        spark.table(qn)).collect().map(_.toSeq).sortBy(_.toString)
+      require(streamed.toSeq == batchCells.toSeq,
+        s"n=$n drained grid diverged from batch")
+      q.stop()
+      // best-effort cleanup
+      try java.nio.file.Files.walk(java.nio.file.Paths.get(stage))
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      catch { case _: Exception => }
+    }
+    spark.stop()
+  }
+}
+
 object ClusterProbe {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1949,8 +1949,10 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
         .withColumn("n_tokens",
           size(split(lower(col("text")), "\\s+")).cast("long"))
+      // sortWithinPartitions = total order here (the allocation is one
+      // partition of #langs rows) without the Exchange orderBy would add
       Sampling.unimaxAllocation(docs, col("lang"), col("n_tokens"),
-        budget = 40000L, maxEpochs = 2)
+        budget = 40000L, maxEpochs = 2).sortWithinPartitions("lang")
     }),
 
     // the allocation APPLIED (UniMax's actual sampling step): milli-epoch
@@ -2325,9 +2327,13 @@ object SparkEntry {
     // discriminative (first token | suffix prefix, length band)
     // equi-join — the key's cardinality grows with the data, which is
     // what keeps the blocks from going quadratic at scale (the naive
-    // first-token key measured minutes at 100x on the fixed name vocab)
+    // first-token key measured minutes at 100x on the fixed name vocab).
+    // The prefix WIDTH is derived from the catalog count
+    // (suffixPrefixWidth: 4 hex at sf0.01 — oracle byte-stable — up to
+    // 7 at corpus scale, always inside the corruption-safe 7 chars)
     "q_fuzzy_match" -> ((s, dir) => {
       val part = tbl(s, dir, "part")
+      val w = Joins.suffixPrefixWidth(part.count(), baseCardinality = 25)
       val cat = part.select(col("p_partkey"),
         concat(col("p_name"), lit(" "),
           substring(md5(col("p_partkey").cast("string")), 1, 8)).as("name"))
@@ -2336,7 +2342,7 @@ object SparkEntry {
           concat(col("name").substr(lit(1), length(col("name")) - 1),
             lit("q")).as("nm"))
       val block = (c: org.apache.spark.sql.Column) => concat(split(c, " ").getItem(0), lit("|"),
-        substring(element_at(split(c, " "), -1), 1, 4))
+        substring(element_at(split(c, " "), -1), 1, w))
       Joins.fuzzyMatch(dirty, col("k"), col("nm"),
         cat, col("p_partkey"), col("name"), maxDist = 2, blockOf = block)
     }),
@@ -3050,6 +3056,28 @@ object SparkEntry {
       }
       val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
         .select(col("doc_id"), bmpUdf(col("doc_id")).as("blob"))
+      Multimodal.imageStats(docs, "doc_id", "blob", batchSize = 32)
+    }),
+
+    // REAL truecolor PNG round trip (java.util.zip DEFLATE — no codec
+    // library): formula pixels filtered with ALL FIVE per-row filter
+    // types (encoder uses y%5; h >= 5 guarantees each appears), zlib
+    // stream split across two IDAT chunks, CRC-checked chunk walk. The
+    // oracle recomputes the sums from the pixel formula, so a filter
+    // reconstruction bug (Sub/Up/Average/Paeth), a bad inflate, or a
+    // single-IDAT reader breaks the hash; gy_sum is row-weighted so
+    // row-order bugs can't cancel
+    "q_png_image" -> ((s, dir) => {
+      val pngUdf = udf { (id: Long) =>
+        val w = (3 + id % 12).toInt
+        val h = (5 + id % 7).toInt
+        Multimodal.RealCodecs.encodePng(w, h, (x, y) => (
+          ((x * 31 + y * 17 + id) % 256).toInt,
+          ((x * 7 + y * 101 + 2 * id) % 256).toInt,
+          ((x + y + 3 * id) % 256).toInt))
+      }
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), pngUdf(col("doc_id")).as("blob"))
       Multimodal.imageStats(docs, "doc_id", "blob", batchSize = 32)
     }),
 
@@ -5466,6 +5494,23 @@ object SparkEntry {
         |  CAST(sum((y + 1) * g) AS BIGINT) AS gy_sum
         |FROM g GROUP BY doc_id, w, h""".stripMargin,
 
+    // PNG: same formula replay with the png dims (w=3+id%12, h=5+id%7);
+    // any DEFLATE/filter/IDAT-concat bug in the decoder breaks these sums
+    "q_png_image" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(3 + doc_id % 12 AS INTEGER) AS w,
+        |    CAST(5 + doc_id % 7 AS INTEGER) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT d.doc_id, d.w, d.h, y.y,
+        |    ((x.x * 7 + y.y * 101 + 2 * d.doc_id) % 256) AS g
+        |  FROM d, range(0, 15) x(x), range(0, 12) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h)
+        |SELECT doc_id AS media_id, 'png' AS format, w AS width, h AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum((y + 1) * g) AS BIGINT) AS gy_sum
+        |FROM g GROUP BY doc_id, w, h""".stripMargin,
+
     // frame sampling: every 4th 32-byte slice; frames compared as hex
     // (both engines' hex() is uppercase and DuckDB lacks blob md5)
     "q_frames" ->
@@ -5683,7 +5728,10 @@ object SparkEntry {
     // The waterfill's closed form: sorted ascending, epoch-capped =
     // monotone-prefix of n*E*(L-l+1) <= B - S_{l-1} (min-over-prefix
     // mirrors the operator's stop-at-first-failure loop), budget share =
-    // one integer division. All-BIGINT arithmetic end to end
+    // one integer division. All-BIGINT arithmetic end to end. The outer
+    // CASTs matter: DuckDB's sum(BIGINT) is HUGEINT, so without them
+    // alloc/epochs surface as decimal128 in Arrow while Spark writes
+    // int64 — identical values, hash-mismatched types (round-7 red row)
     "q_unimax" ->
       """WITH d AS (SELECT lang,
         |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS nt
@@ -5706,9 +5754,10 @@ object SparkEntry {
         |      ELSE least((40000 - agg.sk) // greatest(agg.nl - agg.k, 1),
         |                 g.n * 2) END AS alloc
         |  FROM g, agg)
-        |SELECT lang, n AS n_tokens, alloc AS alloc_tokens,
-        |  CASE WHEN n > 0 THEN 1000 * alloc // n ELSE 0 END AS epochs_milli
-        |FROM a""".stripMargin,
+        |SELECT lang, n AS n_tokens, CAST(alloc AS BIGINT) AS alloc_tokens,
+        |  CAST(CASE WHEN n > 0 THEN 1000 * alloc // n ELSE 0 END AS BIGINT)
+        |    AS epochs_milli
+        |FROM a ORDER BY lang""".stripMargin,
 
     // same waterfill CTE, then the integer milli-epoch gate: div 1000
     // whole copies + md5-bucket fractional keep, unnested to copy_id

@@ -1281,9 +1281,15 @@ object Dedup {
    *
    * Scale shape: one distinct-shingle explode, a shingle-keyed df count
    * (map-side partials) joined back BY KEY, a per-DOC sort of its own
-   * shingle list, prefix explode, a key-equality candidate self-join
-   * (bucket-local, the LSH-band shape), and a candidate-bounded array
-   * verify. There is NO global rank anywhere: the rarest-first order is
+   * shingle list, a SKINNY prefix explode (scalars only — doc id,
+   * length, position, key), a key-equality candidate self-join
+   * (bucket-local, the LSH-band shape) whose filters and pair-dedup all
+   * run on scalar rows, then an id-keyed re-join against the staged
+   * docs relation that fetches each side's shingle array exactly once
+   * per SURVIVING pair for the intersect verify — candidate bytes stay
+   * O(candidates), not O(candidates × doc length); the array-carrying
+   * variant of this join is what the round-7 1000× record died on.
+   * There is NO global rank anywhere: the rarest-first order is
    * realized as the (df, hash) pair itself — any deterministic total
    * order works for the prefix theorem, and a dense row_number rank
    * (the first cut) cost a single-task window sort over the whole
@@ -1317,13 +1323,18 @@ object Dedup {
     // prefix length n - ceil(tau*n) + 1, ceil as integer arithmetic
     val prefLen = (col("__n") - floor((col("__n") * tauPct + 99) / 100) + 1)
       .cast("int")
-    val pref = docs.select(col("__doc"), col("__rs"), col("__n"),
+    // SKINNY prefix relation — scalars only. The round-7 1000× record
+    // died on width, not count: carrying each doc's full __rs array on
+    // every prefix row (and on both sides of every candidate) shipped
+    // ~50× the bytes of the same row set; arrays are re-fetched from
+    // the staged docs relation only for pairs that SURVIVE the filters
+    val pref = docs.select(col("__doc"), col("__n"),
         posexplode(slice(col("__ks"), lit(1), prefLen)).as(Seq("__i", "__p")))
-      .select(col("__doc"), col("__rs"), col("__n"), col("__i"),
+      .select(col("__doc"), col("__n"), col("__i"),
         col("__p.d").as("__pd"), col("__p.h").as("__ph"))
-    val a = pref.select(col("__doc").as("a"), col("__rs").as("__ra"),
+    val a = pref.select(col("__doc").as("a"),
       col("__n").as("__na"), col("__i").as("__ia"), col("__pd"), col("__ph"))
-    val b = pref.select(col("__doc").as("b"), col("__rs").as("__rb"),
+    val b = pref.select(col("__doc").as("b"),
       col("__n").as("__nb"), col("__i").as("__ib"), col("__pd"), col("__ph"))
     // PPJoin's two candidate prunes, both all-integer and per matching
     // occurrence (a pair survives if ANY shared prefix position passes,
@@ -1360,15 +1371,21 @@ object Dedup {
         s"$maxCandidates — the corpus is template-hot at shingleN=$shingleN, " +
         s"tauPct=$tauPct; raise tauPct/shingleN, exact-dedup first, or raise " +
         "maxCandidates knowingly")
-    a.join(b, Seq("__pd", "__ph")).filter(col("a") < col("b"))
+    val cand = a.join(b, Seq("__pd", "__ph")).filter(col("a") < col("b"))
       .filter(col("__na") * 100 >= col("__nb") * tauPct &&
         col("__nb") * 100 >= col("__na") * tauPct)
       .filter(lit(1L) + least(col("__ia"), col("__ib"))
         + least(col("__na") - col("__ia") - 1L,
           col("__nb") - col("__ib") - 1L) >= alpha)
-      .select(col("a"), col("b"), col("__ra"), col("__rb"),
-        col("__na"), col("__nb"))
+      .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
+    // verify on unique pairs only: two id-keyed joins against the staged
+    // docs relation pull each side's array ONCE per surviving pair
+    cand
+      .join(docs.select(col("__doc").as("a"), col("__rs").as("__ra"),
+        col("__n").as("__na")), Seq("a"))
+      .join(docs.select(col("__doc").as("b"), col("__rs").as("__rb"),
+        col("__n").as("__nb")), Seq("b"))
       .withColumn("n_inter", size(array_intersect(col("__ra"), col("__rb"))).cast("long"))
       .withColumn("n_union", col("__na") + col("__nb") - col("n_inter"))
       .filter(col("n_inter") * 100 >= col("n_union") * tauPct)

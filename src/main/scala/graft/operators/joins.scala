@@ -195,4 +195,31 @@ object Joins {
   /** The default block key for [[fuzzyMatch]]: the name's first token. */
   def firstTokenBlock(name: Column): Column =
     coalesce(split(name, " ").getItem(0), lit(""))
+
+  /**
+   * The scaladoc design rule of [[fuzzyMatch]] ("key cardinality must
+   * grow with the data") made executable: how many hex characters of a
+   * stable suffix the block key needs so the EXPECTED block population
+   * stays at `targetPerBlock`, given `catalogRows` and the cardinality
+   * the rest of the key already contributes (`baseCardinality`, e.g.
+   * the ~25-word first-token vocabulary). Each hex char multiplies key
+   * cardinality by 16, so the width is log₁₆ of the required blow-up —
+   * O(1) driver arithmetic off one `count()`.
+   *
+   * Clamped to [minHex, maxHex]: the lower bound keeps small-corpus
+   * blocks honest (and keeps the sf0.01 oracle byte-stable at width 4);
+   * the upper bound must leave the prefix strictly inside the
+   * characters the expected corruption cannot touch (7 of the 8-hex
+   * suffix here — the corruption model mutates the final character).
+   */
+  def suffixPrefixWidth(catalogRows: Long, baseCardinality: Long,
+                        targetPerBlock: Long = 4,
+                        minHex: Int = 4, maxHex: Int = 7): Int = {
+    require(catalogRows >= 0 && baseCardinality > 0 && targetPerBlock > 0,
+      "catalogRows >= 0, baseCardinality > 0, targetPerBlock > 0")
+    val need = catalogRows.toDouble / (baseCardinality.toDouble * targetPerBlock)
+    val w = if (need <= 1) minHex
+      else math.ceil(math.log(need) / math.log(16)).toInt
+    math.min(maxHex, math.max(minHex, w))
+  }
 }

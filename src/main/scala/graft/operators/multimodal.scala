@@ -88,9 +88,11 @@ object Multimodal {
    * little-endian fields, bottom-up rows, 4-byte row padding) and PCM
    * WAV (RIFF chunk walk — fmt/data discovered by iteration, unknown
    * chunks skipped by their declared size, as a spec-conforming reader
-   * must). This narrows the stub boundary honestly: decode is REAL for
-   * BMP/WAV; StubCodecs remains only where the container lacks codecs
-   * (JPEG/PNG/MP3/H.264). Encoders exist so pipelines (and the oracle
+   * must), plus truecolor PNG — real DEFLATE via `java.util.zip` and
+   * the five spec filters, so the dominant lossless web format decodes
+   * for real. This narrows the stub boundary honestly: decode is REAL
+   * for PNG/BMP/WAV; StubCodecs remains only where the container lacks
+   * codecs (JPEG/MP3/H.264/FLAC). Encoders exist so pipelines (and the oracle
    * queries) can synthesize spec-valid blobs from tabular data; the
    * SpecSuite pins both against hand-written byte fixtures so an
    * encode/decode-symmetric bug cannot hide.
@@ -228,13 +230,186 @@ object Multimodal {
       Some((ImageMeta(Some(w), Some(h), Some(3), "bmp"), out))
     }
 
-    /** Format sniff by magic bytes: "bmp" | "wav" | "stub". */
+    /** Format sniff by magic bytes: "png" | "bmp" | "wav" | "stub". */
     def sniff(blob: Array[Byte]): String =
-      if (blob.length >= 2 && blob(0) == 'B' && blob(1) == 'M') "bmp"
+      if (blob.length >= 8 && (blob(0) & 0xff) == 0x89 && blob(1) == 'P' &&
+        blob(2) == 'N' && blob(3) == 'G') "png"
+      else if (blob.length >= 2 && blob(0) == 'B' && blob(1) == 'M') "bmp"
       else if (blob.length >= 12 &&
         new String(blob, 0, 4, "US-ASCII") == "RIFF" &&
         new String(blob, 8, 4, "US-ASCII") == "WAVE") "wav"
       else "stub"
+
+    // ---- PNG (truecolor 8-bit, the real wire format) -----------------
+    // PNG is DEFLATE + per-row byte filters — both pure JDK
+    // (java.util.zip) — so unlike JPEG/FLAC it needs no codec library.
+    // Scope: color type 2 (RGB), bit depth 8, no interlace — the shape
+    // the overwhelming majority of truecolor PNGs use; anything else
+    // decodes to None and flows through as an undecodable blob.
+
+    private val pngSig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+
+    private def crc32(tag: String, body: Array[Byte]): Int = {
+      val c = new java.util.zip.CRC32()
+      c.update(tag.getBytes("US-ASCII")); c.update(body)
+      c.getValue.toInt
+    }
+
+    private def chunk(out: java.io.ByteArrayOutputStream, tag: String,
+                      body: Array[Byte]): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(4).putInt(body.length)
+      out.write(bb.array()); out.write(tag.getBytes("US-ASCII"))
+      out.write(body)
+      out.write(java.nio.ByteBuffer.allocate(4)
+        .putInt(crc32(tag, body)).array())
+    }
+
+    /** PNG's Paeth predictor (the spec's exact tie-break order). */
+    @inline private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Spec-valid truecolor PNG. Each row's filter type is `y % 5`, so a
+      * decoder must implement ALL FIVE filters (None/Sub/Up/Average/
+      * Paeth) to round-trip any image taller than 4 rows; the zlib
+      * stream is split across two IDAT chunks (when long enough) so a
+      * single-IDAT reader cannot pass either. */
+    def encodePng(w: Int, h: Int,
+                  pix: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      require(w > 0 && h > 0, "encodePng: positive dims")
+      val stride = w * 3
+      val raw = new Array[Byte](h * stride) // unfiltered top-down RGB
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = pix(x, y)
+          val o = y * stride + x * 3
+          raw(o) = r.toByte; raw(o + 1) = g.toByte; raw(o + 2) = b.toByte
+          x += 1
+        }
+        y += 1
+      }
+      val filtered = new Array[Byte](h * (stride + 1))
+      y = 0
+      while (y < h) {
+        val f = y % 5
+        filtered(y * (stride + 1)) = f.toByte
+        var i = 0
+        while (i < stride) {
+          val cur = raw(y * stride + i) & 0xff
+          val left = if (i >= 3) raw(y * stride + i - 3) & 0xff else 0
+          val up = if (y > 0) raw((y - 1) * stride + i) & 0xff else 0
+          val ul = if (y > 0 && i >= 3) raw((y - 1) * stride + i - 3) & 0xff else 0
+          val v = f match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - (left + up) / 2
+            case 4 => cur - paeth(left, up, ul)
+          }
+          filtered(y * (stride + 1) + 1 + i) = v.toByte
+          i += 1
+        }
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(filtered); defl.finish()
+      val zBuf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      while (!defl.finished()) zBuf.write(tmp, 0, defl.deflate(tmp))
+      defl.end()
+      val z = zBuf.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(pngSig)
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      chunk(out, "IHDR", ihdr.array())
+      if (z.length > 64) { // two IDATs: readers must concatenate
+        chunk(out, "IDAT", java.util.Arrays.copyOfRange(z, 0, z.length / 2))
+        chunk(out, "IDAT", java.util.Arrays.copyOfRange(z, z.length / 2, z.length))
+      } else chunk(out, "IDAT", z)
+      chunk(out, "IEND", Array.empty[Byte])
+      out.toByteArray
+    }
+
+    /** Truecolor-PNG reader: CRC-checked chunk walk, multi-IDAT inflate,
+      * all-five-filter reconstruction; meta + top-down row-major RGB
+      * triples (PNG stores top-down — no BMP flip), or None for anything
+      * that is not an 8-bit non-interlaced color-type-2 PNG. */
+    def decodePng(blob: Array[Byte]): Option[(ImageMeta, Array[Byte])] = {
+      if (blob.length < 8 + 25 || !java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(blob, 0, 8), pngSig)) return None
+      val bb = java.nio.ByteBuffer.wrap(blob) // PNG ints are big-endian
+      var pos = 8
+      var w = 0; var h = 0; var seenIhdr = false
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done && pos + 12 <= blob.length) {
+        val len = bb.getInt(pos)
+        if (len < 0 || pos + 12 + len > blob.length) return None
+        val tag = new String(blob, pos + 4, 4, "US-ASCII")
+        val body = java.util.Arrays.copyOfRange(blob, pos + 8, pos + 8 + len)
+        if (crc32(tag, body) != bb.getInt(pos + 8 + len)) return None
+        tag match {
+          case "IHDR" =>
+            if (len != 13) return None
+            w = bb.getInt(pos + 8); h = bb.getInt(pos + 12)
+            val depth = blob(pos + 16) & 0xff; val color = blob(pos + 17) & 0xff
+            val interlace = blob(pos + 20) & 0xff
+            if (depth != 8 || color != 2 || interlace != 0 ||
+              w <= 0 || h <= 0) return None
+            seenIhdr = true
+          case "IDAT" => idat.write(body)
+          case "IEND" => done = true
+          case _ => () // ancillary chunks skip by declared size
+        }
+        pos += 12 + len
+      }
+      if (!seenIhdr || !done) return None
+      val stride = w * 3
+      val filtered = new Array[Byte](h * (stride + 1))
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      try {
+        var off = 0
+        while (off < filtered.length && !inf.finished()) {
+          val n = inf.inflate(filtered, off, filtered.length - off)
+          if (n == 0 && inf.needsInput()) return None // truncated stream
+          off += n
+        }
+        if (off != filtered.length) return None
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally inf.end()
+      val out = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        val f = filtered(y * (stride + 1)) & 0xff
+        if (f > 4) return None
+        var i = 0
+        while (i < stride) {
+          val v = filtered(y * (stride + 1) + 1 + i) & 0xff
+          val left = if (i >= 3) out(y * stride + i - 3) & 0xff else 0
+          val up = if (y > 0) out((y - 1) * stride + i) & 0xff else 0
+          val ul = if (y > 0 && i >= 3) out((y - 1) * stride + i - 3) & 0xff else 0
+          val rec = f match {
+            case 0 => v
+            case 1 => v + left
+            case 2 => v + up
+            case 3 => v + (left + up) / 2
+            case 4 => v + paeth(left, up, ul)
+          }
+          out(y * stride + i) = rec.toByte
+          i += 1
+        }
+        y += 1
+      }
+      Some((ImageMeta(Some(w), Some(h), Some(3), "png"), out))
+    }
   }
 
   /** 16-bit PCM samples derived from a text's word hashes
@@ -317,7 +492,15 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val blob = r.getAs[Array[Byte]](1)
-          RealCodecs.decodeBmp24(blob) match {
+          // dispatch on magic bytes; both decoders yield the same
+          // top-down row-major RGB contract, so the stats kernel is
+          // shared (gy_sum stays the orientation/filter detector)
+          val decoded = RealCodecs.sniff(blob) match {
+            case "bmp" => RealCodecs.decodeBmp24(blob)
+            case "png" => RealCodecs.decodePng(blob)
+            case _ => None
+          }
+          decoded match {
             case Some((m, px)) =>
               val w = m.width.get; val h = m.height.get
               var gSum = 0L
@@ -333,7 +516,7 @@ object Multimodal {
                 }
                 y += 1
               }
-              Row(r.getLong(0), "bmp", w, h, 3, gSum, gySum)
+              Row(r.getLong(0), m.format, w, h, 3, gSum, gySum)
             case None =>
               Row(r.getLong(0), RealCodecs.sniff(blob), null, null, null,
                 null, null)

@@ -593,6 +593,13 @@ object Sampling {
     require(nShards >= 1, "nShards must be >= 1")
     val nStages = thresholds.length + 1
     val nGroups = nShards * nStages
+    // the 65,536-cell cap below only shrinks blocks PER GROUP; the group
+    // count itself must stay under it or the offset table, the typedlit
+    // array literal and the driver counts collect all grow unbounded
+    // (mirrors shardAssignment's bound)
+    require(nGroups <= (1 << 16),
+      s"nShards*($nStages stages) = $nGroups groups exceeds 65536 — " +
+        "the driver offset table is capped; use fewer shards or stages")
     val stage = thresholds.indices.foldRight(lit(thresholds.length.toLong): Column) {
       (i, rest) => when(difficulty <= thresholds(i), lit(i.toLong)).otherwise(rest)
     }
@@ -788,8 +795,14 @@ object Sampling {
    * q_shards convention), doc/token counts, the id range, and an
    * ORDER-INDEPENDENT content checksum (bit_xor of a 60-bit md5 over
    * `id:text`) — XOR commutes, so the checksum is identical under any
-   * partitioning, any write order, and any engine, and two manifests
-   * disagree exactly where shard content differs.
+   * partitioning, any write order, and any engine. XOR detects any
+   * single-row difference but NOT multiset-parity changes (a row
+   * duplicated an even number of times cancels out) — compare the
+   * checksum TOGETHER with n_docs/n_tokens, which do count multiplicity;
+   * the pair catches duplication that the XOR alone cannot. id_min/
+   * id_max assume a numeric (castable-to-long) id column — a
+   * non-numeric id nulls the range columns (the checksum hashes the id
+   * as a string and is unaffected).
    *
    * Scale shape: one scan, map-side partial agg into nShards cells —
    * the exchange carries O(shards × partitions) rows. Null text counts

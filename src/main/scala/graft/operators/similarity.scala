@@ -437,6 +437,13 @@ object Similarity {
    * intrinsic FLOP count; the quantized-long formulation keeps the
    * replay bit-exact on any engine or partitioning while avoiding the
    * measured 25× Decimal-aggregate overhead (see [[momentAggregate]]).
+   *
+   * Magnitude bound: the scale-12 long quantization needs |xᵢ| AND
+   * every product |xᵢ·xⱼ| under 1e6 — i.e. roughly |xᵢ| < 1e3
+   * (tighter than the old decimal(28,12) aggregate's ~1e16). Larger
+   * magnitudes throw a named error at first touch; rescale or
+   * normalize embeddings first. Typical unit-norm or bounded-feature
+   * embeddings are far inside the bound.
    */
   def embeddingCovariance(df: DataFrame, vecCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -587,16 +594,27 @@ object Similarity {
         require(x.length == d,
           s"momentAggregate: ragged vector (${x.length} vs $d dims)")
         acc._1(0) += 1
-        var i = 0
-        while (i < d) {
-          add128(acc._2, acc._3, i, quantize12(x(i)))
-          var j = i
-          var idx = pairIdx(i, i, d)
-          while (j < d) {
-            add128(acc._4, acc._5, idx, quantize12(x(i) * x(j)))
-            j += 1; idx += 1
+        // try/catch costs nothing until thrown; it renames quantize12's
+        // range error so the failure names THIS operator and its
+        // tighter product bound (|xi·xj| < 1e6 ⇒ roughly |xi| < 1e3)
+        try {
+          var i = 0
+          while (i < d) {
+            add128(acc._2, acc._3, i, quantize12(x(i)))
+            var j = i
+            var idx = pairIdx(i, i, d)
+            while (j < d) {
+              add128(acc._4, acc._5, idx, quantize12(x(i) * x(j)))
+              j += 1; idx += 1
+            }
+            i += 1
           }
-          i += 1
+        } catch { case e: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            "embeddingCovariance/pcaMomentCells: embedding magnitude out " +
+              "of range — exact scale-12 moment sums need |xi| and every " +
+              "product |xi*xj| under 1e6 (so roughly |xi| < 1e3); rescale " +
+              s"or normalize the vectors first. Cause: ${e.getMessage}", e)
         }
         acc
       },

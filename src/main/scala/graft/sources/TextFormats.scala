@@ -55,17 +55,39 @@ object TextFormats {
   }
 
   /** Write `df` as headered, `\N`-null, quote-escaped CSV and read it
-    * back under the same schema. */
+    * back under the same schema.
+    *
+    * The null token needs its own escaping layer: Spark's reader maps
+    * any field EQUAL to `nullValue` back to null — even a quoted one —
+    * so the literal string `\N` would be silently nulled. The fix is a
+    * bijection on the colliding family only: on write, every string
+    * matching `\+N` (one or more backslashes then N) gains one leading
+    * backslash; on read, one is stripped. null ↔ bare `\N`,
+    * `\N` ↔ `\\N`, `\\N` ↔ `\\\N`, …; every other string is untouched
+    * in both directions. Applied per string column as a codegen'd
+    * regexp — scan-local, no shuffle. */
   def csvRoundTrip(df: DataFrame, tag: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace, when}
     val path = tempDir(tag)
-    df.write
+    val strCols = df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }
+    val escaped = strCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, when(col(c).rlike("^\\\\+N$"),
+        regexp_replace(col(c), "^", "\\\\")).otherwise(col(c)))
+    }
+    escaped.write
       .option("header", "true").option("nullValue", "\\N")
       .option("escape", "\"")
       .csv(path)
-    df.sparkSession.read.schema(df.schema)
+    val back = df.sparkSession.read.schema(df.schema)
       .option("header", "true").option("nullValue", "\\N")
       .option("escape", "\"").option("multiLine", "true")
       .csv(path)
+    strCols.foldLeft(back) { (d, c) =>
+      d.withColumn(c, when(col(c).rlike("^\\\\\\\\+N$"),
+        regexp_replace(col(c), "^\\\\", "")).otherwise(col(c)))
+    }
   }
 
   /** Write `df` as JSON Lines and read it back under the same schema. */

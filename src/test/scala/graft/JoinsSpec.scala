@@ -153,6 +153,45 @@ class JoinsSpec extends GraftSpec {
     assert(out == Set((101L, 1L, 1), (101L, 2L, 1), (102L, 3L, 1)), out.toString)
   }
 
+  test("suffixPrefixWidth: grows log16 with the corpus, clamped to the corruption-safe band") {
+    import graft.operators.Joins.suffixPrefixWidth
+    // small corpora sit on the floor (keeps the sf0.01 oracle byte-stable)
+    assert(suffixPrefixWidth(0L, 25) == 4)
+    assert(suffixPrefixWidth(2000L, 25) == 4)
+    assert(suffixPrefixWidth(2000000L, 25) == 4) // the measured-OK 100x point
+    // the 1000x point that ran superlinear at fixed width 4 now widens
+    assert(suffixPrefixWidth(20000000L, 25) == 5)
+    // monotone in corpus size, capped at the last untouchable suffix char
+    val ws = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L, Long.MaxValue / 2)
+      .map(suffixPrefixWidth(_, 25))
+    assert(ws == ws.sorted && ws.last == 7, ws.toString)
+    // finer base cardinality needs less suffix
+    assert(suffixPrefixWidth(20000000L, 25000) <= suffixPrefixWidth(20000000L, 25))
+  }
+
+  test("fuzzyMatch: verified output is invariant to the block width (4..7)") {
+    import graft.operators.Joins
+    // mirror the q_fuzzy_match construction on a small slice: widening
+    // the prefix only prunes CANDIDATES; every true match shares all 7
+    // stable suffix chars, so the verified pair set cannot change
+    val cat = spark.read.parquet(s"${sf()}/part.parquet").limit(300)
+      .select(col("p_partkey"), concat(col("p_name"), lit(" "),
+        substring(md5(col("p_partkey").cast("string")), 1, 8)).as("name"))
+    val dirty = cat.filter(pmod(col("p_partkey"), lit(5)) === 0)
+      .select(col("p_partkey").as("k"),
+        concat(col("name").substr(lit(1), length(col("name")) - 1), lit("q")).as("nm"))
+    val outs = Seq(4, 7).map { w =>
+      val block = (c: org.apache.spark.sql.Column) =>
+        concat(split(c, " ").getItem(0), lit("|"),
+          substring(element_at(split(c, " "), -1), 1, w))
+      Joins.fuzzyMatch(dirty, col("k"), col("nm"), cat, col("p_partkey"),
+          col("name"), maxDist = 2, blockOf = block)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    }
+    assert(outs(0) == outs(1), s"width changed the verified pairs")
+    assert(outs(0).nonEmpty, "slice produced no matches — test is vacuous")
+  }
+
   test("fuzzyMatch: candidate generation is a hash equi-join, not a nested loop") {
     val p = SparkEntry.queries("q_fuzzy_match")(spark, sf())
       .queryExecution.executedPlan.toString

@@ -112,6 +112,62 @@ class MultimodalSpec extends GraftSpec {
     assert(Multimodal.RealCodecs.decodeBmp24(bmpFixture.take(40)).isEmpty)
   }
 
+  // 4x6 truecolor PNG produced by an INDEPENDENT encoder (python zlib),
+  // alternating None/Up row filters, pixels (r,g,b) =
+  // ((x*31+y*17+9)%256, (x*7+y*101+18)%256, (x+y+27)%256) — pins decode
+  // against foreign DEFLATE output, not this codec's own round trip
+  private val pngFixture = hexBytes(
+    "89 50 4e 47 0d 0a 1a 0a 00 00 00 0d 49 48 44 52 " +
+    "00 00 00 04 00 00 00 06 08 02 00 00 00 6b 5b a8 " +
+    "22 00 00 00 38 49 44 41 54 78 9c 63 e0 14 92 d6 " +
+    "90 94 71 57 90 4d 53 97 63 12 4c 65 84 23 06 ed " +
+    "3b b2 5e 8f e5 32 5f c9 77 7c 54 40 95 f1 5d 26 " +
+    "9f b3 56 a1 7b 8b e2 aa dd 4a 28 32 00 8f 76 12 " +
+    "09 69 97 6a f7 00 00 00 00 49 45 4e 44 ae 42 60 " +
+    "82")
+
+  test("RealCodecs PNG: foreign-encoder fixture decodes; own encoder round-trips all five filters") {
+    val Some((m, px)) = Multimodal.RealCodecs.decodePng(pngFixture)
+    assert((m.width, m.height, m.channels, m.format) ==
+      (Some(4), Some(6), Some(3), "png"))
+    for (y <- 0 until 6; x <- 0 until 4) {
+      val o = (y * 4 + x) * 3
+      assert((px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff) ==
+        ((x * 31 + y * 17 + 9) % 256, (x * 7 + y * 101 + 18) % 256,
+          (x + y + 27) % 256), s"pixel ($x,$y)")
+    }
+    // corrupting one IDAT byte must fail the CRC check, not mis-decode
+    val bad = pngFixture.clone(); bad(60) = (bad(60) ^ 0x5a).toByte
+    assert(Multimodal.RealCodecs.decodePng(bad).isEmpty, "CRC must catch corruption")
+    assert(Multimodal.RealCodecs.decodePng(pngFixture.take(40)).isEmpty)
+    assert(Multimodal.RealCodecs.sniff(pngFixture) == "png")
+    // own encoder: h >= 5 exercises every filter type (y % 5), and the
+    // long zlib stream forces the two-IDAT path
+    def pix(x: Int, y: Int) = ((x * 13 + y * 29 + 3) % 256,
+      (x * 3 + y * 71 + 8) % 256, (x * 17 + y + 1) % 256)
+    val blob = Multimodal.RealCodecs.encodePng(9, 11, pix)
+    val Some((m2, px2)) = Multimodal.RealCodecs.decodePng(blob)
+    assert((m2.width, m2.height) == (Some(9), Some(11)))
+    for (y <- 0 until 11; x <- 0 until 9) {
+      val o = (y * 9 + x) * 3
+      val (r, g, b) = pix(x, y)
+      assert((px2(o) & 0xff, px2(o + 1) & 0xff, px2(o + 2) & 0xff) == (r, g, b),
+        s"own round trip pixel ($x,$y)")
+    }
+  }
+
+  test("imageStats dispatches png blobs through the real decoder") {
+    val png = Multimodal.RealCodecs.encodePng(2, 5,
+      (x, y) => (0, 10 * (y + 1) + x, 0))
+    val i = Multimodal.imageStats(
+      Seq((9L, png)).toDF("media_id", "blob"), "media_id", "blob")
+      .collect().head
+    assert(i.getString(1) == "png" && i.getInt(2) == 2 && i.getInt(3) == 5)
+    // g row y: 10(y+1), 10(y+1)+1 -> row sum 20(y+1)+1
+    assert(i.getLong(5) == (1 to 5).map(20 * _ + 1).sum)
+    assert(i.getLong(6) == (1 to 5).map(y => y.toLong * (20 * y + 1)).sum)
+  }
+
   test("audioStats/imageStats: order-sensitive stats over the batched decode path; sniff fallback") {
     val wav = Multimodal.RealCodecs.encodeWavPcm16(
       Array[Short](5, -1, 2, -7), 16000)

@@ -471,7 +471,8 @@ class PipelineOpsSpec extends GraftSpec {
       (5L, "literal \\N not a null", Some(2.0)),
       (6L, null.asInstanceOf[String], Some(7.25)),
       (7L, "", Some(0.1)),
-      (8L, "ünïcødé 🚀 text", None))
+      (8L, "ünïcødé 🚀 text", None),
+      (9L, "\\N", Some(4.0))) // EXACTLY the null token — survives via quoteAll
     val df = rows.toDF("id", "text", "score")
     def canon(d: org.apache.spark.sql.DataFrame) =
       d.collect().map(r => (r.getLong(0),

@@ -380,6 +380,51 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("unimaxAllocation equals the sequential waterfill on ties, zeros and share boundaries") {
+    import graft.operators.Sampling
+    // independent BigInt re-derivation of the paper's waterfill: sorted
+    // ascending (lang tiebreak), scan for the first language whose full
+    // epochs exceed its uniform share of what's left; it and every
+    // larger language split the remainder equally (one floor division)
+    def reference(ns: Seq[(String, Long)], b: Long, e: Int): Seq[(String, Long, Long, Long)] = {
+      val sorted = ns.sortBy { case (l, n) => (n, l) }
+      val L = sorted.length
+      var left = BigInt(b); var k = 0
+      while (k < L && BigInt(sorted(k)._2) * e * (L - k) <= left) {
+        left -= BigInt(sorted(k)._2) * e; k += 1
+      }
+      val share = if (k < L) (left / (L - k)).toLong else 0L
+      sorted.zipWithIndex.map { case ((l, n), i) =>
+        val a = if (i < k) n * e else math.min(share, n * e)
+        (l, n, a, if (n > 0) 1000L * a / n else 0L)
+      }
+    }
+    val gen = for {
+      nl <- Gen.choose(1, 7)
+      // zeros allowed (empty langs) and a small value range to force ties
+      ns <- Gen.listOfN(nl, Gen.oneOf(Gen.choose(0L, 6L), Gen.choose(0L, 400L)))
+      e <- Gen.choose(1, 3)
+      // mix arbitrary budgets with exact prefix-boundary budgets (the
+      // <= in the crossover predicate is the edge a random budget misses)
+      boundary <- Gen.choose(0, nl)
+      exact <- Gen.oneOf(true, false)
+      slack <- Gen.choose(1L, 50L)
+    } yield {
+      val sorted = ns.sorted
+      val pref = sorted.take(boundary).map(_ * e.toLong).sum
+      val b = if (exact) math.max(1L, pref) else pref + slack
+      (ns, b, e)
+    }
+    forSamples(gen, n = 12) { case (ns, b, e) =>
+      val df = ns.zipWithIndex.map { case (n, i) => (s"l${i % 3}x$i", n) }
+        .toDF("lang", "nt")
+      val got = Sampling.unimaxAllocation(df, col("lang"), col("nt"), b, e)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val want = reference(ns.zipWithIndex.map { case (n, i) => (s"l${i % 3}x$i", n) }, b, e)
+      assert(got == want, s"ns=$ns b=$b e=$e:\n got=$got\nwant=$want")
+    }
+  }
+
   test("RealCodecs BMP: arbitrary dims round-trip pixel-exactly incl. padded row widths") {
     import graft.operators.Multimodal.RealCodecs
     val dimGen = for {
