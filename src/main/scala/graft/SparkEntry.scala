@@ -3081,6 +3081,64 @@ object SparkEntry {
       Multimodal.imageStats(docs, "doc_id", "blob", batchSize = 32)
     }),
 
+    // REAL resize (not the stub): decode → grid-aligned integer box
+    // pooling per RGB channel → re-encode PNG → decode AGAIN for stats.
+    // The oracle recomputes the pooled means from the source pixel
+    // formula, so the whole decode→pool→encode→decode chain must be
+    // exact; all-integer (floor divisions) end to end
+    "q_resize" -> ((s, dir) => {
+      val pngUdf = udf { (id: Long) =>
+        val w = (3 + id % 12).toInt
+        val h = (5 + id % 7).toInt
+        Multimodal.RealCodecs.encodePng(w, h, (x, y) => (
+          ((x * 31 + y * 17 + id) % 256).toInt,
+          ((x * 7 + y * 101 + 2 * id) % 256).toInt,
+          ((x + y + 3 * id) % 256).toInt))
+      }
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), pngUdf(col("doc_id")).as("blob"))
+      val small = Multimodal.resizeReal(docs, "doc_id", "blob",
+        outW = 3, outH = 5, batchSize = 32)
+      Multimodal.imageStats(small, "media_id", "resized", batchSize = 32)
+    }),
+
+    // perceptual image near-dup pairs: dHash56 gradients over the real
+    // decode path, pigeonhole Hamming bands (the SimHash shape on
+    // images — never all-pairs in Spark; the sf-bounded oracle may
+    // brute-force). Pixels are md5 noise per (seed, x, y) — linear
+    // formula images are texture-degenerate for a gradient hash (every
+    // image hashes alike; a 500k linear corpus went quadratic and
+    // filled the disk before the volume guard) while md5 textures give
+    // each base an effectively unique 56-bit signature. Planted
+    // invariance: docs 2k and 2k+1 share a base, the odd one +3 per
+    // channel — a uniform brightness shift the gradient hash provably
+    // cancels, so every planted pair lands at hamming 0
+    "q_image_dedup" -> ((s, dir) => {
+      val pngUdf = udf { (id: Long) =>
+        val seed = id / 2
+        val bright = (3 * (id % 2)).toInt
+        Multimodal.RealCodecs.encodePng(16, 12, (x, y) => {
+          val h = graft.operators.Dedup.md5LongJvm(s"px_${seed}_${x}_$y")
+          ((h % 247).toInt + bright,
+            ((h / 247) % 247).toInt + bright,
+            ((h / 247 / 247) % 247).toInt + bright)
+        })
+      }
+      val src = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      // the radius<->band-width trade is this operator's scale lever
+      // (bands are 56/(radius+1) bits; candidate volume ~ n²·(r+1)/2^width
+      // even on perfectly random hashes): 14-bit bands saturate around
+      // 10^5 images — the guard measured ~93M candidates at 500k — so
+      // past that the query drops to radius 1 (28-bit bands, bucket
+      // occupancy ~n/2^28). The planted dups sit at hamming 0, inside
+      // every radius; the oracle runs at sf0.01 where radius is 3.
+      // A production corpus sizes the HASH to the corpus instead
+      // (128-bit pHash at 10^9 images) — the band algebra is identical
+      val radius = if (src.count() > 200000L) 1 else 3
+      val docs = src.select(col("doc_id"), pngUdf(col("doc_id")).as("blob"))
+      Multimodal.imageNearDupPairs(docs, "doc_id", "blob", radius = radius)
+    }),
+
     "q_model_gate" -> ((s, dir) => {
       // A5 batch form: model-readiness gating as an event-time range join
       // (minTimestamp <= t - delay <= timestamp, earliest model wins);
@@ -5510,6 +5568,63 @@ object SparkEntry {
         |  CAST(sum(g) AS BIGINT) AS g_sum,
         |  CAST(sum((y + 1) * g) AS BIGINT) AS gy_sum
         |FROM g GROUP BY doc_id, w, h""".stripMargin,
+
+    // real resize: pooled green means (floor of box mean, grid-aligned
+    // integer boxes) recomputed from the source pixel formula; the
+    // Spark side must round-trip decode→pool→encode→decode exactly
+    "q_resize" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(3 + doc_id % 12 AS INTEGER) AS w,
+        |    CAST(5 + doc_id % 7 AS INTEGER) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |cell AS (SELECT d.doc_id, ox.ox, oy.oy,
+        |    CAST(sum((x.x * 7 + y.y * 101 + 2 * d.doc_id) % 256)
+        |      // count(*) AS BIGINT) AS g
+        |  FROM d, range(0, 3) ox(ox), range(0, 5) oy(oy),
+        |       range(0, 15) x(x), range(0, 12) y(y)
+        |  WHERE x.x >= ox.ox * d.w // 3 AND x.x < (ox.ox + 1) * d.w // 3
+        |    AND y.y >= oy.oy * d.h // 5 AND y.y < (oy.oy + 1) * d.h // 5
+        |  GROUP BY d.doc_id, ox.ox, oy.oy)
+        |SELECT doc_id AS media_id, 'png' AS format,
+        |  CAST(3 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum((oy + 1) * g) AS BIGINT) AS gy_sum
+        |FROM cell GROUP BY doc_id""".stripMargin,
+
+    // perceptual near-dup: the full dHash56 replay (9x7 integer-pooled
+    // gray grid from md5-noise pixels — the md5Long convention, one
+    // hash per (seed, x, y) split into three channels, 8x7 horizontal-
+    // gradient bits) then brute-force Hamming pairs — brute force is
+    // fine for the sf-bounded ORACLE; the Spark side must band.
+    // Planted brightness pairs (2k, 2k+1) land at hamming 0 identically
+    "q_image_dedup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 2 AS seed, 3 * (doc_id % 2) AS br
+        |  FROM documents WHERE text IS NOT NULL),
+        |px AS (SELECT d.doc_id, d.br, x.x, y.y,
+        |    ('0x' || substr(md5('px_' || CAST(d.seed AS VARCHAR) || '_'
+        |      || CAST(x.x AS VARCHAR) || '_' || CAST(y.y AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM d, range(0, 16) x(x), range(0, 12) y(y)),
+        |cell AS (SELECT px.doc_id, i.i, j.j,
+        |    CAST(sum(px.h % 247 + (px.h // 247) % 247
+        |      + (px.h // 247 // 247) % 247 + 3 * px.br)
+        |      // count(*) AS BIGINT) AS g
+        |  FROM px, range(0, 9) i(i), range(0, 7) j(j)
+        |  WHERE px.x >= i.i * 16 // 9 AND px.x < (i.i + 1) * 16 // 9
+        |    AND px.y >= j.j * 12 // 7 AND px.y < (j.j + 1) * 12 // 7
+        |  GROUP BY px.doc_id, i.i, j.j),
+        |h AS (SELECT a.doc_id,
+        |    CAST(coalesce(sum(CASE WHEN a.g > b.g
+        |      THEN CAST(1 AS BIGINT) << CAST(a.j * 8 + a.i AS INTEGER)
+        |      ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS fp
+        |  FROM cell a JOIN cell b
+        |    ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+        |  WHERE a.i < 8
+        |  GROUP BY a.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
 
     // frame sampling: every 4th 32-byte slice; frames compared as hex
     // (both engines' hex() is uppercase and DuckDB lacks blob md5)

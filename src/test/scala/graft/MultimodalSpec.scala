@@ -168,6 +168,88 @@ class MultimodalSpec extends GraftSpec {
     assert(i.getLong(6) == (1 to 5).map(y => y.toLong * (20 * y + 1)).sum)
   }
 
+  test("grayPool: grid-aligned integer box means, hand-checked incl. uneven boxes") {
+    // 5x3 image pooled to 2x2: x-boxes [0,2),[2,5); y-boxes [0,1),[1,3)
+    val w = 5; val h = 3
+    val px = new Array[Byte](w * h * 3)
+    def set(x: Int, y: Int, v: Int): Unit = {
+      px((y * w + x) * 3) = v.toByte; px((y * w + x) * 3 + 1) = 0
+      px((y * w + x) * 3 + 2) = 0
+    }
+    for (y <- 0 until h; x <- 0 until w) set(x, y, 10 * y + x) // gray = r
+    val g = Multimodal.grayPool(px, w, h, 2, 2)
+    // cell(0,0): pixels (0,0),(1,0) -> (0+1)/2 = 0 (floor)
+    // cell(1,0): (2,0),(3,0),(4,0) -> (2+3+4)/3 = 3
+    // cell(0,1): (0,1),(1,1),(0,2),(1,2) -> (10+11+20+21)/4 = 15
+    // cell(1,1): (12..14, 22..24) -> (12+13+14+22+23+24)/6 = 18
+    assert(g.toSeq == Seq(0, 3, 15, 18), g.toSeq.toString)
+    intercept[IllegalArgumentException](Multimodal.grayPool(px, w, h, 6, 2))
+  }
+
+  test("dHash56: exact brightness-shift invariance; distinct structure separates") {
+    def blob(bright: Int, seed: Long) = Multimodal.RealCodecs.encodePng(16, 12,
+      (x, y) => (((x * 31 + y * 17 + seed) % 247).toInt + bright,
+        ((x * 7 + y * 101 + 2 * seed) % 247).toInt + bright,
+        ((x + y + 3 * seed) % 247).toInt + bright))
+    val h0 = Multimodal.dHash56(blob(0, 5L)).get
+    assert(h0 >= 0L, "56-bit hash must stay in positive BIGINT range")
+    assert(Multimodal.dHash56(blob(3, 5L)).get == h0,
+      "uniform +3/channel must not move a gradient hash")
+    assert(Multimodal.dHash56(blob(8, 5L)).get == h0)
+    // a transposed-structure image flips gradients somewhere
+    val other = Multimodal.RealCodecs.encodePng(16, 12,
+      (x, y) => ((y * 31 + x * 90) % 247, (y * 7 + x * 3) % 247, 0))
+    assert(Multimodal.dHash56(other).get != h0)
+    // too small for a 9x7 grid, or undecodable: None, not garbage
+    assert(Multimodal.dHash56(
+      Multimodal.RealCodecs.encodePng(8, 12, (_, _) => (1, 2, 3))).isEmpty)
+    assert(Multimodal.dHash56("nope".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("resizeReal: pooled pixels survive the re-encode round trip; small images drop") {
+    val src = Multimodal.RealCodecs.encodePng(6, 4,
+      (x, y) => (40 * y + 6 * x, 10 * y + x, 7))
+    val out = Multimodal.resizeReal(
+      Seq((1L, src), (2L, Multimodal.RealCodecs.encodePng(2, 2, (_, _) => (0, 0, 0))),
+        (3L, "junk".getBytes("UTF-8"))).toDF("media_id", "blob"),
+      "media_id", "blob", outW = 3, outH = 2).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L), "small/junk must drop")
+    val Some((m, px)) = Multimodal.RealCodecs.decodePng(out.head.getAs[Array[Byte]](1))
+    assert((m.width, m.height) == (Some(3), Some(2)))
+    // 6x4 -> 3x2: each box is 2x2; green cell (ox,oy) =
+    // mean of 10y+x over x in {2ox,2ox+1}, y in {2oy,2oy+1}
+    for (oy <- 0 until 2; ox <- 0 until 3) {
+      val vals = for (y <- Seq(2 * oy, 2 * oy + 1); x <- Seq(2 * ox, 2 * ox + 1))
+        yield 10 * y + x
+      assert((px((oy * 3 + ox) * 3 + 1) & 0xff) == vals.sum / 4,
+        s"green cell ($ox,$oy)")
+    }
+  }
+
+  test("imageNearDupPairs: planted brightness pair found at hamming 0, band join not cartesian") {
+    def blob(bright: Int, seed: Long) = Multimodal.RealCodecs.encodePng(16, 12,
+      (x, y) => (((x * 31 + y * 17 + seed * 1009) % 247).toInt + bright,
+        ((x * 7 + y * 101 + 2 * seed * 977) % 247).toInt + bright,
+        ((x + y + 3 * seed * 601) % 247).toInt + bright))
+    val df = (0L until 20L).map(i => (i, blob((3 * (i % 2)).toInt, i / 2)))
+      .toDF("media_id", "blob")
+    val q = Multimodal.imageNearDupPairs(df, "media_id", "blob", radius = 3)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band join must be an equi hash join:\n$p")
+    val pairs = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = pairs.filter { case (a, b, _) => b == a + 1 && a % 2 == 0 }
+    assert(planted.length == 10 && planted.forall(_._3 == 0),
+      s"all 10 planted pairs at hamming 0, got ${planted.toSeq}")
+    // texture-degenerate corpora trip the candidate-volume guard instead
+    // of going quadratic (these linear-formula images hash near-alike)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(df, "media_id", "blob", radius = 3,
+        maxCandidates = 3L).collect()
+    }
+    assert(e.getMessage.contains("maxCandidates"), e.getMessage)
+  }
+
   test("audioStats/imageStats: order-sensitive stats over the batched decode path; sniff fallback") {
     val wav = Multimodal.RealCodecs.encodeWavPcm16(
       Array[Short](5, -1, 2, -7), 16000)
