@@ -2362,6 +2362,16 @@ object SparkEntry {
       graft.sources.TextFormats.csvRoundTrip(
         tbl(s, dir, "documents"), "docs")),
 
+    // the single-huge-file CSV hazard closed as a first-class path: the
+    // corpus written as ONE quoted CSV file, read back through
+    // SplittableCsv's parallel byte ranges (64 KiB blocks force many
+    // quote-aware cuts at every sf) — the oracle is again the parquet
+    // table verbatim, so any mis-owned record at a range boundary is a
+    // hash mismatch
+    "q_csv_split" -> ((s, dir) =>
+      graft.sources.TextFormats.csvSplittableRoundTrip(
+        tbl(s, dir, "documents"), "docsplit", blockBytes = 64L * 1024)),
+
     "q_jsonl_source" -> ((s, dir) =>
       graft.sources.TextFormats.jsonlRoundTrip(
         tbl(s, dir, "documents"), "docs")),
@@ -4811,6 +4821,11 @@ object SparkEntry {
     // table verbatim — a quoting/null/type drift through the format
     // edge shows up as a hash mismatch
     "q_csv_source" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // splittable single-file CSV: losslessness contract identical to
+    // q_csv_source — the parquet table verbatim
+    "q_csv_split" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "q_jsonl_source" ->

@@ -95,6 +95,7 @@ object SplittableCsv {
     val startInQuote = counts.scanLeft(0L)(_ + _).map(_ % 2 == 1)
 
     // pass 2: each task emits the records that START in its range
+    val dropHead = header
     val records = sc.parallelize(
       ranges.zipWithIndex.map { case ((s, e), i) => (s, e, startInQuote(i), i) },
       nRanges).flatMap { case (start, end, inQuote0, idx) =>
@@ -113,9 +114,15 @@ object SplittableCsv {
       // depth-0 newline in [start, end) — the record it cuts into is
       // owned upstream — then owns every record starting at an offset
       // <= end (a record starting EXACTLY at `end` is ours; the next
-      // task's discard scan drops it). Task 0 owns the file head.
+      // task's discard scan drops it). Task 0 owns the file head —
+      // except that with a header, the head record IS the header, so
+      // task 0 runs the same discard scan. (The drop must live HERE,
+      // keyed on the RANGE index: a downstream coalesce collapses
+      // ranges into one task, so TaskContext.partitionId cannot
+      // identify range 0 — the first cut of this reader dropped one
+      // record per range under coalesce(1).)
       var reachedEof = false
-      if (idx > 0) {
+      if (idx > 0 || dropHead) {
         var boundary = false
         while (!boundary && pos < end) {
           val b = nextByte()
@@ -158,16 +165,8 @@ object SplittableCsv {
     }
 
     import spark.implicits._
-    val ds = spark.createDataset(records)
-    // the header is deterministically the first record of partition 0
-    // (range 0 owns the file head) — drop it in place, no extra job
-    val body = if (header) ds.mapPartitions { it =>
-      if (org.apache.spark.TaskContext.get().partitionId() == 0 && it.hasNext) {
-        it.next(); it
-      } else it
-    } else ds
     spark.read.schema(schema)
       .option("nullValue", nullValue).option("escape", "\"")
-      .csv(body)
+      .csv(spark.createDataset(records))
   }
 }

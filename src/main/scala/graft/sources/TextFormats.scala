@@ -67,33 +67,68 @@ object TextFormats {
     * in both directions. Applied per string column as a codegen'd
     * regexp — scan-local, no shuffle. */
   def csvRoundTrip(df: DataFrame, tag: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, regexp_replace, when}
     val path = tempDir(tag)
-    val strCols = df.schema.fields.collect {
-      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
-    }
-    val escaped = strCols.foldLeft(df) { (d, c) =>
-      d.withColumn(c, when(col(c).rlike("^\\\\+N$"),
-        regexp_replace(col(c), "^", "\\\\")).otherwise(col(c)))
-    }
-    escaped.write
+    escapeNullToken(df).write
       .option("header", "true").option("nullValue", "\\N")
       .option("escape", "\"")
       .csv(path)
-    val back = df.sparkSession.read.schema(df.schema)
+    unescapeNullToken(df.sparkSession.read.schema(df.schema)
       .option("header", "true").option("nullValue", "\\N")
       .option("escape", "\"").option("multiLine", "true")
-      .csv(path)
-    strCols.foldLeft(back) { (d, c) =>
+      .csv(path))
+  }
+
+  /** Write-side half of the `\N` null-token bijection (see
+    * [[csvRoundTrip]]): every string column value matching `\+N` gains
+    * one leading backslash so it cannot collide with the bare token. */
+  def escapeNullToken(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace, when}
+    stringCols(df).foldLeft(df) { (d, c) =>
+      d.withColumn(c, when(col(c).rlike("^\\\\+N$"),
+        regexp_replace(col(c), "^", "\\\\")).otherwise(col(c)))
+    }
+  }
+
+  /** Read-side inverse of [[escapeNullToken]]: strings of two-or-more
+    * backslashes then N lose one backslash. */
+  def unescapeNullToken(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace, when}
+    stringCols(df).foldLeft(df) { (d, c) =>
       d.withColumn(c, when(col(c).rlike("^\\\\\\\\+N$"),
         regexp_replace(col(c), "^\\\\", "")).otherwise(col(c)))
     }
   }
+
+  private def stringCols(df: DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }.toSeq
 
   /** Write `df` as JSON Lines and read it back under the same schema. */
   def jsonlRoundTrip(df: DataFrame, tag: String): DataFrame = {
     val path = tempDir(tag)
     df.write.json(path)
     df.sparkSession.read.schema(df.schema).json(path)
+  }
+
+  /** The single-huge-file variant of [[csvRoundTrip]]: write the table
+    * as ONE quoted CSV file (the shape Spark's own `multiLine` reader
+    * scans with a single task) and read it back through
+    * [[SplittableCsv]]'s parallel byte ranges. `blockBytes` controls
+    * the range count — the round trip is lossless at ANY cut because
+    * record ownership is quote-aware (see SplittableCsv). */
+  def csvSplittableRoundTrip(df: DataFrame, tag: String,
+                             blockBytes: Long): DataFrame = {
+    val path = tempDir(tag)
+    escapeNullToken(df).coalesce(1).write
+      .option("header", "true").option("nullValue", "\\N")
+      .option("escape", "\"")
+      .csv(path)
+    val part = new java.io.File(path).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+    require(part.length == 1, s"expected one part file, got ${part.length}")
+    unescapeNullToken(SplittableCsv.read(df.sparkSession,
+      part.head.getAbsolutePath, df.schema, header = true,
+      blockBytes = blockBytes))
   }
 }

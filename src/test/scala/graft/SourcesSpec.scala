@@ -115,6 +115,15 @@ class SourcesSpec extends GraftSpec {
       assert(got == want, s"blockBytes=$block diverged: " +
         s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     }
+    // REGRESSION: a downstream coalesce(1) collapses all ranges into one
+    // task — the header drop must key on the RANGE index, not the
+    // TaskContext partition id (the first cut lost one record per range)
+    val coalesced = SplittableCsv.read(spark, f.toString, schema,
+        header = true, blockBytes = 1024L)
+      .coalesce(1)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDouble(2))).toSet
+    assert(coalesced == want, s"coalesce(1) lost ${(want -- coalesced).size} records")
     // CRLF rows (uniformly) recover without the \r leaking into fields
     val crlf = dir.resolve("crlf.csv")
     java.nio.file.Files.writeString(crlf,
