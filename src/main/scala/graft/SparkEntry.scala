@@ -3049,6 +3049,23 @@ object SparkEntry {
       Multimodal.audioStats(docs, "doc_id", "blob", batchSize = 32)
     }),
 
+    // REAL audio decimation (the WAV analog of q_resize): every 4th
+    // PCM sample kept, re-encoded at rate/4, decoded AGAIN for stats —
+    // the decode→slice→encode→decode chain is exact, and the
+    // order-sensitive zero_crossings is recomputed on the DECIMATED
+    // sequence, so an off-by-one in the stride (or a reader that
+    // mis-walks the re-encoded chunks) breaks the hash
+    "q_resample" -> ((s, dir) => {
+      val wavUdf = udf { (text: String) =>
+        Multimodal.wavBlobFromText(text, 16000)
+      }
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), wavUdf(col("text")).as("blob"))
+      val dec = Multimodal.decimateAudio(docs, "doc_id", "blob",
+        factor = 4, batchSize = 32)
+      Multimodal.audioStats(dec, "media_id", "resampled", batchSize = 32)
+    }),
+
     // REAL 24-bpp BMP round trip: formula-derived pixels encoded with
     // bottom-up rows + 4-byte padding, decoded by the real parser. The
     // oracle recomputes both sums from the pixel formula; gy_sum is the
@@ -5542,6 +5559,28 @@ object SparkEntry {
          |    list_transform(wh, x -> (x % 65536) - 32768) AS ss FROM w)
          |SELECT doc_id AS media_id, 'wav' AS format,
          |  CAST(16000 AS INTEGER) AS sample_rate,
+         |  CAST(len(ss) AS BIGINT) AS n_samples,
+         |  CAST(coalesce(list_sum(list_transform(ss, v -> abs(v))), 0) AS BIGINT)
+         |    AS sum_abs,
+         |  CAST(len(list_filter(range(1, len(ss)),
+         |    i -> (ss[i] >= 0) <> (ss[i+1] >= 0))) AS BIGINT) AS zero_crossings
+         |FROM s""".stripMargin,
+
+    // decimation: the same word-hash samples sliced to every 4th
+    // (1-based ss[4k+1]), then the q_wav_audio stats over the SLICED
+    // sequence at rate/4
+    "q_resample" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    list_transform(string_split_regex(lower(text), '\\s+'),
+         |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % ${Dedup.P}) AS wh
+         |  FROM documents WHERE text IS NOT NULL),
+         |s0 AS (SELECT doc_id,
+         |    list_transform(wh, x -> (x % 65536) - 32768) AS f FROM w),
+         |s AS (SELECT doc_id,
+         |    list_transform(range(0, (len(f) + 3) // 4), k -> f[4 * k + 1]) AS ss
+         |  FROM s0)
+         |SELECT doc_id AS media_id, 'wav' AS format,
+         |  CAST(4000 AS INTEGER) AS sample_rate,
          |  CAST(len(ss) AS BIGINT) AS n_samples,
          |  CAST(coalesce(list_sum(list_transform(ss, v -> abs(v))), 0) AS BIGINT)
          |    AS sum_abs,

@@ -594,6 +594,41 @@ object Multimodal {
     }(enc)
   }
 
+  /**
+   * REAL audio decimation over the decoded WAV path (the audio analog
+   * of [[resizeReal]]): keep every `factor`-th PCM sample (sample 0,
+   * factor, 2·factor, …), re-encode as a spec-valid WAV at
+   * sampleRate/factor. Pure integer selection — no filtering/
+   * interpolation, so the output samples are a SQL-replayable slice of
+   * the input and a second decode recovers them exactly. (A production
+   * resampler low-pass-filters first; plain decimation is the
+   * deterministic contract an oracle can replay, and the honest
+   * semantics for feature pipelines that just need fewer samples.)
+   * Non-WAV blobs are dropped. `factor` must divide nothing — any
+   * positive stride works.
+   */
+  def decimateAudio(df: DataFrame, idCol: String, blobCol: String,
+                    factor: Int, batchSize: Int = 64): DataFrame = {
+    require(factor >= 1, "decimateAudio: factor >= 1")
+    val schema = new StructType()
+      .add("media_id", LongType, nullable = false)
+      .add("resampled", BinaryType, nullable = false)
+    val src = df.select(col(idCol).cast(LongType), col(blobCol))
+    val enc = RowEncoder.encoderFor(schema)
+    src.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          RealCodecs.decodeWavPcm16(r.getAs[Array[Byte]](1)).collect {
+            case (m, ss) if m.channels == 1 =>
+              val kept = Array.range(0, ss.length, factor).map(ss)
+              Row(r.getLong(0), RealCodecs.encodeWavPcm16(
+                kept, math.max(m.sampleRate / factor, 1)))
+          }
+        }
+      }
+    }(enc)
+  }
+
   // ------------------- REAL pixel ops over the decoded formats ---------
   // Everything below runs on the RealCodecs decode path (PNG/BMP), so it
   // is genuine image processing, not the stub layer: all-integer box

@@ -168,6 +168,23 @@ class MultimodalSpec extends GraftSpec {
     assert(i.getLong(6) == (1 to 5).map(y => y.toLong * (20 * y + 1)).sum)
   }
 
+  test("decimateAudio: exact every-k-th slice survives the re-encode; non-WAV drops") {
+    val samples = Array.tabulate(11)(i => (100 * i - 500).toShort)
+    val wav = Multimodal.RealCodecs.encodeWavPcm16(samples, 16000)
+    val out = Multimodal.decimateAudio(
+      Seq((1L, wav), (2L, "junk".getBytes("UTF-8"))).toDF("media_id", "blob"),
+      "media_id", "blob", factor = 4).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    val Some((m, ss)) = Multimodal.RealCodecs.decodeWavPcm16(
+      out.head.getAs[Array[Byte]](1))
+    assert(m.sampleRate == 4000)
+    assert(ss.toSeq == Seq(0, 4, 8).map(i => samples(i)),
+      s"kept samples 0,4,8; got ${ss.toSeq}")
+    intercept[IllegalArgumentException](
+      Multimodal.decimateAudio(Seq((1L, wav)).toDF("media_id", "blob"),
+        "media_id", "blob", factor = 0))
+  }
+
   test("grayPool: grid-aligned integer box means, hand-checked incl. uneven boxes") {
     // 5x3 image pooled to 2x2: x-boxes [0,2),[2,5); y-boxes [0,1),[1,3)
     val w = 5; val h = 3

@@ -425,6 +425,45 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("SplittableCsv: random content and block sizes always equal the single-task read") {
+    import graft.sources.SplittableCsv
+    import org.apache.spark.sql.types._
+    val schema = new StructType().add("id", LongType).add("text", StringType)
+    val fieldGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(20)),
+      Gen.const("\"\"\""),            // quote soup
+      Gen.const("a,b\nc\"d\n\ne"),    // separators + newlines + empties
+      Gen.const("\\N"),               // the null token, literally
+      Gen.const(""),
+      Gen.const(null: String))
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      texts <- Gen.listOfN(n, fieldGen)
+      block <- Gen.oneOf(1024L, 1031L, 2048L, 4099L) // prime offsets move the cuts
+    } yield (texts, block)
+    forSamples(gen, n = 6) { case (texts, block) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_splitprop")
+      val f = dir.resolve("r.csv")
+      val sb = new StringBuilder("id,text\n")
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val field = if (t == null) "\\N"
+          else "\"" + t.replace("\"", "\"\"") + "\""
+        sb.append(s"$i,$field\n")
+      }
+      java.nio.file.Files.writeString(f, sb.toString)
+      def canon(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+      val want = canon(spark.read.schema(schema)
+        .option("header", "true").option("nullValue", "\\N")
+        .option("escape", "\"").option("multiLine", "true").csv(f.toString))
+      val got = canon(SplittableCsv.read(spark, f.toString, schema,
+        header = true, blockBytes = block))
+      assert(got == want,
+        s"block=$block rows=${texts.length}: missing=${(want -- got).take(2)} " +
+          s"extra=${(got -- want).take(2)}")
+    }
+  }
+
   test("RealCodecs BMP: arbitrary dims round-trip pixel-exactly incl. padded row widths") {
     import graft.operators.Multimodal.RealCodecs
     val dimGen = for {
