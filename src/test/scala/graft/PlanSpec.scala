@@ -375,6 +375,16 @@ class PlanSpec extends GraftSpec {
     assert(!p.contains("Exchange"), s"unimax result must not shuffle:\n$p")
   }
 
+  test("q_html_text: zero-shuffle codegen'd regex projection, no UDF") {
+    val p = plan("q_html_text")
+    assert(!p.contains("Exchange"), s"html strip must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"html strip must stay a native Column chain:\n$p")
+    assert(p.contains("*(1)"), s"expected a whole-stage-codegen span:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(text)]"),
+      s"text filter must reach the scan:\n$p")
+  }
+
   test("q_bpe_encode: zero-shuffle codegen'd projection + generate, no UDF") {
     val p = plan("q_bpe_encode")
     assert(!p.contains("Exchange"), s"encode must not shuffle:\n$p")
