@@ -2392,6 +2392,26 @@ object SparkEntry {
         graft.operators.TextAnalysis.htmlToText(html).as("clean_text"))
     }),
 
+    // URL canonicalization + registrable domain (the key for per-domain
+    // caps and exact URL dedup): synthetic URLs exercise every rule —
+    // mixed-case scheme/host (lowered) vs mixed-case path (preserved),
+    // default :80 port (stripped), fragments (dropped), trailing
+    // slashes (stripped), query strings (byte-exact passthrough). The
+    // oracle recomputes ground truth from doc_id, not by replaying the
+    // regex chain. Zero-shuffle codegen projection
+    "q_url_normalize" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val url = concat(lit("HTTP://WWW.Example"),
+        pmod(col("doc_id"), lit(50L)).cast("string"),
+        lit(".COM:80/Path/"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(3L)) === 0, lit("/")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4L)) === 0, lit("?b=2&a=1")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5L)) === 0, lit("#Frag")).otherwise(lit("")))
+      docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.urlNormalize(url).as("url_norm"),
+        graft.operators.TextAnalysis.urlDomain(url).as("domain"))
+    }),
+
     "q_jsonl_source" -> ((s, dir) =>
       graft.sources.TextFormats.jsonlRoundTrip(
         tbl(s, dir, "documents"), "docs")),
@@ -4872,6 +4892,16 @@ object SparkEntry {
       """SELECT doc_id,
         |  trim(regexp_replace(lang || ' Tom & Jerry <3 ' || text
         |    || ' "end"', '\s+', ' ', 'g')) AS clean_text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // ground truth from doc_id: scheme/host lowered, :80 gone, path
+    // case preserved, trailing slash stripped, fragment dropped, query
+    // byte-exact; domain = last two host labels
+    "q_url_normalize" ->
+      """SELECT doc_id,
+        |  'http://www.example' || (doc_id % 50) || '.com/Path/' || doc_id
+        |    || CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1' ELSE '' END AS url_norm,
+        |  'example' || (doc_id % 50) || '.com' AS domain
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "q_jsonl_source" ->

@@ -52,6 +52,45 @@ object TextAnalysis {
     trim(regexp_replace(ent, "\\s+", " "))
   }
 
+  /**
+   * URL canonicalization — the dedup key every web corpus needs before
+   * per-domain caps ([[Sampling.sourceCap]]-style) or exact URL dedup:
+   * lowercase scheme and host (ONLY those — path/query case is
+   * significant per RFC 3986), drop the fragment, drop the default
+   * port for its scheme (:80 http, :443 https), strip trailing path
+   * slashes. Query strings pass through byte-exact (param reordering
+   * changes semantics for some servers; sorting is a caller policy,
+   * not a canonicalization). Pure Column regex/string chain —
+   * codegen'd, scan-local, RE2-safe. Non-URL strings degrade to a
+   * best-effort lowercase-scheme passthrough, never an error.
+   */
+  def urlNormalize(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    when(scheme === "", u) // not a scheme://... URL: passthrough
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
+
+  /** Naive registrable domain: the last two dot-labels of the
+    * (lowercased, port-stripped) host — `a.b.example.com` → `example.com`.
+    * No public-suffix list in-container, so two-label TLDs
+    * (`example.co.uk` → `co.uk`) are the documented limitation; swap in
+    * a PSL lookup in production, the column shape is identical. */
+  def urlDomain(u: Column): Column = {
+    val host = regexp_replace(
+      lower(regexp_extract(regexp_replace(u, "#.*$", ""),
+        "^[^:/?#]+://([^/?#]*)", 1)), ":[0-9]+$", "")
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+  }
+
   /** Compiled once: `String.replaceAll` recompiles its pattern per call,
     * and the fused quality/stats kernels run it once per document. */
   private[operators] val punctPattern = java.util.regex.Pattern.compile("[\\p{Punct}]")

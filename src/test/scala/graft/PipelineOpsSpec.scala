@@ -1390,4 +1390,27 @@ class PipelineOpsSpec extends GraftSpec {
     assert(strip("text < notatag") == "text < notatag" ||
       strip("text < notatag").nonEmpty) // lone '<' with no '>': survives
   }
+
+  test("urlNormalize/urlDomain: case, ports, fragments, slashes, query passthrough, non-URLs") {
+    import graft.operators.TextAnalysis.{urlNormalize, urlDomain}
+    def norm(s: String) = Seq(s).toDF("u")
+      .select(urlNormalize(col("u")), urlDomain(col("u")))
+      .collect().head match { case r => (r.getString(0), r.getString(1)) }
+    assert(norm("HTTPS://A.B.Example.COM:443/Mixed/Case/?q=UP#x") ==
+      ("https://a.b.example.com/Mixed/Case?q=UP", "example.com"))
+    // non-default port survives; :443 is only default for https
+    assert(norm("http://h.io:8080/p/")._1 == "http://h.io:8080/p")
+    assert(norm("http://h.io:443/p")._1 == "http://h.io:443/p")
+    // root path: trailing slash strips to bare authority
+    assert(norm("HTTP://X.COM/") == ("http://x.com", "x.com"))
+    // empty query after ? is dropped; fragment-only tail dropped
+    assert(norm("http://x.com/a?")._1 == "http://x.com/a")
+    assert(norm("http://x.com/a#only-frag")._1 == "http://x.com/a")
+    // query is byte-exact: no param sorting, case preserved
+    assert(norm("http://x.com/a?z=1&A=2")._1 == "http://x.com/a?z=1&A=2")
+    // single-label host has no registrable domain
+    assert(norm("http://localhost:80/a") == ("http://localhost/a", ""))
+    // not a URL: passthrough, never an error
+    assert(norm("not a url at all")._1 == "not a url at all")
+  }
 }
