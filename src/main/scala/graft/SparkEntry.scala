@@ -2412,6 +2412,32 @@ object SparkEntry {
         graft.operators.TextAnalysis.urlDomain(url).as("domain"))
     }),
 
+    // curation v9 — the WEB-INGEST front door composed: raw HTML pages
+    // with source URLs → text extraction (script/entity strip) + domain
+    // extraction → per-DOMAIN sqrt caps (the CCNet head-flattening rule
+    // keyed on the extracted registrable domain instead of a clean
+    // source label) → token accounting on the EXTRACTED text. The
+    // oracle replays the whole composition from ground truth
+    "q_curate9" -> ((s, dir) => {
+      import graft.operators.{TextAnalysis, Sampling}
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val html = concat(
+        lit("<html><head><style>p{color:#000}</style>"),
+        lit("<script>if(a<b&&c>d){x()}</script></head><body><h1>"),
+        col("lang"), lit("</h1><p>"), col("text"),
+        lit("&nbsp;&quot;end&quot;</p></body></html>"))
+      val url = concat(lit("HTTP://WWW.Example"),
+        pmod(col("doc_id"), lit(50L)).cast("string"),
+        lit(".COM:80/Doc/"), col("doc_id").cast("string"), lit("#top"))
+      val page = docs.select(col("doc_id"),
+        TextAnalysis.urlDomain(url).as("domain"),
+        TextAnalysis.htmlToText(html).as("clean_text"))
+      Sampling.sourceCap(page, col("domain"), col("doc_id"))
+        .withColumn("n_tokens",
+          size(split(lower(col("clean_text")), "\\s+")).cast("long"))
+        .select(col("doc_id"), col("domain"), col("n_tokens"))
+    }),
+
     "q_jsonl_source" -> ((s, dir) =>
       graft.sources.TextFormats.jsonlRoundTrip(
         tbl(s, dir, "documents"), "docs")),
@@ -4903,6 +4929,27 @@ object SparkEntry {
         |    || CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1' ELSE '' END AS url_norm,
         |  'example' || (doc_id % 50) || '.com' AS domain
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // the composition from ground truth: expected clean text + derived
+    // domain, then the q_source_cap replay (sqrt caps, md5%1e6 rank)
+    // keyed on domain, token counts on the EXPECTED text
+    "q_curate9" ->
+      """WITH p AS (SELECT doc_id,
+        |    'example' || (doc_id % 50) || '.com' AS domain,
+        |    trim(regexp_replace(lang || ' ' || text || ' "end"',
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT domain, count(*) AS n FROM p GROUP BY domain),
+        |caps AS (SELECT domain, n,
+        |    greatest(2, CAST(ceil(sqrt(n)) AS BIGINT)) AS cap FROM c),
+        |r AS (SELECT p.doc_id, p.domain, p.clean, caps.cap, caps.n,
+        |    row_number() OVER (PARTITION BY p.domain ORDER BY
+        |      ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000, p.doc_id) AS rk
+        |  FROM p JOIN caps USING (domain))
+        |SELECT doc_id, domain,
+        |  CAST(len(string_split_regex(lower(clean), '\s+')) AS BIGINT) AS n_tokens
+        |FROM r WHERE n <= cap OR rk <= cap""".stripMargin,
 
     "q_jsonl_source" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
