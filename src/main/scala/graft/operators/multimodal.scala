@@ -149,7 +149,9 @@ object Multimodal {
       while (pos + 8 <= blob.length && (fmt.isEmpty || data.isEmpty)) {
         val id = tag(pos)
         val size = bb.getInt(pos + 4)
-        if (size < 0 || pos + 8 + size > blob.length) return None
+        // long arithmetic: a hostile size near 2^31 must fail the bound
+        // check, not wrap past it (untrusted-byte decode never throws)
+        if (size < 0 || pos.toLong + 8 + size > blob.length) return None
         id match {
           case "fmt " =>
             if (size < 16) return None
@@ -214,6 +216,9 @@ object Multimodal {
       val bpp = bb.getShort(28) & 0xffff
       val compression = bb.getInt(30)
       if (bpp != 24 || compression != 0 || w <= 0 || h <= 0) return None
+      // hostile header dims: cap before rowBytes (w*3 int overflow) and
+      // before the w*h*3 output allocation
+      if (w.toLong * h > (1L << 26)) return None
       val rowBytes = (w * 3 + 3) & ~3
       if (dataOff + rowBytes.toLong * h > blob.length) return None
       val out = new Array[Byte](w * h * 3)
@@ -353,7 +358,10 @@ object Multimodal {
       var done = false
       while (!done && pos + 12 <= blob.length) {
         val len = bb.getInt(pos)
-        if (len < 0 || pos + 12 + len > blob.length) return None
+        // LONG arithmetic: a hostile len near 2^31 would wrap the int
+        // sum past the bound check and crash copyOfRange instead of
+        // returning None (decode of untrusted bytes must never throw)
+        if (len < 0 || pos.toLong + 12 + len > blob.length) return None
         val tag = new String(blob, pos + 4, 4, "US-ASCII")
         val body = java.util.Arrays.copyOfRange(blob, pos + 8, pos + 8 + len)
         if (crc32(tag, body) != bb.getInt(pos + 8 + len)) return None
@@ -365,6 +373,11 @@ object Multimodal {
             val interlace = blob(pos + 20) & 0xff
             if (depth != 8 || color != 2 || interlace != 0 ||
               w <= 0 || h <= 0) return None
+            // dimension sanity BEFORE the pixel-buffer allocation: a
+            // 13-byte hostile header must not be able to demand a
+            // multi-GB array (and w*3 must not overflow int); 64 Mpx
+            // covers any plausible corpus image
+            if (w.toLong * h > (1L << 26)) return None
             seenIhdr = true
           case "IDAT" => idat.write(body)
           case "IEND" => done = true

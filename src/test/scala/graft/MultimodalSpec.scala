@@ -156,6 +156,36 @@ class MultimodalSpec extends GraftSpec {
     }
   }
 
+  test("decoders refuse hostile headers: overflowing chunk lengths, absurd dims — None, never a throw") {
+    import Multimodal.RealCodecs
+    // PNG with a chunk length near 2^31: int arithmetic would wrap the
+    // bound check and crash copyOfRange
+    val png = RealCodecs.encodePng(2, 2, (_, _) => (1, 2, 3))
+    val evilLen = png.clone()
+    val bbP = java.nio.ByteBuffer.wrap(evilLen)
+    bbP.putInt(8, 0x7ffffff0) // IHDR length field
+    assert(RealCodecs.decodePng(evilLen).isEmpty)
+    // PNG claiming 60000x60000: must refuse BEFORE allocating ~10 GB
+    val evilDims = png.clone()
+    val bb2 = java.nio.ByteBuffer.wrap(evilDims)
+    bb2.putInt(16, 60000); bb2.putInt(20, 60000)
+    assert(RealCodecs.decodePng(evilDims).isEmpty) // (CRC also fails — order matters: dims check is inside IHDR handling)
+    // WAV with a chunk size near 2^31
+    val wav = RealCodecs.encodeWavPcm16(Array[Short](1, 2, 3), 8000)
+    val evilWav = wav.clone()
+    java.nio.ByteBuffer.wrap(evilWav)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(16, 0x7ffffff0)
+    assert(RealCodecs.decodeWavPcm16(evilWav).isEmpty)
+    // BMP claiming 2^20 x 2^20: rowBytes would overflow int
+    val bmp = RealCodecs.encodeBmp24(2, 2, (_, _) => (1, 2, 3))
+    val evilBmp = bmp.clone()
+    java.nio.ByteBuffer.wrap(evilBmp)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(18, 1 << 20)
+    java.nio.ByteBuffer.wrap(evilBmp)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(22, 1 << 20)
+    assert(RealCodecs.decodeBmp24(evilBmp).isEmpty)
+  }
+
   test("imageStats dispatches png blobs through the real decoder") {
     val png = Multimodal.RealCodecs.encodePng(2, 5,
       (x, y) => (0, 10 * (y + 1) + x, 0))
