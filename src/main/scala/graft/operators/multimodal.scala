@@ -617,8 +617,10 @@ object Multimodal {
    * resampler low-pass-filters first; plain decimation is the
    * deterministic contract an oracle can replay, and the honest
    * semantics for feature pipelines that just need fewer samples.)
-   * Non-WAV blobs are dropped. `factor` must divide nothing — any
-   * positive stride works.
+   * Non-WAV and non-mono blobs are dropped (stereo decimation would
+   * have to stride FRAMES, not samples — add it when a stereo corpus
+   * exists). Any positive `factor` works; it need not divide the
+   * sample count (the final partial stride keeps its first sample).
    */
   def decimateAudio(df: DataFrame, idCol: String, blobCol: String,
                     factor: Int, batchSize: Int = 64): DataFrame = {

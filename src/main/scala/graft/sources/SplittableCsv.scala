@@ -54,8 +54,10 @@ object SplittableCsv {
   def read(spark: SparkSession, path: String, schema: StructType,
            header: Boolean = true,
            blockBytes: Long = 32L * 1024 * 1024,
-           nullValue: String = "\\N"): DataFrame = {
+           nullValue: String = "\\N",
+           maxRecordBytes: Int = 64 * 1024 * 1024): DataFrame = {
     require(blockBytes >= 1024, s"blockBytes too small: $blockBytes")
+    require(maxRecordBytes > 0, "maxRecordBytes must be positive")
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
@@ -150,6 +152,18 @@ object SplittableCsv {
           if (b < 0) {
             if (cur.size() > 0 && ownedStart <= end) out += emit()
             done = true
+          } else if (cur.size() >= maxRecordBytes) {
+            // fail-fast, named: a "record" this large usually means the
+            // file is NOT doubled-quote RFC-4180 (e.g. backslash-escaped
+            // quotes keep overall parity but flip the in-quote state),
+            // and the quote-state scan is swallowing rows — surface it
+            // rather than corrupt silently or OOM
+            throw new IllegalStateException(
+              s"SplittableCsv: record starting at byte $ownedStart of " +
+                s"$path exceeds maxRecordBytes=$maxRecordBytes — " +
+                "unterminated quote or non-RFC-4180 escaping? This " +
+                "reader requires doubled-quote CSV; raise maxRecordBytes " +
+                "only if records really are this large")
           } else if (b == '"') { inQuote = !inQuote; cur.write(b) }
           else if (b == '\n' && !inQuote) {
             if (ownedStart <= end) out += emit()

@@ -139,5 +139,18 @@ class SourcesSpec extends GraftSpec {
       SplittableCsv.read(spark, bad.toString, schema, blockBytes = 1024L)
         .collect()
     }
+    // balanced-but-wrong escaping (the silent-corruption hazard): a
+    // runaway in-quote scan trips the max-record guard with a named
+    // error instead of swallowing rows
+    val runaway = dir.resolve("runaway.csv")
+    java.nio.file.Files.writeString(runaway,
+      "id,text,score\n1,\"open" + ("x" * 3000) + "\n2,\"closes,2.0\n")
+    val e = intercept[Exception] {
+      SplittableCsv.read(spark, runaway.toString, schema,
+        blockBytes = 1024L, maxRecordBytes = 2048).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("maxRecordBytes") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxRecordBytes")),
+      s"expected the named guard, got: $e")
   }
 }
