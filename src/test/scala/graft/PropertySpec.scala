@@ -425,6 +425,34 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("urlNormalize is idempotent and domain-stable over randomized URLs") {
+    import graft.operators.TextAnalysis.{urlNormalize, urlDomain}
+    val gen = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HtTpS", "ftp")
+      labels <- Gen.choose(1, 4)
+      host <- Gen.listOfN(labels, Gen.oneOf("WWW", "api", "Example7", "x"))
+        .map(_.mkString("."))
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/A/b/", "/a//b///")
+      query <- Gen.oneOf("", "?", "?Z=1&a=2")
+      frag <- Gen.oneOf("", "#F", "#a/b?c")
+    } yield s"$scheme://$host$port$path$query$frag"
+    forSamples(gen, n = 25) { u =>
+      val df = Seq(u).toDF("u")
+      val once = df.select(urlNormalize(col("u")).as("n"),
+        urlDomain(col("u")).as("d")).collect().head
+      val (n1, d1) = (once.getString(0), once.getString(1))
+      val twice = Seq(n1).toDF("u")
+        .select(urlNormalize(col("u")), urlDomain(col("u"))).collect().head
+      assert(twice.getString(0) == n1, s"not idempotent: $u -> $n1 -> ${twice.getString(0)}")
+      assert(twice.getString(1) == d1, s"domain moved under normalization: $u")
+      // canonical invariants
+      assert(!n1.contains("#"), s"fragment survived: $u -> $n1")
+      val schemeOut = n1.takeWhile(_ != ':')
+      assert(schemeOut == schemeOut.toLowerCase, s"scheme case: $n1")
+    }
+  }
+
   test("SplittableCsv: random content and block sizes always equal the single-task read") {
     import graft.sources.SplittableCsv
     import org.apache.spark.sql.types._
