@@ -2438,6 +2438,23 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"), col("n_tokens"))
     }),
 
+    // intra-doc consecutive-duplicate-line collapse (crawl de-stutter):
+    // planted stutter — 8 lines in consecutive-equal PAIRS (line k =
+    // 'w'||((doc_id + k div 2) % 5)) then the real text — collapses to
+    // 4 distinct lines + text. One aggregate() fold, zero-shuffle; the
+    // oracle is ground truth from doc_id, not a replay of the fold
+    "q_destutter" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val stuttered = concat(
+        array_join(transform(sequence(lit(0), lit(7)), k =>
+          concat(lit("w"), pmod(col("doc_id") + floor(k / 2), lit(5L))
+            .cast("string"))), "\n"),
+        lit("\n"), col("text"))
+      docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.dedupConsecutiveLines(stuttered)
+          .as("clean_text"))
+    }),
+
     "q_jsonl_source" -> ((s, dir) =>
       graft.sources.TextFormats.jsonlRoundTrip(
         tbl(s, dir, "documents"), "docs")),
@@ -4928,6 +4945,16 @@ object SparkEntry {
         |  'http://www.example' || (doc_id % 50) || '.com/Path/' || doc_id
         |    || CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1' ELSE '' END AS url_norm,
         |  'example' || (doc_id % 50) || '.com' AS domain
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // de-stutter ground truth straight from the arithmetic: the four
+    // distinct pair-collapsed lines then the untouched text
+    "q_destutter" ->
+      """SELECT doc_id,
+        |  'w' || (doc_id % 5) || chr(10) ||
+        |  'w' || ((doc_id + 1) % 5) || chr(10) ||
+        |  'w' || ((doc_id + 2) % 5) || chr(10) ||
+        |  'w' || ((doc_id + 3) % 5) || chr(10) || text AS clean_text
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // the composition from ground truth: expected clean text + derived

@@ -79,6 +79,35 @@ object TextAnalysis {
         when(query === "", lit("")).otherwise(concat(lit("?"), query))))
   }
 
+  /**
+   * Collapse CONSECUTIVE duplicate lines within a document — the
+   * intra-doc face of boilerplate cleanup (crawl artifacts repeat
+   * navigation/menu lines back to back; cross-document hot lines are
+   * [[Dedup.removeBoilerplateLines]]'s job). Non-adjacent repeats are
+   * deliberately kept: a chorus is content, a stutter is noise.
+   *
+   * Shaped as ONE `aggregate()` fold over the split array so each line
+   * is visited exactly once — an indexed-lambda formulation
+   * (`element_at(lines, i)`) would re-evaluate the array-building
+   * split per element access (Catalyst does not CSE inside lambdas,
+   * the house rule). Zero-shuffle codegen projection; empty lines
+   * compare like any other (a blank-line run collapses to one blank).
+   */
+  def dedupConsecutiveLines(text: Column): Column = {
+    val lines = split(text, "\n")
+    val folded = aggregate(
+      lines,
+      struct(lit("").as("acc"), lit(true).as("first"), lit("").as("prev")),
+      (st, x) => when(st.getField("first"),
+          struct(x.as("acc"), lit(false).as("first"), x.as("prev")))
+        .when(x =!= st.getField("prev"),
+          struct(concat(st.getField("acc"), lit("\n"), x).as("acc"),
+            lit(false).as("first"), x.as("prev")))
+        .otherwise(st),
+      st => st.getField("acc"))
+    when(text.isNull, lit(null)).otherwise(folded)
+  }
+
   /** Naive registrable domain: the last two dot-labels of the
     * (lowercased, port-stripped) host — `a.b.example.com` → `example.com`.
     * No public-suffix list in-container, so two-label TLDs

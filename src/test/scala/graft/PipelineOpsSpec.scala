@@ -1391,6 +1391,20 @@ class PipelineOpsSpec extends GraftSpec {
       strip("text < notatag").nonEmpty) // lone '<' with no '>': survives
   }
 
+  test("dedupConsecutiveLines: stutters collapse, choruses survive, blanks and nulls behave") {
+    import graft.operators.TextAnalysis.dedupConsecutiveLines
+    def run(s: String): String = Seq(Option(s)).toDF("t")
+      .select(dedupConsecutiveLines(col("t"))).collect().head.getString(0)
+    assert(run("a\na\nb\na") == "a\nb\na", "non-adjacent repeat must survive")
+    assert(run("x") == "x")
+    assert(run("m\nm\nm\nm") == "m")
+    assert(run("a\n\n\nb") == "a\n\nb", "blank-line run collapses to one blank")
+    assert(run("") == "")
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(dedupConsecutiveLines(col("t"))).collect().head
+    assert(n.isNullAt(0), "null text stays null")
+  }
+
   test("urlNormalize/urlDomain: case, ports, fragments, slashes, query passthrough, non-URLs") {
     import graft.operators.TextAnalysis.{urlNormalize, urlDomain}
     def norm(s: String) = Seq(s).toDF("u")
