@@ -279,10 +279,17 @@ object CovStreamProbe {
           f"batchMs=${p.batchDuration}%6d " +
           f"stateRows=${Option(p.stateOperators).filter(_.nonEmpty).map(_.head.numRowsTotal).getOrElse(-1L)}")
       }
-      val perRow = prog.map(p => p.batchDuration.toDouble / p.numInputRows)
-      println(f"[probe] n=$n deltaRows~${total / n} batches=${prog.length} " +
-        f"medianBatchMs=${prog.map(_.batchDuration).sorted.apply(prog.length / 2)} " +
-        f"msPerKRow=${perRow.sorted.apply(perRow.length / 2) * 1000}%.1f")
+      if (prog.isEmpty)
+        // a drain that yields no row-bearing batches must report, not
+        // crash on an empty median index
+        println(s"[probe] n=$n deltaRows~${total / n} batches=0 " +
+          "(no row-bearing progress entries — nothing to summarize)")
+      else {
+        val perRow = prog.map(p => p.batchDuration.toDouble / p.numInputRows)
+        println(f"[probe] n=$n deltaRows~${total / n} batches=${prog.length} " +
+          f"medianBatchMs=${prog.map(_.batchDuration).sorted.apply(prog.length / 2)} " +
+          f"msPerKRow=${perRow.sorted.apply(perRow.length / 2) * 1000}%.1f")
+      }
       val streamed = graft.operators.Similarity.covCellsFinish(
         spark.table(qn)).collect().map(_.toSeq).sortBy(_.toString)
       require(streamed.toSeq == batchCells.toSeq,

@@ -47,6 +47,15 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructType
  * cluster index, NaN falling through to cluster k-1); an empty cluster
  * keeps its previous centroid.
  */
+
+/** Thrown by [[KMeansDet.quantize12]] when a feature value is non-finite
+  * or outside the exact scale-12 range. A DISTINCT type (not a bare
+  * IllegalArgumentException) so callers that rewrap range errors with
+  * operator-specific advice (the covariance moment loop) cannot
+  * accidentally relabel an unrelated IAE as a magnitude problem. */
+final class FeatureRangeException(msg: String)
+  extends IllegalArgumentException(msg)
+
 class KMeansDet(override val uid: String) extends Estimator[KMeansDetModel]
     with KMeansDetParams with DefaultParamsWritable {
 
@@ -277,11 +286,13 @@ object KMeansDet extends DefaultParamsReadable[KMeansDet] {
     * BigDecimal reference, and end-to-end by the hash-exact kmeans /
     * embed-cov oracles. */
   private[graft] def quantize12(x: Double): Long = {
-    require(!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x),
-      s"KMeansDet: non-finite feature value $x")
-    require(math.abs(x) < 1e6,
-      s"KMeansDet: feature value $x out of range (exact scale-12 sums " +
-        "need |x| < 1e6; rescale the features)")
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+      throw new FeatureRangeException(
+        s"KMeansDet: non-finite feature value $x")
+    if (math.abs(x) >= 1e6)
+      throw new FeatureRangeException(
+        s"KMeansDet: feature value $x out of range (exact scale-12 sums " +
+          "need |x| < 1e6; rescale the features)")
     val y = x * 1e12
     val f = y - Math.floor(y)
     val band = Math.ulp(y) * 4.0 + 1e-9

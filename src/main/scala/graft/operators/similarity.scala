@@ -609,7 +609,10 @@ object Similarity {
             }
             i += 1
           }
-        } catch { case e: IllegalArgumentException =>
+        } catch { case e: FeatureRangeException =>
+          // ONLY quantize12's own range error is rewrapped — any other
+          // IllegalArgumentException (e.g. a future add128 guard) must
+          // surface under its own name, not as a magnitude complaint
           throw new IllegalArgumentException(
             "embeddingCovariance/pcaMomentCells: embedding magnitude out " +
               "of range — exact scale-12 moment sums need |xi| and every " +

@@ -82,7 +82,10 @@ object SplittableCsv {
           var pos = start
           while (pos < end) {
             val n = in.read(buf, 0, math.min(buf.length.toLong, end - pos).toInt)
-            require(n > 0, s"short read at $pos")
+            // InputStream.read may legally return 0 without EOF on some
+            // Hadoop streams — retry; only n < 0 (EOF before `end`) is a
+            // genuinely short file and fails the split
+            require(n >= 0, s"unexpected EOF at $pos (range end $end)")
             var j = 0
             while (j < n) { if (buf(j) == '"') quotes += 1; j += 1 }
             pos += n

@@ -153,4 +153,24 @@ class SourcesSpec extends GraftSpec {
       Option(e.getCause).exists(_.getMessage.contains("maxRecordBytes")),
       s"expected the named guard, got: $e")
   }
+
+  test("Stage.materialize round-trips under a non-default scratch URI") {
+    import spark.implicits._
+    // cluster shape: spark.graft.stage.dir points at shared scratch space;
+    // every materialize lands in a unique subdir there, not local /tmp
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_scratch_uri").toString
+    spark.conf.set(graft.core.Stage.StageDirConf, s"file://$scratch")
+    try {
+      val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+      val staged = graft.core.Stage.materialize(df, "urispec")
+      assert(staged.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // the bytes really live under the configured URI
+      val sub = new java.io.File(scratch).listFiles()
+      assert(sub != null && sub.exists(_.getName.startsWith("graft_stage_urispec")),
+        s"expected a graft_stage_urispec_* dir under $scratch, got " +
+          Option(sub).map(_.map(_.getName).mkString(",")).getOrElse("null"))
+    } finally spark.conf.unset(graft.core.Stage.StageDirConf)
+  }
 }
