@@ -93,13 +93,19 @@ object SparkEntry {
       val us = (0 until k).map(i => s"($dmin/d$i) / ($rsum) AS u$i").mkString(",\n    ")
       val cs = (0 until k).flatMap(i => (0 until dim).map(j =>
         s"(1.0/sum(u$i*u$i)) * sum(u$i*u$i*x$j) AS c${i}_$j")).mkString(",\n    ")
-      s"""d$t AS (SELECT rid, $xs,
+      // MATERIALIZED: u_t is read three times (c_t, dd_t, dd_{t+1}) and
+      // c_t twice (d_{t+1}, fin) — DuckDB's default inlining re-expands
+      // the whole upstream chain per reference, exponentially in iters
+      // (q_canopy_fcm's 10-round unroll cost ~50 s at sf0.01 un-hinted).
+      // These CTEs are never referenced from a recursive half, so the
+      // MATERIALIZED-kills-recursion quirk below does not apply to them
+      s"""d$t AS MATERIALIZED (SELECT rid, $xs,
          |    $ds
          |  FROM x, c${t - 1}),
-         |u$t AS (SELECT rid, $xs,
+         |u$t AS MATERIALIZED (SELECT rid, $xs,
          |    $us
          |  FROM d$t),
-         |c$t AS (SELECT
+         |c$t AS MATERIALIZED (SELECT
          |    $cs
          |  FROM u$t)""".stripMargin
     }
@@ -107,7 +113,7 @@ object SparkEntry {
     // MATERIALIZED so row_number is assigned once)
     def delta(t: Int): String = {
       val terms = (0 until k).map(i => s"abs(a.u$i - b.u$i)").mkString(", ")
-      s"""dd$t AS (SELECT max(greatest($terms)) AS v
+      s"""dd$t AS MATERIALIZED (SELECT max(greatest($terms)) AS v
          |  FROM u$t a JOIN u${t - 1} b ON a.rid = b.rid)""".stripMargin
     }
     val pick = (0 until k).flatMap { i =>
@@ -610,20 +616,25 @@ object SparkEntry {
   // is the centered projection, decimal-summed per vector.
   private def pcaProjectSql(dims: Int, steps: Int,
                             finalOverride: String = ""): String = {
+    // every step CTE is MATERIALIZED: v_k references n_k twice (directly
+    // and through s_k), so DuckDB's default CTE inlining re-expands the
+    // whole upstream chain 2^steps times — the un-hinted form of this
+    // oracle cost 150+ seconds at sf0.01 and was the round-8 correctness
+    // gate's budget killer; materialized it is sub-second, same rows
     val stepCtes = (1 to steps).map { k =>
-      s"""n$k AS (SELECT a.i AS i,
+      s"""n$k AS MATERIALIZED (SELECT a.i AS i,
          |    sum(CAST(a.cov * v${k - 1}.v AS DECIMAL(28,12))) AS num
          |  FROM a JOIN v${k - 1} ON a.j = v${k - 1}.i GROUP BY a.i),
-         |s$k AS (SELECT CAST(sum(CAST(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+         |s$k AS MATERIALIZED (SELECT CAST(sum(CAST(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
          |    AS DECIMAL(28,12))) AS DOUBLE) AS ss FROM n$k),
-         |v$k AS (SELECT i, round(CAST(num AS DOUBLE) / sqrt(ss), 9) AS v
+         |v$k AS MATERIALIZED (SELECT i, round(CAST(num AS DOUBLE) / sqrt(ss), 9) AS v
          |  FROM n$k, s$k)""".stripMargin
     }.mkString(",\n")
     s"""WITH f AS (SELECT a.d AS i, b.d AS j,
        |    CAST(list_extract(embedding, CAST(a.d + 1 AS INTEGER)) AS DOUBLE) AS xi,
        |    CAST(list_extract(embedding, CAST(b.d + 1 AS INTEGER)) AS DOUBLE) AS xj
        |  FROM embeddings, range($dims) a(d), range($dims) b(d) WHERE b.d >= a.d),
-       |s AS (SELECT i, j, count(*) AS n,
+       |s AS MATERIALIZED (SELECT i, j, count(*) AS n,
        |    sum(CAST(xi AS DECIMAL(28,12))) AS si,
        |    sum(CAST(xj AS DECIMAL(28,12))) AS sj,
        |    sum(CAST(xi * xj AS DECIMAL(28,12))) AS sij
@@ -631,7 +642,7 @@ object SparkEntry {
        |c AS (SELECT i, j, round(CAST(sij AS DOUBLE) / n
        |    - (CAST(si AS DOUBLE) / n) * (CAST(sj AS DOUBLE) / n), 6) + 0.0 AS cov
        |  FROM s),
-       |a AS (SELECT i, j, cov FROM c
+       |a AS MATERIALIZED (SELECT i, j, cov FROM c
        |      UNION ALL SELECT j AS i, i AS j, cov FROM c WHERE i <> j),
        |m AS (SELECT i, CAST(si AS DOUBLE) / n AS m FROM s WHERE i = j),
        |v0 AS (SELECT t.d AS i,
@@ -661,15 +672,17 @@ object SparkEntry {
   // discipline (raw-mantissa products — boundary-safe, and the Spark
   // side is a distributed scan that needs order independence).
   private def pcaWhitenSql(dims: Int, steps: Int, k: Int): String = {
+    // MATERIALIZED on every step CTE — same exponential-inlining trap as
+    // pcaProjectSql (v_k reads n_k twice); see the comment there
     def stepCtes(c: Int, mat: String): String = (1 to steps).map { s =>
-      s"""n${c}_$s AS (SELECT i,
+      s"""n${c}_$s AS MATERIALIZED (SELECT i,
          |    list_reduce(list(t ORDER BY j), (x, y) -> x + y) AS num
          |  FROM (SELECT mm.i AS i, mm.j AS j, mm.cov * vv.v AS t
          |        FROM $mat mm JOIN v${c}_${s - 1} vv ON mm.j = vv.i)
          |  GROUP BY i),
-         |s${c}_$s AS (SELECT sqrt(list_reduce(list(num * num ORDER BY i),
+         |s${c}_$s AS MATERIALIZED (SELECT sqrt(list_reduce(list(num * num ORDER BY i),
          |    (x, y) -> x + y)) AS nrm FROM n${c}_$s),
-         |v${c}_$s AS (SELECT i, round(num / nrm, 9) AS v
+         |v${c}_$s AS MATERIALIZED (SELECT i, round(num / nrm, 9) AS v
          |  FROM n${c}_$s, s${c}_$s)""".stripMargin
     }.mkString(",\n")
     val perComp = (1 to k).map { c =>
@@ -686,7 +699,7 @@ object SparkEntry {
          |    CAST(1.0 AS DOUBLE) + CAST(0.001 AS DOUBLE) * (t.d + 1) AS v
          |  FROM range($dims) t(d)),
          |${stepCtes(c, mat)},
-         |lam$c AS (SELECT list_reduce(list(t ORDER BY i, j), (x, y) -> x + y) AS lam
+         |lam$c AS MATERIALIZED (SELECT list_reduce(list(t ORDER BY i, j), (x, y) -> x + y) AS lam
          |  FROM (SELECT mm.i AS i, mm.j AS j, mm.cov * vi.v * vj.v AS t
          |        FROM $mat mm JOIN $vLast vi ON mm.i = vi.i
          |        JOIN $vLast vj ON mm.j = vj.i))$deflate""".stripMargin
