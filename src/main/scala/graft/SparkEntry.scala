@@ -3204,6 +3204,26 @@ object SparkEntry {
       Multimodal.imageStats(docs, "doc_id", "blob", batchSize = 32)
     }),
 
+    // REAL baseline JPEG round trip (pure-JVM Huffman + IDCT — no codec
+    // library): 8x8-block-constant gray pixels with UNIT quant tables
+    // make the lossy pipeline exact (DC-only blocks; F(0,0)=8(v-128) is
+    // integer-exact end to end), so the oracle replays the pixel
+    // formula. doc_id%3 also varies the restart interval (0/1/2 MCUs),
+    // so DRI/RSTn segmentation sits on the oracle-checked path; gy_sum
+    // stays the row-order detector
+    "q_jpeg_image" -> ((s, dir) => {
+      val jpegUdf = udf { (id: Long) =>
+        val w = (8 + (id % 3) * 4).toInt
+        val h = (8 + (id % 5) * 2).toInt
+        graft.operators.JpegCodec.encodeGray(w, h,
+          (x, y) => (((x / 8) * 31 + (y / 8) * 17 + 5 * id) % 256).toInt,
+          restartEvery = (id % 3).toInt)
+      }
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), jpegUdf(col("doc_id")).as("blob"))
+      Multimodal.imageStats(docs, "doc_id", "blob", batchSize = 32)
+    }),
+
     // REAL resize (not the stub): decode → grid-aligned integer box
     // pooling per RGB channel → re-encode PNG → decode AGAIN for stats.
     // The oracle recomputes the pooled means from the source pixel
@@ -5764,6 +5784,24 @@ object SparkEntry {
         |  FROM d, range(0, 15) x(x), range(0, 12) y(y)
         |  WHERE x.x < d.w AND y.y < d.h)
         |SELECT doc_id AS media_id, 'png' AS format, w AS width, h AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum((y + 1) * g) AS BIGINT) AS gy_sum
+        |FROM g GROUP BY doc_id, w, h""".stripMargin,
+
+    // JPEG: block-constant formula replay (v = (bx*31+by*17+5*id)%256
+    // per 8x8 block) — the unit-quant DC-only bridge makes the lossy
+    // codec exact, so a Huffman/dequant/IDCT/restart bug breaks the sums
+    "q_jpeg_image" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8 + (doc_id % 3) * 4 AS INTEGER) AS w,
+        |    CAST(8 + (doc_id % 5) * 2 AS INTEGER) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT d.doc_id, d.w, d.h, y.y,
+        |    (((x.x // 8) * 31 + (y.y // 8) * 17 + 5 * d.doc_id) % 256) AS g
+        |  FROM d, range(0, 16) x(x), range(0, 16) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h)
+        |SELECT doc_id AS media_id, 'jpeg' AS format, w AS width, h AS height,
         |  CAST(3 AS INTEGER) AS channels,
         |  CAST(sum(g) AS BIGINT) AS g_sum,
         |  CAST(sum((y + 1) * g) AS BIGINT) AS gy_sum

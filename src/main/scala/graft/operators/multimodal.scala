@@ -20,12 +20,13 @@ import org.apache.spark.sql.types._
  *  - kernels are Iterator->Iterator (no per-partition materialization
  *    beyond one batch) — safe for multi-GB partitions.
  *
- * Decode is REAL for PNG (DEFLATE + all five filters via
- * `java.util.zip`), 24-bpp BMP and PCM WAV — see [[RealCodecs]] — and so
- * are the pixel ops built on it (box-pool resize, dHash56 perceptual
- * near-dup). Only the COMPRESSED codecs this container lacks (JPEG/MP3/
- * H.264/FLAC) remain `StubCodecs.*` deterministic fakes; swap those for
- * real codecs (javacv / TwelveMonkeys / ffmpeg bindings) in production —
+ * Decode is REAL for baseline JPEG (pure-JVM Huffman + IDCT + YCbCr,
+ * [[JpegCodec]]), PNG (DEFLATE + all five filters via `java.util.zip`),
+ * 24-bpp BMP and PCM WAV — see [[RealCodecs]] — and so are the pixel
+ * ops built on them (box-pool resize, dHash56 perceptual near-dup).
+ * Only the codecs a JVM genuinely cannot parse without a library
+ * (MP3/H.264/FLAC) remain `StubCodecs.*` deterministic fakes; swap
+ * those for real codecs (javacv / ffmpeg bindings) in production —
  * the schemas, batching, and partition behavior (the Spark-side
  * contract) stay exactly as tested here.
  */
@@ -93,8 +94,8 @@ object Multimodal {
    * must), plus truecolor PNG — real DEFLATE via `java.util.zip` and
    * the five spec filters, so the dominant lossless web format decodes
    * for real. This narrows the stub boundary honestly: decode is REAL
-   * for PNG/BMP/WAV; StubCodecs remains only where the container lacks
-   * codecs (JPEG/MP3/H.264/FLAC). Encoders exist so pipelines (and the oracle
+   * for JPEG ([[JpegCodec]], its own file)/PNG/BMP/WAV; StubCodecs
+   * remains only for MP3/H.264/FLAC. Encoders exist so pipelines (and the oracle
    * queries) can synthesize spec-valid blobs from tabular data; the
    * SpecSuite pins both against hand-written byte fixtures so an
    * encode/decode-symmetric bug cannot hide.
@@ -237,10 +238,12 @@ object Multimodal {
       Some((ImageMeta(Some(w), Some(h), Some(3), "bmp"), out))
     }
 
-    /** Format sniff by magic bytes: "png" | "bmp" | "wav" | "stub". */
+    /** Format sniff by magic bytes: "png" | "jpeg" | "bmp" | "wav" | "stub". */
     def sniff(blob: Array[Byte]): String =
       if (blob.length >= 8 && (blob(0) & 0xff) == 0x89 && blob(1) == 'P' &&
         blob(2) == 'N' && blob(3) == 'G') "png"
+      else if (blob.length >= 3 && (blob(0) & 0xff) == 0xff &&
+        (blob(1) & 0xff) == 0xd8 && (blob(2) & 0xff) == 0xff) "jpeg"
       else if (blob.length >= 2 && blob(0) == 'B' && blob(1) == 'M') "bmp"
       else if (blob.length >= 12 &&
         new String(blob, 0, 4, "US-ASCII") == "RIFF" &&
@@ -513,6 +516,7 @@ object Multimodal {
           val decoded = RealCodecs.sniff(blob) match {
             case "bmp" => RealCodecs.decodeBmp24(blob)
             case "png" => RealCodecs.decodePng(blob)
+            case "jpeg" => JpegCodec.decode(blob)
             case _ => None
           }
           decoded match {
@@ -654,6 +658,7 @@ object Multimodal {
     RealCodecs.sniff(blob) match {
       case "bmp" => RealCodecs.decodeBmp24(blob)
       case "png" => RealCodecs.decodePng(blob)
+      case "jpeg" => JpegCodec.decode(blob)
       case _ => None
     }
 
