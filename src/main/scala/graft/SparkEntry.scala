@@ -2394,12 +2394,19 @@ object SparkEntry {
     // hash-fails. Zero-shuffle codegen projection
     "q_html_text" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      // the PLANTED body text is sanitized ('<', '&' and whitespace runs
+      // to one space) with a DuckDB-replayable expression, so the oracle
+      // can rebuild ground truth however hostile the corpus text is —
+      // un-sanitized text containing tag-like spans or entities would
+      // make the extractor's output diverge from a verbatim-append
+      // oracle at other scale factors
+      val safeText = regexp_replace(col("text"), "[<&\\s\\x00-\\x1f\\x7f]+", " ")
       val html = concat(
         lit("<html><head><title></title><style>p { color: #fff; }</style>"),
         lit("<script type=\"text/javascript\">if (a < b && c > d) { alert(\"x\"); }</script></head>"),
         lit("<body><!-- doc "), col("doc_id").cast("string"),
         lit(" --><h1>"), col("lang"),
-        lit("</h1>\n  <p>Tom &amp; Jerry &lt;3</p>\n<p>"), col("text"),
+        lit("</h1>\n  <p>Tom &amp; Jerry &lt;3</p>\n<p>"), safeText,
         lit("&nbsp;&quot;end&quot;</p></body></html>"))
       docs.select(col("doc_id"),
         graft.operators.TextAnalysis.htmlToText(html).as("clean_text"))
@@ -2409,14 +2416,22 @@ object SparkEntry {
     // caps and exact URL dedup): synthetic URLs exercise every rule —
     // mixed-case scheme/host (lowered) vs mixed-case path (preserved),
     // default :80 port (stripped), fragments (dropped), trailing
-    // slashes (stripped), query strings (byte-exact passthrough). The
-    // oracle recomputes ground truth from doc_id, not by replaying the
-    // regex chain. Zero-shuffle codegen projection
+    // slashes (stripped), query strings (byte-exact passthrough),
+    // percent-encoding normalization (mixed-case %7e -> ~ decoded,
+    // reserved %2f only case-uppered to %2F), and public-suffix
+    // domains (every 7th URL is a .CO.UK host, whose registrable
+    // domain keeps THREE labels). The oracle recomputes ground truth
+    // from doc_id, not by replaying the regex chain. Zero-shuffle
+    // codegen projection
     "q_url_normalize" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
       val url = concat(lit("HTTP://WWW.Example"),
         pmod(col("doc_id"), lit(50L)).cast("string"),
-        lit(".COM:80/Path/"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(7L)) === 0, lit(".CO.UK"))
+          .otherwise(lit(".COM")),
+        lit(":80/Path/"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(6L)) === 0, lit("/%7e%41b%2fC"))
+          .otherwise(lit("")),
         when(pmod(col("doc_id"), lit(3L)) === 0, lit("/")).otherwise(lit("")),
         when(pmod(col("doc_id"), lit(4L)) === 0, lit("?b=2&a=1")).otherwise(lit("")),
         when(pmod(col("doc_id"), lit(5L)) === 0, lit("#Frag")).otherwise(lit("")))
@@ -2434,14 +2449,22 @@ object SparkEntry {
     "q_curate9" -> ((s, dir) => {
       import graft.operators.{TextAnalysis, Sampling}
       val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      // sanitized planted text — same DuckDB-replayable cleanup as
+      // q_html_text, so hostile corpus text can't desync the oracle.
+      // Every 7th page lives under a .CO.UK host: its cap bucket must
+      // key on the THREE-label registrable domain (PSL rule), which is
+      // exactly the mis-cap the last-two-labels heuristic had
+      val safeText = regexp_replace(col("text"), "[<&\\s\\x00-\\x1f\\x7f]+", " ")
       val html = concat(
         lit("<html><head><style>p{color:#000}</style>"),
         lit("<script>if(a<b&&c>d){x()}</script></head><body><h1>"),
-        col("lang"), lit("</h1><p>"), col("text"),
+        col("lang"), lit("</h1><p>"), safeText,
         lit("&nbsp;&quot;end&quot;</p></body></html>"))
       val url = concat(lit("HTTP://WWW.Example"),
         pmod(col("doc_id"), lit(50L)).cast("string"),
-        lit(".COM:80/Doc/"), col("doc_id").cast("string"), lit("#top"))
+        when(pmod(col("doc_id"), lit(7L)) === 0, lit(".CO.UK"))
+          .otherwise(lit(".COM")),
+        lit(":80/Doc/"), col("doc_id").cast("string"), lit("#top"))
       val page = docs.select(col("doc_id"),
         TextAnalysis.urlDomain(url).as("domain"),
         TextAnalysis.htmlToText(html).as("clean_text"))
@@ -2453,16 +2476,20 @@ object SparkEntry {
 
     // intra-doc consecutive-duplicate-line collapse (crawl de-stutter):
     // planted stutter — 8 lines in consecutive-equal PAIRS (line k =
-    // 'w'||((doc_id + k div 2) % 5)) then the real text — collapses to
-    // 4 distinct lines + text. One aggregate() fold, zero-shuffle; the
-    // oracle is ground truth from doc_id, not a replay of the fold
+    // 'w'||((doc_id + k div 2) % 5)) then the real text as ONE final
+    // line — collapses to 4 distinct lines + the text line. The text
+    // is whitespace-collapsed to a single line and prefixed 't:' (so
+    // it can never equal a planted 'w*' line, and the oracle can
+    // append it verbatim however many blank-line runs or stutters the
+    // raw corpus text contains — those would otherwise collapse on the
+    // Spark side only). One aggregate() fold, zero-shuffle
     "q_destutter" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
       val stuttered = concat(
         array_join(transform(sequence(lit(0), lit(7)), k =>
           concat(lit("w"), pmod(col("doc_id") + floor(k / 2), lit(5L))
             .cast("string"))), "\n"),
-        lit("\n"), col("text"))
+        lit("\nt:"), regexp_replace(col("text"), "[\\s\\x00-\\x1f\\x7f]+", " "))
       docs.select(col("doc_id"),
         graft.operators.TextAnalysis.dedupConsecutiveLines(stuttered)
           .as("clean_text"))
@@ -3274,10 +3301,13 @@ object SparkEntry {
       // 10^5 images — the guard measured ~93M candidates at 500k — so
       // past that the query drops to radius 1 (28-bit bands, bucket
       // occupancy ~n/2^28). The planted dups sit at hamming 0, inside
-      // every radius; the oracle runs at sf0.01 where radius is 3.
+      // every radius. The threshold keys on the UNFILTERED table count
+      // (no text-column null scan — the count job reads zero columns)
+      // and the oracle replays the identical CASE rule in SQL, so the
+      // two sides agree at EVERY scale factor, not just sf0.01.
       // A production corpus sizes the HASH to the corpus instead
       // (128-bit pHash at 10^9 images) — the band algebra is identical
-      val radius = if (src.count() > 200000L) 1 else 3
+      val radius = if (tbl(s, dir, "documents").count() > 200000L) 1 else 3
       val docs = src.select(col("doc_id"), pngUdf(col("doc_id")).as("blob"))
       Multimodal.imageNearDupPairs(docs, "doc_id", "blob", radius = radius)
     }),
@@ -4964,10 +4994,16 @@ object SparkEntry {
     // ground-truth expected text straight from the raw columns (NOT a
     // replay of the strip chain): heading + decoded-entity sentence +
     // body + quoted tail, whitespace-collapsed
+    // line-aware ground truth: the <h1> and the two <p> blocks become
+    // LINES; the planted body text is sanitized identically on both
+    // sides ([<&\s\x00-\x1f\x7f]+ -> ' ' — the class unions away the
+    // Java-vs-RE2 \s disagreement on \x0B), so it appends verbatim
     "q_html_text" ->
       """SELECT doc_id,
-        |  trim(regexp_replace(lang || ' Tom & Jerry <3 ' || text
-        |    || ' "end"', '\s+', ' ', 'g')) AS clean_text
+        |  lang || chr(10) || 'Tom & Jerry <3' || chr(10) ||
+        |  trim(regexp_replace(
+        |    regexp_replace(text, '[<&\s\x00-\x1f\x7f]+', ' ', 'g')
+        |      || ' "end"', ' +', ' ', 'g')) AS clean_text
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // ground truth from doc_id: scheme/host lowered, :80 gone, path
@@ -4975,9 +5011,13 @@ object SparkEntry {
     // byte-exact; domain = last two host labels
     "q_url_normalize" ->
       """SELECT doc_id,
-        |  'http://www.example' || (doc_id % 50) || '.com/Path/' || doc_id
+        |  'http://www.example' || (doc_id % 50)
+        |    || CASE WHEN doc_id % 7 = 0 THEN '.co.uk' ELSE '.com' END
+        |    || '/Path/' || doc_id
+        |    || CASE WHEN doc_id % 6 = 0 THEN '/~Ab%2FC' ELSE '' END
         |    || CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1' ELSE '' END AS url_norm,
-        |  'example' || (doc_id % 50) || '.com' AS domain
+        |  'example' || (doc_id % 50)
+        |    || CASE WHEN doc_id % 7 = 0 THEN '.co.uk' ELSE '.com' END AS domain
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // de-stutter ground truth straight from the arithmetic: the four
@@ -4987,7 +5027,8 @@ object SparkEntry {
         |  'w' || (doc_id % 5) || chr(10) ||
         |  'w' || ((doc_id + 1) % 5) || chr(10) ||
         |  'w' || ((doc_id + 2) % 5) || chr(10) ||
-        |  'w' || ((doc_id + 3) % 5) || chr(10) || text AS clean_text
+        |  'w' || ((doc_id + 3) % 5) || chr(10) || 't:' ||
+        |  regexp_replace(text, '[\s\x00-\x1f\x7f]+', ' ', 'g') AS clean_text
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // the composition from ground truth: expected clean text + derived
@@ -4995,9 +5036,12 @@ object SparkEntry {
     // keyed on domain, token counts on the EXPECTED text
     "q_curate9" ->
       """WITH p AS (SELECT doc_id,
-        |    'example' || (doc_id % 50) || '.com' AS domain,
-        |    trim(regexp_replace(lang || ' ' || text || ' "end"',
-        |      '\s+', ' ', 'g')) AS clean
+        |    'example' || (doc_id % 50)
+        |      || CASE WHEN doc_id % 7 = 0 THEN '.co.uk' ELSE '.com' END
+        |      AS domain,
+        |    trim(regexp_replace(lang || ' '
+        |      || regexp_replace(text, '[<&\s\x00-\x1f\x7f]+', ' ', 'g')
+        |      || ' "end"', '\s+', ' ', 'g')) AS clean
         |  FROM documents WHERE text IS NOT NULL),
         |c AS (SELECT domain, count(*) AS n FROM p GROUP BY domain),
         |caps AS (SELECT domain, n,
@@ -5862,7 +5906,9 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
+        |WHERE bit_count(xor(a.fp, b.fp)) <=
+        |  CASE WHEN (SELECT count(*) FROM documents) > 200000
+        |       THEN 1 ELSE 3 END""".stripMargin,
 
     // frame sampling: every 4th 32-byte slice; frames compared as hex
     // (both engines' hex() is uppercase and DuckDB lacks blob md5)

@@ -25,31 +25,73 @@ object TextAnalysis {
    * HTML → plain text extraction — the front-door operator of a web
    * corpus ingest, as a pure `Column` regex chain (codegen'd, scan-
    * local, no UDF): drop `<script>`/`<style>` bodies and comments
-   * entirely, strip every remaining tag to a space, decode the five
-   * core character entities (`&amp;` LAST, so `&amp;lt;` decodes to the
-   * literal `&lt;` and not `<` — single-pass decode, the lossless
-   * convention), then collapse all whitespace. Patterns are RE2-safe
-   * (no backreferences, lazy quantifiers only), so a SQL engine
-   * replays the chain verbatim.
+   * entirely, turn BLOCK-level tags (`p/div/li/ul/ol/table/tr/
+   * blockquote/pre/hr/h1-h6`, and `<br>`) into newlines, strip every
+   * remaining (inline) tag to a space, decode the five core character
+   * entities (`&amp;` LAST, so `&amp;lt;` decodes to the literal
+   * `&lt;` and not `<` — single-pass decode, the lossless convention),
+   * then normalize whitespace LINE-AWARE: horizontal runs collapse to
+   * one space, spaces around newlines drop, newline runs collapse to
+   * one, edges trim. Patterns are RE2-safe (no backreferences, lazy
+   * quantifiers only), so a SQL engine replays the chain verbatim.
+   *
+   * The newline mapping is what makes extraction COMPOSE with the
+   * line-level cleanup ops ([[dedupConsecutiveLines]],
+   * [[Dedup.removeBoilerplateLines]]): a `<li>` menu repeated across a
+   * nav bar arrives as repeated LINES, which those operators can see —
+   * a space-flattened extractor starves them of structure.
    *
    * Scale shape: a projection — whole-stage codegen over the scan,
    * no shuffle, no driver state; cost is the regex passes per row.
-   * This is a pragmatic extractor (block structure flattens to
-   * spaces, no DOM, no boilerplate heuristics — [[Dedup.removeBoilerplateLines]]
-   * and the Gopher rules handle quality downstream); malformed markup
-   * degrades to extra spaces, never to an error.
+   * Still a pragmatic extractor (no DOM, no boilerplate heuristics);
+   * malformed markup degrades to extra whitespace, never to an error.
    */
   def htmlToText(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
-    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)</?(?:br|p|div|li|ul|ol|table|tr|blockquote|pre|hr|h[1-6])\\b[^>]*>",
+      "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (from, to)) =>
         replace(c, lit(from), lit(to)) // literal replace — both engines
       }
-    trim(regexp_replace(ent, "\\s+", " "))
+    // line-aware normalize: [^\S\n] is "whitespace except newline" in
+    // both Java regex and RE2 (Perl classes inside classes)
+    val hCollapsed = regexp_replace(ent, "[^\\S\\n]+", " ")
+    val edged = regexp_replace(hCollapsed, " ?\\n ?", "\n")
+    val oneNl = regexp_replace(edged, "\\n+", "\n")
+    regexp_replace(oneNl, "^\\s+|\\s+$", "")
+  }
+
+  /** The 66 unreserved characters (RFC 3986 §2.3) as
+    * (uppercase-hex escape, literal) pairs — the decode set of
+    * [[urlNormalize]]'s §6.2.2 percent-encoding normalization. */
+  private val unreservedEscapes: Seq[(String, String)] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
+      .map(ch => (f"%%${ch.toInt}%02X", ch.toString))
+
+  /** RFC 3986 §6.2.2 percent-encoding normalization as a pure Column
+    * chain: uppercase the hex digits of every escape (two regex passes
+    * per lowercase hex letter — first digit, then second, so `%aa` →
+    * `%Aa` → `%AA`), then decode escapes of UNRESERVED characters to
+    * their literals (`%7E` → `~`, `%41` → `A`) via literal replaces.
+    * Reserved escapes (`%2F`, `%3F`, …) are only case-normalized, never
+    * decoded — decoding them would change where the URL's delimiters
+    * are. No cascade is possible: `%25` is reserved, so decoding never
+    * manufactures a new `%`. Malformed escapes (`%g1`, a bare `%`)
+    * pass through untouched. */
+  private def normalizePctEscapes(c: Column): Column = {
+    val upFirst = ('a' to 'f').foldLeft(c)((acc, d) =>
+      regexp_replace(acc, s"%$d([0-9A-Fa-f])", s"%${d.toUpper}$$1"))
+    val upBoth = ('a' to 'f').foldLeft(upFirst)((acc, d) =>
+      regexp_replace(acc, s"%([0-9A-F])$d", s"%$$1${d.toUpper}"))
+    unreservedEscapes.foldLeft(upBoth) { case (acc, (esc, ch)) =>
+      replace(acc, lit(esc), lit(ch))
+    }
   }
 
   /**
@@ -58,11 +100,14 @@ object TextAnalysis {
    * lowercase scheme and host (ONLY those — path/query case is
    * significant per RFC 3986), drop the fragment, drop the default
    * port for its scheme (:80 http, :443 https), strip trailing path
-   * slashes. Query strings pass through byte-exact (param reordering
+   * slashes, and normalize percent-encoding in path and query
+   * ([[normalizePctEscapes]]: uppercase hex, decode unreserved — so
+   * `/a%7e` and `/a%7E` and `/a~` all key identically). Query
+   * PARAMETERS otherwise pass through byte-exact (param reordering
    * changes semantics for some servers; sorting is a caller policy,
    * not a canonicalization). Pure Column regex/string chain —
    * codegen'd, scan-local, RE2-safe. Non-URL strings degrade to a
-   * best-effort lowercase-scheme passthrough, never an error.
+   * best-effort passthrough, never an error.
    */
   def urlNormalize(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
@@ -71,9 +116,9 @@ object TextAnalysis {
     val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)
-    val path = regexp_replace(
-      regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*([^?#]*)", 1), "/+$", "")
-    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val path = normalizePctEscapes(regexp_replace(
+      regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*([^?#]*)", 1), "/+$", ""))
+    val query = normalizePctEscapes(regexp_extract(noFrag, "\\?([^#]*)", 1))
     when(scheme === "", u) // not a scheme://... URL: passthrough
       .otherwise(concat(scheme, lit("://"), host, path,
         when(query === "", lit("")).otherwise(concat(lit("?"), query))))
@@ -92,8 +137,17 @@ object TextAnalysis {
    * split per element access (Catalyst does not CSE inside lambdas,
    * the house rule). Zero-shuffle codegen projection; empty lines
    * compare like any other (a blank-line run collapses to one blank).
+   *
+   * The fold's accumulator string is rebuilt per kept line, so cost is
+   * O(lines × docBytes) — linear for corpus-normal documents (measured
+   * at 1000×) but quadratic for a pathological multi-MB single
+   * document. `maxChars` is the fail-fast guard (the house pattern:
+   * named knob, loud error, no silent death-by-spill): oversize rows
+   * must be pre-split or pre-truncated upstream, not silently fed to a
+   * quadratic fold.
    */
-  def dedupConsecutiveLines(text: Column): Column = {
+  def dedupConsecutiveLines(text: Column,
+                            maxChars: Int = 1 << 20): Column = {
     val lines = split(text, "\n")
     val folded = aggregate(
       lines,
@@ -105,19 +159,110 @@ object TextAnalysis {
             lit(false).as("first"), x.as("prev")))
         .otherwise(st),
       st => st.getField("acc"))
-    when(text.isNull, lit(null)).otherwise(folded)
+    when(text.isNull, lit(null))
+      .when(length(text) > maxChars, raise_error(concat(
+        lit(s"dedupConsecutiveLines: document exceeds maxChars=$maxChars ("),
+        length(text).cast("string"),
+        lit(" chars) — the per-line fold is quadratic on one giant " +
+          "document; split or truncate upstream, or raise maxChars"))))
+      .otherwise(folded)
   }
 
-  /** Naive registrable domain: the last two dot-labels of the
-    * (lowercased, port-stripped) host — `a.b.example.com` → `example.com`.
-    * No public-suffix list in-container, so two-label TLDs
-    * (`example.co.uk` → `co.uk`) are the documented limitation; swap in
-    * a PSL lookup in production, the column shape is identical. */
+  /**
+   * Static snapshot of the most common TWO-LABEL public suffixes from
+   * the public-suffix list's ICANN section (publicsuffix.org — public
+   * data; a curated subset embedded as a constant so the container
+   * needs no download). Under any of these, the registrable domain is
+   * the last THREE host labels (`shop.example.co.uk` → `example.co.uk`),
+   * not two. Swap in the full PSL (including its handful of >2-label
+   * and wildcard rules, which this snapshot deliberately omits) in
+   * production — the column shape is identical.
+   */
+  val publicSuffixSnapshot: Seq[String] = Seq(
+    // UK / Ireland / crown dependencies
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "co.im", "co.je", "co.gg", "gov.ie",
+    // Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "gen.nz", "geek.nz", "maori.nz",
+    // East / South / Southeast Asia
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "ms.kr", "hs.kr", "es.kr", "sc.kr",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "mil.in", "nic.in",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "co.id", "net.id", "or.id", "ac.id", "go.id", "sch.id", "web.id",
+    "my.id", "biz.id",
+    "co.th", "or.th", "ac.th", "go.th", "in.th", "mi.th",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "ngo.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "ac.vn",
+    "biz.vn", "info.vn", "name.vn", "pro.vn",
+    // Middle East / Africa
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il", "k12.il",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "k12.tr",
+    "gen.tr", "web.tr", "av.tr",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "pub.sa", "sch.sa",
+    "co.ae", "net.ae", "org.ae", "ac.ae", "gov.ae", "sch.ae",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "info.ke",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "sch.ng",
+    "name.ng", "i.ng",
+    // Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "art.br", "adv.br", "ind.br", "inf.br",
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar",
+    "mil.ar", "tur.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "nom.pe",
+    "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy",
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec",
+    "com.ve", "net.ve", "org.ve", "edu.ve", "gob.ve",
+    "gob.cl", "gov.cl",
+    "on.ca", "qc.ca", "bc.ca", "ab.ca", "mb.ca", "sk.ca", "ns.ca",
+    "nb.ca", "nl.ca", "pe.ca", "nt.ca", "nu.ca", "yk.ca", "gc.ca",
+    // Europe (the ccTLDs that register at the second level)
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "biz.pl", "info.pl",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "info.ro", "firm.ro",
+    "nom.ro", "store.ro",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt", "int.pt",
+    "publ.pt",
+    "co.at", "or.at", "ac.at", "gv.at",
+    "co.hu", "org.hu", "info.hu",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "ac.be", "com.ru", "net.ru", "org.ru", "ac.ru",
+    "com.is", "net.is", "org.is", "edu.is", "gov.is", "int.is")
+
+  /** Registrable domain of a URL's host: the last two dot-labels of the
+    * (lowercased, port-stripped) host — or the last THREE when the last
+    * two form a known public suffix ([[publicSuffixSnapshot]]:
+    * `a.b.example.co.uk` → `example.co.uk`, not `co.uk`). Without the
+    * suffix rule, per-domain caps would pool every `co.uk` site into
+    * one bucket — an active mis-cap, not a cosmetic miss. A host that
+    * IS exactly a public suffix (no third label) degrades to the
+    * suffix itself. Pure codegen chain; the IN-set compiles to a hash
+    * lookup (Catalyst InSet) and replays in SQL as a CASE/IN. */
   def urlDomain(u: Column): Column = {
     val host = regexp_replace(
       lower(regexp_extract(regexp_replace(u, "#.*$", ""),
         "^[^:/?#]+://([^/?#]*)", 1)), ":[0-9]+$", "")
-    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val lastTwo = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    val lastThree = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(lastTwo.isin(publicSuffixSnapshot: _*) && lastThree =!= "",
+      lastThree).otherwise(lastTwo)
   }
 
   /** Compiled once: `String.replaceAll` recompiles its pattern per call,

@@ -1427,4 +1427,58 @@ class PipelineOpsSpec extends GraftSpec {
     // not a URL: passthrough, never an error
     assert(norm("not a url at all")._1 == "not a url at all")
   }
+
+  test("urlDomain: public-suffix snapshot keeps three labels under co.uk-class TLDs") {
+    import graft.operators.TextAnalysis.urlDomain
+    def dom(s: String) = Seq(s).toDF("u")
+      .select(urlDomain(col("u"))).collect().head.getString(0)
+    assert(dom("http://www.shop.Example.CO.UK/x") == "example.co.uk")
+    assert(dom("https://a.b.c.example.com.au:8443/") == "example.com.au")
+    assert(dom("http://news.site.ne.jp") == "site.ne.jp")
+    assert(dom("http://example.com/x") == "example.com")
+    // a host that IS a public suffix degrades to the suffix itself
+    assert(dom("http://co.uk/") == "co.uk")
+    // sibling TLD labels that are NOT suffixes stay two-label
+    assert(dom("http://www.foo.uk/") == "foo.uk")
+  }
+
+  test("urlNormalize: percent-encoding normalization — uppercase hex, decode unreserved, keep reserved") {
+    import graft.operators.TextAnalysis.urlNormalize
+    def norm(s: String) = Seq(s).toDF("u")
+      .select(urlNormalize(col("u"))).collect().head.getString(0)
+    // RFC 3986 §6.2.2: %7e/%7E -> ~, %41 -> A, %2d -> -
+    assert(norm("http://x.com/a%7eb") == "http://x.com/a~b")
+    assert(norm("http://x.com/a%7Eb") == "http://x.com/a~b")
+    assert(norm("http://x.com/%41%62%30%2d%5f%2e") == "http://x.com/Ab0-_.")
+    // reserved escapes are case-normalized but NEVER decoded
+    assert(norm("http://x.com/a%2fb?k=%3d1") == "http://x.com/a%2Fb?k=%3D1")
+    // mixed-case hex in both digit positions
+    assert(norm("http://x.com/%aF%Fa%ff") == "http://x.com/%AF%FA%FF")
+    // %25 stays, and decoding cannot cascade a second round
+    assert(norm("http://x.com/%2541") == "http://x.com/%2541")
+    // malformed escapes pass through untouched
+    assert(norm("http://x.com/100%way") == "http://x.com/100%way")
+    // escape-equivalent URLs now share one dedup key
+    assert(norm("http://x.com/a%7Eb") == norm("HTTP://X.com:80/a~b/"))
+  }
+
+  test("htmlToText: block tags become lines and compose with line-level cleanup") {
+    import graft.operators.TextAnalysis.{htmlToText, dedupConsecutiveLines}
+    def strip(s: String): String =
+      Seq(s).toDF("h").select(htmlToText(col("h"))).collect().head.getString(0)
+    // p/br/li/h1 produce newlines; inline tags still flatten to spaces
+    assert(strip("<h1>Title</h1><p>one <b>two</b></p><p>three</p>") ==
+      "Title\none two\nthree")
+    assert(strip("a<br>b<BR/>c") == "a\nb\nc")
+    assert(strip("<ul><li>Home</li><li>About</li></ul>") == "Home\nAbout")
+    // blank-ish block runs collapse to single newlines, edges trim
+    assert(strip("<div>\n\n<p>  </p>x</div>") == "x")
+    // the two halves of web ingest COMPOSE: a nav menu repeated line-
+    // by-line is visible to the de-stutter pass after extraction
+    val page = "<li>Nav</li><li>Nav</li><p>body</p>"
+    val got = Seq(page).toDF("h")
+      .select(dedupConsecutiveLines(htmlToText(col("h"))))
+      .collect().head.getString(0)
+    assert(got == "Nav\nbody", s"got '$got'")
+  }
 }

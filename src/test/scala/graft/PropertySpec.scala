@@ -453,6 +453,39 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("dedupConsecutiveLines: random docs under the cap fold exactly; a multi-MB doc fails fast") {
+    import graft.operators.TextAnalysis.dedupConsecutiveLines
+    val lineGen = Gen.oneOf("a", "b", "menu item", "", "x y")
+    val docGen = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, lineGen))
+    forSamples(docGen, n = 30) { lines =>
+      val doc = lines.mkString("\n")
+      val got = Seq(doc).toDF("t")
+        .select(dedupConsecutiveLines(col("t"))).collect().head.getString(0)
+      // JVM reference: collapse consecutive equals
+      val want = lines.foldLeft(List.empty[String]) {
+        case (acc, l) if acc.headOption.contains(l) => acc
+        case (acc, l) => l :: acc
+      }.reverse.mkString("\n")
+      assert(got == want, s"doc=${doc.take(80)}…")
+    }
+    // the quadratic-fold guard: a multi-MB single document must fail
+    // FAST with the named knob, not grind through O(doc²) copies
+    val big = ("line\n" * 500000) + "tail" // ~2.5 MB
+    val e = intercept[Exception] {
+      Seq(big).toDF("t")
+        .select(dedupConsecutiveLines(col("t"))).collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxChars")),
+      s"expected the named maxChars guard, got: $e")
+    // and an explicit higher cap restores the fold
+    val ok = Seq("a\na\nb").toDF("t")
+      .select(dedupConsecutiveLines(col("t"), maxChars = 1 << 24))
+      .collect().head.getString(0)
+    assert(ok == "a\nb")
+  }
+
   test("SplittableCsv: random content and block sizes always equal the single-task read") {
     import graft.sources.SplittableCsv
     import org.apache.spark.sql.types._
