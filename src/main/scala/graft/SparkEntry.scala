@@ -3177,13 +3177,18 @@ object SparkEntry {
     // the decode→slice→encode→decode chain is exact, and the
     // order-sensitive zero_crossings is recomputed on the DECIMATED
     // sequence, so an off-by-one in the stride (or a reader that
-    // mis-walks the re-encoded chunks) breaks the hash
+    // mis-walks the re-encoded chunks) breaks the hash. Every 3rd doc
+    // is STEREO (same hash samples interleaved as L/R frames): stereo
+    // decimation must stride FRAMES — a raw-sample stride would swap
+    // channels mid-stream, and the oracle's frame replay catches it
     "q_resample" -> ((s, dir) => {
-      val wavUdf = udf { (text: String) =>
-        Multimodal.wavBlobFromText(text, 16000)
+      val wavUdf = udf { (id: Long, text: String) =>
+        Multimodal.wavBlobFromText(text, 16000,
+          channels = if (id % 3 == 0) 2 else 1)
       }
       val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"), wavUdf(col("text")).as("blob"))
+        .select(col("doc_id"),
+          wavUdf(col("doc_id"), col("text")).as("blob"))
       val dec = Multimodal.decimateAudio(docs, "doc_id", "blob",
         factor = 4, batchSize = 32)
       Multimodal.audioStats(dec, "media_id", "resampled", batchSize = 32)
@@ -5776,9 +5781,11 @@ object SparkEntry {
          |    i -> (ss[i] >= 0) <> (ss[i+1] >= 0))) AS BIGINT) AS zero_crossings
          |FROM s""".stripMargin,
 
-    // decimation: the same word-hash samples sliced to every 4th
-    // (1-based ss[4k+1]), then the q_wav_audio stats over the SLICED
-    // sequence at rate/4
+    // decimation: mono docs slice every 4th sample (1-based ss[4k+1]);
+    // stereo docs (doc_id%3=0) keep BOTH interleaved samples of every
+    // 4th FRAME (f[8k+1], f[8k+2]) — then the q_wav_audio stats over
+    // the sliced sequence at rate/4. The frame replay is what makes a
+    // raw-sample stereo stride (channel swap) fail the hash
     "q_resample" ->
       s"""WITH w AS (SELECT doc_id,
          |    list_transform(string_split_regex(lower(text), '\\s+'),
@@ -5787,7 +5794,12 @@ object SparkEntry {
          |s0 AS (SELECT doc_id,
          |    list_transform(wh, x -> (x % 65536) - 32768) AS f FROM w),
          |s AS (SELECT doc_id,
-         |    list_transform(range(0, (len(f) + 3) // 4), k -> f[4 * k + 1]) AS ss
+         |    CASE WHEN doc_id % 3 = 0 THEN
+         |      flatten(list_transform(range(0, ((len(f) // 2) + 3) // 4),
+         |        k -> [f[8 * k + 1], f[8 * k + 2]]))
+         |    ELSE
+         |      list_transform(range(0, (len(f) + 3) // 4), k -> f[4 * k + 1])
+         |    END AS ss
          |  FROM s0)
          |SELECT doc_id AS media_id, 'wav' AS format,
          |  CAST(4000 AS INTEGER) AS sample_rate,

@@ -436,10 +436,11 @@ object Multimodal {
     * blobs whose recovered samples are SQL-replayable. Trimmed-text
     * contract: word hashing drops trailing empties (Pattern.split), the
     * same contract PropertySpec pins for novelty/DSIR. */
-  def wavBlobFromText(text: String, sampleRate: Int): Array[Byte] =
+  def wavBlobFromText(text: String, sampleRate: Int,
+                      channels: Int = 1): Array[Byte] =
     RealCodecs.encodeWavPcm16(
       Dedup.wordHashes(text).map(h => ((h % 65536) - 32768).toShort),
-      sampleRate)
+      sampleRate, channels = channels)
 
   val audioStatsSchema: StructType = new StructType()
     .add("media_id", LongType, nullable = false)
@@ -621,10 +622,12 @@ object Multimodal {
    * resampler low-pass-filters first; plain decimation is the
    * deterministic contract an oracle can replay, and the honest
    * semantics for feature pipelines that just need fewer samples.)
-   * Non-WAV and non-mono blobs are dropped (stereo decimation would
-   * have to stride FRAMES, not samples — add it when a stereo corpus
-   * exists). Any positive `factor` works; it need not divide the
-   * sample count (the final partial stride keeps its first sample).
+   * Mono strides SAMPLES; stereo strides FRAMES (interleaved L/R
+   * pairs — striding raw samples would split frames and swap channels
+   * mid-stream), keeping both channels of every `factor`-th frame and
+   * dropping a dangling half-frame. Non-WAV and >2-channel blobs are
+   * dropped. Any positive `factor` works; it need not divide the
+   * frame count (the final partial stride keeps its first frame).
    */
   def decimateAudio(df: DataFrame, idCol: String, blobCol: String,
                     factor: Int, batchSize: Int = 64): DataFrame = {
@@ -642,6 +645,17 @@ object Multimodal {
               val kept = Array.range(0, ss.length, factor).map(ss)
               Row(r.getLong(0), RealCodecs.encodeWavPcm16(
                 kept, math.max(m.sampleRate / factor, 1)))
+            case (m, ss) if m.channels == 2 =>
+              val frames = Array.range(0, ss.length / 2, factor)
+              val kept = new Array[Short](frames.length * 2)
+              var i = 0
+              while (i < frames.length) {
+                kept(2 * i) = ss(2 * frames(i))
+                kept(2 * i + 1) = ss(2 * frames(i) + 1)
+                i += 1
+              }
+              Row(r.getLong(0), RealCodecs.encodeWavPcm16(
+                kept, math.max(m.sampleRate / factor, 1), channels = 2))
           }
         }
       }

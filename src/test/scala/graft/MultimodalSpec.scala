@@ -213,6 +213,19 @@ class MultimodalSpec extends GraftSpec {
     intercept[IllegalArgumentException](
       Multimodal.decimateAudio(Seq((1L, wav)).toDF("media_id", "blob"),
         "media_id", "blob", factor = 0))
+    // STEREO strides FRAMES: 11 interleaved samples = 5 full L/R frames
+    // (+ a dropped dangling half-frame); factor 2 keeps frames 0,2,4 —
+    // a raw-sample stride would emit (s0,s2,...) and swap channels
+    val stereo = Multimodal.RealCodecs.encodeWavPcm16(samples, 16000,
+      channels = 2)
+    val sOut = Multimodal.decimateAudio(
+      Seq((3L, stereo)).toDF("media_id", "blob"),
+      "media_id", "blob", factor = 2).collect()
+    val Some((sm, sss)) = Multimodal.RealCodecs.decodeWavPcm16(
+      sOut.head.getAs[Array[Byte]](1))
+    assert(sm.sampleRate == 8000 && sm.channels == 2)
+    assert(sss.toSeq == Seq(0, 1, 4, 5, 8, 9).map(i => samples(i)),
+      s"kept frames 0,2,4 intact; got ${sss.toSeq}")
   }
 
   test("grayPool: grid-aligned integer box means, hand-checked incl. uneven boxes") {
