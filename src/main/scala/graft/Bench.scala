@@ -42,7 +42,20 @@ object Bench {
         // later query never asked for
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        // toRdd.count(), NOT DataFrame.count(): df.count() lets Catalyst
+        // replace the final projection with an empty aggregate, so a
+        // projection-only query (html strip, url normalize, destutter)
+        // records its SCAN SKELETON instead of the transform it claims —
+        // the q_embed_cov fake-fast gate generalized. Counting the
+        // executed plan's UnsafeRows materializes every output column:
+        // each query's recorded time is the cost of producing its
+        // actual result rows (still no driver transfer — count per
+        // partition). Round-9 change; earlier per-query records for
+        // pruned projections read low (BASELINE.md note).
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          Some((System.nanoTime() - t0) / 1e9)
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
