@@ -896,14 +896,21 @@ object Dedup {
     val refSh = ref
       .select(explode(hashedTokens(col(refTextCol), shingleN)).as("__sh"))
       .distinct() // partial-agg dedup: collapses hot shingles map-side
-    val counted = docSh.join(refSh, Seq("__sh"), "left_semi")
-      .groupBy(col("__doc")).agg(count(lit(1)).as("n_seen"))
-    val sizes = docSh.groupBy(col("__doc"))
-      .agg(count(lit(1)).as("n_shingles"))
+      .withColumn("__hit", lit(1))
+    // ONE pass over the probe shingles: a left join against the deduped
+    // reference (no fanout — __sh is unique there) tags each shingle,
+    // and a single per-doc agg reads both counts off the tagged rows.
+    // The earlier two-branch shape (left_semi for n_seen + a second
+    // groupBy for n_shingles) exploded and shuffled the corpus-side
+    // shingles twice — the dominant cost at any scale, and exactly the
+    // work Catalyst's join elimination used to hide from the old
+    // count()-based bench
+    val perDoc = docSh.join(refSh, Seq("__sh"), "left")
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("__hit")).as("n_seen"))
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol))
-      .join(sizes.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
-      .join(counted.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
+      .join(perDoc.withColumnRenamed("__doc", idCol), Seq(idCol), "left")
       .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
       .withColumn("n_seen", coalesce(col("n_seen"), lit(0L)))
       .withColumn("containment", when(col("n_shingles") > 0,
