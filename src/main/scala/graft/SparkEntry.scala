@@ -2385,6 +2385,25 @@ object SparkEntry {
       graft.sources.TextFormats.csvSplittableRoundTrip(
         tbl(s, dir, "documents"), "docsplit", blockBytes = 64L * 1024)),
 
+    // WARC web-archive ingest (the format crawl corpora actually ship
+    // in): corpus -> ONE .warc.gz of per-record gzip members -> the
+    // splittable ranged read (member-start ownership, full gzip
+    // CRC+ISIZE+WARC/ validation per candidate — sources/Warc.scala),
+    // doc_id recovered from WARC-Target-URI. blockBytes=64k forces ~10+
+    // range cuts at sf0.01 so member boundaries land mid-range. Oracle =
+    // the parquet table verbatim (lossless ingest, like q_csv_split)
+    "q_warc_source" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .withColumn("url", concat(lit("http://corpus.local/doc/"),
+          col("doc_id").cast("string")))
+      graft.sources.Warc.roundTrip(docs, "url", "text", "warcsrc",
+          blockBytes = 64L * 1024)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("content").as("text"))
+    }),
+
     // HTML -> text extraction (the web-ingest front door): each doc
     // wrapped in a full page — style/script bodies with <, >, && bait,
     // a comment, heading, entities — then stripped by the pure-Column
@@ -2410,6 +2429,26 @@ object SparkEntry {
         lit("&nbsp;&quot;end&quot;</p></body></html>"))
       docs.select(col("doc_id"),
         graft.operators.TextAnalysis.htmlToText(html).as("clean_text"))
+    }),
+
+    // the SAME extraction through the fused single-pass kernel
+    // (functions/HtmlExtract.scala) instead of the 15-regex chain —
+    // byte-identical by property pin (HtmlFusedSpec), so it shares
+    // q_html_text's ground-truth oracle verbatim; this is the form a
+    // 100 TB ingest runs (one codegen'd static call per doc, the regex
+    // NFA cost gone). Same zero-shuffle projection plan
+    "q_html_fused" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val safeText = regexp_replace(col("text"), "[<&\\s\\x00-\\x1f\\x7f]+", " ")
+      val html = concat(
+        lit("<html><head><title></title><style>p { color: #fff; }</style>"),
+        lit("<script type=\"text/javascript\">if (a < b && c > d) { alert(\"x\"); }</script></head>"),
+        lit("<body><!-- doc "), col("doc_id").cast("string"),
+        lit(" --><h1>"), col("lang"),
+        lit("</h1>\n  <p>Tom &amp; Jerry &lt;3</p>\n<p>"), safeText,
+        lit("&nbsp;&quot;end&quot;</p></body></html>"))
+      docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.htmlToTextFused(html).as("clean_text"))
     }),
 
     // URL canonicalization + registrable domain (the key for per-domain
@@ -2445,7 +2484,10 @@ object SparkEntry {
     // extraction → per-DOMAIN sqrt caps (the CCNet head-flattening rule
     // keyed on the extracted registrable domain instead of a clean
     // source label) → token accounting on the EXTRACTED text. The
-    // oracle replays the whole composition from ground truth
+    // oracle replays the whole composition from ground truth.
+    // Extraction runs through the FUSED kernel (the production form —
+    // 35x the regex chain at 1000x, byte-identical by HtmlFusedSpec's
+    // property pin, so the ground-truth oracle is unchanged)
     "q_curate9" -> ((s, dir) => {
       import graft.operators.{TextAnalysis, Sampling}
       val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
@@ -2467,7 +2509,7 @@ object SparkEntry {
         lit(":80/Doc/"), col("doc_id").cast("string"), lit("#top"))
       val page = docs.select(col("doc_id"),
         TextAnalysis.urlDomain(url).as("domain"),
-        TextAnalysis.htmlToText(html).as("clean_text"))
+        TextAnalysis.htmlToTextFused(html).as("clean_text"))
       Sampling.sourceCap(page, col("domain"), col("doc_id"))
         .withColumn("n_tokens",
           size(split(lower(col("clean_text")), "\\s+")).cast("long"))
@@ -4996,6 +5038,11 @@ object SparkEntry {
     "q_csv_split" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
+    // lossless WARC ingest: null-text docs are skipped by the writer
+    // contract (no payload to archive), everything else byte-exact
+    "q_warc_source" ->
+      "SELECT doc_id, text FROM documents WHERE text IS NOT NULL",
+
     // ground-truth expected text straight from the raw columns (NOT a
     // replay of the strip chain): heading + decoded-entity sentence +
     // body + quoted tail, whitespace-collapsed
@@ -5004,6 +5051,16 @@ object SparkEntry {
     // sides ([<&\s\x00-\x1f\x7f]+ -> ' ' — the class unions away the
     // Java-vs-RE2 \s disagreement on \x0B), so it appends verbatim
     "q_html_text" ->
+      """SELECT doc_id,
+        |  lang || chr(10) || 'Tom & Jerry <3' || chr(10) ||
+        |  trim(regexp_replace(
+        |    regexp_replace(text, '[<&\s\x00-\x1f\x7f]+', ' ', 'g')
+        |      || ' "end"', ' +', ' ', 'g')) AS clean_text
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // byte-identical to q_html_text by construction (HtmlFusedSpec pins
+    // kernel == chain), so the ground-truth oracle is shared verbatim
+    "q_html_fused" ->
       """SELECT doc_id,
         |  lang || chr(10) || 'Tom & Jerry <3' || chr(10) ||
         |  trim(regexp_replace(

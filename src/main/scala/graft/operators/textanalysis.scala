@@ -67,6 +67,18 @@ object TextAnalysis {
     regexp_replace(oneNl, "^\\s+|\\s+$", "")
   }
 
+  /**
+   * The scale tier of [[htmlToText]]: byte-identical extraction as ONE
+   * codegen'd kernel call ([[graft.functions.HtmlKernel]]) instead of 15
+   * regex/replace passes — same zero-shuffle projection shape, ~the regex
+   * chain's cost removed (SCALE.md round-9: extraction was ~24 µs/doc of
+   * pure regex at 1000×). Equality with the chain is property-pinned
+   * (HtmlFusedSpec); prefer this form in pipelines, keep [[htmlToText]]
+   * where a SQL engine must replay the transform.
+   */
+  def htmlToTextFused(html: Column): Column =
+    graft.functions.HtmlExtract(html)
+
   /** The 66 unreserved characters (RFC 3986 §2.3) as
     * (uppercase-hex escape, literal) pairs — the decode set of
     * [[urlNormalize]]'s §6.2.2 percent-encoding normalization. */

@@ -46,6 +46,9 @@ object TextFormats {
     }))
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Shutdown-cleaned scratch path for sibling fixture writers (Warc). */
+  private[sources] def scratchDir(tag: String): String = tempDir(tag)
+
   private def tempDir(tag: String): String = {
     hookInstalled
     val dir = java.nio.file.Files

@@ -385,6 +385,18 @@ class PlanSpec extends GraftSpec {
       s"text filter must reach the scan:\n$p")
   }
 
+  test("q_html_fused: zero-shuffle single-kernel projection, no UDF") {
+    val p = plan("q_html_fused")
+    assert(!p.contains("Exchange"), s"fused extraction must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"fused extraction must be the native expression, not a UDF:\n$p")
+    assert(p.contains("*(1)"), s"expected a whole-stage-codegen span:\n$p")
+    assert(p.contains("html_to_text"),
+      s"expected the fused kernel expression in the plan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(text)]"),
+      s"text filter must reach the scan:\n$p")
+  }
+
   test("q_bpe_encode: zero-shuffle codegen'd projection + generate, no UDF") {
     val p = plan("q_bpe_encode")
     assert(!p.contains("Exchange"), s"encode must not shuffle:\n$p")
