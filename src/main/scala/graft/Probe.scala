@@ -338,3 +338,42 @@ object ClusterProbe {
     spark.stop()
   }
 }
+
+/** Ad-hoc forensics for the WARC source: splits q_warc_source's recorded
+  * time into member build + driver concat (write) vs the ranged parallel
+  * read, and reports the archive size — the read is the part that exists
+  * at 100 TB (corpora arrive as .warc.gz; the single-file write is a
+  * fixture device, like q_csv_split's coalesce(1)). */
+object WarcProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("url", concat(lit("http://corpus.local/doc/"),
+        col("doc_id").cast("string")))
+    t("warm-scan")(docs.count())
+    val out = java.nio.file.Files.createTempDirectory("graft_warcprobe_")
+    val file = out.resolve("probe.warc.gz").toString
+    t("write (distributed gzip + driver concat)")(
+      graft.sources.Warc.writeSingleFile(docs, "url", "text", file))
+    println(s"[probe] archive bytes: ${new java.io.File(file).length()}")
+    val n = t("ranged read (32 MiB blocks)")(
+      graft.sources.Warc.read(spark, file).count())
+    println(s"[probe] records: $n")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(file))
+    java.nio.file.Files.deleteIfExists(out)
+    spark.stop()
+  }
+}

@@ -3083,6 +3083,21 @@ object SparkEntry {
         .withColumn("blocked", col("n_hits") >= 1L)
     }),
 
+    // the same filter through the Aho–Corasick automaton (ONE text walk
+    // for the whole pattern set — the thousand-pattern production tier;
+    // functions/Blocklist.scala AhoCorasick): counts equal the indexOf
+    // kernel by contract (AhoCorasickSpec property pin), so the oracle
+    // SQL is shared verbatim, like q_html_fused vs q_html_text
+    "q_blocklist_ac" -> ((s, dir) => {
+      val hits = graft.functions.BlocklistHitsAC(col("text"))
+      tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), hits.as("__h"))
+        .select(col("doc_id"),
+          aggregate(col("__h"), lit(0L), (a, x) => a + x).as("n_hits"),
+          size(filter(col("__h"), _ > 0L)).cast("long").as("n_patterns"))
+        .withColumn("blocked", col("n_hits") >= 1L)
+    }),
+
     // tokenizer economics per language: BPE fertility (subword tokens per
     // whitespace word) and compression (chars per token) — the health
     // stat that catches a tokenizer under-serving a language. Integer
@@ -5593,6 +5608,20 @@ object SparkEntry {
     // each pattern's leftmost non-overlapping count replayed as the SQL
     // replace() length identity — the kernel's contract by construction
     "q_blocklist" -> {
+      val per = graft.functions.Blocklist.patterns.map { p =>
+        s"((length(lower(text)) - length(replace(lower(text), '$p', ''))) // ${p.length})"
+      }
+      val total = per.mkString(" + ")
+      val distinctHit = per.map(e => s"(CASE WHEN $e > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""SELECT doc_id, CAST($total AS BIGINT) AS n_hits,
+         |  CAST($distinctHit AS BIGINT) AS n_patterns,
+         |  (($total) >= 1) AS blocked
+         |FROM documents WHERE text IS NOT NULL""".stripMargin
+    },
+
+    // counts equal q_blocklist's by the automaton's contract — the
+    // replace()-arithmetic oracle is shared verbatim
+    "q_blocklist_ac" -> {
       val per = graft.functions.Blocklist.patterns.map { p =>
         s"((length(lower(text)) - length(replace(lower(text), '$p', ''))) // ${p.length})"
       }

@@ -59,6 +59,124 @@ object Blocklist {
   }
 }
 
+/**
+ * Aho–Corasick automaton (Aho & Corasick 1975) with EXACTLY
+ * [[Blocklist.hitCounts]]'s counting contract: per pattern,
+ * independently, leftmost non-overlapping occurrences. The automaton
+ * reports every occurrence in increasing END position; for one fixed
+ * pattern, end order equals start order, so the greedy
+ * "accept iff start >= last accepted end" filter below reproduces the
+ * `indexOf`-stepping walk exactly (property-pinned in AhoCorasickSpec,
+ * including self-overlapping patterns like "aa" and patterns nested
+ * inside each other — cases the static blocklist forbids but a
+ * production list may contain).
+ *
+ * Why this tier exists: the indexOf walk is O(|patterns| × |text|) —
+ * fine for the 5-phrase fixture, wrong for a UT1-class list (a few
+ * thousand phrases makes every document pay thousands of full scans).
+ * The automaton walks the text ONCE regardless of pattern count; per
+ * step it follows at most the fail chain (amortized O(1)). Same kernel
+ * tier as [[Blocklist]]: static per-JVM build, codegen'd static call,
+ * zero shuffle — and the same oracle SQL verbatim, because the counts
+ * are equal by contract, not by luck.
+ */
+final class AhoCorasick(val patterns: Array[String]) {
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "patterns must be non-empty")
+
+  private val plen: Array[Int] = patterns.map(_.length)
+
+  // --- trie build (mutable), then frozen to parallel arrays ---
+  private val (charsOf, nextOf, fail, outs): (Array[Array[Char]],
+      Array[Array[Int]], Array[Int], Array[Array[Int]]) = {
+    import scala.collection.mutable
+    val goto = mutable.ArrayBuffer(mutable.TreeMap.empty[Char, Int])
+    val ends = mutable.ArrayBuffer(List.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { c =>
+        s = goto(s).getOrElseUpdate(c, {
+          goto += mutable.TreeMap.empty[Char, Int]
+          ends += Nil
+          goto.length - 1
+        })
+      }
+      ends(s) = pi :: ends(s)
+    }
+    val n = goto.length
+    val failA = new Array[Int](n)
+    val outA = new Array[List[Int]](n)
+    var i = 0
+    while (i < n) { outA(i) = ends(i); i += 1 }
+    val queue = mutable.Queue.empty[Int]
+    goto(0).foreach { case (_, v) => failA(v) = 0; queue.enqueue(v) }
+    while (queue.nonEmpty) {
+      val u = queue.dequeue()
+      goto(u).foreach { case (c, v) =>
+        var f = failA(u)
+        while (f != 0 && !goto(f).contains(c)) f = failA(f)
+        failA(v) = if (goto(f).contains(c) && goto(f)(c) != v) goto(f)(c) else 0
+        outA(v) = outA(v) ::: outA(failA(v)) // merged suffix outputs
+        queue.enqueue(v)
+      }
+    }
+    (goto.map(_.keysIterator.toArray).toArray,
+      goto.map(_.valuesIterator.toArray).toArray,
+      failA, outA.map(_.toArray))
+  }
+
+  /** goto with fail-follow; TreeMap freeze keeps chars sorted for the
+    * binary search. */
+  private def step(state: Int, c: Char): Int = {
+    var s = state
+    while (true) {
+      val cs = charsOf(s)
+      val k = java.util.Arrays.binarySearch(cs, c)
+      if (k >= 0) return nextOf(s)(k)
+      if (s == 0) return 0
+      s = fail(s)
+    }
+    0 // unreachable
+  }
+
+  /** Per-pattern leftmost-non-overlapping counts over `t` — equal to
+    * running [[Blocklist.hitCounts]]'s indexOf walk per pattern. */
+  def counts(t: String): Array[Long] = {
+    val c = new Array[Long](patterns.length)
+    val lastEnd = new Array[Int](patterns.length)
+    var st = 0
+    var j = 0
+    while (j < t.length) {
+      st = step(st, t.charAt(j))
+      val os = outs(st)
+      var k = 0
+      while (k < os.length) {
+        val p = os(k)
+        val start = j + 1 - plen(p)
+        if (start >= lastEnd(p)) { c(p) += 1L; lastEnd(p) = j + 1 }
+        k += 1
+      }
+      j += 1
+    }
+    c
+  }
+}
+
+object AhoCorasick {
+  /** The static blocklist's automaton, built once per JVM. */
+  lazy val blocklist: AhoCorasick = new AhoCorasick(Blocklist.patterns)
+
+  /** Codegen entry point: [[Blocklist.hitCounts]]'s contract, one text
+    * walk for the whole pattern set. */
+  def hitCounts(text: UTF8String): ArrayData = {
+    val c = blocklist.counts(text.toString.toLowerCase)
+    val out = new Array[Any](c.length)
+    var i = 0
+    while (i < c.length) { out(i) = c(i); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** `blocklist_hits(text)`: the per-pattern leftmost-non-overlapping match
   * counts (`array<long>`, index-aligned with [[Blocklist.patterns]]) as a
   * codegen'd projection. */
@@ -80,4 +198,27 @@ case class BlocklistHits(child: Expression) extends UnaryExpression {
 object BlocklistHits {
   def apply(text: Column): Column =
     GraftSqlBridge.column(BlocklistHits(GraftSqlBridge.expression(text)))
+}
+
+/** `blocklist_hits_ac(text)`: [[BlocklistHits]] through the Aho–Corasick
+  * automaton — one text walk for the whole pattern set (the
+  * thousand-pattern production tier); counts equal by contract. */
+case class BlocklistHitsAC(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "blocklist_hits_ac"
+
+  override def nullSafeEval(input: Any): Any =
+    AhoCorasick.hitCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AhoCorasick.hitCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BlocklistHitsAC =
+    copy(child = newChild)
+}
+
+object BlocklistHitsAC {
+  def apply(text: Column): Column =
+    GraftSqlBridge.column(BlocklistHitsAC(GraftSqlBridge.expression(text)))
 }

@@ -90,11 +90,54 @@ object Warc {
     out.toByteArray
   }
 
+  /** [[memberBytes]] with caller-owned Deflater/CRC32 — byte-identical
+    * output (same header constants and compression level as Java's
+    * GZIPOutputStream), but the native zlib context is REUSED across
+    * members: a per-record `new Deflater` is ~half the cost of archiving
+    * a small record (measured at 5M members, WarcProbe). */
+  def memberBytesReusing(targetUri: String, date: String, recordId: String,
+                         payload: Array[Byte], deflater: Deflater,
+                         crc: CRC32): Array[Byte] = {
+    val header =
+      s"WARC/1.0\r\n" +
+        s"WARC-Type: resource\r\n" +
+        s"WARC-Record-ID: <$recordId>\r\n" +
+        s"WARC-Date: $date\r\n" +
+        s"WARC-Target-URI: $targetUri\r\n" +
+        s"Content-Type: text/plain; charset=utf-8\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n"
+    val raw = new ByteArrayOutputStream(header.length + payload.length + 8)
+    raw.write(header.getBytes(UTF_8))
+    raw.write(payload)
+    raw.write("\r\n\r\n".getBytes(UTF_8))
+    val data = raw.toByteArray
+    deflater.reset()
+    crc.reset()
+    crc.update(data, 0, data.length)
+    val out = new ByteArrayOutputStream(data.length / 2 + 64)
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+    deflater.setInput(data)
+    deflater.finish()
+    val buf = new Array[Byte](8 * 1024)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    def le4(v: Long): Unit = {
+      var i = 0
+      while (i < 4) { out.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    le4(crc.getValue)
+    le4(data.length.toLong)
+    out.toByteArray
+  }
+
   /** `df(uriCol, textCol)` → ONE `.warc.gz` at `path`. Members are built
-    * distributed (one projection); the driver only streams the finished
-    * blobs to the file in partition order. Rows with null text are
-    * skipped (the novelty-style convention). Record ids derive from the
-    * target URI (deterministic fixture bytes at any parallelism). */
+    * distributed (one projection, one reused deflate context per
+    * partition); the driver only streams the finished blobs to the file
+    * in partition order. Rows with null text are skipped (the
+    * novelty-style convention). Record ids derive from the target URI
+    * (deterministic fixture bytes at any parallelism). */
   def writeSingleFile(df: DataFrame, uriCol: String, textCol: String,
                       path: String, date: String = "2026-01-01T00:00:00Z"): Unit = {
     import org.apache.spark.sql.functions.col
@@ -103,16 +146,34 @@ object Warc {
     val members = df.filter(col(textCol).isNotNull)
       .select(col(uriCol).cast(StringType), col(textCol).cast(StringType))
       .as[(String, String)]
-      .map { case (uri, text) =>
-        memberBytes(uri, date, "urn:graft:" + java.util.UUID
-          .nameUUIDFromBytes(uri.getBytes(UTF_8)), text.getBytes(UTF_8))
+      .mapPartitions { it =>
+        val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+        val crc = new CRC32
+        it.map { case (uri, text) =>
+          memberBytesReusing(uri, date, "urn:graft:" + java.util.UUID
+            .nameUUIDFromBytes(uri.getBytes(UTF_8)), text.getBytes(UTF_8),
+            deflater, crc)
+        } // deflater freed by GC at partition end (end() would need a
+          // completion hook; the native buffer is small and bounded)
       }
+    // toLocalIterator computes ONE partition per job — streaming the lazy
+    // map through it would run the gzip work sequentially. Materialize the
+    // members in parallel first (measured 128s -> 94s at 5M members; the
+    // residue is the inherently serial driver drain of the finished
+    // blobs, which is what makes this a fixture path, not an egress).
+    val cached = members.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path), 1 << 20)
     try {
-      val it = members.toLocalIterator()
+      cached.count()
+      val it = cached.toLocalIterator()
       while (it.hasNext) out.write(it.next())
-    } finally out.close()
+    } finally {
+      out.close()
+      cached.unpersist()
+      ()
+    }
   }
 
   // ------------------------------------------------------------------
@@ -155,6 +216,22 @@ object Warc {
       if (b < 0) throw new BadMember(s"EOF at $pos")
       b
     }
+
+    /** Bulk copy from `pos`, advancing; returns bytes copied, -1 at EOF.
+      * May return less than `len` (one buffered region per call). */
+    def read(dst: Array[Byte], dstOff: Int, len: Int): Int = {
+      if (len == 0) return 0
+      val first = next()
+      if (first < 0) return -1
+      dst(dstOff) = first.toByte // next() ensured the buffer covers pos-1
+      val avail = (bufStart + bufLen - pos).toInt
+      val n = math.min(avail, len - 1)
+      if (n > 0) {
+        System.arraycopy(buf, (pos - bufStart).toInt, dst, dstOff + 1, n)
+        pos += n
+      }
+      n + 1
+    }
   }
 
   private val FHCRC = 2
@@ -164,9 +241,11 @@ object Warc {
 
   /** Attempt to decode ONE gzip member at `offset`. Returns the
     * decompressed bytes and the offset just past the member's trailer,
-    * or throws [[BadMember]] (validation failure — caller resyncs). */
-  private def decodeMember(r: ByteReader, offset: Long,
-                           maxMemberBytes: Int): (Array[Byte], Long) = {
+    * or throws [[BadMember]] (validation failure — caller resyncs).
+    * `inflater` is caller-owned and reset here — one native zlib context
+    * per range task, not per member (the 5M-member lesson, WarcProbe). */
+  private def decodeMember(r: ByteReader, offset: Long, maxMemberBytes: Int,
+                           inflater: Inflater, crcCheck: CRC32): (Array[Byte], Long) = {
     r.seek(offset)
     if (r.nextOrFail() != 0x1f || r.nextOrFail() != 0x8b || r.nextOrFail() != 8)
       throw new BadMember("bad magic/method")
@@ -182,22 +261,24 @@ object Warc {
     if ((flg & FCOMMENT) != 0) while (r.nextOrFail() != 0) ()
     if ((flg & FHCRC) != 0) { r.nextOrFail(); r.nextOrFail() }
 
-    val inflater = new Inflater(true) // raw deflate
+    inflater.reset()
     val outBuf = new ByteArrayOutputStream(64 * 1024)
     val inChunk = new Array[Byte](32 * 1024)
     val outChunk = new Array[Byte](64 * 1024)
     val deflateStart = r.pos
-    try {
+    locally {
+      // Adaptive feed: start small and grow. Typical members are a few
+      // hundred compressed bytes; feeding a fixed 32 KiB chunk per member
+      // drags ~100x the file's bytes through the reader (measured: the
+      // dominant read cost at 5M members). Over-read past the member is
+      // bounded by the LAST chunk size, and trailerAt re-seeks anyway.
+      var feedSize = 512
       while (!inflater.finished()) {
         if (inflater.needsInput()) {
-          var n = 0
-          var eof = false
-          while (n < inChunk.length && !eof) {
-            val b = r.next()
-            if (b < 0) eof = true else { inChunk(n) = b.toByte; n += 1 }
-          }
-          if (n == 0) throw new BadMember("EOF inside deflate stream")
+          val n = r.read(inChunk, 0, feedSize)
+          if (n <= 0) throw new BadMember("EOF inside deflate stream")
           inflater.setInput(inChunk, 0, n)
+          feedSize = math.min(feedSize * 4, inChunk.length)
         }
         // inflate() returns 0 only when it needs input, needs a preset
         // dictionary, or is finished — no other spin case exists
@@ -226,13 +307,13 @@ object Warc {
       var isize = 0L
       k = 0
       while (k < 4) { isize |= r.nextOrFail().toLong << (8 * k); k += 1 }
-      val c = new CRC32
-      c.update(data, 0, data.length)
-      if (c.getValue != crc) throw new BadMember("CRC mismatch")
+      crcCheck.reset()
+      crcCheck.update(data, 0, data.length)
+      if (crcCheck.getValue != crc) throw new BadMember("CRC mismatch")
       if ((data.length.toLong & 0xffffffffL) != isize)
         throw new BadMember("ISIZE mismatch")
       (data, trailerAt + 8)
-    } finally inflater.end()
+    }
   }
 
   /** Parse every WARC record in one decompressed member. */
@@ -324,6 +405,8 @@ object Warc {
         val in = p.getFileSystem(serConf.value).open(p)
         val r = new ByteReader(in, fileLen)
         val acc = Seq.newBuilder[Row]
+        val inflater = new Inflater(true) // raw deflate; reused per member
+        val crcCheck = new CRC32
         try {
           var off = start
           while (off >= 0 && off < end) {
@@ -339,7 +422,8 @@ object Warc {
             if (cand < 0) off = -1L
             else {
               try {
-                val (data, nextOff) = decodeMember(r, cand, maxMemberBytes)
+                val (data, nextOff) =
+                  decodeMember(r, cand, maxMemberBytes, inflater, crcCheck)
                 acc ++= parseRecords(data, cand)
                 off = nextOff
               } catch {
@@ -348,7 +432,7 @@ object Warc {
             }
           }
           acc.result()
-        } finally in.close()
+        } finally { inflater.end(); in.close() }
       }
     spark.createDataFrame(rows, schema)
   }
