@@ -3293,6 +3293,25 @@ object SparkEntry {
       Multimodal.imageStats(docs, "doc_id", "blob", batchSize = 32)
     }),
 
+    // REAL GIF round trip (pure-JVM LZW — no codec library): grayscale
+    // 256-entry palette makes index == gray value, so the oracle replays
+    // the pixel-index formula as arithmetic, exactly like q_png_image.
+    // Every even doc_id writes INTERLACED (four-pass row order): the
+    // decoder's de-interlace sits on the oracle-checked path, and gy_sum
+    // is the row-order detector that catches a pass-order bug
+    "q_gif_image" -> ((s, dir) => {
+      val gifUdf = udf { (id: Long) =>
+        val w = (4 + id % 9).toInt
+        val h = (3 + id % 10).toInt
+        graft.operators.GifCodec.encodeGray(w, h,
+          (x, y) => ((x * 31 + y * 17 + id) % 256).toInt,
+          interlaced = id % 2 == 0)
+      }
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), gifUdf(col("doc_id")).as("blob"))
+      Multimodal.imageStats(docs, "doc_id", "blob", batchSize = 32)
+    }),
+
     // REAL baseline JPEG round trip (pure-JVM Huffman + IDCT — no codec
     // library): 8x8-block-constant gray pixels with UNIT quant tables
     // make the lossy pipeline exact (DC-only blocks; F(0,0)=8(v-128) is
@@ -5926,6 +5945,24 @@ object SparkEntry {
         |  FROM d, range(0, 15) x(x), range(0, 12) y(y)
         |  WHERE x.x < d.w AND y.y < d.h)
         |SELECT doc_id AS media_id, 'png' AS format, w AS width, h AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  CAST(sum(g) AS BIGINT) AS g_sum,
+        |  CAST(sum((y + 1) * g) AS BIGINT) AS gy_sum
+        |FROM g GROUP BY doc_id, w, h""".stripMargin,
+
+    // GIF: the gray palette makes pixel green == the LZW-coded index,
+    // so the formula replays directly; interlaced writes must still sum
+    // identically because the decoder restores logical row order
+    "q_gif_image" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(4 + doc_id % 9 AS INTEGER) AS w,
+        |    CAST(3 + doc_id % 10 AS INTEGER) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT d.doc_id, d.w, d.h, y.y,
+        |    ((x.x * 31 + y.y * 17 + d.doc_id) % 256) AS g
+        |  FROM d, range(0, 13) x(x), range(0, 13) y(y)
+        |  WHERE x.x < d.w AND y.y < d.h)
+        |SELECT doc_id AS media_id, 'gif' AS format, w AS width, h AS height,
         |  CAST(3 AS INTEGER) AS channels,
         |  CAST(sum(g) AS BIGINT) AS g_sum,
         |  CAST(sum((y + 1) * g) AS BIGINT) AS gy_sum

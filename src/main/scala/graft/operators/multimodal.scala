@@ -21,7 +21,8 @@ import org.apache.spark.sql.types._
  *    beyond one batch) — safe for multi-GB partitions.
  *
  * Decode is REAL for baseline JPEG (pure-JVM Huffman + IDCT + YCbCr,
- * [[JpegCodec]]), PNG (DEFLATE + all five filters via `java.util.zip`),
+ * [[JpegCodec]]), GIF (pure-JVM LZW incl. interlace, [[GifCodec]]),
+ * PNG (DEFLATE + all five filters via `java.util.zip`),
  * 24-bpp BMP and PCM WAV — see [[RealCodecs]] — and so are the pixel
  * ops built on them (box-pool resize, dHash56 perceptual near-dup).
  * Only the codecs a JVM genuinely cannot parse without a library
@@ -238,12 +239,15 @@ object Multimodal {
       Some((ImageMeta(Some(w), Some(h), Some(3), "bmp"), out))
     }
 
-    /** Format sniff by magic bytes: "png" | "jpeg" | "bmp" | "wav" | "stub". */
+    /** Format sniff by magic bytes:
+      * "png" | "jpeg" | "gif" | "bmp" | "wav" | "stub". */
     def sniff(blob: Array[Byte]): String =
       if (blob.length >= 8 && (blob(0) & 0xff) == 0x89 && blob(1) == 'P' &&
         blob(2) == 'N' && blob(3) == 'G') "png"
       else if (blob.length >= 3 && (blob(0) & 0xff) == 0xff &&
         (blob(1) & 0xff) == 0xd8 && (blob(2) & 0xff) == 0xff) "jpeg"
+      else if (blob.length >= 6 && blob(0) == 'G' && blob(1) == 'I' &&
+        blob(2) == 'F' && blob(3) == '8') "gif"
       else if (blob.length >= 2 && blob(0) == 'B' && blob(1) == 'M') "bmp"
       else if (blob.length >= 12 &&
         new String(blob, 0, 4, "US-ASCII") == "RIFF" &&
@@ -518,6 +522,7 @@ object Multimodal {
             case "bmp" => RealCodecs.decodeBmp24(blob)
             case "png" => RealCodecs.decodePng(blob)
             case "jpeg" => JpegCodec.decode(blob)
+            case "gif" => GifCodec.decode(blob)
             case _ => None
           }
           decoded match {
@@ -673,6 +678,7 @@ object Multimodal {
       case "bmp" => RealCodecs.decodeBmp24(blob)
       case "png" => RealCodecs.decodePng(blob)
       case "jpeg" => JpegCodec.decode(blob)
+      case "gif" => GifCodec.decode(blob)
       case _ => None
     }
 
