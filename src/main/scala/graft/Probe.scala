@@ -377,3 +377,70 @@ object WarcProbe {
     spark.stop()
   }
 }
+
+/** Ad-hoc forensics for the blocklist tiers: the static query list is 5
+  * phrases, where both kernels are trivially fast — this measures the
+  * UT1-class regime (thousands of patterns) the Aho–Corasick tier
+  * exists for, and cross-checks the two kernels' counts on every doc.
+  * SPARK_GRAFT_PATTERNS sets the list size (default 2000). */
+object BlocklistProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nPat = sys.env.getOrElse("SPARK_GRAFT_PATTERNS", "2000").toInt
+    val skipIndexOf = sys.env.get("SPARK_GRAFT_SKIP_INDEXOF").isDefined
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull).select("text")
+    t("warm-scan")(texts.count())
+    import spark.implicits._
+    val ds = texts.as[String]
+    // REAL corpus bigrams as the phrase list (deterministic slice): every
+    // pattern occurs in the corpus and first characters are distributed
+    // like natural text — synthetic rare-first-char phrases make the
+    // indexOf walk look ~10x cheaper than a real blocklist does
+    val patterns: Array[String] = ds
+      .flatMap(s => s.toLowerCase.split("\\s+").toSeq
+        .sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+      .distinct().orderBy("value").limit(nPat).collect()
+    println(s"[probe] patterns: ${patterns.length}")
+    val bcPats = spark.sparkContext.broadcast(patterns)
+    def acSums = ds.mapPartitions { it =>
+      val ac = new graft.functions.AhoCorasick(bcPats.value)
+      it.map(s => ac.counts(s.toLowerCase).sum)
+    }
+    def idxSums = ds.mapPartitions { it =>
+      val pats = bcPats.value
+      it.map { s0 =>
+        val s = s0.toLowerCase
+        var total = 0L
+        pats.foreach { p =>
+          var i = s.indexOf(p)
+          while (i >= 0) { total += 1; i = s.indexOf(p, i + p.length) }
+        }
+        total
+      }
+    }
+    val acTotal = t(s"aho-corasick (${patterns.length} patterns)")(
+      acSums.reduce(_ + _))
+    println(s"[probe] ac total hits: $acTotal")
+    if (!skipIndexOf) {
+      val idxTotal = t(s"indexOf walk (${patterns.length} patterns)")(
+        idxSums.reduce(_ + _))
+      println(s"[probe] indexOf total hits: $idxTotal equal=${idxTotal == acTotal}")
+      require(idxTotal == acTotal, "kernels disagree")
+    }
+    spark.stop()
+  }
+}

@@ -71,11 +71,15 @@ object Blocklist {
  * inside each other — cases the static blocklist forbids but a
  * production list may contain).
  *
- * Why this tier exists: the indexOf walk is O(|patterns| × |text|) —
- * fine for the 5-phrase fixture, wrong for a UT1-class list (a few
- * thousand phrases makes every document pay thousands of full scans).
- * The automaton walks the text ONCE regardless of pattern count; per
- * step it follows at most the fail chain (amortized O(1)). Same kernel
+ * Why this tier exists: the indexOf walk is O(|patterns| × |text|);
+ * the automaton walks the text once at any pattern count. The MEASURED
+ * crossover is higher than the asymptotics suggest — HotSpot's SIMD
+ * `String.indexOf` intrinsic holds the brute walk at par to ~4k
+ * patterns on KB documents (BlocklistProbe over 500k docs: 500 pats
+ * 0.9 vs 1.0s, 4k pats 7.4 vs 13.3s for indexOf vs AC, 16k pats 33.4
+ * vs 13.4s — AC flat, indexOf linear in patterns). So: the indexOf
+ * kernel is the right default through UT1-size lists; this tier is the
+ * P-independent insurance for pattern sets beyond ~8k. Same kernel
  * tier as [[Blocklist]]: static per-JVM build, codegen'd static call,
  * zero shuffle — and the same oracle SQL verbatim, because the counts
  * are equal by contract, not by luck.
@@ -126,7 +130,11 @@ final class AhoCorasick(val patterns: Array[String]) {
   }
 
   /** goto with fail-follow; TreeMap freeze keeps chars sorted for the
-    * binary search. */
+    * binary search. Kept SPARSE deliberately: a dense
+    * states×128 DFA table (fail links resolved at build) was measured
+    * SLOWER at 4k patterns (15.7s vs 8.2s over 500k docs) — the ~20 MB
+    * table thrashes cache, while the sparse walk's hot shallow states
+    * stay resident. See the Probe notes on when this tier wins at all. */
   private def step(state: Int, c: Char): Int = {
     var s = state
     while (true) {

@@ -30,7 +30,7 @@ class AhoCorasickSpec extends GraftSpec {
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed0 + i)))
 
   test("automaton equals the indexOf walk on adversarial pattern sets") {
-    val alpha = Gen.oneOf('a', 'b', 'c')
+    val alpha = Gen.oneOf('a', 'b', 'c', 'é') // é: the non-ASCII sparse path
     val patGen = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, alpha)).map(_.mkString)
     val textGen = Gen.choose(0, 200).flatMap(n => Gen.listOfN(n, alpha)).map(_.mkString)
     (0 until 40).foreach { round =>
