@@ -3229,6 +3229,28 @@ object SparkEntry {
       Multimodal.audioStats(docs, "doc_id", "blob", batchSize = 32)
     }),
 
+    // REAL FLAC round trip (pure-JVM Rice + fixed predictors — no codec
+    // library, operators/FlacCodec.scala): the same word-hash samples as
+    // q_wav_audio, compressed losslessly and decoded back — the oracle
+    // replays the identical sample formula with ZERO tolerance, so a
+    // Rice/CRC/predictor/decorrelation bug breaks the hash. Every 3rd
+    // doc is STEREO through a decorrelated mode (mid/side on even ids,
+    // left/side on odd — the side channel's 17-bit path sits on the
+    // oracle-checked route); stereo drops an odd tail sample to pair
+    // the interleave, and the oracle replays the truncation. Multi-frame
+    // streams by construction (blockSize=256 < typical word count)
+    "q_flac_audio" -> ((s, dir) => {
+      val flacUdf = udf { (id: Long, text: String) =>
+        val stereo = id % 3 == 0
+        Multimodal.flacBlobFromText(text, 16000,
+          channels = if (stereo) 2 else 1,
+          stereoMode = if (id % 2 == 0) "midside" else "leftside")
+      }
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), flacUdf(col("doc_id"), col("text")).as("blob"))
+      Multimodal.audioStats(docs, "doc_id", "blob", batchSize = 32)
+    }),
+
     // REAL audio decimation (the WAV analog of q_resize): every 4th
     // PCM sample kept, re-encoded at rate/4, decoded AGAIN for stats —
     // the decode→slice→encode→decode chain is exact, and the
@@ -5878,6 +5900,27 @@ object SparkEntry {
          |s AS (SELECT doc_id,
          |    list_transform(wh, x -> (x % 65536) - 32768) AS ss FROM w)
          |SELECT doc_id AS media_id, 'wav' AS format,
+         |  CAST(16000 AS INTEGER) AS sample_rate,
+         |  CAST(len(ss) AS BIGINT) AS n_samples,
+         |  CAST(coalesce(list_sum(list_transform(ss, v -> abs(v))), 0) AS BIGINT)
+         |    AS sum_abs,
+         |  CAST(len(list_filter(range(1, len(ss)),
+         |    i -> (ss[i] >= 0) <> (ss[i+1] >= 0))) AS BIGINT) AS zero_crossings
+         |FROM s""".stripMargin,
+
+    // FLAC: the q_wav_audio replay (lossless codec — identical samples),
+    // format tag 'flac', with the stereo odd-tail truncation mirrored
+    "q_flac_audio" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    list_transform(string_split_regex(lower(text), '\\s+'),
+         |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % ${Dedup.P}) AS wh
+         |  FROM documents WHERE text IS NOT NULL),
+         |s0 AS (SELECT doc_id,
+         |    list_transform(wh, x -> (x % 65536) - 32768) AS ss FROM w),
+         |s AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 AND len(ss) % 2 = 1
+         |      THEN ss[1:len(ss)-1] ELSE ss END AS ss FROM s0)
+         |SELECT doc_id AS media_id, 'flac' AS format,
          |  CAST(16000 AS INTEGER) AS sample_rate,
          |  CAST(len(ss) AS BIGINT) AS n_samples,
          |  CAST(coalesce(list_sum(list_transform(ss, v -> abs(v))), 0) AS BIGINT)

@@ -8,7 +8,7 @@ import java.io.ByteArrayOutputStream
  * `java.util.zip` PNG work and the [[JpegCodec]] Huffman tables. With
  * this, decode is REAL for every common legacy web image format
  * (JPEG/PNG/GIF/BMP); `Multimodal.StubCodecs` remains only for
- * MP3/H.264/FLAC.
+ * MP3/H.264 (FLAC decodes for real since FlacCodec).
  *
  * Decoder scope (None for anything else; hostile bytes never throw):
  * first image of the stream (animated GIFs decode frame 1 — the

@@ -6,7 +6,7 @@ package graft.operators
  * IDCT and YCbCr→RGB are all plain arithmetic, the same move as the
  * `java.util.zip` PNG work. This closes the dominant-web-format gap the
  * stub boundary used to carve out: decode is now REAL for JPEG/PNG/BMP/
- * WAV, and `StubCodecs` remains only for MP3/H.264/FLAC.
+ * WAV, and `StubCodecs` remains only for MP3/H.264.
  *
  * Decoder scope (returns None for anything else, never throws on
  * hostile bytes): baseline SOF0, 8-bit precision, 1 or 3 components,

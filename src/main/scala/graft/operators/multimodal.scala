@@ -23,13 +23,14 @@ import org.apache.spark.sql.types._
  * Decode is REAL for baseline JPEG (pure-JVM Huffman + IDCT + YCbCr,
  * [[JpegCodec]]), GIF (pure-JVM LZW incl. interlace, [[GifCodec]]),
  * PNG (DEFLATE + all five filters via `java.util.zip`),
+ * FLAC (pure-JVM Rice + linear prediction, [[FlacCodec]]),
  * 24-bpp BMP and PCM WAV — see [[RealCodecs]] — and so are the pixel
  * ops built on them (box-pool resize, dHash56 perceptual near-dup).
  * Only the codecs a JVM genuinely cannot parse without a library
- * (MP3/H.264/FLAC) remain `StubCodecs.*` deterministic fakes; swap
- * those for real codecs (javacv / ffmpeg bindings) in production —
- * the schemas, batching, and partition behavior (the Spark-side
- * contract) stay exactly as tested here.
+ * (MP3/H.264 — psychoacoustic/entropy machinery) remain `StubCodecs.*`
+ * deterministic fakes; swap those for real codecs (javacv / ffmpeg
+ * bindings) in production — the schemas, batching, and partition
+ * behavior (the Spark-side contract) stay exactly as tested here.
  */
 object Multimodal {
 
@@ -96,7 +97,7 @@ object Multimodal {
    * the five spec filters, so the dominant lossless web format decodes
    * for real. This narrows the stub boundary honestly: decode is REAL
    * for JPEG ([[JpegCodec]], its own file)/PNG/BMP/WAV; StubCodecs
-   * remains only for MP3/H.264/FLAC. Encoders exist so pipelines (and the oracle
+   * remains only for MP3/H.264 (FlacCodec covers FLAC). Encoders exist so pipelines (and the oracle
    * queries) can synthesize spec-valid blobs from tabular data; the
    * SpecSuite pins both against hand-written byte fixtures so an
    * encode/decode-symmetric bug cannot hide.
@@ -252,6 +253,8 @@ object Multimodal {
       else if (blob.length >= 12 &&
         new String(blob, 0, 4, "US-ASCII") == "RIFF" &&
         new String(blob, 8, 4, "US-ASCII") == "WAVE") "wav"
+      else if (blob.length >= 4 && blob(0) == 'f' && blob(1) == 'L' &&
+        blob(2) == 'a' && blob(3) == 'C') "flac"
       else "stub"
 
     // ---- PNG (truecolor 8-bit, the real wire format) -----------------
@@ -446,6 +449,19 @@ object Multimodal {
       Dedup.wordHashes(text).map(h => ((h % 65536) - 32768).toShort),
       sampleRate, channels = channels)
 
+  /** [[wavBlobFromText]]'s samples as a real FLAC stream (FlacCodec).
+    * For stereo an odd sample tail is dropped (interleave must pair);
+    * the oracle replays the same truncation. */
+  def flacBlobFromText(text: String, sampleRate: Int, channels: Int = 1,
+                       stereoMode: String = "independent",
+                       blockSize: Int = 256): Array[Byte] = {
+    val raw = Dedup.wordHashes(text).map(h => ((h % 65536) - 32768).toShort)
+    val samples = if (channels == 2 && raw.length % 2 == 1) raw.dropRight(1)
+                  else raw
+    FlacCodec.encode(samples, sampleRate, channels = channels,
+      blockSize = blockSize, stereoMode = stereoMode)
+  }
+
   val audioStatsSchema: StructType = new StructType()
     .add("media_id", LongType, nullable = false)
     .add("format", StringType, nullable = false)
@@ -470,8 +486,19 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val blob = r.getAs[Array[Byte]](1)
-          RealCodecs.decodeWavPcm16(blob) match {
-            case Some((m, ss)) =>
+          // dispatch on magic bytes: WAV and FLAC yield the same
+          // interleaved-PCM contract, so the stats kernel is shared
+          // (zero_crossings stays the sample-order detector)
+          val decoded: Option[(String, Int, Array[Short])] =
+            RealCodecs.sniff(blob) match {
+              case "wav" => RealCodecs.decodeWavPcm16(blob)
+                .map { case (m, ss) => ("wav", m.sampleRate, ss) }
+              case "flac" => FlacCodec.decode(blob)
+                .map { case (m, ss) => ("flac", m.sampleRate, ss) }
+              case _ => None
+            }
+          decoded match {
+            case Some((fmt, rate, ss)) =>
               var sumAbs = 0L
               var zc = 0L
               var i = 0
@@ -480,7 +507,7 @@ object Multimodal {
                 if (i > 0 && ((ss(i) >= 0) != (ss(i - 1) >= 0))) zc += 1
                 i += 1
               }
-              Row(r.getLong(0), "wav", m.sampleRate, ss.length.toLong, sumAbs, zc)
+              Row(r.getLong(0), fmt, rate, ss.length.toLong, sumAbs, zc)
             case None =>
               Row(r.getLong(0), RealCodecs.sniff(blob), null, null, null, null)
           }
