@@ -1574,6 +1574,76 @@ object SparkEntry {
         .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
     }),
 
+    // Unicode NFC normalization (functions/NfcNormalize.scala): the
+    // dedup-key prep step — composed and decomposed spellings of the
+    // same text must md5 identically. Planted suffixes rotate composed
+    // é, decomposed e+COMBINING ACUTE, and a+COMBINING RING; the oracle
+    // is DuckDB's INDEPENDENT nfc_normalize implementation over the
+    // same construction (two engines agreeing on the Unicode algorithm,
+    // not a replay), with the md5 key checked on the normalized form.
+    // Zero-shuffle codegen projection
+    "q_nfc_normalize" -> ((s, dir) => {
+      val suffix = when(pmod(col("doc_id"), lit(4L)) === 0, lit(" e\u0301")) // DECOMPOSED: e + COMBINING ACUTE
+        .when(pmod(col("doc_id"), lit(4L)) === 1, lit(" \u00E9")) // composed: must key identically after NFC
+        .when(pmod(col("doc_id"), lit(4L)) === 2, lit(" a\u030A")) // decomposed ring
+        .otherwise(lit(""))
+      tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.NfcNormalize(concat(col("text"), suffix)).as("norm"))
+        .withColumn("dedup_key", md5(col("norm")))
+    }),
+
+    // robots.txt opt-out gate (RFC 9309, operators/robots.scala): per-
+    // domain robots parsed ONCE and broadcast (model-sized rule table),
+    // URL corpus gated in a projection. The synthesized policies put
+    // every semantic on the oracle-checked path: group selection (the
+    // graftbot group must win over the Disallow-everything '*' group —
+    // /pub paths stay ALLOWED), longest-match precedence, Allow-beats-
+    // Disallow ties, '$' anchors, '*' wildcards, and absent robots
+    // (every domain with (doc_id%50)%7==0 has no row -> allowed). The
+    // oracle replays the full decision table from doc_id arithmetic
+    "q_robots_gate" -> ((s, dir) => {
+      val restrictive =
+        """User-agent: evilbot
+          |Disallow: /
+          |
+          |User-agent: graftbot
+          |User-agent: otherbot
+          |Disallow: /private*
+          |Allow: /private/ok$
+          |Disallow: /tmp/
+          |
+          |User-agent: *
+          |Disallow: /
+          |""".stripMargin
+      val permissive =
+        """# odd domains: tmp is closed except the open subtree
+          |User-agent: *
+          |Disallow: /tmp/
+          |Allow: /tmp/open
+          |""".stripMargin
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val k = pmod(col("doc_id"), lit(50L))
+      val domain = concat(lit("example"), k.cast("string"), lit(".com"))
+      val m = pmod(col("doc_id"), lit(5L))
+      val path = when(m === 0, concat(lit("/private/x"), col("doc_id").cast("string")))
+        .when(m === 1, lit("/private/ok"))
+        .when(m === 2, concat(lit("/pub/"), col("doc_id").cast("string")))
+        .when(m === 3, concat(lit("/tmp/"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("/tmp/open"), col("doc_id").cast("string")))
+      val urls = docs.select(col("doc_id"), domain.as("domain"),
+        concat(lit("http://"), domain, path).as("url"))
+      val robotsDf = s.range(0, 50)
+        .filter(pmod(col("id"), lit(7L)) =!= 0)
+        .select(concat(lit("example"), col("id").cast("string"), lit(".com"))
+            .as("domain"),
+          when(pmod(col("id"), lit(2L)) === 0, lit(restrictive))
+            .otherwise(lit(permissive)).as("content"))
+      graft.operators.Robots.robotsGate(urls, col("url"), col("domain"),
+          robotsDf, "domain", "content", userAgent = "graftbot/1.0")
+        .select(col("doc_id"), col("domain"), col("robots_allowed"))
+    }),
+
     // Deterministic train/val/test split: per-row hash-bucket label —
     // reproducible at any scale/partitioning, auditable row by row, and
     // a pure projection (the 100 TB answer to "which rows did we train
@@ -4306,6 +4376,40 @@ object SparkEntry {
         |FROM (SELECT doc_id, lower(trim(regexp_replace(
         |    regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
         |    '\s+', ' ', 'g'))) AS norm_text FROM documents)""".stripMargin,
+
+    // the RFC 9309 decision table from doc_id arithmetic: domains with
+    // (doc_id%50)%7=0 have no robots (allowed); even domains run the
+    // graftbot group (private* disallowed, /private/ok$ allowed by the
+    // longer rule, /tmp/ disallowed, /pub untouched — the '*' group's
+    // Disallow-/ must NOT leak in); odd domains run '*' (tmp closed,
+    // /tmp/open reopened by the longer Allow)
+    "q_robots_gate" ->
+      """SELECT doc_id,
+        |  'example' || (doc_id % 50) || '.com' AS domain,
+        |  CASE
+        |    WHEN (doc_id % 50) % 7 = 0 THEN true
+        |    WHEN doc_id % 2 = 0 THEN
+        |      (CASE WHEN doc_id % 5 IN (1, 2) THEN true ELSE false END)
+        |    ELSE (CASE WHEN doc_id % 5 = 3 THEN false ELSE true END)
+        |  END AS robots_allowed
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // DuckDB's own nfc_normalize — an INDEPENDENT Unicode implementation
+    // agreeing with java.text.Normalizer, plus the md5 key on the
+    // normalized bytes (the dedup-key unification this op exists for)
+    "q_nfc_normalize" ->
+      """SELECT doc_id,
+        |  nfc_normalize(text || CASE
+        |    WHEN doc_id % 4 = 0 THEN ' e' || chr(769)
+        |    WHEN doc_id % 4 = 1 THEN ' ' || chr(233)
+        |    WHEN doc_id % 4 = 2 THEN ' a' || chr(778)
+        |    ELSE '' END) AS norm,
+        |  md5(nfc_normalize(text || CASE
+        |    WHEN doc_id % 4 = 0 THEN ' e' || chr(769)
+        |    WHEN doc_id % 4 = 1 THEN ' ' || chr(233)
+        |    WHEN doc_id % 4 = 2 THEN ' a' || chr(778)
+        |    ELSE '' END)) AS dedup_key
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "q_split" ->
       """SELECT doc_id, lang,
