@@ -1644,6 +1644,68 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"), col("robots_allowed"))
     }),
 
+    // curation v10 — the round-9 web-ingest front door COMPOSED:
+    // robots.txt opt-out gate (RFC 9309 decision table) -> fused HTML
+    // extraction -> Unicode NFC -> md5 dedup key + token accounting.
+    // A decomposed e+COMBINING ACUTE is planted in every page so the
+    // NFC step is load-bearing for the key (skip it and every key
+    // changes). The oracle replays the whole composition from ground
+    // truth: the robots CASE table picks the surviving rows, the clean
+    // text is rebuilt from raw columns, and the key is DuckDB's own
+    // md5(nfc_normalize(...)) — independent implementations end to end
+    "q_curate10" -> ((s, dir) => {
+      import graft.operators.{TextAnalysis, Robots}
+      val restrictive =
+        """User-agent: evilbot
+          |Disallow: /
+          |
+          |User-agent: graftbot
+          |User-agent: otherbot
+          |Disallow: /private*
+          |Allow: /private/ok$
+          |Disallow: /tmp/
+          |
+          |User-agent: *
+          |Disallow: /
+          |""".stripMargin
+      val permissive =
+        """User-agent: *
+          |Disallow: /tmp/
+          |Allow: /tmp/open
+          |""".stripMargin
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val safeText = regexp_replace(col("text"), "[<&\\s\\x00-\\x1f\\x7f]+", " ")
+      val k = pmod(col("doc_id"), lit(50L))
+      val domain = concat(lit("example"), k.cast("string"), lit(".com"))
+      val m = pmod(col("doc_id"), lit(5L))
+      val path = when(m === 0, concat(lit("/private/x"), col("doc_id").cast("string")))
+        .when(m === 1, lit("/private/ok"))
+        .when(m === 2, concat(lit("/pub/"), col("doc_id").cast("string")))
+        .when(m === 3, concat(lit("/tmp/"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("/tmp/open"), col("doc_id").cast("string")))
+      val html = concat(
+        lit("<html><head><script>if(a<b&&c>d){x()}</script></head><body><h1>"),
+        col("lang"), lit("</h1><p>"), safeText,
+        lit(" e\u0301-suffix&nbsp;&quot;end&quot;</p></body></html>"))
+      val pages = docs.select(col("doc_id"), domain.as("domain"),
+        concat(lit("http://"), domain, path).as("url"), html.as("html"))
+      val robotsDf = s.range(0, 50)
+        .filter(pmod(col("id"), lit(7L)) =!= 0)
+        .select(concat(lit("example"), col("id").cast("string"), lit(".com"))
+            .as("domain"),
+          when(pmod(col("id"), lit(2L)) === 0, lit(restrictive))
+            .otherwise(lit(permissive)).as("content"))
+      Robots.robotsGate(pages, col("url"), col("domain"), robotsDf,
+          "domain", "content", userAgent = "graftbot/1.0")
+        .filter(col("robots_allowed"))
+        .select(col("doc_id"), col("domain"),
+          TextAnalysis.htmlToTextFused(col("html")).as("clean_text"))
+        .select(col("doc_id"), col("domain"),
+          size(split(lower(col("clean_text")), "\\s+")).cast("long")
+            .as("n_tokens"),
+          md5(graft.functions.NfcNormalize(col("clean_text"))).as("dedup_key"))
+    }),
+
     // Deterministic train/val/test split: per-row hash-bucket label —
     // reproducible at any scale/partitioning, auditable row by row, and
     // a pure projection (the 100 TB answer to "which rows did we train
@@ -4376,6 +4438,32 @@ object SparkEntry {
         |FROM (SELECT doc_id, lower(trim(regexp_replace(
         |    regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
         |    '\s+', ' ', 'g'))) AS norm_text FROM documents)""".stripMargin,
+
+    // the whole v10 composition from ground truth: the robots CASE table
+    // selects surviving rows; clean text = lang + newline + sanitized
+    // body + planted decomposed-é tail (extraction replay, line-aware);
+    // the key is DuckDB's own md5(nfc_normalize(...)) — the NFC step is
+    // load-bearing (the planted e+COMBINING ACUTE must compose)
+    "q_curate10" ->
+      """WITH rows_kept AS (
+        |  SELECT doc_id, lang, text,
+        |    'example' || (doc_id % 50) || '.com' AS domain
+        |  FROM documents WHERE text IS NOT NULL AND (
+        |    (doc_id % 50) % 7 = 0
+        |    OR (doc_id % 2 = 0 AND doc_id % 5 IN (1, 2))
+        |    OR (doc_id % 2 = 1 AND doc_id % 5 <> 3))),
+        |cleaned AS (
+        |  SELECT doc_id, domain,
+        |    lang || chr(10) || trim(regexp_replace(
+        |      regexp_replace(text, '[<&\s\x00-\x1f\x7f]+', ' ', 'g')
+        |        || ' e' || chr(769) || '-suffix "end"', ' +', ' ', 'g'))
+        |      AS clean
+        |  FROM rows_kept)
+        |SELECT doc_id, domain,
+        |  CAST(len(string_split_regex(lower(clean), '\s+')) AS BIGINT)
+        |    AS n_tokens,
+        |  md5(nfc_normalize(clean)) AS dedup_key
+        |FROM cleaned""".stripMargin,
 
     // the RFC 9309 decision table from doc_id arithmetic: domains with
     // (doc_id%50)%7=0 have no robots (allowed); even domains run the
