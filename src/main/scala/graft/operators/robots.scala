@@ -143,17 +143,19 @@ object Robots {
                  robotsContentCol: String, userAgent: String,
                  maxDomains: Int = 1000000): DataFrame = {
     val spark = urls.sparkSession
-    val n = robots.count()
-    require(n <= maxDomains,
-      s"Robots.robotsGate: $n robots rows exceeds maxDomains=$maxDomains — " +
-        "the rule table must stay model-sized (one row per registrable " +
-        "domain); raise the knob only with driver memory to match")
-    val parsed: Map[String, Vector[Rule]] = robots
+    // one action: collect capped at maxDomains + 1 so an oversized rule
+    // table fails fast without a separate count job or an uncapped pull
+    val rows = robots
       .select(col(robotsDomainCol).cast("string"),
         col(robotsContentCol).cast("string"))
+      .limit(maxDomains + 1)
       .collect()
-      .map(r => r.getString(0) -> parseFor(r.getString(1), userAgent))
-      .toMap
+    require(rows.length <= maxDomains,
+      s"Robots.robotsGate: robots table exceeds maxDomains=$maxDomains — " +
+        "the rule table must stay model-sized (one row per registrable " +
+        "domain); raise the knob only with driver memory to match")
+    val parsed: Map[String, Vector[Rule]] =
+      rows.map(r => r.getString(0) -> parseFor(r.getString(1), userAgent)).toMap
     val bc = spark.sparkContext.broadcast(parsed)
     val allowUdf = udf { (domain: String, url: String) =>
       if (domain == null || url == null) true

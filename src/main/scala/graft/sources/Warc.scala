@@ -163,8 +163,12 @@ object Warc {
     // blobs, which is what makes this a fixture path, not an egress).
     val cached = members.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Hadoop FS create, like the reader's open — the same call targets
+    // HDFS/S3A on a cluster, not just local disk
+    val hp = new org.apache.hadoop.fs.Path(path)
     val out = new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(path), 1 << 20)
+      hp.getFileSystem(new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration)).create(hp, true), 1 << 20)
     try {
       cached.count()
       val it = cached.toLocalIterator()
