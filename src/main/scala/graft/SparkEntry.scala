@@ -1367,16 +1367,30 @@ object SparkEntry {
       // (l_orderkey, l_linenumber) key, so center selection is partition-
       // layout-independent and the DuckDB oracle replays it exactly as a
       // recursive CTE (the order-dependent reference default stays
-      // showcased rows-only in q_canopy_full)
+      // showcased rows-only in q_canopy_full).
+      // Member counts come from the exploded assignment + count, NOT the
+      // Canopy transformer's reference-shaped member ARRAYS: collect_list
+      // of full feature vectors per canopy is O(members) in ONE
+      // aggregation buffer — the 100x run's found defect (a single task
+      // demanding 1.7 GB; 60M rows / <=50 canopies means millions of
+      // vectors in one list). size(list)+count agree by construction
+      // (transform prepends the center, hence the +1)
       val li = tbl(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         array(col("l_quantity"), col("l_tax") * 100).as("features"))
-      new Canopy().setT1(20.0).setT2(10.0).setMaxIter(50)
-        .setOrderCols("l_orderkey", "l_linenumber")
-        .transform(li)
+      val centers = Canopy.selectCentersSequential(li, "features",
+        Seq("l_orderkey", "l_linenumber"), t1 = 20.0, t2 = 10.0,
+        maxIter = 50, measure = "euclidean")
+      import s.implicits._
+      val seed = centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("__canopy_id", "centroids")
+      val counts = Canopy.assign(li, "features", centers, t1 = 20.0,
+          measure = "euclidean")
+        .groupBy(col("__canopy_id")).agg(count(lit(1)).as("__n"))
+      seed.join(counts, Seq("__canopy_id"), "left")
         .select(round(col("centroids")(0), 6).as("c0"),
           round(col("centroids")(1), 6).as("c1"),
-          size(col("prediction")).as("n_members"))
+          (coalesce(col("__n"), lit(0L)) + 1L).cast("int").as("n_members"))
     }),
 
     "q_canopy_fcm" -> ((s, dir) => {

@@ -73,7 +73,15 @@ class Canopy(override val uid: String) extends Transformer
   def setPredictionCol(value: String): this.type = set(predictionCol, value)
 
   /** Output: one row per canopy, (centroids, predictionCol) = (center,
-    * members incl. center) mirroring Canopy.java:93-109. */
+    * members incl. center) mirroring Canopy.java:93-109.
+    *
+    * SCALE CAVEAT: this output contract materializes every member
+    * VECTOR of a canopy into one `collect_list` buffer — O(members)
+    * memory in a single aggregation task (measured: one task demanding
+    * 1.7 GB at 60M rows / 50 canopies). It exists for reference parity;
+    * at corpus scale consume [[Canopy.assign]]'s exploded rows directly
+    * and aggregate what you need (counts, sums) — the q_canopy_sweep
+    * query does exactly that. */
   override def transform(ds: Dataset[_]): DataFrame = {
     require($(t1) > $(t2), s"T1 (${$(t1)}) must be > T2 (${$(t2)})")
     val df = ds.toDF()
