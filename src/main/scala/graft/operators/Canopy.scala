@@ -72,16 +72,33 @@ class Canopy(override val uid: String) extends Transformer
   def setFeaturesCol(value: String): this.type = set(featuresCol, value)
   def setPredictionCol(value: String): this.type = set(predictionCol, value)
 
+  /** Fail-fast guard on the reference-shaped output: [[transform]]
+    * materializes every member VECTOR of a canopy into one
+    * `collect_list` buffer, so a canopy with more members than this is
+    * a one-task memory bomb (measured: 1.7 GB at 60M rows / 50
+    * canopies). A cheap count pass (counts only — no vectors shuffled)
+    * runs first and aborts loudly instead; at corpus scale consume
+    * [[Canopy.assign]]'s exploded (canopy, center, member) rows
+    * directly, which is the shape q_canopy_sweep uses. */
+  final val maxMembers: IntParam = new IntParam(this, "maxMembers",
+    "largest per-canopy member count transform will materialize",
+    ParamValidators.gt(0))
+  setDefault(maxMembers -> 1000000)
+  def getMaxMembers: Int = $(maxMembers)
+  def setMaxMembers(value: Int): this.type = set(maxMembers, value)
+
   /** Output: one row per canopy, (centroids, predictionCol) = (center,
     * members incl. center) mirroring Canopy.java:93-109.
     *
     * SCALE CAVEAT: this output contract materializes every member
     * VECTOR of a canopy into one `collect_list` buffer — O(members)
     * memory in a single aggregation task (measured: one task demanding
-    * 1.7 GB at 60M rows / 50 canopies). It exists for reference parity;
-    * at corpus scale consume [[Canopy.assign]]'s exploded rows directly
-    * and aggregate what you need (counts, sums) — the q_canopy_sweep
-    * query does exactly that. */
+    * 1.7 GB at 60M rows / 50 canopies). It exists for reference parity
+    * and is guarded by [[maxMembers]]: a count-only pre-pass (one extra
+    * scan, nothing but (id, count) shuffled) aborts loudly before the
+    * buffer can build. At corpus scale consume [[Canopy.assign]]'s
+    * exploded rows directly and aggregate what you need (counts, sums)
+    * — the q_canopy_sweep query does exactly that. */
   override def transform(ds: Dataset[_]): DataFrame = {
     require($(t1) > $(t2), s"T1 (${$(t1)}) must be > T2 (${$(t2)})")
     val df = ds.toDF()
@@ -91,6 +108,22 @@ class Canopy(override val uid: String) extends Transformer
           $(t1), $(t2), $(maxIter), $(distanceMeasure))
       else Canopy.selectCenters(df, $(featuresCol), $(t1), $(t2),
         $(maxIter), $(distanceMeasure))
+    // guard pre-pass only when a canopy COULD exceed the knob: total
+    // row count is an upper bound on any per-canopy count and is a
+    // column-free scan, so small inputs (every test/bench sf) pay
+    // nothing and the count-only pass runs exactly when it matters
+    if (df.count() > $(maxMembers).toLong) {
+      val worst = Canopy.assign(df, $(featuresCol), centers, $(t1),
+          $(distanceMeasure))
+        .groupBy(col("__canopy_id")).agg(count(lit(1)).as("__n"))
+        .agg(max(col("__n"))).head()
+      val biggest = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+      require(biggest <= $(maxMembers).toLong,
+        s"Canopy.transform: a canopy has $biggest members — past " +
+          s"maxMembers=${$(maxMembers)}, the collect_list output contract " +
+          "is a one-task memory bomb. Consume Canopy.assign's exploded " +
+          "rows instead, or raise maxMembers with executor memory to match.")
+    }
     // Canopy row = center + strict members; duplicates of the center are
     // dropped like the reference's `dis <= 1e-6 -> continue`, and the
     // center itself appears exactly once, prepended (Canopy.java:416-423).

@@ -482,7 +482,15 @@ object FlacCodec {
     require(samples.length % channels == 0, "ragged interleave")
     require(blockSize >= 16 && blockSize <= 65535, s"bad blockSize $blockSize")
     require(Set("independent", "leftside", "midside")(stereoMode), stereoMode)
+    // STREAMINFO's sample-rate field is 20 bits; silently bit-truncating
+    // an out-of-range value would emit a corrupt-but-CRC-valid stream
+    require(sampleRate > 0 && sampleRate < (1 << 20),
+      s"sampleRate must fit STREAMINFO's 20-bit field (1..1048575), got $sampleRate")
     val nFramesTotal = samples.length / channels
+    // the UTF-8 coded frame number below covers indices < 2^21
+    require((nFramesTotal.toLong + blockSize - 1) / blockSize < (1L << 21),
+      s"frame count ${(nFramesTotal.toLong + blockSize - 1) / blockSize} " +
+        "exceeds the 2^21-1 coded-number range; raise blockSize")
     val out = new ByteArrayOutputStream()
     out.write("fLaC".getBytes("US-ASCII"))
     // STREAMINFO (last metadata block)

@@ -222,6 +222,10 @@ object GifCodec {
   def encodeGray(w: Int, h: Int, f: (Int, Int) => Int,
                  interlaced: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad dims ${w}x$h")
+    // mirror the decoder's total-pixel guard: 0xffff x 0xffff would
+    // overflow the w*h*2 Int buffer hints to a negative allocation size
+    require(w.toLong * h <= (1L << 26),
+      s"total pixels ${w.toLong * h} exceed 2^26 — encode smaller tiles")
     val out = new ByteArrayOutputStream(w * h * 2 + 800)
     def u8(v: Int): Unit = out.write(v & 0xff)
     def u16(v: Int): Unit = { u8(v); u8(v >> 8) }

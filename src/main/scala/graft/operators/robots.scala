@@ -162,10 +162,15 @@ object Robots {
       else bc.value.get(domain) match {
         case None => true
         case Some(rules) =>
-          // path+query of the URL (robots matches start at the path)
-          val noScheme = url.indexOf("://")
+          // path+query of the URL (robots matches start at the path).
+          // Scheme-less inputs ("host/a" or bare "/a") take the
+          // substring from the FIRST '/' — matching the whole string
+          // would include the host and silently defeat every
+          // '/'-anchored Disallow
+          val scheme = url.indexOf("://")
           val pathStart =
-            if (noScheme < 0) 0 else url.indexOf('/', noScheme + 3)
+            if (scheme < 0) url.indexOf('/')
+            else url.indexOf('/', scheme + 3)
           val path = if (pathStart < 0) "/" else url.substring(pathStart)
           allowed(rules, path)
       }

@@ -135,24 +135,28 @@ object Warc {
   /** `df(uriCol, textCol)` → ONE `.warc.gz` at `path`. Members are built
     * distributed (one projection, one reused deflate context per
     * partition); the driver only streams the finished blobs to the file
-    * in partition order. Rows with null text are skipped (the
-    * novelty-style convention). Record ids derive from the target URI
-    * (deterministic fixture bytes at any parallelism). */
+    * in partition order. Rows with null text OR null URI are skipped
+    * (the novelty-style convention). Record ids derive from (target
+    * URI, position in the output file) — per-record UNIQUE as ISO
+    * 28500 requires even when the same URI (or the same full row)
+    * repeats, and the whole file stays a pure function of the global
+    * row order, exactly like the member order itself. */
   def writeSingleFile(df: DataFrame, uriCol: String, textCol: String,
                       path: String, date: String = "2026-01-01T00:00:00Z"): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     import spark.implicits._
-    val members = df.filter(col(textCol).isNotNull)
+    val members = df.filter(col(textCol).isNotNull && col(uriCol).isNotNull)
       .select(col(uriCol).cast(StringType), col(textCol).cast(StringType))
       .as[(String, String)]
+      .rdd.zipWithIndex() // one extra count job — fine on the fixture path
       .mapPartitions { it =>
         val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
         val crc = new CRC32
-        it.map { case (uri, text) =>
+        it.map { case ((uri, text), idx) =>
           memberBytesReusing(uri, date, "urn:graft:" + java.util.UUID
-            .nameUUIDFromBytes(uri.getBytes(UTF_8)), text.getBytes(UTF_8),
-            deflater, crc)
+            .nameUUIDFromBytes((uri + " " + idx).getBytes(UTF_8)),
+            text.getBytes(UTF_8), deflater, crc)
         } // deflater freed by GC at partition end (end() would need a
           // completion hook; the native buffer is small and bounded)
       }
@@ -171,7 +175,7 @@ object Warc {
         spark.sparkContext.hadoopConfiguration)).create(hp, true), 1 << 20)
     try {
       cached.count()
-      val it = cached.toLocalIterator()
+      val it = cached.toLocalIterator
       while (it.hasNext) out.write(it.next())
     } finally {
       out.close()
@@ -202,11 +206,24 @@ object Warc {
       if (pos < bufStart || pos >= bufStart + bufLen) {
         in.seek(pos)
         bufStart = pos
+        // Invalidate the window BEFORE refilling: if the read throws or
+        // EOFs early (truncated/racing file), a stale bufLen would serve
+        // the previous window's bytes as file content — silently dropped
+        // records after a CRC resync instead of a clean failure.
+        bufLen = 0
         // one read call per refill; n == 0 is a legal no-progress return
-        // on some Hadoop streams (the SplittableCsv lesson) — retry it,
-        // only n < 0 is EOF
+        // on some Hadoop streams (the SplittableCsv lesson) — retry it
+        // boundedly, only n < 0 is EOF
         var n = 0
-        while (n == 0) n = in.read(buf, 0, buf.length)
+        var spins = 0
+        while (n == 0) {
+          n = in.read(buf, 0, buf.length)
+          if (n == 0) {
+            spins += 1
+            if (spins > 4096) throw new java.io.IOException(
+              s"Warc: stream made no progress after $spins reads at $pos")
+          }
+        }
         if (n < 0) return -1
         bufLen = n
       }

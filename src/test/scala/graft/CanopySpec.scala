@@ -115,6 +115,22 @@ class CanopySpec extends GraftSpec {
     assert(fetched < n / 10, s"driver fetched $fetched of $n rows")
   }
 
+  test("transform fails fast past maxMembers instead of building the buffer") {
+    import spark.implicits._
+    // 40 near-identical points -> one canopy holding ~all of them
+    val df40 = (0 until 40).map(i => (i.toLong, Array(i * 1e-4, 0.0)))
+      .toDF("id", "features")
+    val e = intercept[IllegalArgumentException] {
+      new Canopy().setT1(10.0).setT2(5.0).setMaxIter(100)
+        .setMaxMembers(10).transform(df40).collect()
+    }
+    assert(e.getMessage.contains("maxMembers"))
+    // same data passes once the knob covers the canopy
+    val ok = new Canopy().setT1(10.0).setT2(5.0).setMaxIter(100)
+      .setMaxMembers(40).transform(df40).collect()
+    assert(ok.nonEmpty)
+  }
+
   test("transform output shape: (centroids, prediction=members incl center first)") {
     val out = new Canopy().setT1(2.0).setT2(1.0).setMaxIter(100).transform(df)
     assert(out.columns.toSeq == Seq("centroids", "prediction"))

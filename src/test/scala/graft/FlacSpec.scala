@@ -185,6 +185,19 @@ class FlacSpec extends GraftSpec {
     assert(FlacCodec.decode(big).isEmpty)
   }
 
+  test("encode refuses field-overflowing parameters instead of bit-truncating") {
+    val s = new Array[Short](64)
+    // STREAMINFO sample rate is a 20-bit field
+    intercept[IllegalArgumentException](FlacCodec.encode(s, 0))
+    intercept[IllegalArgumentException](FlacCodec.encode(s, -8000))
+    intercept[IllegalArgumentException](FlacCodec.encode(s, 1 << 20))
+    assert(FlacCodec.encode(s, (1 << 20) - 1).nonEmpty)
+    // frame count must stay inside the 21-bit coded-number range
+    intercept[IllegalArgumentException](
+      FlacCodec.encode(new Array[Short](16 * (1 << 21) + 16), 16000,
+        blockSize = 16))
+  }
+
   test("audioStats dispatches FLAC to the shared stats kernel") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

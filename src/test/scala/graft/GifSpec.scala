@@ -113,4 +113,13 @@ class GifSpec extends GraftSpec {
     b(off + 2) = 0xff.toByte; b(off + 3) = 0xff.toByte
     assert(GifCodec.decode(b).isEmpty)
   }
+
+  test("encodeGray refuses dims whose byte budget overflows Int") {
+    // 0xffff x 0xffff passes the per-axis checks but w*h*2 wraps negative;
+    // the total-pixel guard must catch it before any allocation
+    intercept[IllegalArgumentException](
+      GifCodec.encodeGray(0xffff, 0xffff, (_, _) => 0))
+    intercept[IllegalArgumentException](
+      GifCodec.encodeGray(1 << 13, (1 << 13) + 1, (_, _) => 0))
+  }
 }

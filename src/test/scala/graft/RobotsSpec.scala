@@ -80,4 +80,19 @@ class RobotsSpec extends GraftSpec {
     assert(got.toSeq == Seq((1L, false), (2L, true), (3L, true),
       (4L, true), (5L, true)))
   }
+
+  test("robotsGate: scheme-less URLs match from the first '/'") {
+    val urls = Seq(
+      (1L, "a.com", "a.com/private/x"), // host + path, no scheme
+      (2L, "a.com", "/private/x"),      // bare path
+      (3L, "a.com", "a.com"),           // no path at all -> "/"
+      (4L, "a.com", "a.com/pub/1")).toDF("id", "domain", "url")
+    val robotsDf = Seq(("a.com", robots)).toDF("domain", "content")
+    val got = Robots.robotsGate(urls, col("url"), col("domain"),
+        robotsDf, "domain", "content", "graftbot")
+      .select("id", "robots_allowed").as[(Long, Boolean)].collect().sortBy(_._1)
+    // '/'-anchored Disallow must fire on scheme-less forms too; a bare
+    // host is the root path, which graftbot's group leaves allowed
+    assert(got.toSeq == Seq((1L, false), (2L, false), (3L, true), (4L, true)))
+  }
 }
