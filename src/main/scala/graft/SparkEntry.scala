@@ -2610,10 +2610,19 @@ object SparkEntry {
     // codegen projection
     "q_url_normalize" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
-      val url = concat(lit("HTTP://WWW.Example"),
-        pmod(col("doc_id"), lit(50L)).cast("string"),
-        when(pmod(col("doc_id"), lit(7L)) === 0, lit(".CO.UK"))
-          .otherwise(lit(".COM")),
+      // host plants exercise every PSL rule class: .CO.UK (2-label exact
+      // rule -> 3-label registrable), .Pref.AICHI.JP (JP prefecture rule;
+      // the www+example labels must BOTH fall away -> pref.aichi.jp),
+      // .Biy.CK (*.ck wildcard -> 3-label registrable), bare WWW.CK
+      // (!www.ck exception -> the host itself), .COM (default rule)
+      val host = when(pmod(col("doc_id"), lit(13L)) === 0, lit("WWW.CK"))
+        .otherwise(concat(lit("WWW.Example"),
+          pmod(col("doc_id"), lit(50L)).cast("string"),
+          when(pmod(col("doc_id"), lit(7L)) === 0, lit(".CO.UK"))
+            .when(pmod(col("doc_id"), lit(9L)) === 0, lit(".Pref.AICHI.JP"))
+            .when(pmod(col("doc_id"), lit(10L)) === 0, lit(".Biy.CK"))
+            .otherwise(lit(".COM"))))
+      val url = concat(lit("HTTP://"), host,
         lit(":80/Path/"), col("doc_id").cast("string"),
         when(pmod(col("doc_id"), lit(6L)) === 0, lit("/%7e%41b%2fC"))
           .otherwise(lit("")),
@@ -5332,16 +5341,25 @@ object SparkEntry {
 
     // ground truth from doc_id: scheme/host lowered, :80 gone, path
     // case preserved, trailing slash stripped, fragment dropped, query
-    // byte-exact; domain = last two host labels
+    // byte-exact; domain = the PSL registrable domain per rule class
+    // (exception > wildcard/exact > default), replayed as arithmetic
     "q_url_normalize" ->
       """SELECT doc_id,
-        |  'http://www.example' || (doc_id % 50)
-        |    || CASE WHEN doc_id % 7 = 0 THEN '.co.uk' ELSE '.com' END
+        |  'http://'
+        |    || CASE WHEN doc_id % 13 = 0 THEN 'www.ck'
+        |       ELSE 'www.example' || (doc_id % 50)
+        |         || CASE WHEN doc_id % 7 = 0 THEN '.co.uk'
+        |                 WHEN doc_id % 9 = 0 THEN '.pref.aichi.jp'
+        |                 WHEN doc_id % 10 = 0 THEN '.biy.ck'
+        |                 ELSE '.com' END END
         |    || '/Path/' || doc_id
         |    || CASE WHEN doc_id % 6 = 0 THEN '/~Ab%2FC' ELSE '' END
         |    || CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1' ELSE '' END AS url_norm,
-        |  'example' || (doc_id % 50)
-        |    || CASE WHEN doc_id % 7 = 0 THEN '.co.uk' ELSE '.com' END AS domain
+        |  CASE WHEN doc_id % 13 = 0 THEN 'www.ck'
+        |       WHEN doc_id % 7 = 0 THEN 'example' || (doc_id % 50) || '.co.uk'
+        |       WHEN doc_id % 9 = 0 THEN 'pref.aichi.jp'
+        |       WHEN doc_id % 10 = 0 THEN 'example' || (doc_id % 50) || '.biy.ck'
+        |       ELSE 'example' || (doc_id % 50) || '.com' END AS domain
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // de-stutter ground truth straight from the arithmetic: the four

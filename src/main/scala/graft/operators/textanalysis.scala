@@ -181,16 +181,13 @@ object TextAnalysis {
   }
 
   /**
-   * Static snapshot of the most common TWO-LABEL public suffixes from
-   * the public-suffix list's ICANN section (publicsuffix.org — public
-   * data; a curated subset embedded as a constant so the container
-   * needs no download). Under any of these, the registrable domain is
-   * the last THREE host labels (`shop.example.co.uk` → `example.co.uk`),
-   * not two. Swap in the full PSL (including its handful of >2-label
-   * and wildcard rules, which this snapshot deliberately omits) in
-   * production — the column shape is identical.
+   * Legacy curated two-label suffix subset, superseded by the full PSL
+   * algorithm in [[graft.functions.PslDomain]] (resource-backed rules
+   * incl. >2-label, wildcard and exception classes). Kept only as the
+   * cross-check corpus for PslSpec: every entry here must produce the
+   * same registrable domain under the full algorithm.
    */
-  val publicSuffixSnapshot: Seq[String] = Seq(
+  private[graft] val publicSuffixSnapshot: Seq[String] = Seq(
     // UK / Ireland / crown dependencies
     "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
     "ac.uk", "gov.uk", "nhs.uk", "co.im", "co.je", "co.gg", "gov.ie",
@@ -258,23 +255,22 @@ object TextAnalysis {
     "ac.be", "com.ru", "net.ru", "org.ru", "ac.ru",
     "com.is", "net.is", "org.is", "edu.is", "gov.is", "int.is")
 
-  /** Registrable domain of a URL's host: the last two dot-labels of the
-    * (lowercased, port-stripped) host — or the last THREE when the last
-    * two form a known public suffix ([[publicSuffixSnapshot]]:
-    * `a.b.example.co.uk` → `example.co.uk`, not `co.uk`). Without the
-    * suffix rule, per-domain caps would pool every `co.uk` site into
-    * one bucket — an active mis-cap, not a cosmetic miss. A host that
-    * IS exactly a public suffix (no third label) degrades to the
-    * suffix itself. Pure codegen chain; the IN-set compiles to a hash
-    * lookup (Catalyst InSet) and replays in SQL as a CASE/IN. */
+  /** Registrable domain of a URL's host under the full Public Suffix
+    * List algorithm ([[graft.functions.PslDomain]]): lowercase + strip
+    * port, then longest-rule match over the resource-backed rule set —
+    * `a.b.example.co.uk` → `example.co.uk`, `www.pref.aichi.jp` →
+    * `pref.aichi.jp` (3-label registrable), `x.biy.ck` → `x.biy.ck`
+    * (`*.ck` wildcard), `www.ck` → `www.ck` (`!www.ck` exception).
+    * Without the suffix rules, per-domain caps would pool every
+    * `co.uk` site into one bucket — an active mis-cap, not a cosmetic
+    * miss. A host that IS exactly a public suffix degrades to itself.
+    * Host extraction stays a codegen regex chain; the PSL match is a
+    * native codegen expression (hash probes per label, no regex). */
   def urlDomain(u: Column): Column = {
     val host = regexp_replace(
       lower(regexp_extract(regexp_replace(u, "#.*$", ""),
         "^[^:/?#]+://([^/?#]*)", 1)), ":[0-9]+$", "")
-    val lastTwo = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
-    val lastThree = regexp_extract(host, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
-    when(lastTwo.isin(publicSuffixSnapshot: _*) && lastThree =!= "",
-      lastThree).otherwise(lastTwo)
+    graft.functions.PslDomain(host)
   }
 
   /** Compiled once: `String.replaceAll` recompiles its pattern per call,
