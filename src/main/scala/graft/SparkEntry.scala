@@ -2550,6 +2550,22 @@ object SparkEntry {
           col("content").as("text"))
     }),
 
+    // the PRODUCTION egress+ingest pair: one .warc.gz shard per
+    // partition written executor-side (no driver hop), then the
+    // parallel ranged read over the shard directory — same content
+    // oracle as the single-file fixture form above
+    "q_warc_shards" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .withColumn("url", concat(lit("http://corpus.local/doc/"),
+          col("doc_id").cast("string")))
+      graft.sources.Warc.roundTripShards(docs, "url", "text", "warcshards",
+          blockBytes = 64L * 1024)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("content").as("text"))
+    }),
+
     // HTML -> text extraction (the web-ingest front door): each doc
     // wrapped in a full page — style/script bodies with <, >, && bait,
     // a comment, heading, entities — then stripped by the pure-Column
@@ -5312,6 +5328,9 @@ object SparkEntry {
     // lossless WARC ingest: null-text docs are skipped by the writer
     // contract (no payload to archive), everything else byte-exact
     "q_warc_source" ->
+      "SELECT doc_id, text FROM documents WHERE text IS NOT NULL",
+
+    "q_warc_shards" ->
       "SELECT doc_id, text FROM documents WHERE text IS NOT NULL",
 
     // ground-truth expected text straight from the raw columns (NOT a

@@ -50,11 +50,12 @@ import java.util.zip.{CRC32, Deflater, GZIPOutputStream, Inflater}
  *
  * Writer: resource records (`WARC-Type: resource` — raw payload, no
  * HTTP envelope), one gzip member per record, deterministic bytes
- * (Java's GZIPOutputStream writes MTIME=0). [[writeSingleFile]] streams
- * members through the driver via `toLocalIterator` (O(one partition)
- * driver memory) — the single-huge-file FIXTURE shape; a production
- * egress writes one `.warc.gz` per partition and ships the directory,
- * which needs no driver hop and is what [[memberBytes]] composes with.
+ * (Java's GZIPOutputStream writes MTIME=0). Two egress shapes:
+ * [[writeShards]] is the PRODUCTION writer — one `.warc.gz` shard per
+ * partition, written executor-side with a temp-and-rename commit, no
+ * driver hop at any corpus size; [[writeSingleFile]] streams members
+ * through the driver via `toLocalIterator` (O(one partition) driver
+ * memory) — the single-huge-file FIXTURE shape.
  */
 object Warc {
 
@@ -182,6 +183,86 @@ object Warc {
       cached.unpersist()
       ()
     }
+  }
+
+  /** PRODUCTION egress: `df(uriCol, textCol)` → one `.warc.gz` shard per
+    * partition under `dir`, written executor-side via mapPartitions — no
+    * driver hop at any corpus size (the [[writeSingleFile]] fixture
+    * shape drains every blob through the driver serially; this is the
+    * writer the 100 TB path uses). Each task streams its members through
+    * one reused deflate context into `part-NNNNN.warc.gz` (NNNNN =
+    * partition index — deterministic layout), creating the file via the
+    * Hadoop FS so the same call targets HDFS/S3A. Writes go to a dotted
+    * temp name and rename on completion, so a retried/speculated task
+    * never exposes a half-written shard (rename is the idempotent
+    * commit; a re-run overwrites the same final name). Rows with null
+    * text or URI are skipped. Record ids are unique per record —
+    * name-UUID over (uri, partition, ordinal).
+    *
+    * Returns the shard manifest (shard, records, bytes) — #partitions
+    * rows, the model-sized artifact a corpus publisher ships next to
+    * the shards. Empty partitions write no file (and no manifest row)
+    * so shard numbering can have gaps; [[read]] lists the directory. */
+  def writeShards(df: DataFrame, uriCol: String, textCol: String,
+                  dir: String, date: String = "2026-01-01T00:00:00Z"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration))
+    val dirStr = dir
+    val dateStr = date
+    val manifest = df.filter(col(textCol).isNotNull && col(uriCol).isNotNull)
+      .select(col(uriCol).cast(StringType), col(textCol).cast(StringType))
+      .as[(String, String)]
+      .rdd.mapPartitionsWithIndex { case (pid, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val name = f"part-$pid%05d.warc.gz"
+          val finalPath = new org.apache.hadoop.fs.Path(dirStr, name)
+          val tmpPath = new org.apache.hadoop.fs.Path(dirStr, s".$name.tmp")
+          val fs = finalPath.getFileSystem(conf.value)
+          val out = new java.io.BufferedOutputStream(
+            fs.create(tmpPath, true), 1 << 20)
+          val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, true)
+          val crc = new CRC32
+          var n = 0L
+          var bytes = 0L
+          try {
+            var ord = 0L
+            while (it.hasNext) {
+              val (uri, text) = it.next()
+              val m = memberBytesReusing(uri, dateStr,
+                "urn:graft:" + java.util.UUID.nameUUIDFromBytes(
+                  (uri + " " + pid + ":" + ord).getBytes(UTF_8)),
+                text.getBytes(UTF_8), deflater, crc)
+              out.write(m)
+              n += 1
+              bytes += m.length
+              ord += 1
+            }
+          } finally {
+            deflater.end()
+            out.close()
+          }
+          if (!fs.rename(tmpPath, finalPath))
+            throw new java.io.IOException(
+              s"Warc.writeShards: rename $tmpPath -> $finalPath failed")
+          Iterator.single((name, n, bytes))
+        }
+      }.collect().toSeq // one row per non-empty partition — model-sized
+    manifest.toDF("shard", "records", "bytes")
+  }
+
+  /** Sharded round trip: corpus → one shard per partition → parallel
+    * ranged read over the directory (the production egress+ingest pair;
+    * [[roundTrip]] is the single-file fixture form). */
+  def roundTripShards(df: DataFrame, uriCol: String, textCol: String,
+                      tag: String, blockBytes: Long): DataFrame = {
+    val dir = TextFormats.scratchDir(tag)
+    writeShards(df, uriCol, textCol, dir)
+    read(df.sparkSession, dir, blockBytes = blockBytes)
   }
 
   // ------------------------------------------------------------------
