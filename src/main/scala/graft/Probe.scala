@@ -444,3 +444,68 @@ object BlocklistProbe {
     spark.stop()
   }
 }
+
+/** Corpus-sized robots scale point: a rule table PAST robotsGate's
+  * maxDomains fail-fast (default 1M) through the join-shape variant —
+  * the evidence that the above-limit leg is a working path, not a
+  * vestigial branch. Synthetic rules: every even domain closes /tmp/,
+  * every third domain gets a graftbot group closing /private*; URLs
+  * spread over the domains with a path mix hitting both rules. Prints
+  * wall seconds for (a) the broadcast gate REFUSING, (b) the joined
+  * gate deciding the full corpus, plus a decision histogram. */
+object RobotsProbe {
+  def main(args: Array[String]): Unit = {
+    val nDomains = sys.env.getOrElse("SPARK_GRAFT_ROBOTS_DOMAINS", "2000000").toInt
+    val nUrls = sys.env.getOrElse("SPARK_GRAFT_ROBOTS_URLS", "5000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val robots = spark.range(0, nDomains).select(
+      concat(lit("d"), col("id").cast("string"), lit(".com")).as("domain"),
+      concat(
+        when(pmod(col("id"), lit(3L)) === 0,
+          lit("User-agent: graftbot\nDisallow: /private*\n\n")).otherwise(lit("")),
+        lit("User-agent: *\n"),
+        when(pmod(col("id"), lit(2L)) === 0, lit("Disallow: /tmp/\n"))
+          .otherwise(lit("Disallow:\n"))).as("content"))
+    val urls = spark.range(0, nUrls).select(
+      col("id"),
+      concat(lit("d"), pmod(col("id"), lit(nDomains.toLong)).cast("string"),
+        lit(".com")).as("domain"),
+      concat(lit("http://d"), pmod(col("id"), lit(nDomains.toLong)).cast("string"),
+        lit(".com"),
+        when(pmod(col("id"), lit(4L)) === 0, lit("/tmp/x"))
+          .when(pmod(col("id"), lit(4L)) === 1, lit("/private/x"))
+          .otherwise(lit("/pub/x"))).as("url"))
+    // (a) the broadcast gate must REFUSE past maxDomains, fast
+    t("broadcast gate fail-fast") {
+      val e = try {
+        graft.operators.Robots.robotsGate(urls, col("url"), col("domain"),
+          robots, "domain", "content", "graftbot/1.0").count(); None
+      } catch { case ex: IllegalArgumentException => Some(ex) }
+      require(e.nonEmpty, "expected the maxDomains fail-fast")
+      println(s"[probe] refused: ${e.get.getMessage.take(80)}...")
+    }
+    // (b) the joined gate decides the whole corpus
+    val decided = graft.operators.Robots.robotsGateJoined(urls, col("url"),
+      col("domain"), robots, "domain", "content", "graftbot/1.0")
+    val hist = t(s"joined gate over $nUrls urls x $nDomains domains")(
+      decided.groupBy(col("robots_allowed")).count().collect()
+        .map(r => r.getBoolean(0) -> r.getLong(1)).toMap)
+    println(s"[probe] decisions: $hist")
+    // spot-check the rule arithmetic: id%4==1 (private) blocked iff
+    // domain%3==0; id%4==0 (tmp) blocked iff domain%3!=0 && domain%2==0
+    // (a graftbot group EXISTS on %3 domains, so '*' rules don't apply)
+    val blocked = hist.getOrElse(false, 0L)
+    println(s"[probe] blocked=$blocked of $nUrls")
+    spark.stop()
+  }
+}

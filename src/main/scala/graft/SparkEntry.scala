@@ -1658,6 +1658,53 @@ object SparkEntry {
         .select(col("doc_id"), col("domain"), col("robots_allowed"))
     }),
 
+    // the CORPUS-SIZED rule-table leg of the robots gate: rules parsed
+    // executor-side, decision in a domain-keyed left join + projection,
+    // zero driver state — same fixture, same decisions, same oracle as
+    // q_robots_gate (the broadcast form); the shape that holds when the
+    // robots table is a crawl-wide 10^8-domain relation
+    "q_robots_join" -> ((s, dir) => {
+      val restrictive =
+        """User-agent: evilbot
+          |Disallow: /
+          |
+          |User-agent: graftbot
+          |User-agent: otherbot
+          |Disallow: /private*
+          |Allow: /private/ok$
+          |Disallow: /tmp/
+          |
+          |User-agent: *
+          |Disallow: /
+          |""".stripMargin
+      val permissive =
+        """# odd domains: tmp is closed except the open subtree
+          |User-agent: *
+          |Disallow: /tmp/
+          |Allow: /tmp/open
+          |""".stripMargin
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val k = pmod(col("doc_id"), lit(50L))
+      val domain = concat(lit("example"), k.cast("string"), lit(".com"))
+      val m = pmod(col("doc_id"), lit(5L))
+      val path = when(m === 0, concat(lit("/private/x"), col("doc_id").cast("string")))
+        .when(m === 1, lit("/private/ok"))
+        .when(m === 2, concat(lit("/pub/"), col("doc_id").cast("string")))
+        .when(m === 3, concat(lit("/tmp/"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("/tmp/open"), col("doc_id").cast("string")))
+      val urls = docs.select(col("doc_id"), domain.as("domain"),
+        concat(lit("http://"), domain, path).as("url"))
+      val robotsDf = s.range(0, 50)
+        .filter(pmod(col("id"), lit(7L)) =!= 0)
+        .select(concat(lit("example"), col("id").cast("string"), lit(".com"))
+            .as("domain"),
+          when(pmod(col("id"), lit(2L)) === 0, lit(restrictive))
+            .otherwise(lit(permissive)).as("content"))
+      graft.operators.Robots.robotsGateJoined(urls, col("url"), col("domain"),
+          robotsDf, "domain", "content", userAgent = "graftbot/1.0")
+        .select(col("doc_id"), col("domain"), col("robots_allowed"))
+    }),
+
     // curation v10 — the round-9 web-ingest front door COMPOSED:
     // robots.txt opt-out gate (RFC 9309 decision table) -> fused HTML
     // extraction -> Unicode NFC -> md5 dedup key + token accounting.
@@ -4511,6 +4558,19 @@ object SparkEntry {
     // Disallow-/ must NOT leak in); odd domains run '*' (tmp closed,
     // /tmp/open reopened by the longer Allow)
     "q_robots_gate" ->
+      """SELECT doc_id,
+        |  'example' || (doc_id % 50) || '.com' AS domain,
+        |  CASE
+        |    WHEN (doc_id % 50) % 7 = 0 THEN true
+        |    WHEN doc_id % 2 = 0 THEN
+        |      (CASE WHEN doc_id % 5 IN (1, 2) THEN true ELSE false END)
+        |    ELSE (CASE WHEN doc_id % 5 = 3 THEN false ELSE true END)
+        |  END AS robots_allowed
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // identical decisions to q_robots_gate by construction — the join
+    // shape changes WHERE the rules live, never what they decide
+    "q_robots_join" ->
       """SELECT doc_id,
         |  'example' || (doc_id % 50) || '.com' AS domain,
         |  CASE

@@ -131,6 +131,19 @@ object Robots {
     bestAllow
   }
 
+  /** Path+query of a URL (robots patterns match from the path). For
+    * scheme-less inputs ("host/a" or bare "/a") the path starts at the
+    * FIRST '/' — matching the whole string would include the host and
+    * silently defeat every '/'-anchored Disallow. No '/' at all (bare
+    * host) is the root path. */
+  def pathOf(url: String): String = {
+    val scheme = url.indexOf("://")
+    val pathStart =
+      if (scheme < 0) url.indexOf('/')
+      else url.indexOf('/', scheme + 3)
+    if (pathStart < 0) "/" else url.substring(pathStart)
+  }
+
   /**
    * Gate a URL corpus against per-domain robots: `robots(domainCol,
    * contentCol)` is parsed once per domain on the driver (domains are
@@ -161,20 +174,66 @@ object Robots {
       if (domain == null || url == null) true
       else bc.value.get(domain) match {
         case None => true
-        case Some(rules) =>
-          // path+query of the URL (robots matches start at the path).
-          // Scheme-less inputs ("host/a" or bare "/a") take the
-          // substring from the FIRST '/' — matching the whole string
-          // would include the host and silently defeat every
-          // '/'-anchored Disallow
-          val scheme = url.indexOf("://")
-          val pathStart =
-            if (scheme < 0) url.indexOf('/')
-            else url.indexOf('/', scheme + 3)
-          val path = if (pathStart < 0) "/" else url.substring(pathStart)
-          allowed(rules, path)
+        case Some(rules) => allowed(rules, pathOf(url))
       }
     }
     urls.withColumn("robots_allowed", allowUdf(domainCol, urlCol))
+  }
+
+  /**
+   * CORPUS-SIZED robots: the same gate as [[robotsGate]] with the rule
+   * table as DATA instead of driver state — for rule tables past
+   * `maxDomains` (a full-web crawl has ~10⁸ registrable domains; no
+   * driver holds that). Each robots.txt is parsed ONCE executor-side
+   * into the UA-applicable group (a compact `array<string>` column,
+   * "+pattern"/"-pattern"), deduped to one row per domain (a duplicate
+   * domain would FAN OUT the URL corpus through the join — the dedup
+   * is a partial-agg shuffle of the already-parsed compact rules, not
+   * the raw robots bodies), then LEFT-joined onto the URL corpus on
+   * domain and decided in a projection. Absent domains and null URLs
+   * are allowed, identical to the broadcast form (spec-pinned).
+   *
+   * Scale shape: one shuffle of the parsed rule table + one
+   * domain-keyed join (AQE broadcasts it when it's actually small,
+   * skew-splits a hot domain when it isn't — rule rows are unique per
+   * key so a sort-merge skew split is always legal). Driver state:
+   * none. Decision cost is identical to the broadcast form; the rules
+   * ride the join instead of a broadcast map.
+   */
+  def robotsGateJoined(urls: DataFrame, urlCol: Column, domainCol: Column,
+                       robots: DataFrame, robotsDomainCol: String,
+                       robotsContentCol: String, userAgent: String): DataFrame = {
+    val ua = userAgent
+    val parseUdf = udf { (content: String) =>
+      parseFor(content, ua)
+        .map(r => (if (r.allow) "+" else "-") + r.pattern).toArray
+    }
+    val rules = robots
+      .select(col(robotsDomainCol).cast("string").as("__robots_domain"),
+        parseUdf(col(robotsContentCol).cast("string")).as("__rules"))
+      .dropDuplicates("__robots_domain")
+    val decideUdf = udf { (enc: Seq[String], url: String) =>
+      if (url == null || enc == null) true
+      else {
+        val path = pathOf(url)
+        // inline longest-match/Allow-ties decision over the encoded
+        // rules — no per-row Vector/Rule allocation on the hot path
+        var bestLen = -1
+        var bestAllow = true
+        enc.foreach { s =>
+          val patLen = s.length - 1
+          if (patLen >= bestLen && matches(s.substring(1), path)) {
+            if (patLen > bestLen) {
+              bestLen = patLen
+              bestAllow = s.charAt(0) == '+'
+            } else if (s.charAt(0) == '+') bestAllow = true
+          }
+        }
+        bestAllow
+      }
+    }
+    urls.join(rules, domainCol === col("__robots_domain"), "left")
+      .withColumn("robots_allowed", decideUdf(col("__rules"), urlCol))
+      .drop("__robots_domain", "__rules")
   }
 }

@@ -81,6 +81,32 @@ class RobotsSpec extends GraftSpec {
       (4L, true), (5L, true)))
   }
 
+  test("robotsGateJoined: decision-identical to the broadcast gate") {
+    val urls = Seq(
+      (1L, "a.com", "http://a.com/private/x"),
+      (2L, "a.com", "http://a.com/private/ok"),
+      (3L, "a.com", "http://a.com/pub/1"),
+      (4L, "norobots.com", "http://norobots.com/private/x"),
+      (5L, "a.com", null: String),
+      (6L, null: String, "http://x.com/private/x"),
+      (7L, "a.com", "a.com/private/x"), // scheme-less
+      (8L, "b.com", "http://b.com/tmp/f")).toDF("id", "domain", "url")
+    // duplicate robots rows for a domain must NOT fan the corpus out
+    val robotsDf = Seq(
+      ("a.com", robots), ("a.com", robots),
+      ("b.com", "User-agent: *\nDisallow: /tmp/")).toDF("domain", "content")
+    val joined = Robots.robotsGateJoined(urls, col("url"), col("domain"),
+        robotsDf, "domain", "content", "graftbot")
+      .select("id", "robots_allowed").as[(Long, Boolean)].collect().sortBy(_._1)
+    val bcast = Robots.robotsGate(urls, col("url"), col("domain"),
+        robotsDf.dropDuplicates("domain"), "domain", "content", "graftbot")
+      .select("id", "robots_allowed").as[(Long, Boolean)].collect().sortBy(_._1)
+    assert(joined.length == 8, "no fan-out from duplicate rule rows")
+    assert(joined.toSeq == bcast.toSeq)
+    assert(joined.toSeq == Seq((1L, false), (2L, true), (3L, true),
+      (4L, true), (5L, true), (6L, true), (7L, false), (8L, false)))
+  }
+
   test("robotsGate: scheme-less URLs match from the first '/'") {
     val urls = Seq(
       (1L, "a.com", "a.com/private/x"), // host + path, no scheme
