@@ -3469,6 +3469,36 @@ object SparkEntry {
       Multimodal.audioStats(docs, "doc_id", "blob", batchSize = 32)
     }),
 
+    // MP3 FRAME-layer metadata (the audio-curation gate for podcast/
+    // speech dumps): spec-valid silent streams planted with per-doc
+    // rate/channels/frames/bitrate; every even doc is CRC-protected
+    // (parse must verify the CRC-16), every third doc is wrapped in
+    // ID3v2+ID3v1 tags with 0xff-laden junk payload (the walk must skip
+    // the tag and must NOT anchor on a false sync). duration/bitrate
+    // replay as arithmetic in the oracle. PCM synthesis is the
+    // documented Mp3Codec boundary — nothing here depends on it
+    "q_mp3_audio" -> ((s, dir) => {
+      val mp3Udf = udf { (id: Long) =>
+        val rate = (id % 3) match {
+          case 0 => 44100; case 1 => 48000; case _ => 32000
+        }
+        val kbps = (id % 4) match {
+          case 0 => 64; case 1 => 128; case 2 => 192; case _ => 320
+        }
+        val stream = graft.operators.Mp3Codec.encodeSilent(
+          rate, channels = 1 + (id % 2).toInt, frames = 3 + (id % 5).toInt,
+          bitrateKbps = kbps, withCrc = id % 2 == 0)
+        if (id % 3 == 0) graft.operators.Mp3Codec.withId3(stream) else stream
+      }
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), mp3Udf(col("doc_id")).as("blob"))
+      Multimodal.mp3Info(docs, "doc_id", "blob", batchSize = 32)
+        .select(col("media_id").as("doc_id"), col("format"),
+          col("sample_rate"), col("channels"), col("frames"),
+          col("duration_ms"), col("bitrate_kbps"), col("vbr"),
+          col("bad_frames"))
+    }),
+
     // REAL audio decimation (the WAV analog of q_resize): every 4th
     // PCM sample kept, re-encoded at rate/4, decoded AGAIN for stats —
     // the decode→slice→encode→decode chain is exact, and the
@@ -6231,6 +6261,23 @@ object SparkEntry {
          |  CAST(len(list_filter(range(1, len(ss)),
          |    i -> (ss[i] >= 0) <> (ss[i+1] >= 0))) AS BIGINT) AS zero_crossings
          |FROM s""".stripMargin,
+
+    // MP3 frame-walk ground truth straight from the plant arithmetic:
+    // duration = frames x 1152 samples at the planted rate (integer ms)
+    "q_mp3_audio" ->
+      """SELECT doc_id, 'mp3' AS format,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |    ELSE 32000 END AS INTEGER) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(3 + doc_id % 5 AS INTEGER) AS frames,
+        |  CAST(((3 + doc_id % 5) * 1152 * 1000)
+        |    // CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |       ELSE 32000 END AS BIGINT) AS duration_ms,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 128
+        |    WHEN 2 THEN 192 ELSE 320 END AS INTEGER) AS bitrate_kbps,
+        |  false AS vbr,
+        |  CAST(0 AS INTEGER) AS bad_frames
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // decimation: mono docs slice every 4th sample (1-based ss[4k+1]);
     // stereo docs (doc_id%3=0) keep BOTH interleaved samples of every

@@ -26,11 +26,15 @@ import org.apache.spark.sql.types._
  * FLAC (pure-JVM Rice + linear prediction, [[FlacCodec]]),
  * 24-bpp BMP and PCM WAV — see [[RealCodecs]] — and so are the pixel
  * ops built on them (box-pool resize, dHash56 perceptual near-dup).
- * Only the codecs a JVM genuinely cannot parse without a library
- * (MP3/H.264 — psychoacoustic/entropy machinery) remain `StubCodecs.*`
- * deterministic fakes; swap those for real codecs (javacv / ffmpeg
- * bindings) in production — the schemas, batching, and partition
- * behavior (the Spark-side contract) stay exactly as tested here.
+ * MP3 is real at the FRAME layer ([[Mp3Codec]]: sync walk, CRC,
+ * Xing/VBR, ID3, duration/rate metadata — the audio-curation gate);
+ * its PCM synthesis stays out on validatability grounds (the ISO
+ * Huffman tables have no in-container ground truth — the boundary
+ * note on [[Mp3Codec]]). Only H.264 remains a `StubCodecs.*`
+ * deterministic fake end-to-end; swap stubs for real codecs (javacv /
+ * ffmpeg bindings) in production — the schemas, batching, and
+ * partition behavior (the Spark-side contract) stay exactly as
+ * tested here.
  */
 object Multimodal {
 
@@ -255,6 +259,9 @@ object Multimodal {
         new String(blob, 8, 4, "US-ASCII") == "WAVE") "wav"
       else if (blob.length >= 4 && blob(0) == 'f' && blob(1) == 'L' &&
         blob(2) == 'a' && blob(3) == 'C') "flac"
+      else if (blob.length >= 3 && ((blob(0) == 'I' && blob(1) == 'D' &&
+        blob(2) == '3') || ((blob(0) & 0xff) == 0xff && (blob(1) & 0xe0) == 0xe0)))
+        "mp3"
       else "stub"
 
     // ---- PNG (truecolor 8-bit, the real wire format) -----------------
@@ -510,6 +517,48 @@ object Multimodal {
               Row(r.getLong(0), fmt, rate, ss.length.toLong, sumAbs, zc)
             case None =>
               Row(r.getLong(0), RealCodecs.sniff(blob), null, null, null, null)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  val mp3InfoSchema: StructType = new StructType()
+    .add("media_id", LongType, nullable = false)
+    .add("format", StringType, nullable = false)
+    .add("mpeg_version", StringType)
+    .add("sample_rate", IntegerType)
+    .add("channels", IntegerType)
+    .add("frames", IntegerType)
+    .add("duration_ms", LongType)
+    .add("bitrate_kbps", IntegerType)
+    .add("vbr", BooleanType)
+    .add("bad_frames", IntegerType)
+
+  /**
+   * MP3 stream metadata over the batched mapPartitions shape: the full
+   * frame walk ([[Mp3Codec.parse]] — sync chaining, CRC validation,
+   * Xing/VBR accounting, ID3 skip) per blob, emitting the validity/
+   * duration/rate columns an audio-curation gate keys on. Non-MP3 or
+   * unparseable blobs pass through with format = sniff and null stats
+   * (the audioStats convention). PCM-dependent stats are deliberately
+   * absent — see the [[Mp3Codec]] boundary note.
+   */
+  def mp3Info(df: DataFrame, idCol: String, blobCol: String,
+              batchSize: Int = 64): DataFrame = {
+    val src = df.select(col(idCol).cast(LongType), col(blobCol))
+    val enc = RowEncoder.encoderFor(mp3InfoSchema)
+    src.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val blob = r.getAs[Array[Byte]](1)
+          Mp3Codec.parse(blob) match {
+            case Some(i) =>
+              Row(r.getLong(0), "mp3", i.version, i.sampleRate, i.channels,
+                i.frames, i.durationMs, i.bitrateKbps, i.vbr, i.badFrames)
+            case None =>
+              Row(r.getLong(0), RealCodecs.sniff(blob), null, null, null,
+                null, null, null, null, null)
           }
         }
       }
