@@ -2677,8 +2677,11 @@ object SparkEntry {
       // rule -> 3-label registrable), .Pref.AICHI.JP (JP prefecture rule;
       // the www+example labels must BOTH fall away -> pref.aichi.jp),
       // .Biy.CK (*.ck wildcard -> 3-label registrable), bare WWW.CK
-      // (!www.ck exception -> the host itself), .COM (default rule)
+      // (!www.ck exception -> the host itself), .COM (default rule) —
+      // plus an IDN host (BÜCHER.de) that must unify to its punycode
+      // wire form (the oracle hardcodes the RFC 3492 ACE constant)
       val host = when(pmod(col("doc_id"), lit(13L)) === 0, lit("WWW.CK"))
+        .when(pmod(col("doc_id"), lit(17L)) === 0, lit("WWW.BÜCHER.de"))
         .otherwise(concat(lit("WWW.Example"),
           pmod(col("doc_id"), lit(50L)).cast("string"),
           when(pmod(col("doc_id"), lit(7L)) === 0, lit(".CO.UK"))
@@ -5456,6 +5459,7 @@ object SparkEntry {
       """SELECT doc_id,
         |  'http://'
         |    || CASE WHEN doc_id % 13 = 0 THEN 'www.ck'
+        |       WHEN doc_id % 17 = 0 THEN 'www.xn--bcher-kva.de'
         |       ELSE 'www.example' || (doc_id % 50)
         |         || CASE WHEN doc_id % 7 = 0 THEN '.co.uk'
         |                 WHEN doc_id % 9 = 0 THEN '.pref.aichi.jp'
@@ -5465,6 +5469,7 @@ object SparkEntry {
         |    || CASE WHEN doc_id % 6 = 0 THEN '/~Ab%2FC' ELSE '' END
         |    || CASE WHEN doc_id % 4 = 0 THEN '?b=2&a=1' ELSE '' END AS url_norm,
         |  CASE WHEN doc_id % 13 = 0 THEN 'www.ck'
+        |       WHEN doc_id % 17 = 0 THEN 'xn--bcher-kva.de'
         |       WHEN doc_id % 7 = 0 THEN 'example' || (doc_id % 50) || '.co.uk'
         |       WHEN doc_id % 9 = 0 THEN 'pref.aichi.jp'
         |       WHEN doc_id % 10 = 0 THEN 'example' || (doc_id % 50) || '.biy.ck'

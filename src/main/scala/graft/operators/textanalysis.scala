@@ -110,7 +110,9 @@ object TextAnalysis {
    * URL canonicalization — the dedup key every web corpus needs before
    * per-domain caps ([[Sampling.sourceCap]]-style) or exact URL dedup:
    * lowercase scheme and host (ONLY those — path/query case is
-   * significant per RFC 3986), drop the fragment, drop the default
+   * significant per RFC 3986), unify IDN hosts to their ACE/punycode
+   * wire form (RFC 3490 via the JDK's IDNA — `bücher.de` ≡
+   * `xn--bcher-kva.de`), drop the fragment, drop the default
    * port for its scheme (:80 http, :443 https), strip trailing path
    * slashes, and normalize percent-encoding in path and query
    * ([[normalizePctEscapes]]: uppercase hex, decode unreserved — so
@@ -125,9 +127,16 @@ object TextAnalysis {
     val noFrag = regexp_replace(u, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
     val hostPort = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]*)", 1))
-    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
-      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
-      .otherwise(hostPort)
+    // IDN hosts unify to their ACE/punycode wire form ([[IdnAscii]] —
+    // bücher.de and xn--bcher-kva.de must key identically); the port
+    // is split off first so IDNA sees a bare hostname
+    val hostname = graft.functions.IdnAscii(
+      regexp_replace(hostPort, ":[0-9]+$", ""))
+    val portSuffix = regexp_extract(hostPort, "(:[0-9]+)$", 1)
+    val keptPort = when(scheme === "http" && portSuffix === ":80", lit(""))
+      .when(scheme === "https" && portSuffix === ":443", lit(""))
+      .otherwise(portSuffix)
+    val host = concat(hostname, keptPort)
     val path = normalizePctEscapes(regexp_replace(
       regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*([^?#]*)", 1), "/+$", ""))
     val query = normalizePctEscapes(regexp_extract(noFrag, "\\?([^#]*)", 1))
@@ -270,7 +279,9 @@ object TextAnalysis {
     val host = regexp_replace(
       lower(regexp_extract(regexp_replace(u, "#.*$", ""),
         "^[^:/?#]+://([^/?#]*)", 1)), ":[0-9]+$", "")
-    graft.functions.PslDomain(host)
+    // unify IDN hosts to ACE first — the PSL rule set is ASCII, and
+    // bücher.de must cap-key like its wire form xn--bcher-kva.de
+    graft.functions.PslDomain(graft.functions.IdnAscii(host))
   }
 
   /** Compiled once: `String.replaceAll` recompiles its pattern per call,

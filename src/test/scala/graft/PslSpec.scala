@@ -51,6 +51,28 @@ class PslSpec extends GraftSpec {
     }
   }
 
+  test("IDN hosts unify to punycode: normalize, domain, and fast path") {
+    import graft.functions.IdnKernel
+    import org.apache.spark.unsafe.types.UTF8String
+    def idn(s: String): String = IdnKernel.toAscii(UTF8String.fromString(s)).toString
+    // the RFC 3492 canonical example + multi-label + identity on ACE
+    assert(idn("bücher.de") == "xn--bcher-kva.de")
+    assert(idn("www.bücher.de") == "www.xn--bcher-kva.de")
+    assert(idn("xn--bcher-kva.de") == "xn--bcher-kva.de") // already ACE
+    assert(idn("plain.example.com") == "plain.example.com") // ASCII fast path
+    // both spellings of the same host produce ONE normalized URL + domain
+    val got = Seq("http://BÜCHER.de:80/A", "http://xn--bcher-kva.de/A")
+      .toDF("url")
+      .select(TextAnalysis.urlNormalize(col("url")).as("u"),
+        TextAnalysis.urlDomain(col("url")).as("d"))
+      .as[(String, String)].collect().toSeq
+    assert(got.distinct == Seq(("http://xn--bcher-kva.de/A", "xn--bcher-kva.de")))
+    // non-default ports survive IDN splitting
+    val p = Seq("http://bücher.de:8080/A").toDF("url")
+      .select(TextAnalysis.urlNormalize(col("url"))).as[String].head()
+    assert(p == "http://xn--bcher-kva.de:8080/A")
+  }
+
   test("PslDomain column expression and urlDomain end-to-end") {
     val got = Seq(
       "HTTP://WWW.Example3.CO.UK:80/Path",
