@@ -1767,6 +1767,88 @@ object SparkEntry {
           md5(graft.functions.NfcNormalize(col("clean_text"))).as("dedup_key"))
     }),
 
+    // curation v11 — the ROUND-10 pieces composed end-to-end: corpus →
+    // sharded WARC egress → parallel ranged re-ingest (the archive leg:
+    // content must survive byte-exact, combining chars included) →
+    // PSL/IDN registrable domains (the .aichi.jp rows key as DISTINCT
+    // 3-label domains — a last-two-labels bug pools them AND misses
+    // their robots rows; the BÜCHER.de rows pool under ONE punycode
+    // key) → robots gate in the JOIN shape (rules as data, zero driver
+    // state) → fused HTML extraction → NFC dedup keys → per-domain
+    // sqrt caps. The oracle replays the whole composition from ground
+    // truth, nfc_normalize and md5 included
+    "q_curate11" -> ((s, dir) => {
+      import graft.operators.{TextAnalysis, Robots, Sampling}
+      val restrictive =
+        """User-agent: evilbot
+          |Disallow: /
+          |
+          |User-agent: graftbot
+          |User-agent: otherbot
+          |Disallow: /private*
+          |Allow: /private/ok$
+          |Disallow: /tmp/
+          |
+          |User-agent: *
+          |Disallow: /
+          |""".stripMargin
+      val permissive =
+        """User-agent: *
+          |Disallow: /tmp/
+          |Allow: /tmp/open
+          |""".stripMargin
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      val safeText = regexp_replace(col("text"), "[<&\\s\\x00-\\x1f\\x7f]+", " ")
+      val html = concat(
+        lit("<html><head><script>if(a<b&&c>d){x()}</script></head><body><h1>"),
+        col("lang"), lit("</h1><p>"), safeText,
+        lit(" e\u0301-suffix&nbsp;&quot;end&quot;</p></body></html>"))
+      // ARCHIVE LEG: pages through the per-partition shard egress and
+      // the splittable ranged read — the production ingest pair
+      val archived = graft.sources.Warc.roundTripShards(
+        docs.select(concat(lit("http://corpus.local/doc/"),
+            col("doc_id").cast("string")).as("uri"), html.as("html")),
+          "uri", "html", "curate11", blockBytes = 64L * 1024)
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"), col("content").as("html"))
+      val k = pmod(col("doc_id"), lit(50L))
+      val host = when(pmod(col("doc_id"), lit(17L)) === 0, lit("WWW.BÜCHER.de"))
+        .when(pmod(col("doc_id"), lit(9L)) === 0,
+          concat(lit("www.example"), k.cast("string"), lit(".aichi.jp")))
+        .otherwise(concat(lit("www.example"), k.cast("string"), lit(".com")))
+      val m = pmod(col("doc_id"), lit(5L))
+      val path = when(m === 0, concat(lit("/private/x"), col("doc_id").cast("string")))
+        .when(m === 1, lit("/private/ok"))
+        .when(m === 2, concat(lit("/pub/"), col("doc_id").cast("string")))
+        .when(m === 3, concat(lit("/tmp/"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("/tmp/open"), col("doc_id").cast("string")))
+      val pages = archived
+        .withColumn("url", concat(lit("http://"), host, path))
+        .withColumn("domain", TextAnalysis.urlDomain(col("url")))
+      // robots rows for BOTH registrable-domain families (com + aichi.jp,
+      // each K%7!=0) — the PSL extraction is what finds them; no row for
+      // the punycode domain (absent = allowed)
+      val family = s.range(0, 50).filter(pmod(col("id"), lit(7L)) =!= 0)
+        .select(col("id"),
+          when(pmod(col("id"), lit(2L)) === 0, lit(restrictive))
+            .otherwise(lit(permissive)).as("content"))
+      val robotsDf = family.select(concat(lit("example"),
+          col("id").cast("string"), lit(".com")).as("domain"), col("content"))
+        .unionAll(family.select(concat(lit("example"),
+          col("id").cast("string"), lit(".aichi.jp")).as("domain"),
+          col("content")))
+      val gated = Robots.robotsGateJoined(pages, col("url"), col("domain"),
+          robotsDf, "domain", "content", userAgent = "graftbot/1.0")
+        .filter(col("robots_allowed"))
+        .select(col("doc_id"), col("domain"),
+          TextAnalysis.htmlToTextFused(col("html")).as("clean_text"))
+      Sampling.sourceCap(gated, col("domain"), col("doc_id"))
+        .select(col("doc_id"), col("domain"),
+          size(split(lower(col("clean_text")), "\\s+")).cast("long")
+            .as("n_tokens"),
+          md5(graft.functions.NfcNormalize(col("clean_text"))).as("dedup_key"))
+    }),
+
     // Deterministic train/val/test split: per-row hash-bucket label —
     // reproducible at any scale/partitioning, auditable row by row, and
     // a pure projection (the 100 TB answer to "which rows did we train
@@ -4583,6 +4665,43 @@ object SparkEntry {
         |    AS n_tokens,
         |  md5(nfc_normalize(clean)) AS dedup_key
         |FROM cleaned""".stripMargin,
+
+    // the whole v11 composition from ground truth: PSL/IDN domain CASE,
+    // robots decision CASE (punycode domains have no robots row), the
+    // q_curate10 clean-text ground truth with the decomposed-é plant,
+    // then the q_source_cap sqrt-cap replay keyed on the PSL domain
+    "q_curate11" ->
+      """WITH kept AS (
+        |  SELECT doc_id, lang, text,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'xn--bcher-kva.de'
+        |         WHEN doc_id % 9 = 0
+        |           THEN 'example' || (doc_id % 50) || '.aichi.jp'
+        |         ELSE 'example' || (doc_id % 50) || '.com' END AS domain,
+        |    CASE WHEN doc_id % 17 = 0 THEN true
+        |         WHEN (doc_id % 50) % 7 = 0 THEN true
+        |         WHEN doc_id % 2 = 0 THEN doc_id % 5 IN (1, 2)
+        |         ELSE doc_id % 5 <> 3 END AS allowed
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id, domain,
+        |    lang || chr(10) || trim(regexp_replace(
+        |      regexp_replace(text, '[<&\s\x00-\x1f\x7f]+', ' ', 'g')
+        |        || ' e' || chr(769) || '-suffix "end"', ' +', ' ', 'g'))
+        |      AS clean
+        |  FROM kept WHERE allowed),
+        |c AS (SELECT domain, count(*) AS n FROM p GROUP BY domain),
+        |caps AS (SELECT domain, n,
+        |    greatest(2, CAST(ceil(sqrt(n)) AS BIGINT)) AS cap FROM c),
+        |r AS (SELECT p.doc_id, p.domain, p.clean, caps.cap, caps.n,
+        |    row_number() OVER (PARTITION BY p.domain ORDER BY
+        |      ('0x' || substr(md5(CAST(p.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000, p.doc_id) AS rk
+        |  FROM p JOIN caps USING (domain))
+        |SELECT doc_id, domain,
+        |  CAST(len(string_split_regex(lower(clean), '\s+')) AS BIGINT)
+        |    AS n_tokens,
+        |  md5(nfc_normalize(clean)) AS dedup_key
+        |FROM r WHERE n <= cap OR rk <= cap""".stripMargin,
 
     // the RFC 9309 decision table from doc_id arithmetic: domains with
     // (doc_id%50)%7=0 have no robots (allowed); even domains run the
