@@ -1151,28 +1151,51 @@ object SparkEntry {
     // closed-form stats are then scalar math on exact inputs. One
     // partial-agg pass over the scan, O(groups) merge state.
     "q_corr" -> ((s, dir) => {
-      // scale 2 captures the data exactly; the narrow widths keep the
-      // decimal products int64-representable for any engine's backing
-      // arithmetic (DuckDB overflows (18,6)x(18,6) at width 18)
+      // decimal(9,2)/(13,2) capture the data exactly — but the
+      // AGGREGATION runs on scaled int64 (xi = 100x, yi = 100y), with
+      // the two wide products (x·y, y·y) hi/lo-SPLIT at 2^31 so every
+      // per-row op and every sum stays a plain codegen long: a decimal
+      // product past precision 18 falls off Spark's long-backed fast
+      // path, and the BigDecimal-buffered agg measured 262s at 100x
+      // where the long form runs the scan-bound cost. The exact sums
+      // are reconstructed in decimal AFTER the agg (3 rows) and cast
+      // to double exactly as the oracle casts its exact decimal sums —
+      // ONE correct rounding of the same rational on both sides, so
+      // the hash-compare still holds. Headroom: Σlo ≤ rows·2^31 and
+      // Σhi ≤ rows·(maxProduct/2^31) both clear int64 past 10^10 rows.
+      val M = 2147483648L // 2^31
       val li = tbl(s, dir, "lineitem").select(col("l_returnflag"),
-        col("l_quantity").cast("decimal(9,2)").as("x"),
-        col("l_extendedprice").cast("decimal(13,2)").as("y"))
-      li.groupBy("l_returnflag").agg(
-          count(lit(1)).as("n"),
-          sum("x").cast("double").as("sx"),
-          sum("y").cast("double").as("sy"),
-          sum(col("x") * col("y")).cast("double").as("sxy"),
-          sum(col("x") * col("x")).cast("double").as("sxx"),
-          sum(col("y") * col("y")).cast("double").as("syy"))
-        .select(col("l_returnflag"), col("n"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-              sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
-            .as("corr_qty_price"),
-          round((col("sxy") - col("sx") * col("sy") / col("n")) /
-            (col("n") - 1), 4).as("covar_samp"),
-          round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
-            (col("n") - 1)), 6).as("stddev_qty"))
+        (col("l_quantity").cast("decimal(9,2)") * 100).cast("long").as("xi"),
+        (col("l_extendedprice").cast("decimal(13,2)") * 100).cast("long").as("yi"))
+      val withP = li
+        .withColumn("pxy", col("xi") * col("yi"))
+        .withColumn("pyy", col("yi") * col("yi"))
+      val a = withP.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("xi")).as("sxl"),
+        sum(col("yi")).as("syl"),
+        sum(shiftright(col("pxy"), 31)).as("hxy"),
+        sum(col("pxy").bitwiseAND(lit(M - 1))).as("lxy"),
+        sum(col("xi") * col("xi")).as("sxxl"),
+        sum(shiftright(col("pyy"), 31)).as("hyy"),
+        sum(col("pyy").bitwiseAND(lit(M - 1))).as("lyy"))
+      // exact Σ(product)/10^4 as ONE decimal value, then one cast
+      def wide(hi: org.apache.spark.sql.Column,
+               lo: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        ((hi.cast("decimal(26,0)") * lit(M).cast("decimal(12,0)") + lo)
+          .cast("decimal(38,4)") / 10000).cast("double")
+      val sx = col("sxl").cast("double") / 100.0
+      val sy = col("syl").cast("double") / 100.0
+      val sxy = wide(col("hxy"), col("lxy"))
+      val sxx = (col("sxxl").cast("decimal(38,4)") / 10000).cast("double")
+      val syy = wide(col("hyy"), col("lyy"))
+      a.select(col("l_returnflag"), col("n"),
+        round((col("n") * sxy - sx * sy) /
+          (sqrt(col("n") * sxx - sx * sx) * sqrt(col("n") * syy - sy * sy)), 6)
+          .as("corr_qty_price"),
+        round((sxy - sx * sy / col("n")) / (col("n") - 1), 4).as("covar_samp"),
+        round(sqrt((sxx - sx * sx / col("n")) / (col("n") - 1)), 6)
+          .as("stddev_qty"))
     }),
 
     // hierarchical totals via ROLLUP (beyond the reference's kit): per

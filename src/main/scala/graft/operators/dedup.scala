@@ -1001,7 +1001,10 @@ object Dedup {
                    n: Int): Column = {
     val a = shingles(leftText, n); val b = shingles(rightText, n)
     val inter = size(array_intersect(a, b)).cast(DoubleType)
-    val union = size(array_union(a, b)).cast(DoubleType)
+    // |A ∪ B| = |A| + |B| − |A ∩ B| — both sides are DISTINCT shingle
+    // sets by construction, so the identity is exact and the union
+    // array never materializes (one hash-probe pass per pair, not two)
+    val union = size(a).cast(DoubleType) + size(b).cast(DoubleType) - inter
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
