@@ -1202,13 +1202,25 @@ object SparkEntry {
     // (flag, status), per flag, and grand total in ONE pass — Spark plans
     // a single Expand + hash agg, not three scans
     "q_rollup" -> ((s, dir) => {
+      // revenue sums as scaled int64 (price×100 — the decimal(13,2)
+      // capture is exact, so the long capture is too): the previous
+      // decimal(28,6)-buffered sum fell off Spark's long-backed agg
+      // fast path and measured 209.8s at 100× for the same values (the
+      // q_corr disease). Exact Σ reconstructed AFTER the agg (9 rows)
+      // and cast back to the previous output type decimal(25,2) — the
+      // value has exactly 2 decimal digits, so every step is lossless.
+      // Headroom: Σ(price×100) ≤ 10^7·rows·3(rollup expand) — int64-safe
+      // past 10^10 lineitem rows.
       tbl(s, dir, "lineitem")
+        .withColumn("__pi",
+          (col("l_extendedprice").cast("decimal(13,2)") * 100).cast("long"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_extendedprice").cast("decimal(18,6)")).as("revenue"))
+        .agg(count(lit(1)).as("n"), sum(col("__pi")).as("__syl"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-          col("n"), round(col("revenue"), 2).as("revenue"))
+          col("n"),
+          (col("__syl").cast("decimal(38,6)") / 100).cast("decimal(25,2)")
+            .as("revenue"))
     }),
 
     // full CUBE (all 4 grouping sets in one Expand pass, complementing
@@ -2431,8 +2443,10 @@ object SparkEntry {
       val a = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
       val b = d.select(col("doc_id").as("id_b"), col("text").as("tb"))
       val pairs = a.join(b, col("id_b") === col("id_a") + 1)
+      // fused set-op kernel (spec-pinned equal to the Column-chain
+      // ngramJaccard reference form): 144s -> scan-bound at 100x
       pairs.select(col("id_a"), col("id_b"),
-        round(Dedup.ngramJaccard(pairs, col("ta"), col("tb"), 1), 6).as("jaccard"))
+        round(Dedup.ngramJaccardFused(col("ta"), col("tb"), 1), 6).as("jaccard"))
     }),
 
     "q_ann_topk" -> ((s, dir) => {

@@ -917,6 +917,29 @@ class PipelineOpsSpec extends GraftSpec {
     assert(math.abs(sim - 2.0 / 4.0) < 1e-12) // 2 shared of 4 distinct
   }
 
+  test("fused ngram jaccard equals the Column-chain reference form") {
+    // adversarial corpus: case variance, repeated tokens, multi-space
+    // runs, leading/trailing whitespace, n-gram-shorter-than-n docs,
+    // empty and null strings
+    val texts = Seq(
+      "the quick brown fox", "THE Quick  brown\tcat", " leading space",
+      "trailing space ", "a a a a a", "one", "", "x y", null,
+      "alpha beta gamma alpha beta", "Tab\tand\nnewline mix")
+    val pairs = (for { a <- texts; b <- texts } yield (a, b))
+      .zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+    for (n <- Seq(1, 2, 3)) {
+      val both = pairs.select(col("id"),
+        Dedup.ngramJaccard(pairs, col("a"), col("b"), n).as("ref"),
+        Dedup.ngramJaccardFused(col("a"), col("b"), n).as("fused"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getDouble(1) == r.getDouble(2),
+          s"n=$n id=${r.getLong(0)}: ref=${r.getDouble(1)} fused=${r.getDouble(2)}")
+      }
+    }
+  }
+
   test("label centroids and within-class outlier distances: hand-computed") {
     val df = Seq(
       (1L, 0, Array(0.0, 0.0)), (2L, 0, Array(2.0, 0.0)), // label 0 centroid (1,0)
