@@ -373,7 +373,15 @@ object WarcProbe {
       graft.sources.Warc.read(spark, file).count())
     println(s"[probe] records: $n")
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(file))
-    java.nio.file.Files.deleteIfExists(out)
+    // the PRODUCTION egress: one shard per partition, no driver hop
+    val shardDir = out.resolve("shards").toString
+    val manifest = t("writeShards (per-partition egress)")(
+      graft.sources.Warc.writeShards(docs, "url", "text", shardDir).collect())
+    println(s"[probe] shards: ${manifest.length}, bytes: " +
+      manifest.map(_.getLong(2)).sum)
+    val n2 = t("ranged read of shard dir")(
+      graft.sources.Warc.read(spark, shardDir).count())
+    println(s"[probe] shard records: $n2")
     spark.stop()
   }
 }
@@ -506,6 +514,26 @@ object RobotsProbe {
     // (a graftbot group EXISTS on %3 domains, so '*' rules don't apply)
     val blocked = hist.getOrElse(false, 0L)
     println(s"[probe] blocked=$blocked of $nUrls")
+    spark.stop()
+  }
+}
+
+/** Read-only WARC probe: ranged read of an existing archive/dir, N
+  * repetitions (SPARK_GRAFT_WARC_PATH, SPARK_GRAFT_WARC_REPS). */
+object WarcReadProbe {
+  def main(args: Array[String]): Unit = {
+    val path = sys.env("SPARK_GRAFT_WARC_PATH")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_WARC_REPS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (r <- 1 to reps) {
+      val t0 = System.nanoTime()
+      val n = graft.sources.Warc.read(spark, path).count()
+      println(f"[probe] rep $r: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n records)")
+    }
     spark.stop()
   }
 }
