@@ -1445,8 +1445,9 @@ class PipelineOpsSpec extends GraftSpec {
     assert(norm("http://x.com/a#only-frag")._1 == "http://x.com/a")
     // query is byte-exact: no param sorting, case preserved
     assert(norm("http://x.com/a?z=1&A=2")._1 == "http://x.com/a?z=1&A=2")
-    // single-label host has no registrable domain
-    assert(norm("http://localhost:80/a") == ("http://localhost/a", ""))
+    // single-label host degrades to itself under the PSL algorithm
+    // (keys stay TOTAL — an empty cap key would pool every bare host)
+    assert(norm("http://localhost:80/a") == ("http://localhost/a", "localhost"))
     // not a URL: passthrough, never an error
     assert(norm("not a url at all")._1 == "not a url at all")
   }
