@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{AHP, Apriori, FCM, Joins, Quantiles, Topsis}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -544,6 +544,42 @@ class PropertySpec extends GraftSpec {
         assert((px(o) & 0xff, px(o + 1) & 0xff, px(o + 2) & 0xff) == (r, g, b),
           s"pixel ($x,$y) of ${w}x$h corrupted")
       }
+    }
+  }
+
+  test("hi/lo-split long moment sums reconstruct the exact BigDecimal sum") {
+    // the q_corr/q_rollup agg trick: per-row product p >= 0 split at
+    // 2^31, summed as two longs, reconstructed hi*2^31 + lo — must equal
+    // the exact arbitrary-precision sum for any product distribution,
+    // including values far past 2^53 in aggregate
+    import spark.implicits._
+    val M = 2147483648L
+    val caseGen = for {
+      n <- Gen.choose(1, 2000)
+      seed <- Gen.choose(0L, Long.MaxValue / 4)
+    } yield (n, seed)
+    forSamples(caseGen, n = 8) { case (n, seed) =>
+      // products up to ~1e14 — the q_corr y*y regime
+      val prods = (0 until n).map { i =>
+        val h = graft.operators.Dedup.md5LongJvm(s"p_${seed}_$i")
+        math.abs(h) % 100000000000000L
+      }
+      val df = prods.toDF("p")
+      val row = df.agg(
+        sum(shiftright(col("p"), 31)).as("hi"),
+        sum(col("p").bitwiseAND(lit(M - 1))).as("lo")).head()
+      val rebuilt = (BigDecimal(row.getLong(0)) * M) + BigDecimal(row.getLong(1))
+      val exact = prods.map(BigDecimal(_)).sum
+      assert(rebuilt == exact, s"n=$n seed=$seed: $rebuilt != $exact")
+      // and the in-query decimal reconstruction casts to the same double
+      val viaDecimal = df.agg(
+          sum(shiftright(col("p"), 31)).as("hi"),
+          sum(col("p").bitwiseAND(lit(M - 1))).as("lo"))
+        .select(((col("hi").cast("decimal(26,0)") * lit(M).cast("decimal(12,0)")
+          + col("lo")).cast("decimal(38,4)") / 10000).cast("double"))
+        .as[Double].head()
+      assert(viaDecimal == (exact / 10000).toDouble,
+        s"decimal path diverged: $viaDecimal vs ${(exact / 10000).toDouble}")
     }
   }
 }
