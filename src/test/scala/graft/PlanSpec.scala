@@ -173,6 +173,14 @@ class PlanSpec extends GraftSpec {
     assert(p.contains("Union"), s"expected the partial-state union:\n$p")
   }
 
+  test("q_robots_join: rules ride an equi-join, never a cartesian or a collect") {
+    val p = plan("q_robots_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the corpus-sized gate must stay a domain-keyed equi-join:\n$p")
+    assert(p.contains("Join"),
+      s"rules must reach the URLs through a join (zero driver state):\n$p")
+  }
+
   test("q_corr: five co-moments in one partial-agg pass over the scan") {
     val p = plan("q_corr")
     assert(!p.contains("Join"), s"co-moments must come from one scan:\n$p")
