@@ -21,16 +21,27 @@ import org.apache.spark.unsafe.types.UTF8String
  * shuffle, null-preserving.
  */
 object IdnKernel {
-  /** Codegen entry point (called from generated code). */
+  /** Codegen entry point (called from generated code). Output is always
+    * lowercase — the ASCII fast path folds case too, so a raw uppercase
+    * host keys identically whether or not it went through urlNormalize
+    * first (DNS names are case-insensitive; a case-split dedup key is a
+    * correctness bug, not a style choice). */
   def toAscii(host: UTF8String): UTF8String = {
     val s = host.toString
     var ascii = true
+    var hasUpper = false
     var i = 0
     while (ascii && i < s.length) {
-      if (s.charAt(i) >= 128) ascii = false
+      val c = s.charAt(i)
+      if (c >= 128) ascii = false
+      else if (c >= 'A' && c <= 'Z') hasUpper = true
       i += 1
     }
-    if (ascii) return host // already ACE (or plain ASCII) — the hot path
+    if (ascii) { // already ACE (or plain ASCII) — the hot path
+      return if (hasUpper)
+        UTF8String.fromString(s.toLowerCase(java.util.Locale.ROOT))
+      else host
+    }
     try UTF8String.fromString(
       java.net.IDN.toASCII(s).toLowerCase(java.util.Locale.ROOT))
     catch { case _: IllegalArgumentException => host }

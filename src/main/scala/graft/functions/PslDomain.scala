@@ -93,11 +93,21 @@ object PslKernel {
     else host.substring(starts(nLabels - psLabels - 1))
   }
 
-  /** Codegen entry point (called from generated code). */
+  /** Codegen entry point (called from generated code). Case-folds ASCII
+    * uppercase before the rule probes — the PSL tables are lowercase, so
+    * a raw `WWW.Example.COM` must not silently miss every rule; the fold
+    * is a branch-free scan paid only when an uppercase byte exists. */
   def registrable(host: UTF8String): UTF8String = {
-    val s = host.toString
+    val s0 = host.toString
+    var hasUpper = false
+    var i = 0
+    while (!hasUpper && i < s0.length) {
+      if (Character.isUpperCase(s0.charAt(i))) hasUpper = true
+      i += 1
+    }
+    val s = if (hasUpper) s0.toLowerCase(java.util.Locale.ROOT) else s0
     val r = registrableJvm(s)
-    if (r eq s) host else UTF8String.fromString(r)
+    if (r eq s0) host else UTF8String.fromString(r)
   }
 }
 

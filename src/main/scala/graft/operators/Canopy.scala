@@ -101,7 +101,13 @@ class Canopy(override val uid: String) extends Transformer
     * — the q_canopy_sweep query does exactly that. */
   override def transform(ds: Dataset[_]): DataFrame = {
     require($(t1) > $(t2), s"T1 (${$(t1)}) must be > T2 (${$(t2)})")
-    val df = ds.toDF()
+    // ONE evaluation of the input feeds center selection, the guard,
+    // and the output: localCheckpoint materializes the partitions
+    // eagerly, so a nondeterministic/expensive upstream plan is not
+    // re-run per pass (the guard's counts and the transform's
+    // aggregation would otherwise observe different rows, and the
+    // guard alone re-evaluated upstream up to twice more)
+    val df = ds.toDF().localCheckpoint(true)
     val centers =
       if ($(orderCols).nonEmpty)
         Canopy.selectCentersSequential(df, $(featuresCol), $(orderCols).toSeq,
@@ -109,9 +115,10 @@ class Canopy(override val uid: String) extends Transformer
       else Canopy.selectCenters(df, $(featuresCol), $(t1), $(t2),
         $(maxIter), $(distanceMeasure))
     // guard pre-pass only when a canopy COULD exceed the knob: total
-    // row count is an upper bound on any per-canopy count and is a
-    // column-free scan, so small inputs (every test/bench sf) pay
-    // nothing and the count-only pass runs exactly when it matters
+    // row count is an upper bound on any per-canopy count, and both
+    // passes read the checkpointed blocks (no upstream re-evaluation),
+    // so small inputs (every test/bench sf) pay one cheap block scan
+    // and the count-only pass runs exactly when it matters
     if (df.count() > $(maxMembers).toLong) {
       val worst = Canopy.assign(df, $(featuresCol), centers, $(t1),
           $(distanceMeasure))

@@ -43,7 +43,8 @@ object Mp3Codec {
       samples: Long,       // frames × samples-per-frame
       durationMs: Long,    // samples * 1000 / sampleRate (integer)
       bitrateKbps: Int,    // average over frames (integer)
-      vbr: Boolean,        // >1 distinct bitrate index or Xing/Info tag
+      vbr: Boolean,        // >1 distinct bitrate index or a Xing tag
+                           //   ('Info' marks CBR by LAME convention)
       badFrames: Int)      // resyncs + CRC failures skipped over
 
   // MPEG-1 Layer III bitrates (kbps), index 1..14; 0 = free, 15 = bad
@@ -164,13 +165,20 @@ object Mp3Codec {
     }
     val h0 = first.getOrElse(return None)
 
-    // Xing/Info tag in frame 1's main-data region
+    // Xing/Info tag in frame 1's main-data region. LAME convention:
+    // 'Xing' marks a VBR stream, 'Info' marks CBR — an Info-tagged
+    // podcast dump must NOT be reported VBR. Either way the
+    // tag-carrying frame is metadata, not audio: reference parsers
+    // exclude it from frame/duration accounting, so the walk below
+    // starts after it.
     var xingFrames = -1
+    var tagKind: String = null // "Xing" | "Info" | null
     locally {
       val p = off + 4 + (if (h0.crcPresent) 2 else 0) + h0.sideInfoLen
       if (p + 8 <= end &&
           ((bytes(p) == 'X' && bytes(p + 1) == 'i' && bytes(p + 2) == 'n' && bytes(p + 3) == 'g') ||
            (bytes(p) == 'I' && bytes(p + 1) == 'n' && bytes(p + 2) == 'f' && bytes(p + 3) == 'o'))) {
+        tagKind = if (bytes(p) == 'X') "Xing" else "Info"
         val flags = ((bytes(p + 4) & 0xff) << 24) | ((bytes(p + 5) & 0xff) << 16) |
           ((bytes(p + 6) & 0xff) << 8) | (bytes(p + 7) & 0xff)
         if ((flags & 1) != 0 && p + 12 <= end)
@@ -183,8 +191,8 @@ object Mp3Codec {
     var bad = 0
     var kbpsSum = 0L
     var bitrateIndices = Set.empty[Int]
-    var pos = off
-    var done = false
+    var pos = if (tagKind != null) off + h0.frameLen else off
+    var done = pos + 4 > end
     while (!done) {
       header(bytes, pos) match {
         case Some(h) if h.versionBits == h0.versionBits &&
@@ -235,7 +243,7 @@ object Mp3Codec {
       samples = samples,
       durationMs = samples * 1000L / h0.sampleRate,
       bitrateKbps = (kbpsSum / frames).toInt,
-      vbr = bitrateIndices.size > 1 || xingFrames >= 0,
+      vbr = bitrateIndices.size > 1 || tagKind == "Xing",
       badFrames = bad))
   }
 

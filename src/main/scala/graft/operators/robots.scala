@@ -208,10 +208,19 @@ object Robots {
       parseFor(content, ua)
         .map(r => (if (r.allow) "+" else "-") + r.pattern).toArray
     }
+    // a domain that appears twice (re-crawl, merged snapshots) must
+    // decide IDENTICALLY across runs and partitionings: dropDuplicates
+    // keeps an arbitrary row, so pick the lexicographic-min content
+    // deterministically before parsing (min_by is a partial-aggregable
+    // one-shuffle agg — same cost shape as dropDuplicates)
     val rules = robots
       .select(col(robotsDomainCol).cast("string").as("__robots_domain"),
-        parseUdf(col(robotsContentCol).cast("string")).as("__rules"))
-      .dropDuplicates("__robots_domain")
+        col(robotsContentCol).cast("string").as("__robots_content"))
+      .groupBy(col("__robots_domain"))
+      .agg(org.apache.spark.sql.functions.min(col("__robots_content"))
+        .as("__robots_content"))
+      .select(col("__robots_domain"),
+        parseUdf(col("__robots_content")).as("__rules"))
     val decideUdf = udf { (enc: Seq[String], url: String) =>
       if (url == null || enc == null) true
       else {

@@ -193,9 +193,14 @@ object Warc {
     * one reused deflate context into `part-NNNNN.warc.gz` (NNNNN =
     * partition index — deterministic layout), creating the file via the
     * Hadoop FS so the same call targets HDFS/S3A. Writes go to a dotted
-    * temp name and rename on completion, so a retried/speculated task
-    * never exposes a half-written shard (rename is the idempotent
-    * commit; a re-run overwrites the same final name). Rows with null
+    * ATTEMPT-unique temp name (`.part-NNNNN.warc.gz.<attemptId>.tmp`)
+    * and delete-then-rename on completion — two concurrent attempts of
+    * the same partition (task retry, speculation) never share a temp
+    * file, and a retry after a committed-but-unacknowledged attempt
+    * replaces the stale final file instead of failing HDFS's
+    * no-overwrite rename (Hadoop output-committer semantics). A
+    * half-written shard is never visible: the reader lists only
+    * `*.warc.gz`. Rows with null
     * text or URI are skipped. Record ids are unique per record —
     * name-UUID over (uri, partition, ordinal).
     *
@@ -221,7 +226,14 @@ object Warc {
         else {
           val name = f"part-$pid%05d.warc.gz"
           val finalPath = new org.apache.hadoop.fs.Path(dirStr, name)
-          val tmpPath = new org.apache.hadoop.fs.Path(dirStr, s".$name.tmp")
+          // temp name is ATTEMPT-unique: two live attempts of the same
+          // partition (retry after a lost executor, speculation) must
+          // never interleave writes into one temp file — Hadoop
+          // output-committer semantics, not just a dotted rename
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val tmpPath =
+            new org.apache.hadoop.fs.Path(dirStr, s".$name.$attempt.tmp")
           val fs = finalPath.getFileSystem(conf.value)
           val out = new java.io.BufferedOutputStream(
             fs.create(tmpPath, true), 1 << 20)
@@ -246,6 +258,11 @@ object Warc {
             deflater.end()
             out.close()
           }
+          // HDFS rename does NOT overwrite: a retry after a committed-
+          // but-unacknowledged attempt must delete the stale final file
+          // first or the rename returns false and the retry (which would
+          // have produced identical bytes) fails spuriously
+          if (fs.exists(finalPath)) fs.delete(finalPath, false)
           if (!fs.rename(tmpPath, finalPath))
             throw new java.io.IOException(
               s"Warc.writeShards: rename $tmpPath -> $finalPath failed")

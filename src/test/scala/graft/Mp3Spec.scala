@@ -51,14 +51,32 @@ class Mp3Spec extends GraftSpec {
     assert(Mp3Codec.parse(null).isEmpty)
   }
 
-  test("Xing tag sets vbr and doesn't break the frame walk") {
+  test("Xing tag sets vbr; the tag frame is excluded from accounting") {
     val s = Mp3Codec.encodeSilent(44100, 1, frames = 4, bitrateKbps = 128)
     val p = 4 + 17 // header + mono side info, no CRC
     s(p) = 'X'; s(p + 1) = 'i'; s(p + 2) = 'n'; s(p + 3) = 'g'
     s(p + 7) = 1 // flags: frames present
     s(p + 11) = 4
     val i = Mp3Codec.parse(s).get
-    assert(i.vbr && i.frames == 4)
+    // the tag-carrying first frame is metadata, not audio: 3 real frames
+    assert(i.vbr && i.frames == 3 && i.samples == 3L * 1152)
+  }
+
+  test("Info tag marks CBR (LAME convention): vbr stays false") {
+    val s = Mp3Codec.encodeSilent(44100, 1, frames = 4, bitrateKbps = 128)
+    val p = 4 + 17
+    s(p) = 'I'; s(p + 1) = 'n'; s(p + 2) = 'f'; s(p + 3) = 'o'
+    s(p + 7) = 1
+    s(p + 11) = 4
+    val i = Mp3Codec.parse(s).get
+    assert(!i.vbr && i.frames == 3)
+  }
+
+  test("tag-only stream (no audio frames) parses to None") {
+    val s = Mp3Codec.encodeSilent(44100, 1, frames = 1, bitrateKbps = 128)
+    val p = 4 + 17
+    s(p) = 'X'; s(p + 1) = 'i'; s(p + 2) = 'n'; s(p + 3) = 'g'
+    assert(Mp3Codec.parse(s).isEmpty)
   }
 
   test("mp3Info operator: nulls for non-MP3, metadata for streams") {
