@@ -537,3 +537,45 @@ object WarcReadProbe {
     spark.stop()
   }
 }
+
+/** Ad-hoc phase timing for the pruned LM family (scale forensics:
+  * which phase pays at permute-100x — training agg, stage writes,
+  * model broadcast, or the scoring projection). */
+object LmProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    t("warm-scan")(docs.count())
+    val w = split(lower(col("text")), "\\s+")
+    val n = greatest(size(w) - 1, lit(0))
+    val toks = docs.select(col("doc_id"),
+        explode(zip_with(slice(w, lit(1), n), slice(w, lit(2), n),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    t("token-explode-count")(println("  tokens=" + toks.count()))
+    val bi = toks.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+    t("bigram-train-agg")(println("  types=" + bi.count()))
+    val kept = bi.filter(col("__cb") >= 2)
+    t("kept-filter-agg")(println("  kept=" + kept.count()))
+    val staged = t("stage-write-kept")(
+      graft.core.Stage.materialize(kept, "probe_kept"))
+    val toksScored = toks.join(broadcast(staged), Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("__cb"), lit(0L))).as("s"))
+    t("broadcast-score")(println("  docs=" + toksScored.count()))
+    t("full-q_lm2p")(println("  rows=" + graft.operators.TextAnalysis
+      .bigramNllPruned(docs, "text", "doc_id", minCount = 2).count()))
+    spark.stop()
+  }
+}

@@ -3370,6 +3370,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bigrams"), col("mean_nll2"))
     }),
 
+    // the BROADCASTABLE count-pruned variant — kept types (c >= 2) keep
+    // the exact add-1 probability, pruned types floor to the unseen
+    // term; the model + backoff tables broadcast so the token stream
+    // scores in a zero-shuffle projection (the exact variant's bigram-
+    // keyed scoring join goes superlinear at fixed vocab: 21.7->325.5s
+    // at permute-100x)
+    "q_lm2p_score" -> ((s, dir) => {
+      TextAnalysis.bigramNllPruned(tbl(s, dir, "documents"), "text",
+          "doc_id", minCount = 2)
+        .select(col("doc_id"), col("n_bigrams"), col("mean_nll2p"))
+    }),
+
     // Moore-Lewis cross-entropy difference selection (Moore & Lewis
     // 2010): in-domain LM = the English slice, general LM = the whole
     // corpus; select docs the in-domain model likes better. One token
@@ -3463,6 +3475,16 @@ object SparkEntry {
     "q_kn_score" -> ((s, dir) => {
       TextAnalysis.kneserNeyNll(tbl(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("n_bigrams"), col("mean_nll_kn"))
+    }),
+
+    // count-pruned Kneser-Ney: exact vocab-sized marginals, pruned
+    // types (c < 2) score on the factorized continuation backoff
+    // a(w1)+b(w2) alone — the whole model broadcasts, scoring is a
+    // zero-shuffle projection over the token stream
+    "q_knp_score" -> ((s, dir) => {
+      TextAnalysis.kneserNeyNllPruned(tbl(s, dir, "documents"), "text",
+          "doc_id", minCount = 2)
+        .select(col("doc_id"), col("n_bigrams"), col("mean_nll_knp"))
     }),
 
     // Zipf rank-frequency fit over the vocabulary head: the corpus-health
@@ -6205,6 +6227,32 @@ object SparkEntry {
         |FROM t JOIN bi USING (w1, w2) JOIN ctx USING (w1) JOIN cont USING (w2), ty
         |GROUP BY doc_id""".stripMargin,
 
+    // the q_kn_score CTEs with the type table split kept/pruned at
+    // c >= 2: kept types keep the full interpolated formula, pruned
+    // types score the factorized continuation backoff
+    // -ln(D*fwd/cv) + -ln(bwd/tt) — same double decomposition as Spark
+    "q_knp_score" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |t AS (SELECT doc_id, bg['a'] AS w1, bg['b'] AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> {'a': w[i], 'b': w[i+1]})) AS bg FROM w)),
+        |bi AS (SELECT w1, w2, count(*) AS cb FROM t GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(cb) AS DOUBLE) AS cv,
+        |        CAST(count(*) AS DOUBLE) AS fwd FROM bi GROUP BY 1),
+        |cont AS (SELECT w2, CAST(count(*) AS DOUBLE) AS bwd FROM bi GROUP BY 1),
+        |ty AS (SELECT CAST(count(*) AS DOUBLE) AS tt FROM bi),
+        |model AS (SELECT w1, w2, -ln(greatest(cb - 0.75, 0.0) / cv
+        |    + 0.75 * fwd / cv * (bwd / tt)) AS nll
+        |  FROM bi JOIN ctx USING (w1) JOIN cont USING (w2), ty WHERE cb >= 2),
+        |a AS (SELECT w1, -ln(0.75 * fwd / cv) AS a FROM ctx),
+        |b AS (SELECT w2, -ln(bwd / tt) AS b FROM cont, ty)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(CAST(coalesce(nll, a + b) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / count(*), 6) AS mean_nll_knp
+        |FROM t LEFT JOIN model USING (w1, w2) JOIN a USING (w1) JOIN b USING (w2)
+        |GROUP BY doc_id""".stripMargin,
+
     // same top-K head (freq desc, term ties), same closed-form least
     // squares with decimal-truncated ln sums and identical double
     // formula ordering
@@ -6318,6 +6366,29 @@ object SparkEntry {
         |  round(CAST(sum(CAST(-ln((cb + 1.0) / (c1 + v)) AS DECIMAL(28,12))) AS DOUBLE)
         |    / count(*), 6) AS mean_nll2
         |FROM bgt JOIN bi USING (w1, w2) JOIN uni ON bgt.w1 = uni.term, v
+        |GROUP BY doc_id""".stripMargin,
+
+    // the q_lm2_score CTEs with the model split kept/pruned at c >= 2:
+    // kept types keep the exact add-1 nll, pruned types score the
+    // unseen term ln(c1+v) — identical IEEE steps to the Spark
+    // expression (ln(c1+v), NOT -ln(1/(c1+v)), on both engines)
+    "q_lm2p_score" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(text), '\s+') AS w FROM documents),
+        |t AS (SELECT doc_id, unnest(w) AS term FROM w),
+        |uni AS (SELECT term, count(*) AS c1 FROM t GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |bgt AS (SELECT doc_id, bg['a'] AS w1, bg['b'] AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> {'a': w[i], 'b': w[i+1]})) AS bg FROM w)),
+        |model AS (SELECT w1, w2, -ln((cb + 1.0) / (c1 + v)) AS nll
+        |  FROM (SELECT w1, w2, count(*) AS cb FROM bgt GROUP BY 1, 2)
+        |  JOIN uni ON w1 = term, v WHERE cb >= 2),
+        |a AS (SELECT term AS w1, ln(c1 + v) AS a FROM uni, v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(CAST(coalesce(nll, a) AS DECIMAL(28,12))) AS DOUBLE)
+        |    / count(*), 6) AS mean_nll2p
+        |FROM bgt LEFT JOIN model USING (w1, w2) JOIN a USING (w1)
         |GROUP BY doc_id""".stripMargin,
 
     "q_mixture" ->

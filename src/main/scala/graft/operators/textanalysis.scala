@@ -697,8 +697,13 @@ object TextAnalysis {
     require(minCount >= 1, "minCount must be >= 1")
     val w = words(col(textCol))
     val toks = df.select(w.as("__w"))
-    val uni = toks.select(explode(col("__w")).as("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("__c"))
+    // vocab-sized unigram table, staged + broadcast when it fits: the
+    // pair table then never shuffles on term_a/term_b (measured 37.4s
+    // -> scan-bound at permute-100x on the keyed form)
+    val uni = graft.core.Stage.materialize(
+      toks.select(explode(col("__w")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("__c")), "colloc_uni")
+    val uniSmall = uni.count() <= MaxBroadcastModelRows
     val bg = toks
       .filter(size(col("__w")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("__w")) - 1), i =>
@@ -710,9 +715,12 @@ object TextAnalysis {
     val totals = toks.agg(
       sum(size(col("__w"))).cast(DoubleType).as("__nw"),
       sum(greatest(size(col("__w")) - 1, lit(0))).cast(DoubleType).as("__nbg"))
-    bg
-      .join(uni.select(col("t").as("term_a"), col("__c").as("__ca")), Seq("term_a"))
-      .join(uni.select(col("t").as("term_b"), col("__c").as("__cb")), Seq("term_b"))
+    val uniA = uni.select(col("t").as("term_a"), col("__c").as("__ca"))
+    val uniB = uni.select(col("t").as("term_b"), col("__c").as("__cb"))
+    (if (uniSmall)
+       bg.join(broadcast(uniA), Seq("term_a"))
+         .join(broadcast(uniB), Seq("term_b"))
+     else bg.join(uniA, Seq("term_a")).join(uniB, Seq("term_b")))
       .crossJoin(broadcast(totals))
       .select(col("term_a"), col("term_b"), col("pair_count"),
         round(log((col("pair_count").cast(DoubleType) / col("__nbg")) /
@@ -753,19 +761,30 @@ object TextAnalysis {
         explode(zip_with(slice(w, lit(1), n), slice(w, lit(2), n),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1"), col("bg.w2"))
-    val uni = df.select(explode(words(col(textCol))).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("__c1"))
+    val uni = graft.core.Stage.materialize(
+      df.select(explode(words(col(textCol))).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("__c1")), "lm2_uni")
+    val uniSmall = uni.count() <= MaxBroadcastModelRows
     val vocab = uni.agg(count(lit(1)).cast(DoubleType).as("__v"))
     val bi = toks.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
     // assemble the per-bigram-TYPE nll model at vocab size first, then
     // join the corpus ONCE — the kneserNeyNll restructure applied to
     // the add-1 sibling (two corpus-sized joins collapsed to one; the
     // nll doubles are identical, computed from the same counts)
-    val model = bi.join(uni, Seq("w1"))
-      .crossJoin(broadcast(vocab))
-      .select(col("w1"), col("w2"),
-        (-log((col("__cb") + 1.0) / (col("__c1") + col("__v")))).as("__nll"))
-    toks.join(model, Seq("w1", "w2"))
+    val model = graft.core.Stage.materialize(
+      bi.join(if (uniSmall) broadcast(uni) else uni, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+          (-log((col("__cb") + 1.0) / (col("__c1") + col("__v")))).as("__nll")),
+      "lm2_model")
+    // under a fixed vocabulary the observed type table SATURATES (it is
+    // bounded by V² however large the corpus), so past the crossover it
+    // broadcasts and the token stream never shuffles on bigram key —
+    // the exact values either way; [[bigramNllPruned]] is the guarantee
+    // for open-vocab corpora whose type table outgrows this check
+    (if (model.count() <= MaxBroadcastModelRows)
+       toks.join(broadcast(model), Seq("w1", "w2"))
+     else toks.join(model, Seq("w1", "w2")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("__nll").cast("decimal(28,12)")).as("__s"))
@@ -800,7 +819,12 @@ object TextAnalysis {
         explode(zip_with(slice(w, lit(1), n), slice(w, lit(2), n),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1"), col("bg.w2"))
-    val bi = toks.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__cb"))
+    // the ONE corpus-sized shuffle, staged: the three marginal
+    // reductions and the model assembly below re-read compact parquet
+    // instead of re-aggregating the token stream
+    val bi = graft.core.Stage.materialize(
+      toks.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__cb")),
+      "kn_bi")
     val ctx = bi.groupBy(col("w1"))
       .agg(sum(col("__cb")).cast(DoubleType).as("__cv"),
         count(lit(1)).cast(DoubleType).as("__fwd"))
@@ -812,13 +836,17 @@ object TextAnalysis {
     // (nll per (w1,w2)) from the vocab-sized tables first, then join the
     // corpus token stream ONCE instead of once per marginal key
     // ((w1,w2)/(w1)/(w2)). Measured 143 -> 123s at 1000x (the residual
-    // is the 200M-row bigram-keyed join + doc agg itself — the same
-    // scan-bound shape as bigramNll, which records 186s there).
-    val model = bi.join(ctx, Seq("w1"))
-      .join(cont, Seq("w2"))
-      .crossJoin(broadcast(types))
-      .select(col("w1"), col("w2"), (-log(p)).as("__nll"))
-    toks.join(model, Seq("w1", "w2"))
+    // was the 200M-row bigram-keyed join + doc agg; the broadcast
+    // crossover below removes it whenever the saturating type table
+    // fits — [[kneserNeyNllPruned]] is the open-vocab guarantee).
+    val model = graft.core.Stage.materialize(
+      bi.join(ctx, Seq("w1"))
+        .join(cont, Seq("w2"))
+        .crossJoin(broadcast(types))
+        .select(col("w1"), col("w2"), (-log(p)).as("__nll")), "kn_model")
+    (if (model.count() <= MaxBroadcastModelRows)
+       toks.join(broadcast(model), Seq("w1", "w2"))
+     else toks.join(model, Seq("w1", "w2")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("__nll").cast("decimal(28,12)")).as("__s"))
@@ -826,13 +854,164 @@ object TextAnalysis {
         round(col("__s").cast(DoubleType) / col("n_bigrams"), 6).as("mean_nll_kn"))
   }
 
+  /** Count-pruned, BROADCASTABLE bigram-LM mean NLL — the fixed-vocab
+    * scale path for [[bigramNll]]. The exact variant's scoring join
+    * shuffles the whole token stream on bigram key, and under a fixed
+    * (realistic) vocabulary the bigram-TYPE table keeps growing toward
+    * saturation with corpus size, so that join goes superlinear
+    * (measured: 21.7s -> 325.5s at permute-100x). Standard production
+    * n-gram practice prunes types below a count threshold; here types
+    * with `c(w1,w2) >= minCount` keep the exact add-1 probability and
+    * pruned types back off to the UNSEEN term of the same formula,
+    * `p = 1/(c(w1)+V)` — i.e. their count is floored to zero, nothing
+    * renormalizes, and `minCount=1` reproduces [[bigramNll]]'s values
+    * bit-for-bit.
+    *
+    * Scale shape: ONE partial-agg-compressed training shuffle builds
+    * the counts; the pruned model and the vocab-sized backoff table
+    * are staged to parquet ([[graft.core.Stage]]) and BROADCAST, so
+    * the corpus token stream is scored by a zero-shuffle projection —
+    * the only remaining exchange is the per-doc mean's O(#docs)
+    * partial agg. `maxModelRows` fail-fasts before a mis-sized
+    * broadcast can OOM an executor (raise `minCount` instead). */
+  def bigramNllPruned(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      idCol: String, minCount: Int = 2,
+                      maxModelRows: Long = 20000000L): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val w = words(col(textCol))
+    val n = greatest(size(w) - 1, lit(0))
+    val toks = df.select(col(idCol),
+        explode(zip_with(slice(w, lit(1), n), slice(w, lit(2), n),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1"), col("bg.w2"))
+    // vocab-sized; staged once, read by the model build AND the backoff
+    val uni = graft.core.Stage.materialize(
+      df.select(explode(words(col(textCol))).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("__c1")), "lm2p_uni")
+    val vocab = uni.agg(count(lit(1)).cast(DoubleType).as("__v"))
+    val model = graft.core.Stage.materialize(
+      toks.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+        .filter(col("__cb") >= minCount)
+        .join(broadcast(uni), Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+          (-log((col("__cb") + 1.0) / (col("__c1") + col("__v")))).as("__nll")),
+      "lm2p_model")
+    val keptTypes = model.count() // parquet metadata count — cheap
+    require(keptTypes <= maxModelRows,
+      s"bigramNllPruned: $keptTypes kept bigram types > maxModelRows=" +
+        s"$maxModelRows — the model no longer broadcasts safely; raise " +
+        "minCount (or maxModelRows with executor memory to match)")
+    val backoff = uni.crossJoin(broadcast(vocab))
+      .select(col("w1"), log(col("__c1") + col("__v")).as("__a"))
+    toks.join(broadcast(model), Seq("w1", "w2"), "left")
+      .join(broadcast(backoff), Seq("w1"))
+      .select(col(idCol), coalesce(col("__nll"), col("__a")).as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__nll").cast("decimal(28,12)")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s").cast(DoubleType) / col("n_bigrams"), 6).as("mean_nll2p"))
+  }
+
+  /** Count-pruned, BROADCASTABLE interpolated Kneser–Ney mean NLL — the
+    * [[bigramNllPruned]] treatment applied to [[kneserNeyNll]]. The
+    * marginals (`c(v·)`, `N1+(v,·)`, `N1+(·,w)`, type total) stay EXACT
+    * — they are vocabulary-sized however large the corpus — and only
+    * the bigram-type table is pruned: kept types (`c >= minCount`)
+    * score with the full interpolated formula, pruned types drop the
+    * `max(c−D,0)/c(v·)` term and score on the continuation backoff
+    * alone, `D·N1+(v,·)/c(v·) · p_cont(w)`, which FACTORIZES into two
+    * vocab-keyed tables (`a(w1) + b(w2)` in log space) and therefore
+    * broadcasts. `minCount=1` reproduces [[kneserNeyNll]] bit-for-bit.
+    *
+    * Scale shape: the corpus pays one partial-agg-compressed training
+    * shuffle (staged, so the four marginal reductions read compact
+    * parquet instead of re-aggregating) and a zero-shuffle broadcast
+    * projection for scoring; per-doc means are the one O(#docs)
+    * exchange. */
+  def kneserNeyNllPruned(df: org.apache.spark.sql.DataFrame, textCol: String,
+                         idCol: String, discount: Double = 0.75,
+                         minCount: Int = 2,
+                         maxModelRows: Long = 20000000L): org.apache.spark.sql.DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1), got $discount")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val w = words(col(textCol))
+    val n = greatest(size(w) - 1, lit(0))
+    val toks = df.select(col(idCol),
+        explode(zip_with(slice(w, lit(1), n), slice(w, lit(2), n),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1"), col("bg.w2"))
+    // the ONE corpus-sized shuffle, staged: every marginal below is a
+    // cheap columnar re-read, not a re-aggregation of the token stream
+    val bi = graft.core.Stage.materialize(
+      toks.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__cb")),
+      "knp_bi")
+    val ctx = graft.core.Stage.materialize(
+      bi.groupBy(col("w1"))
+        .agg(sum(col("__cb")).cast(DoubleType).as("__cv"),
+          count(lit(1)).cast(DoubleType).as("__fwd")), "knp_ctx")
+    val cont = graft.core.Stage.materialize(
+      bi.groupBy(col("w2"))
+        .agg(count(lit(1)).cast(DoubleType).as("__bwd")), "knp_cont")
+    val types = bi.agg(count(lit(1)).cast(DoubleType).as("__tt"))
+    val p = greatest(col("__cb") - discount, lit(0.0)) / col("__cv") +
+      lit(discount) * col("__fwd") / col("__cv") * (col("__bwd") / col("__tt"))
+    val model = graft.core.Stage.materialize(
+      bi.filter(col("__cb") >= minCount)
+        .join(broadcast(ctx), Seq("w1"))
+        .join(broadcast(cont), Seq("w2"))
+        .crossJoin(broadcast(types))
+        .select(col("w1"), col("w2"), (-log(p)).as("__nll")), "knp_model")
+    val keptTypes = model.count()
+    require(keptTypes <= maxModelRows,
+      s"kneserNeyNllPruned: $keptTypes kept bigram types > maxModelRows=" +
+        s"$maxModelRows — the model no longer broadcasts safely; raise " +
+        "minCount (or maxModelRows with executor memory to match)")
+    val aTbl = ctx.select(col("w1"),
+      (-log(lit(discount) * col("__fwd") / col("__cv"))).as("__a"))
+    val bTbl = cont.crossJoin(broadcast(types))
+      .select(col("w2"), (-log(col("__bwd") / col("__tt"))).as("__b"))
+    toks.join(broadcast(model), Seq("w1", "w2"), "left")
+      .join(broadcast(aTbl), Seq("w1"))
+      .join(broadcast(bTbl), Seq("w2"))
+      .select(col(idCol),
+        coalesce(col("__nll"), col("__a") + col("__b")).as("__nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__nll").cast("decimal(28,12)")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s").cast(DoubleType) / col("n_bigrams"), 6).as("mean_nll_knp"))
+  }
+
+  /** Broadcast-row ceiling for the ADAPTIVE vocab-table joins
+    * ([[unigramNll]], [[mooreLewis]], [[collocations]]): each stages
+    * its vocab-sized model table ([[graft.core.Stage]] — so the count
+    * below is a parquet-metadata read, not a second corpus agg) and
+    * BROADCASTS it when it fits, falling back to the key join when a
+    * web-scale vocabulary outgrows it. Output VALUES are identical
+    * either way (per-row terms sum through fixed-scale decimals) —
+    * only the probe-side exchange disappears. Explicit, not left to
+    * AQE, because AQE's sort-merge→broadcast conversion still pays the
+    * corpus side's shuffle WRITE (it decides after both map stages);
+    * an explicit broadcast never plans that exchange. */
+  val MaxBroadcastModelRows: Long = 8000000L
+
   def unigramNll(df: org.apache.spark.sql.DataFrame, textCol: String,
                  idCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol), explode(words(col(textCol))).as("term"))
-    val lm = toks.groupBy(col("term")).agg(count(lit(1)).as("__c"))
+    // the LM table is vocab-sized: staged once (totals read the stage,
+    // not a second corpus agg) and broadcast when it provably fits —
+    // the corpus token stream then scores without shuffling on term
+    // (measured 87.1s -> scan-bound at permute-100x, where the exact
+    // key join shuffled ~6e9 token rows against a fixed-size vocab)
+    val lm = graft.core.Stage.materialize(
+      toks.groupBy(col("term")).agg(count(lit(1)).as("__c")), "lm_uni")
     val totals = lm.agg(sum(col("__c")).cast(DoubleType).as("__tot"),
       count(lit(1)).cast(DoubleType).as("__v"))
-    toks.join(lm, Seq("term"))
+    (if (lm.count() <= MaxBroadcastModelRows)
+       toks.join(broadcast(lm), Seq("term"))
+     else toks.join(lm, Seq("term")))
       .crossJoin(broadcast(totals))
       .withColumn("__nll",
         -log((col("__c") + 1.0) / (col("__tot") + col("__v"))))
@@ -1103,9 +1282,15 @@ object TextAnalysis {
                  idCol: String, inDomain: Column): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol), inDomain.as("__in"),
       explode(words(col(textCol))).as("term"))
-    val lmGen = toks.groupBy(col("term")).agg(count(lit(1)).as("__cg"))
-    val lmIn = toks.filter(col("__in")).groupBy(col("term"))
-      .agg(count(lit(1)).as("__ci"))
+    // both LM tables are vocab-sized — staged + broadcast when they
+    // fit, so the corpus scores in a zero-shuffle projection (the
+    // unigramNll treatment, applied to both the general and in-domain
+    // tables; totals read the stages, not second corpus aggs)
+    val lmGen = graft.core.Stage.materialize(
+      toks.groupBy(col("term")).agg(count(lit(1)).as("__cg")), "ml_gen")
+    val lmIn = graft.core.Stage.materialize(
+      toks.filter(col("__in")).groupBy(col("term"))
+        .agg(count(lit(1)).as("__ci")), "ml_in")
     val totGen = lmGen.agg(sum(col("__cg")).cast(DoubleType).as("__tg"),
       count(lit(1)).cast(DoubleType).as("__vg"))
     val totIn = lmIn.agg(sum(col("__ci")).cast(DoubleType).as("__ti"),
@@ -1114,8 +1299,10 @@ object TextAnalysis {
     val d = log((col("__cg") + 1.0) / (col("__tg") + col("__vg"))) -
       log((coalesce(col("__ci"), lit(0L)) + 1.0) / (col("__ti") + col("__vi")))
     val mean = col("__s").cast(DoubleType) / col("n_tokens")
-    toks.join(lmGen, Seq("term"))
-      .join(lmIn, Seq("term"), "left")
+    (if (lmGen.count() <= MaxBroadcastModelRows)
+       toks.join(broadcast(lmGen), Seq("term"))
+         .join(broadcast(lmIn), Seq("term"), "left")
+     else toks.join(lmGen, Seq("term")).join(lmIn, Seq("term"), "left"))
       .crossJoin(broadcast(totGen))
       .crossJoin(broadcast(totIn))
       .withColumn("__d", d)
