@@ -32,8 +32,44 @@ object Bench {
     // SPARK_GRAFT_RUNS=1 for the multi-minute stress points, where a
     // second run buys nothing (JIT is amortized) and doubles wall time.
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+    // ------------------------------------------------------------------
+    // self-adjudication (round-11): BENCH_r10.json was taken under
+    // co-running load and read 448s/38 false >2x rows without any
+    // self-flagging. The artifact now carries its own evidence:
+    //  - 1-min /proc/loadavg sampled BEFORE each query ("load" map —
+    //    a high value entering a query marks residual/external load),
+    //  - any query that lands >2x its recorded gate (bench_map.json,
+    //    override via SPARK_GRAFT_GATES) is RE-PROBED at the end of the
+    //    run, alone, min-of-2 ("reprobe" map) — a contended first pass
+    //    and a clean re-probe then disagree in the same artifact, and
+    //    a real regression reproduces in both.
+    // ------------------------------------------------------------------
+    def load1(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")))
+        .split("\\s+")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val gates: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(sys.env.getOrElse(
+            "SPARK_GRAFT_GATES", "/root/repo/bench_map.json"))))
+        // gates only adjudicate a run at the SAME scale they were
+        // recorded at — a 100x stress run compared against sf0.1 gates
+        // would re-probe every query for nothing
+        val gateSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+        if (!gateSf.contains(sfDir)) Map.empty[String, Double]
+        else {
+          val fromQueries = txt.substring(txt.indexOf("\"queries\":{"))
+          "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
+            .findAllMatchIn(fromQueries)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Exception => Map.empty[String, Double] }
+    def timeQuery(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  nRuns: Int): Double = {
+      val times = (1 to nRuns).flatMap { _ =>
         // clean cache state per run: queries that cache a relation
         // (model tables, pair lineage) would otherwise leak it into
         // every later query's measurement — each query should be timed
@@ -55,20 +91,37 @@ object Bench {
         try {
           fn(spark, sfDir).queryExecution.toRdd.count()
           Some((System.nanoTime() - t0) / 1e9)
-        }
-        catch { case e: Throwable =>
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
       }
       // min over SUCCESSFUL runs only; -1 marks a query that never ran
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      if (times.nonEmpty) times.min else -1.0
+    }
+    val loadIn = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val results = selected.map { case (name, fn) =>
+      loadIn(name) = load1()
+      name -> timeQuery(name, fn, runs)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total sums SUCCESSFUL times only: a failed query keeps its -1
     // marker in the per-query map but must not shrink the headline total
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // end-of-run adjudication: everything >2x its gate runs again, alone
+    val flagged = results.filter { case (name, t) =>
+      t >= 0 && gates.get(name).exists(g => g > 0 && t > 2 * g)
+    }.map(_._1)
+    val byName = selected.toMap
+    val reprobes = flagged.map { name =>
+      name -> timeQuery(name, byName(name), math.max(runs, 2))
+    }
+    val loadJson = loadIn.map { case (k, v) => s"\"$k\":$v" }
+      .mkString("{", ",", "}")
+    val reprobeJson = reprobes.map { case (k, v) => s"\"$k\":$v" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""reprobe":$reprobeJson,"load":$loadJson,"sf":"$sfDir"}"""
     println(line)
     // The same JSON line as a committed ARTIFACT: the driver captures
     // stdout with a tail cap, and round 5 lost 12 of 84 per-query times
