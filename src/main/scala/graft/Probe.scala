@@ -579,3 +579,44 @@ object LmProbe {
     spark.stop()
   }
 }
+
+/** Per-microbatch forensics for the q_asof_stream drain (the one gate
+  * with a 4.7x run-to-run swing): dumps every StreamingQueryProgress's
+  * durationMs map + state-store commit time, several drains in one JVM,
+  * so the variable fixed cost has a name. */
+object AsofProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val drains = sys.env.getOrElse("SPARK_GRAFT_ASOF_DRAINS", "3").toInt
+    (1 to drains).foreach { round =>
+      val t0 = System.nanoTime()
+      val progress = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          val so = p.stateOperators.map(s =>
+            s"commitMs=${s.customMetrics.getOrDefault("rocksdbCommitLatency", -1L)}" +
+            s" rows=${s.numRowsTotal}").mkString(";")
+          progress.add(s"batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs} state[$so]")
+        }
+        override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      }
+      spark.streams.addListener(listener)
+      val df = SparkEntry.queries("q_asof_stream")(spark, dir)
+      val n = df.count()
+      spark.streams.removeListener(listener)
+      println(f"[asof] round=$round total=${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      progress.forEach(s => println(s"[asof]   $s"))
+    }
+    spark.stop()
+  }
+}

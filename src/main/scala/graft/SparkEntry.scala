@@ -331,6 +331,18 @@ object SparkEntry {
     val prevProvider = s.conf.getOption(providerKey)
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing: each commit uploads the batch's DELTA
+    // instead of a full RocksDB snapshot (snapshots move to the
+    // background maintenance thread). The drain runs 4 microbatches x
+    // #shuffle-partitions store commits against the virtio disk; full
+    // snapshots made every commit an fsync-bound copy, and episodic
+    // host-side disk stalls multiplied exactly that fixed cost (the
+    // q_asof_stream 6.4s<->29.8s swing in BASELINE.md — root cause
+    // written down in SCALE.md round 11)
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevChangelog = s.conf.getOption(changelogKey)
+    s.conf.set(changelogKey, "true")
     // peak state is tracked by a LISTENER over every progress event, not by
     // maxing query.recentProgress afterwards: recentProgress retains only
     // spark.sql.streaming.numRecentProgressUpdates (default 100) entries, so
@@ -356,9 +368,15 @@ object SparkEntry {
         .format("parquet").option("path", s"$out/data")
         .option("checkpointLocation", s"$out/ckpt")
         .outputMode("append").start()
-      finally prevProvider match {
-        case Some(v) => s.conf.set(providerKey, v)
-        case None => s.conf.unset(providerKey)
+      finally {
+        prevProvider match {
+          case Some(v) => s.conf.set(providerKey, v)
+          case None => s.conf.unset(providerKey)
+        }
+        prevChangelog match {
+          case Some(v) => s.conf.set(changelogKey, v)
+          case None => s.conf.unset(changelogKey)
+        }
       }
     try {
       query.processAllAvailable()
