@@ -3661,6 +3661,36 @@ object SparkEntry {
           col("bad_frames"))
     }),
 
+    // REAL H.264 frame-layer walk over spec-valid Annex-B fixtures
+    // (H264Codec.encodeFixture: bit-exact SPS/PPS, valid slice-header
+    // prefixes, VUI timing) — NAL scan, Exp-Golomb SPS decode incl.
+    // the High-profile chroma branch and frame cropping, picture/IDR
+    // counting through multi-slice frames. The oracle replays the
+    // fixture arithmetic; macroblock decode is the documented
+    // H264Codec validatability boundary
+    "q_h264_video" -> ((s, dir) => {
+      val vidUdf = udf { (id: Long) =>
+        graft.operators.H264Codec.encodeFixture(
+          width = 16 * (2 + (id % 4).toInt),
+          height = 16 * (3 + (id % 3).toInt),
+          frames = 3 + (id % 6).toInt,
+          fps = (id % 3) match {
+            case 0 => 24.0; case 1 => 30.0; case _ => 60.0
+          },
+          profileIdc = if (id % 2 == 0) 66 else 100,
+          levelIdc = 31,
+          slicesPerFrame = 1 + (id % 2).toInt,
+          cropRight = if (id % 5 == 0) 2 else 0)
+      }
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), vidUdf(col("doc_id")).as("blob"))
+      Multimodal.h264Info(docs, "doc_id", "blob", batchSize = 32)
+        .select(col("media_id").as("doc_id"), col("format"),
+          col("profile"), col("level"), col("width"), col("height"),
+          col("frames"), col("idr_frames"), col("fps"),
+          col("duration_ms"), col("bad_nals"))
+    }),
+
     // REAL audio decimation (the WAV analog of q_resize): every 4th
     // PCM sample kept, re-encoded at rate/4, decoded AGAIN for stats —
     // the decode→slice→encode→decode chain is exact, and the
@@ -6527,6 +6557,26 @@ object SparkEntry {
         |    WHEN 2 THEN 192 ELSE 320 END AS INTEGER) AS bitrate_kbps,
         |  false AS vbr,
         |  CAST(0 AS INTEGER) AS bad_frames
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+
+    // replays q_h264_video's fixture arithmetic: dimensions from the
+    // mb-count formula minus the 4:2:0 crop, duration from the VUI
+    // fps (floor to ms, the parser's integer convention)
+    "q_h264_video" ->
+      """SELECT doc_id, 'h264' AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'baseline' ELSE 'high' END AS profile,
+        |  '3.1' AS level,
+        |  CAST(16 * (2 + doc_id % 4)
+        |    - CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END AS INTEGER) AS width,
+        |  CAST(16 * (3 + doc_id % 3) AS INTEGER) AS height,
+        |  CAST(3 + doc_id % 6 AS INTEGER) AS frames,
+        |  CAST(1 AS INTEGER) AS idr_frames,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 24.0 WHEN 1 THEN 30.0
+        |    ELSE 60.0 END AS DOUBLE) AS fps,
+        |  CAST(floor((3 + doc_id % 6) * 1000.0
+        |    / CASE doc_id % 3 WHEN 0 THEN 24.0 WHEN 1 THEN 30.0
+        |      ELSE 60.0 END) AS BIGINT) AS duration_ms,
+        |  CAST(0 AS INTEGER) AS bad_nals
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     // decimation: mono docs slice every 4th sample (1-based ss[4k+1]);

@@ -30,11 +30,13 @@ import org.apache.spark.sql.types._
  * Xing/VBR, ID3, duration/rate metadata — the audio-curation gate);
  * its PCM synthesis stays out on validatability grounds (the ISO
  * Huffman tables have no in-container ground truth — the boundary
- * note on [[Mp3Codec]]). Only H.264 remains a `StubCodecs.*`
- * deterministic fake end-to-end; swap stubs for real codecs (javacv /
- * ffmpeg bindings) in production — the schemas, batching, and
- * partition behavior (the Spark-side contract) stay exactly as
- * tested here.
+ * note on [[Mp3Codec]]). H.264 is real at the same layer
+ * ([[H264Codec]]: Annex-B NAL walk, SPS/VUI decode, picture/IDR
+ * counting — the video-curation gate); its macroblock decode stays out
+ * by the same validatability argument. The one remaining deliberate
+ * stand-in is [[byteMomentFeatures]] — a deterministic featurizer
+ * where production would run a LEARNED vision encoder (weights don't
+ * ship with a data engine); everything around it is real.
  */
 object Multimodal {
 
@@ -56,38 +58,69 @@ object Multimodal {
     .add("frame_index", IntegerType, nullable = false)
     .add("frame", BinaryType, nullable = false)
 
-  /** STUB codec layer — deterministic fakes in place of real decoders. */
-  object StubCodecs {
-    /** "Decode" a blob into a d-dim float feature vector: stable moments
-      * of the byte stream (a real impl would run a vision encoder).
-      * Accumulates in double with ONE terminal float cast — float32
-      * round-to-nearest is engine-portable, float accumulation order is
-      * not, and this keeps the output SQL-oracle-exact. */
-    def imageFeatures(blob: Array[Byte], d: Int): Array[Float] = {
-      val out = new Array[Double](d)
-      var i = 0
-      while (i < blob.length) {
-        out(i % d) += (blob(i) & 0xff)
-        i += 1
-      }
-      val n = math.max(blob.length / d, 1)
-      out.map(s => (s / 255.0 / n).toFloat)
+  /** Model-free featurizer: stable byte/pixel moments into a d-dim
+    * float vector — the deterministic stand-in where a production
+    * pipeline would run a learned vision encoder (no model weights ship
+    * in a data engine; everything AROUND the model — batching, schema,
+    * decode — is real). Accumulates in double with ONE terminal float
+    * cast: float32 round-to-nearest is engine-portable, float
+    * accumulation order is not, so the output stays SQL-oracle-exact. */
+  def byteMomentFeatures(bytes: Array[Byte], d: Int): Array[Float] = {
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % d) += (bytes(i) & 0xff)
+      i += 1
     }
+    val n = math.max(bytes.length / d, 1)
+    out.map(s => (s / 255.0 / n).toFloat)
+  }
 
-    /** "Parse" metadata from a fake 12-byte header (w, h, c as ints). */
-    def imageMeta(blob: Array[Byte]): ImageMeta = {
-      val bb = java.nio.ByteBuffer.wrap(blob)
-      if (blob.length >= 12)
-        ImageMeta(Some(bb.getInt(0)), Some(bb.getInt(4)), Some(bb.getInt(8)), "stub")
-      else ImageMeta(None, None, None, "unknown")
-    }
-
-    /** "Resize": deterministic re-hash to a fixed-size blob. */
-    def resize(blob: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val out = new Array[Byte](w * h)
-      var i = 0
-      while (i < out.length) { out(i) = blob(i % math.max(blob.length, 1)); i += 1 }
-      out
+  /** REAL header-layer metadata probe: dimensions read from the actual
+    * container headers (PNG IHDR, BMP BITMAPINFOHEADER, GIF logical
+    * screen descriptor, JPEG SOF scan) without decoding pixel data —
+    * the cheap pass a metadata-only corpus scan wants. Non-image blobs
+    * get the sniffed format with null dimensions. */
+  def headerMeta(blob: Array[Byte]): ImageMeta = {
+    if (blob == null || blob.length < 4) return ImageMeta(None, None, None, "unknown")
+    def be32(o: Int) = ((blob(o) & 0xff) << 24) | ((blob(o + 1) & 0xff) << 16) |
+      ((blob(o + 2) & 0xff) << 8) | (blob(o + 3) & 0xff)
+    def le32(o: Int) = (blob(o) & 0xff) | ((blob(o + 1) & 0xff) << 8) |
+      ((blob(o + 2) & 0xff) << 16) | ((blob(o + 3) & 0xff) << 24)
+    def le16(o: Int) = (blob(o) & 0xff) | ((blob(o + 1) & 0xff) << 8)
+    RealCodecs.sniff(blob) match {
+      case "png" if blob.length >= 26 =>
+        val channels = (blob(25) & 0xff) match {
+          case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+          case _ => 3
+        }
+        ImageMeta(Some(be32(16)), Some(be32(20)), Some(channels), "png")
+      case "bmp" if blob.length >= 26 =>
+        ImageMeta(Some(le32(18)), Some(math.abs(le32(22))), Some(3), "bmp")
+      case "gif" if blob.length >= 10 =>
+        ImageMeta(Some(le16(6)), Some(le16(8)), Some(3), "gif")
+      case "jpeg" =>
+        // SOF0/1/2 marker scan: segments are (FF mk len(2) payload)
+        var p = 2
+        var meta: ImageMeta = ImageMeta(None, None, None, "jpeg")
+        var done = false
+        while (!done && p + 4 <= blob.length) {
+          if ((blob(p) & 0xff) != 0xff) { done = true }
+          else {
+            val mk = blob(p + 1) & 0xff
+            if (mk == 0xc0 || mk == 0xc1 || mk == 0xc2) {
+              if (p + 9 < blob.length)
+                meta = ImageMeta(
+                  Some(((blob(p + 7) & 0xff) << 8) | (blob(p + 8) & 0xff)),
+                  Some(((blob(p + 5) & 0xff) << 8) | (blob(p + 6) & 0xff)),
+                  Some(blob(p + 9) & 0xff), "jpeg")
+              done = true
+            } else if (mk == 0xd8 || (mk >= 0xd0 && mk <= 0xd9)) p += 2
+            else p += 2 + (((blob(p + 2) & 0xff) << 8) | (blob(p + 3) & 0xff))
+          }
+        }
+        meta
+      case f => ImageMeta(None, None, None, f)
     }
   }
 
@@ -99,10 +132,10 @@ object Multimodal {
    * chunks skipped by their declared size, as a spec-conforming reader
    * must), plus truecolor PNG — real DEFLATE via `java.util.zip` and
    * the five spec filters, so the dominant lossless web format decodes
-   * for real. This narrows the stub boundary honestly: decode is REAL
-   * for JPEG ([[JpegCodec]], its own file)/PNG/BMP/WAV; StubCodecs
-   * remains only for MP3/H.264 (FlacCodec covers FLAC). Encoders exist so pipelines (and the oracle
-   * queries) can synthesize spec-valid blobs from tabular data; the
+   * for real. Decode is REAL for JPEG ([[JpegCodec]], its own
+   * file)/PNG/BMP/WAV/GIF; [[Mp3Codec]]/[[FlacCodec]]/[[H264Codec]]
+   * cover the audio/video frame layers. Encoders exist so pipelines
+   * (and the oracle queries) can synthesize spec-valid blobs; the
    * SpecSuite pins both against hand-written byte fixtures so an
    * encode/decode-symmetric bug cannot hide.
    */
@@ -627,9 +660,10 @@ object Multimodal {
     }(enc)
   }
 
-  /** Attach the typed metadata struct parsed from the blob header. */
+  /** Attach the typed metadata struct parsed from the REAL container
+    * headers ([[headerMeta]] — no pixel decode). */
   def withImageMeta(df: DataFrame, blobCol: String): DataFrame = {
-    val metaUdf = udf((b: Array[Byte]) => StubCodecs.imageMeta(b))
+    val metaUdf = udf((b: Array[Byte]) => headerMeta(b))
     df.withColumn("meta", metaUdf(col(blobCol)))
   }
 
@@ -647,30 +681,59 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         // one "decoder context" per batch — the amortization point
         batch.map { r =>
+          val blob = r.getAs[Array[Byte]](2)
+          // features over DECODED PIXELS for real images (the same
+          // image as PNG or BMP featurizes identically — format-
+          // independent by construction), raw bytes otherwise
+          val basis = decodeRgb(blob).map(_._2).getOrElse(blob)
           Row(r.getLong(0), r.getStruct(1),
-            StubCodecs.imageFeatures(r.getAs[Array[Byte]](2), dims).toSeq)
+            byteMomentFeatures(basis, dims).toSeq)
         }
       }
     }(enc)
   }
 
+  val videoStatsSchema: StructType = new StructType()
+    .add("media_id", LongType, nullable = false)
+    .add("format", StringType, nullable = false)
+    .add("profile", StringType)
+    .add("level", StringType)
+    .add("width", IntegerType)
+    .add("height", IntegerType)
+    .add("frames", IntegerType)
+    .add("idr_frames", IntegerType)
+    .add("fps", DoubleType)
+    .add("duration_ms", LongType)
+    .add("bad_nals", IntegerType)
+
   /**
-   * Batched resize: maps every blob to a fixed w×h byte payload through
-   * the (stub) codec — the normalize-before-encode step of an image
-   * pipeline. Same batched mapPartitions shape as feature extraction;
-   * output schema (media_id, resized binary) keeps downstream row sizes
-   * uniform, which is what makes `maxPartitionBytes` sizing predictable.
+   * REAL H.264 frame-layer metadata (batched mapPartitions): the full
+   * Annex-B walk of [[H264Codec.parse]] — NAL scan, SPS decode
+   * (profile/level/crop/VUI fps), picture+IDR counting — per blob,
+   * emitting the columns a video-curation gate keys on (resolution
+   * floor, fps sanity, IDR cadence, stream integrity). Non-H.264 or
+   * unparseable blobs pass through with format = sniff and null stats
+   * (the mp3Info convention). Pixel decode is deliberately absent —
+   * the [[H264Codec]] validatability boundary.
    */
-  def resizeImages(df: DataFrame, idCol: String, blobCol: String,
-                   w: Int, h: Int, batchSize: Int = 64): DataFrame = {
-    val schema = new StructType()
-      .add("media_id", LongType, nullable = false)
-      .add("resized", BinaryType, nullable = false)
+  def h264Info(df: DataFrame, idCol: String, blobCol: String,
+               batchSize: Int = 64): DataFrame = {
     val src = df.select(col(idCol).cast(LongType), col(blobCol))
-    val enc = RowEncoder.encoderFor(schema)
+    val enc = RowEncoder.encoderFor(videoStatsSchema)
     src.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        batch.map(r => Row(r.getLong(0), StubCodecs.resize(r.getAs[Array[Byte]](1), w, h)))
+        batch.map { r =>
+          val blob = r.getAs[Array[Byte]](1)
+          H264Codec.parse(blob) match {
+            case Some(i) =>
+              Row(r.getLong(0), "h264", i.profile, i.level, i.width,
+                i.height, i.frames, i.idrFrames, i.fps.orNull,
+                i.durationMs.orNull, i.badNals)
+            case None =>
+              Row(r.getLong(0), RealCodecs.sniff(blob), null, null, null,
+                null, null, null, null, null, null)
+          }
+        }
       }
     }(enc)
   }
@@ -893,7 +956,7 @@ object Multimodal {
   }
 
   /**
-   * REAL resize (not [[StubCodecs.resize]]): decode, box-pool each RGB
+   * REAL resize: decode, box-pool each RGB
    * channel to outW×outH with the same grid-aligned integer means as
    * [[grayPool]], re-encode as PNG. The output blob is a spec-valid
    * image whose pixels a second decode recovers exactly — so a query

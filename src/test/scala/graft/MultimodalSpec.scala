@@ -3,17 +3,16 @@ package graft
 import graft.operators.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing: schemas, batching, determinism (decode is a
-  * documented stub — the Spark-side contract is what's under test). */
+/** Multimodal plumbing: schemas, batching, determinism over REAL
+  * spec-valid image blobs (the Spark-side contract plus the real
+  * header/decode path). */
 class MultimodalSpec extends GraftSpec {
   import spark.implicits._
 
-  private def fakeImage(id: Int, w: Int, h: Int): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(12 + w * h)
-    bb.putInt(w).putInt(h).putInt(3)
-    (0 until w * h).foreach(i => bb.put(((id * 31 + i) % 251).toByte))
-    bb.array()
-  }
+  private def fakeImage(id: Int, w: Int, h: Int): Array[Byte] =
+    Multimodal.RealCodecs.encodeBmp24(w, h, (x, y) =>
+      (((id * 31 + x) % 251) & 0xff, ((id * 17 + y) % 251) & 0xff,
+        ((id + x * y) % 251) & 0xff))
 
   private lazy val media = (1 to 10)
     .map(i => (i.toLong, fakeImage(i, 8, 6)))
@@ -37,15 +36,16 @@ class MultimodalSpec extends GraftSpec {
       "features must not depend on batch size or partitioning")
   }
 
-  test("resize emits uniform fixed-size payloads, deterministic per blob") {
-    val out = Multimodal.resizeImages(media, "media_id", "blob", w = 4, h = 4)
-    val rows = out.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
-    assert(rows.length == 10)
-    rows.foreach { case (_, b) => assert(b.length == 16) }
-    // deterministic: same blob -> same resized bytes regardless of batching
-    val again = Multimodal.resizeImages(media.repartition(1), "media_id", "blob", 4, 4, batchSize = 2)
-      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
-    rows.foreach { case (id, b) => assert(again(id) == b.toSeq) }
+  test("features are over DECODED PIXELS: the same image as BMP and PNG " +
+    "featurizes identically") {
+    val px = (x: Int, y: Int) => ((x * 7 + y) % 251, (y * 13) % 251, (x * y) % 251)
+    val pair = Seq(
+      (1L, Multimodal.RealCodecs.encodeBmp24(8, 6, px)),
+      (2L, Multimodal.RealCodecs.encodePng(8, 6, px)))
+      .toDF("media_id", "blob")
+    val f = Multimodal.extractImageFeatures(pair, "media_id", "blob", dims = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(f(1L) == f(2L), "format must not leak into pixel features")
   }
 
   test("frame sampling: stride-spaced generator output") {
@@ -54,11 +54,32 @@ class MultimodalSpec extends GraftSpec {
     assert(frames.schema == Multimodal.frameSchema)
     val perDoc = frames.groupBy("media_id").count().collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // blob = 12 + 48 bytes = 6 frames of 10 -> indices 0,2,4
-    assert(perDoc.values.toSet == Set(3L))
+    // blob = 54-byte BMP header + 24*6 pixel bytes = 198 -> 19 frames
+    // of 10 -> sampled indices 0,2,...,18
+    assert(perDoc.values.toSet == Set(10L))
     val idx = frames.filter(col("media_id") === 1L)
       .select("frame_index").as[Int].collect().sorted
-    assert(idx.toSeq == Seq(0, 2, 4))
+    assert(idx.toSeq == (0 to 18 by 2).toSeq)
+  }
+
+  test("h264Info: real fixtures parse, non-video blobs pass through null") {
+    val mk = udf { (id: Long) =>
+      if (id == 9L) "not a video".getBytes("UTF-8")
+      else graft.operators.H264Codec.encodeFixture(
+        width = 16 * (2 + id.toInt % 3), height = 48, frames = 2 + id.toInt,
+        fps = 24.0, profileIdc = if (id % 2 == 0) 66 else 100)
+    }
+    val df = spark.range(0, 10).select(col("id"), mk(col("id")).as("blob"))
+    val got = Multimodal.h264Info(df, "id", "blob", batchSize = 4)
+      .orderBy("media_id").collect()
+    assert(got.length == 10)
+    (0 until 9).foreach { k =>
+      val r = got(k)
+      assert(r.getString(1) == "h264" && r.getInt(4) == 16 * (2 + k % 3) &&
+        r.getInt(6) == 2 + k && r.getInt(7) == 1, s"row $k: $r")
+      assert(r.getLong(9) == ((2 + k) * 1000.0 / 24.0).toLong)
+    }
+    assert(got(9).getString(1) != "h264" && got(9).isNullAt(6))
   }
 
   // ------------------------- real codecs (round 7): spec-fixture pins --
