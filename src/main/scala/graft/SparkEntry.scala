@@ -3929,6 +3929,25 @@ object SparkEntry {
     }),
   )
 
+  /** DECLARED numeric-tolerance policy for the oracle compare: per-query
+    * ABSOLUTE bounds on float cells, applied by tools/check_oracle.py
+    * (dumped as oracle_tolerance.json next to oracle_sql.json). Every
+    * query not listed here is exact-match.
+    *
+    * The only admissions are the two analyzed cross-engine double-
+    * reduction-order flips (BASELINE.md round-10 note): q_ahp and
+    * q_pca_project each emit one round(x, 6) value that sits ON the
+    * rounding boundary at sf0.1, where Spark's and DuckDB's different
+    * reduction orders land one ULP apart and the 6th digit flips. The
+    * bound is 1.5 grid steps of the round-6 output — tight enough that
+    * any real arithmetic defect (wrong weight, dropped row) still
+    * fails, wide enough that reduction order cannot. Both queries stay
+    * hash-exact at the sf0.01 gate and inside the reference's own 1e-3
+    * test tolerances (AHPSpec.scala:25). */
+  def oracleTolerance: Map[String, Double] = Map(
+    "q_ahp" -> 1.5e-6,
+    "q_pca_project" -> 1.5e-6)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(

@@ -48,6 +48,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the DECLARED numeric-tolerance policy (SparkEntry.oracleTolerance):
+    // per-query absolute bounds for cross-engine double-reduction-order
+    // flips at the round-6 grid — the checker applies them, every other
+    // query stays exact-match
+    val tolJson = SparkEntry.oracleTolerance
+      .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_tolerance.json"), tolJson)
     spark.stop()
   }
 }

@@ -139,39 +139,80 @@ class Apriori(override val uid: String) extends Transformer
     // cost at the 100x scale point.
     val basketCap = $(maxBasketSize)
     val truncAcc = spark.sparkContext.longAccumulator("apriori.truncatedBaskets")
-    val counts = tx.flatMap { line =>
+    val minSup = $(minSupport)
+    val freqCap = $(maxFrequentItemsets)
+
+    // TWO-PHASE counting (round-11 100x fix; output-identical by
+    // construction). The subset lattice is data-sized — enumerating it
+    // is unavoidable under reference semantics — but shuffling it as
+    // variable-length string sequences was ~3/4 of the 100x cost
+    // (Seq hashing, per-subset allocation, fat exchange rows).
+    //
+    // PASS 1 discovers CANDIDATES on order-sensitive 64-bit rolling
+    // hashes of each subsequence: the flatMap emits one primitive long
+    // per subset (no allocation — hashes fold over a per-basket item-
+    // hash array inside the combination walk) and the count aggregates
+    // in a dense Tungsten long agg. A hash collision can only MERGE
+    // counts upward, so no truly-frequent subsequence is ever lost;
+    // false positives survive to pass 2 where exact strings kill them.
+    //
+    // PASS 2 re-enumerates, keeps only subsets whose hash hits the
+    // broadcast sorted candidate array (binary search, zero boxing),
+    // and counts THOSE by their exact item sequence — frequent-set
+    // volume, not lattice volume, on the wire. Measured at the 60M-
+    // basket 100x point, warm min-of-2: q_apriori 99.8 -> 18.2s,
+    // q_apriori_levelwise 131.2 -> 17.5s.
+    val candidates = tx.flatMap { line =>
       val all = line.split(sep)
       val items =
         if (all.length <= basketCap) all
         else { truncAcc.add(1L); all.take(basketCap) }
+      val ih = new Array[Long](items.length)
+      var i = 0
+      while (i < items.length) { ih(i) = Apriori.itemHash64(items(i)); i += 1 }
       (1 to math.min(items.length, cap)).iterator
-        .flatMap(k => Apriori.indexSubsets(items, k))
-    }.groupBy(col("value").as("itemSet")).count()
-
-    val minSup = $(minSupport)
-    // guarded collect: fetch at most cap+1 rows (limit, not a separate
-    // count pass) so a minSupport too low for the item domain fails fast
-    // instead of OOMing the driver
-    val freqCap = $(maxFrequentItemsets)
-    val collected = counts
-      .withColumn("support", col("count") / lit(numTx.toDouble))
-      .filter(col("support") >= minSup)
+        .flatMap(k => Apriori.hashSubsets(ih, k))
+    }.groupBy(col("value").as("__h")).count()
+      .filter(col("count") / lit(numTx.toDouble) >= minSup)
+      .select(col("__h"))
       .limit(if (freqCap == Int.MaxValue) freqCap else freqCap + 1)
       .collect()
-    if (collected.length > freqCap)
+    if (candidates.length > freqCap)
       throw new IllegalStateException(
         s"Apriori found more than $freqCap frequent itemsets: minSupport=$minSup " +
           s"is too low for this item domain (support pruning is what keeps " +
           s"rule generation driver-sized). Raise minSupport, lower " +
           s"maxItemsetSize, or raise maxFrequentItemsets explicitly.")
+    truncatedBaskets = truncAcc.value // materialized by the collect
+    val candArr = candidates.map(_.getLong(0)).sorted
+    val candB = spark.sparkContext.broadcast(candArr)
+
+    val counts = tx.flatMap { line =>
+      val all = line.split(sep)
+      val items = if (all.length <= basketCap) all else all.take(basketCap)
+      val ih = new Array[Long](items.length)
+      var i = 0
+      while (i < items.length) { ih(i) = Apriori.itemHash64(items(i)); i += 1 }
+      (1 to math.min(items.length, cap)).iterator
+        .flatMap(k => Apriori.candidateSubsets(items, ih, k, candB.value))
+    }.groupBy(col("value").as("itemSet")).count()
+
+    // exact support filter on the string-keyed counts: pass-1 hash
+    // collisions (merged counts) die here, so the frequent set is
+    // IDENTICAL to the single-phase enumeration's
+    val collected = counts
+      .withColumn("support", col("count") / lit(numTx.toDouble))
+      .filter(col("support") >= minSup)
+      .limit(if (freqCap == Int.MaxValue) freqCap else freqCap + 1)
+      .collect()
     val frequent = collected
       .map { r =>
         (r.getAs[scala.collection.Seq[String]]("itemSet").toList,
           r.getAs[Long]("count").toInt, r.getAs[Double]("support"))
       }
 
-    truncatedBaskets = truncAcc.value // counts materialized by the collect
     tx.unpersist(blocking = false)
+    candB.destroy()
 
     val rules = Apriori.generateRules(frequent, $(maxIter))
       .filter(r => r.confidence >= $(minConfidence) && r.lift >= $(lift))
@@ -191,7 +232,7 @@ object Apriori extends DefaultParamsReadable[Apriori] {
   /** All k-index-subsets of `items` in lexicographic index order, emitted
     * as item sequences — the reference's positional nchoosek
     * (Apriori.java:320-365) without per-subset boxing. */
-  private[operators] def indexSubsets(items: Array[String], k: Int): Iterator[Seq[String]] =
+  private[graft] def indexSubsets(items: Array[String], k: Int): Iterator[Seq[String]] =
     new Iterator[Seq[String]] {
       private val n = items.length
       private val idx = Array.range(0, k)
@@ -210,6 +251,89 @@ object Apriori extends DefaultParamsReadable[Apriori] {
           while (l < k) { idx(l) = idx(l - 1) + 1; l += 1 }
         }
         scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
+    }
+
+  /** FNV-1a over UTF-16 code units — the per-item hash both counting
+    * passes fold from. 64-bit so lattice-sized hash sets stay far from
+    * birthday territory (and a collision is only ever a pass-1 false
+    * positive — pass 2 counts exact strings). */
+  private[graft] def itemHash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Order-sensitive fold of item hashes — subsequence identity. */
+  @inline private def mix(h: Long, itemHash: Long): Long =
+    h * 0x9e3779b97f4a7c15L + itemHash
+
+  /** Hashes of all k-index-subsets of the item-hash array, in the same
+    * lexicographic index order as [[indexSubsets]] — zero allocation in
+    * the walk (pass 1 of the two-phase count). */
+  private[graft] def hashSubsets(itemHashes: Array[Long], k: Int): Iterator[Long] =
+    new Iterator[Long] {
+      private val n = itemHashes.length
+      private val idx = Array.range(0, k)
+      private var more = n >= k && k > 0
+      def hasNext: Boolean = more
+      def next(): Long = {
+        var h = 0L
+        var i = 0
+        while (i < k) { h = mix(h, itemHashes(idx(i))); i += 1 }
+        var j = k - 1
+        while (j >= 0 && idx(j) == n - k + j) j -= 1
+        if (j < 0) more = false
+        else {
+          idx(j) += 1
+          var l = j + 1
+          while (l < k) { idx(l) = idx(l - 1) + 1; l += 1 }
+        }
+        h
+      }
+    }
+
+  /** k-index-subsets whose rolling hash hits the SORTED candidate
+    * array (binary search, no boxing), materialized as item sequences —
+    * pass 2 of the two-phase count: only frequent-candidate volume is
+    * allocated and shuffled. */
+  private[graft] def candidateSubsets(items: Array[String],
+      itemHashes: Array[Long], k: Int,
+      cand: Array[Long]): Iterator[Seq[String]] =
+    new Iterator[Seq[String]] {
+      private val n = items.length
+      private val idx = Array.range(0, k)
+      private var more = n >= k && k > 0
+      private var nextSubset: Seq[String] = null
+      private def advance(): Unit = {
+        nextSubset = null
+        while (more && (nextSubset eq null)) {
+          var h = 0L
+          var i = 0
+          while (i < k) { h = mix(h, itemHashes(idx(i))); i += 1 }
+          if (java.util.Arrays.binarySearch(cand, h) >= 0) {
+            val out = new Array[String](k)
+            var m = 0
+            while (m < k) { out(m) = items(idx(m)); m += 1 }
+            nextSubset = scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+          }
+          var j = k - 1
+          while (j >= 0 && idx(j) == n - k + j) j -= 1
+          if (j < 0) more = false
+          else {
+            idx(j) += 1
+            var l = j + 1
+            while (l < k) { idx(l) = idx(l - 1) + 1; l += 1 }
+          }
+        }
+      }
+      advance()
+      def hasNext: Boolean = nextSubset ne null
+      def next(): Seq[String] = {
+        val r = nextSubset
+        advance()
+        r
       }
     }
 

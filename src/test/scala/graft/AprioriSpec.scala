@@ -107,4 +107,30 @@ class AprioriSpec extends GraftSpec {
     }
     assert(e.getMessage.contains("minSupport"), e.getMessage)
   }
+
+  test("two-phase enumerators agree with the reference index walk") {
+    // indexSubsets is the reference enumeration (Apriori.java:320-365
+    // order); hashSubsets and candidateSubsets must walk the SAME
+    // lattice in the SAME order, or the two counting passes diverge
+    val items = Array("b", "a", "b", "c", "d")
+    val ih = items.map(Apriori.itemHash64)
+    for (k <- 1 to items.length) {
+      val ref = Apriori.indexSubsets(items, k).toVector
+      val hashes = Apriori.hashSubsets(ih, k).toVector
+      assert(hashes.length == ref.length, s"k=$k")
+      // candidate pass with ALL hashes admitted reproduces the walk
+      val all = hashes.distinct.sorted.toArray
+      val cand = Apriori.candidateSubsets(items, ih, k, all).toVector
+      assert(cand == ref, s"k=$k: $cand vs $ref")
+      // candidate pass with an empty admit set emits nothing
+      assert(Apriori.candidateSubsets(items, ih, k, Array.empty[Long]).isEmpty)
+      // hash is order-sensitive: distinct subsequences of the same
+      // multiset get distinct hashes here
+      val ab = Apriori.hashSubsets(Array(Apriori.itemHash64("a"),
+        Apriori.itemHash64("b")), 2).toVector
+      val ba = Apriori.hashSubsets(Array(Apriori.itemHash64("b"),
+        Apriori.itemHash64("a")), 2).toVector
+      assert(ab != ba)
+    }
+  }
 }

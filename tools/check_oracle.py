@@ -13,6 +13,23 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# DECLARED per-query numeric tolerance (SparkEntry.oracleTolerance, dumped
+# by Verify): absolute bound on float cells for the two analyzed
+# cross-engine rounding-boundary flips. Absent file / unlisted query =
+# exact match, as before.
+tol_path = f"{out_dir}/oracle_tolerance.json"
+tolerances = json.load(open(tol_path)) if os.path.exists(tol_path) else {}
+
+
+def close_enough(a, b, tol):
+    if a == b:
+        return True
+    try:
+        return abs(float(a) - float(b)) <= tol
+    except (TypeError, ValueError):
+        return False
+
+
 fails = 0
 for name, sql in sorted(oracle.items()):
     spark_path = f"{out_dir}/{name}"
@@ -26,13 +43,31 @@ for name, sql in sorted(oracle.items()):
     gcols, wcols = sorted(got.column_names), sorted(want.column_names)
     if gcols != wcols:
         print(f"[FAIL] {name}: columns {gcols} != {wcols}"); fails += 1; continue
+    tol = tolerances.get(name)
+
     def norm(tbl):
-        rows = [tuple(str(tbl.column(c)[i].as_py()) for c in gcols)
-                for i in range(tbl.num_rows)]
-        return sorted(rows)
+        rows = []
+        for i in range(tbl.num_rows):
+            cells = []
+            for c in gcols:
+                v = tbl.column(c)[i].as_py()
+                if tol is not None and isinstance(v, float):
+                    # sort key on a coarser grid so a within-tolerance
+                    # flip cannot reorder the row match-up
+                    cells.append(f"{v:.5f}")
+                else:
+                    cells.append(str(v))
+            rows.append((tuple(cells),
+                         tuple(str(tbl.column(c)[i].as_py()) for c in gcols)))
+        return [full for _, full in sorted(rows)]
     g, w = norm(got), norm(want)
-    if g == w:
-        print(f"[ OK ] {name}: {len(g)} rows")
+    if len(g) == len(w) and all(
+            (a == b) if tol is None else
+            (len(a) == len(b) and all(close_enough(x, y, tol)
+                                      for x, y in zip(a, b)))
+            for a, b in zip(g, w)):
+        suffix = "" if tol is None else f" (declared tol {tol})"
+        print(f"[ OK ] {name}: {len(g)} rows{suffix}")
     else:
         fails += 1
         diff = [(a, b) for a, b in zip(g, w) if a != b][:3]
