@@ -2944,6 +2944,56 @@ object SparkEntry {
       Dedup.snapshotDiff(prev, curr, "doc_id", "text")
     }),
 
+    // ---- manifest-table leg (GraftTable): snapshot manifests with
+    // per-file bucket stats over plain parquet — the Delta/Iceberg
+    // semantics the incremental index needs, no table-format jars.
+    // Three appends build the table fresh per run; the read path is
+    // what each query exercises. GraftTableSpec pins the pruning
+    // (inputFiles counts), atomicity, time travel, and expire safety.
+
+    // bucket-range scan: the manifest prunes to files whose
+    // [minBucket, maxBucket] intersects [5, 12] BEFORE Spark lists
+    // anything (appends are range-clustered so the stats are selective)
+    "q_table_prune" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(64)).as("bucket"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val t = graft.sources.GraftTable.scratchTable("prune")
+      (0 until 3).foreach(k => graft.sources.GraftTable.append(
+        docs.filter(pmod(col("doc_id"), lit(3)) === k), t, "bucket"))
+      graft.sources.GraftTable.readBuckets(s, t, 5, 12)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
+    // compaction invariance: rewrite the live snapshot range-clustered,
+    // expire everything else, read back — the row multiset is unchanged
+    "q_table_compact" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(64)).as("bucket"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val t = graft.sources.GraftTable.scratchTable("compact")
+      (0 until 3).foreach(k => graft.sources.GraftTable.append(
+        docs.filter(pmod(col("doc_id"), lit(3)) === k), t, "bucket"))
+      graft.sources.GraftTable.compact(s, t, targetFileBytes = 1L << 30)
+      graft.sources.GraftTable.expire(s, t, keepSnapshots = 1)
+      graft.sources.GraftTable.read(s, t)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
+    // snapshot delta: exactly the rows appended after snapshot 1 (the
+    // incremental-recurate read path — at 100 TB you process the delta)
+    "q_table_delta" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(64)).as("bucket"))
+      val t = graft.sources.GraftTable.scratchTable("delta")
+      (0 until 3).foreach(k => graft.sources.GraftTable.append(
+        docs.filter(pmod(col("doc_id"), lit(3)) === k), t, "bucket"))
+      graft.sources.GraftTable.delta(s, t, fromId = 1L)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    }),
+
     // composed curation v8 — the INCREMENTAL ingest path (at 100 TB you
     // re-curate the delta, not the corpus): snapshot diff selects
     // added/changed docs; exact dedup keeps the lowest id per content
@@ -5804,6 +5854,28 @@ object SparkEntry {
         |       WHEN hp = hc THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM prev FULL OUTER JOIN curr ON prev.doc_id = curr.doc_id""".stripMargin,
+
+    // GraftTable queries replay as plain filters/aggregates over the
+    // source rows — the TABLE mechanics (manifest pruning, compaction,
+    // snapshot arithmetic) must be value-invisible by construction
+    "q_table_prune" ->
+      """SELECT doc_id % 64 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+        |    AS sum_tokens
+        |FROM documents WHERE text IS NOT NULL AND doc_id % 64 BETWEEN 5 AND 12
+        |GROUP BY 1""".stripMargin,
+
+    "q_table_compact" ->
+      """SELECT doc_id % 64 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+        |    AS sum_tokens
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "q_table_delta" ->
+      """SELECT doc_id % 64 AS bucket, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents WHERE text IS NOT NULL AND doc_id % 3 IN (1, 2)
+        |GROUP BY 1""".stripMargin,
 
     // the snapshot CTEs + hash dedup (min-id within delta, anti vs the
     // standing unchanged hashes) + the word-count band — one chain

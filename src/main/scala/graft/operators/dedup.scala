@@ -410,12 +410,13 @@ object Dedup {
    * their signature rows to the index.
    *
    * This is the scale-correct streaming shape: corpus-so-far state lives
-   * in a parquet index keyed by LSH bucket, not in executor memory — at
-   * 100 TB no stream-state store holds the corpus signatures, and the
-   * bucket join against the index prunes to colliding candidates exactly
-   * like the batch path (on a cluster the index would be bucketed by
-   * `__bucket` so the join co-locates without a full index shuffle;
-   * time-partitioning the index dir bounds reads if retention applies).
+   * in a [[graft.sources.GraftTable]] parquet index keyed by LSH bucket,
+   * not in executor memory — at 100 TB no stream-state store holds the
+   * corpus signatures. The index read is a manifest SNAPSHOT pruned to
+   * the batch's bucket-key set (per-file [min, max] stats over the
+   * range-clustered `__bkey`), so a small batch against a compacted
+   * corpus-sized index opens a handful of files, and the bucket join
+   * then prunes to colliding candidates exactly like the batch path.
    *
    * Semantics (deterministic given ids): a batch doc is dropped iff
    *  - some index doc shares a band bucket and verifies Jaccard >=
@@ -445,17 +446,27 @@ object Dedup {
         jaccardSorted(a.toArray, b.toArray) >= th
       }
       // ids matched against the index (empty relation when no index yet).
-      // The index is read as an explicit FILE-LIST SNAPSHOT, not the
-      // directory: the append at the end of this function invalidates any
-      // cache whose lineage reads the directory path (Spark recaches by
-      // path), and a directory-read recompute would then see the batch's
-      // own just-appended survivors — poisoning their in-batch clusters
-      // retroactively. A snapshot plan re-evaluates to the same rows no
-      // matter when the cache is dropped.
-      val snapshot = indexSnapshotFiles(spark, indexDir)
+      // The index is a GraftTable SNAPSHOT: the manifest names an
+      // immutable file list, so the append at the end of this function
+      // can never leak the batch's own survivors back into this read
+      // (the isolation the old explicit file-list read provided, now by
+      // table semantics), and the read PRUNES manifest-side to files
+      // whose clustered __bkey range intersects the batch's bucket set
+      // — after compaction a small batch against a huge index touches a
+      // handful of files, not all of them. Key-set collect is bounded
+      // by batch-docs x bands; past the cap the full snapshot reads.
       val indexMatched: DataFrame =
-        if (snapshot.nonEmpty) {
-          val idx = spark.read.parquet(snapshot: _*)
+        if (graft.sources.GraftTable.snapshot(spark, indexDir)
+              .exists(_.files.nonEmpty)) {
+          val maxPruneKeys = 1 << 20
+          val batchKeys = banded
+            .select(xxhash64(col("__bucket")).as("k")).distinct()
+            .limit(maxPruneKeys + 1).as[Long].collect()
+          val idx =
+            if (batchKeys.length <= maxPruneKeys)
+              graft.sources.GraftTable.readForBuckets(spark, indexDir,
+                batchKeys, residualFilter = false)
+            else graft.sources.GraftTable.read(spark, indexDir)
           banded.as("n").join(idx.as("o"),
               col("n.__bucket") === col("o.__bucket") &&
                 col("n.__id") =!= col("o.__id"))
@@ -480,27 +491,28 @@ object Dedup {
           batch(idCol).cast(LongType) === dropIds("id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       survivors.count() // pin results before the index grows
-      banded.join(survivors.select(batch(idCol).cast(LongType).as("__sid")),
+      val sigRows = banded
+        .join(survivors.select(batch(idCol).cast(LongType).as("__sid")),
           col("__id") === col("__sid"), "left_semi")
-        .write.mode("append").parquet(indexDir)
+        .withColumn("__bkey", xxhash64(col("__bucket")))
+      graft.sources.GraftTable.append(sigRows, indexDir, "__bkey")
       survivors
     } finally banded.unpersist(blocking = false)
   }
 
   /**
-   * Bucket-preserving compaction of the incremental signature index:
-   * [[incrementalNearDup]] appends one file set per microbatch, so a
-   * long-lived stream accretes many small part files and every batch's
-   * index join pays their open/footer cost (the many-small-files growth
-   * SCALE.md's pipeline table acknowledges). Compaction rewrites the
-   * current snapshot into ~`targetFileBytes`-sized files REPARTITIONED BY
-   * `__bucket`, so colliding signatures cluster into the same files —
-   * restoring the co-location the bucket join exists for — then swaps:
-   * compacted files move into the index dir, the snapshot files are
-   * deleted. Appends racing in AFTER the snapshot are untouched. Run it
-   * from the stream's maintenance path (between batches — the same
-   * single-writer discipline the index append already assumes); a reader
-   * snapshotting mid-swap could otherwise see a signature twice.
+   * Compaction of the incremental signature index — now a
+   * [[graft.sources.GraftTable]] maintenance call: [[incrementalNearDup]]
+   * appends one snapshot per microbatch, so a long-lived stream accretes
+   * many small files and every batch's index read pays their open/footer
+   * cost. Compaction rewrites the live snapshot into
+   * ~`targetFileBytes`-sized files RANGE-CLUSTERED by the `__bkey`
+   * bucket hash — which is exactly what makes the manifest's per-file
+   * [min, max] stats selective, so the next batch's pruned read touches
+   * a handful of files — publishes it atomically, and expires the
+   * superseded snapshots (single-writer maintenance; nothing replays
+   * old index snapshots). Run it from the stream's maintenance path,
+   * between batches.
    *
    * Invariant: the set of signature rows is unchanged (spec-pinned);
    * only the file layout changes. Returns (files before, files after);
@@ -510,42 +522,15 @@ object Dedup {
                    targetFileBytes: Long = 128L << 20,
                    minFiles: Int = 8): (Int, Int) = {
     require(targetFileBytes > 0 && minFiles >= 2, "bad compaction params")
-    val before = indexSnapshotFiles(spark, indexDir)
-    if (before.length < minFiles) return (before.length, before.length)
-    val dirPath = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = before.map(f =>
-      fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
-    val nOut = math.max(1L, math.min(before.length - 1L,
-      (totalBytes + targetFileBytes - 1) / targetFileBytes)).toInt
-    if (nOut >= before.length) return (before.length, before.length)
-    val stamp = java.lang.System.nanoTime()
-    val tmp = indexDir.stripSuffix("/") + s"_compact_$stamp"
-    spark.read.parquet(before: _*)
-      .repartition(nOut, org.apache.spark.sql.functions.col("__bucket"))
-      .write.mode("overwrite").parquet(tmp)
-    val moved = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-      .filter(_.getPath.getName.endsWith(".parquet"))
-    moved.zipWithIndex.foreach { case (st, i) =>
-      require(fs.rename(st.getPath,
-        new org.apache.hadoop.fs.Path(dirPath, s"compact_${stamp}_$i.parquet")),
-        s"compaction rename failed for ${st.getPath}")
-    }
-    before.foreach(f =>
-      fs.delete(new org.apache.hadoop.fs.Path(f), false))
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    (before.length, moved.length)
-  }
-
-  /** Current index part-files (empty when no index has been written). */
-  private def indexSnapshotFiles(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String): Seq[String] = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) Seq.empty
-    else fs.listStatus(path).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString)
+    val before = graft.sources.GraftTable.snapshot(spark, indexDir)
+      .map(_.files.length).getOrElse(0)
+    if (before < minFiles) return (before, before)
+    val snap = graft.sources.GraftTable.compact(
+      spark, indexDir, targetFileBytes, minFiles)
+    // single-writer maintenance path: nothing replays old snapshots of
+    // the index, so expire to the compacted one immediately
+    graft.sources.GraftTable.expire(spark, indexDir, keepSnapshots = 1)
+    (before, snap.files.length)
   }
 
   /**

@@ -1,0 +1,121 @@
+package graft
+
+import graft.sources.GraftTable
+import org.apache.spark.sql.functions._
+
+/** Manifest-table semantics: atomic snapshots, manifest-side bucket
+  * pruning, compaction invariance + time travel, snapshot delta, expire. */
+class GraftTableSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_table_spec_").toString
+
+  private def rows(lo: Int, hi: Int) =
+    (lo until hi).map(i => (i.toLong, i.toLong % 16, s"doc-$i"))
+      .toDF("id", "bucket", "payload")
+
+  test("append + read round-trips; manifests are atomic renames") {
+    val dir = freshDir()
+    GraftTable.append(rows(0, 100), dir, "bucket")
+    GraftTable.append(rows(100, 150), dir, "bucket")
+    val got = GraftTable.read(spark, dir).orderBy("id").collect()
+    assert(got.length == 150 && got.head.getLong(0) == 0L &&
+      got.last.getLong(0) == 149L)
+    assert(GraftTable.snapshotIds(spark, dir) == Seq(1L, 2L))
+    // no torn temp manifests left behind (dot-files = Hadoop crc sidecars)
+    val mf = new java.io.File(s"$dir/_manifests").listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(mf.forall(n => n.startsWith("snapshot-") && n.endsWith(".json")), mf.toSeq)
+  }
+
+  test("readBuckets prunes manifest-side: only intersecting files open") {
+    val dir = freshDir()
+    GraftTable.append(rows(0, 1600), dir, "bucket", numFiles = Some(8))
+    val snap = GraftTable.snapshot(spark, dir).get
+    assert(snap.files.length >= 2, "need multiple files to demonstrate pruning")
+    val pruned = GraftTable.readBuckets(spark, dir, 3, 4)
+    val hitFiles = pruned.inputFiles.toSet
+    val allFiles = GraftTable.read(spark, dir).inputFiles.toSet
+    assert(hitFiles.subsetOf(allFiles))
+    assert(hitFiles.size < allFiles.size,
+      s"pruning must skip files: ${hitFiles.size} vs ${allFiles.size}")
+    // every skipped file's manifest range really excludes [3,4]
+    val skipped = snap.files.filter(e => !hitFiles.exists(_.endsWith(
+      new org.apache.hadoop.fs.Path(e.path).getName)))
+    assert(skipped.forall(e => e.maxBucket < 3 || e.minBucket > 4))
+    // and the values equal the unpruned filter
+    val want = GraftTable.read(spark, dir)
+      .filter(col("bucket").between(3, 4)).orderBy("id").collect().toSeq
+    assert(pruned.orderBy("id").collect().toSeq == want)
+  }
+
+  test("readForBuckets: bucket-set pruning equals the isin filter") {
+    val dir = freshDir()
+    GraftTable.append(rows(0, 1600), dir, "bucket", numFiles = Some(8))
+    val picked = Array(1L, 9L, 15L)
+    val got = GraftTable.readForBuckets(spark, dir, picked)
+    val want = GraftTable.read(spark, dir)
+      .filter(col("bucket").isin(picked.map(java.lang.Long.valueOf): _*))
+      .orderBy("id").collect().toSeq
+    assert(got.orderBy("id").collect().toSeq == want)
+    assert(got.inputFiles.length < GraftTable.read(spark, dir).inputFiles.length)
+  }
+
+  test("compact: row multiset unchanged, fewer files, old snapshot time-travels") {
+    val dir = freshDir()
+    (0 until 6).foreach(k => GraftTable.append(rows(k * 50, k * 50 + 50), dir, "bucket"))
+    val before = GraftTable.read(spark, dir)
+    val nFilesBefore = before.inputFiles.length
+    val beforeRows = before.orderBy("id").collect().toSeq
+    val snap = GraftTable.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(snap.files.forall(_.kind == "compact"))
+    val after = GraftTable.read(spark, dir)
+    assert(after.inputFiles.length < nFilesBefore,
+      s"${after.inputFiles.length} vs $nFilesBefore")
+    assert(after.orderBy("id").collect().toSeq == beforeRows)
+    // snapshot 6 (pre-compaction) still reads its own files
+    val old = GraftTable.read(spark, dir, Some(6L))
+    assert(old.orderBy("id").collect().toSeq == beforeRows)
+    // compacted files are range-clustered: bucket ranges don't all overlap
+    if (snap.files.length >= 2) {
+      val sorted = snap.files.sortBy(_.minBucket)
+      assert(sorted.head.maxBucket <= sorted.last.minBucket ||
+        sorted.head.minBucket != sorted.last.minBucket)
+    }
+  }
+
+  test("delta: exactly the appended rows, across a compaction; expire bounds it") {
+    val dir = freshDir()
+    GraftTable.append(rows(0, 100), dir, "bucket") // snapshot 1
+    GraftTable.append(rows(100, 130), dir, "bucket") // snapshot 2
+    GraftTable.compact(spark, dir, targetFileBytes = 1L << 30, minFiles = 2) // 3
+    GraftTable.append(rows(130, 140), dir, "bucket") // snapshot 4
+    val d12 = GraftTable.delta(spark, dir, 1L, Some(2L))
+      .select("id").as[Long].collect().sorted
+    assert(d12.toSeq == (100L until 130L).toSeq)
+    val d14 = GraftTable.delta(spark, dir, 1L)
+      .select("id").as[Long].collect().sorted
+    assert(d14.toSeq == (100L until 140L).toSeq, "compaction adds no delta rows")
+    // expire to the last 2 snapshots: delta from snapshot 1 now refuses
+    val (droppedM, deletedF) = GraftTable.expire(spark, dir, keepSnapshots = 2)
+    assert(droppedM == 2 && deletedF > 0)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.delta(spark, dir, 1L).collect()
+    }
+    assert(e.getMessage.contains("expire"), e.getMessage)
+    // the kept snapshots still read fine after expire
+    assert(GraftTable.read(spark, dir).count() == 140)
+  }
+
+  test("bucket-column mismatch and empty-table reads fail fast") {
+    val dir = freshDir()
+    GraftTable.append(rows(0, 10), dir, "bucket")
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.append(rows(0, 10).withColumnRenamed("bucket", "b2"), dir, "b2")
+    }
+    assert(e.getMessage.contains("bucketed by"), e.getMessage)
+    val dir2 = freshDir()
+    intercept[IllegalStateException] { GraftTable.read(spark, dir2) }
+  }
+}

@@ -79,7 +79,7 @@ class IncrementalDedupSpec extends GraftSpec {
     (1 to 10).foreach { i =>
       dedupStep(Seq((i.toLong, doc(s"t$i"))), indexDir).unpersist()
     }
-    def rows() = spark.read.parquet(indexDir)
+    def rows() = graft.sources.GraftTable.read(spark, indexDir)
       .select("__bucket", "__id", "__sh").collect()
       .map(r => (String.valueOf(r.get(0)), r.getLong(1),
         r.getAs[scala.collection.Seq[Long]](2).toSeq))
