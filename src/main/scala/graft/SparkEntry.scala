@@ -342,7 +342,7 @@ object SparkEntry {
     val changelogKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevChangelog = s.conf.getOption(changelogKey)
-    s.conf.set(changelogKey, "true")
+    s.conf.set(changelogKey, sys.env.getOrElse("SPARK_GRAFT_CHANGELOG", "true"))
     // peak state is tracked by a LISTENER over every progress event, not by
     // maxing query.recentProgress afterwards: recentProgress retains only
     // spark.sql.streaming.numRecentProgressUpdates (default 100) entries, so
