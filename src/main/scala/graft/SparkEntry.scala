@@ -1830,6 +1830,37 @@ object SparkEntry {
     // state) → fused HTML extraction → NFC dedup keys → per-domain
     // sqrt caps. The oracle replays the whole composition from ground
     // truth, nfc_normalize and md5 included
+    // composed curation v12 — the INCREMENTAL RE-CURATION loop on the
+    // GraftTable leg (round 11): the standing corpus is snapshot 1 of a
+    // manifest table, the new crawl lands as snapshot 2, and the
+    // recurate pass reads GraftTable.delta (exactly the appended rows)
+    // against a TIME-TRAVEL read of snapshot 1 (the standing hashes at
+    // ingest time — a later append can't race the dedup decision):
+    // exact-dedup within the delta (min-id per content hash), anti-join
+    // vs standing content, token-band quality gate. At 100 TB this is
+    // the shape that re-curates a crawl increment without touching the
+    // corpus: the table prunes, the delta is the only full-width read.
+    "q_curate12" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(64)).as("bucket"),
+          md5(col("text").cast("string")).as("__h"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val t = graft.sources.GraftTable.scratchTable("curate12")
+      graft.sources.GraftTable.append(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0), t, "bucket") // standing
+      graft.sources.GraftTable.append(
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), t, "bucket") // crawl
+      val standingH = graft.sources.GraftTable.read(s, t, Some(1L))
+        .select(col("__h")).distinct()
+      val delta = graft.sources.GraftTable.delta(s, t, fromId = 1L)
+      val fresh = delta.join(standingH, Seq("__h"), "left_anti")
+      val keepIds = fresh.groupBy(col("__h"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      fresh.join(keepIds, Seq("doc_id"), "left_semi")
+        .filter(col("n_tokens").between(5, 5000))
+        .select(col("doc_id"), col("bucket"), col("n_tokens"))
+    }),
+
     "q_curate11" -> ((s, dir) => {
       import graft.operators.{TextAnalysis, Robots, Sampling}
       val restrictive =
@@ -5876,6 +5907,23 @@ object SparkEntry {
       """SELECT doc_id % 64 AS bucket, CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents WHERE text IS NOT NULL AND doc_id % 3 IN (1, 2)
         |GROUP BY 1""".stripMargin,
+
+    // the table mechanics (append/time-travel/delta) are value-invisible
+    // so the recurate pass replays as plain filters: standing = %3=0
+    // hashes, delta = the rest, min-id-per-hash within the delta, anti
+    // vs standing content, token band
+    "q_curate12" ->
+      """WITH d AS (SELECT doc_id, doc_id % 64 AS bucket, md5(text) AS h,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |standing AS (SELECT DISTINCT h FROM d WHERE doc_id % 3 = 0),
+        |delta AS (SELECT * FROM d WHERE doc_id % 3 <> 0),
+        |fresh AS (SELECT * FROM delta
+        |  WHERE h NOT IN (SELECT h FROM standing)),
+        |keep AS (SELECT h, min(doc_id) AS doc_id FROM fresh GROUP BY h)
+        |SELECT f.doc_id, f.bucket, f.n AS n_tokens
+        |FROM fresh f JOIN keep k ON f.doc_id = k.doc_id
+        |WHERE f.n BETWEEN 5 AND 5000""".stripMargin,
 
     // the snapshot CTEs + hash dedup (min-id within delta, anti vs the
     // standing unchanged hashes) + the word-count band — one chain
