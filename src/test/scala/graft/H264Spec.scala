@@ -95,6 +95,75 @@ class H264Spec extends GraftSpec {
     assert(i.badNals == 1 && i.frames == 2 && i.idrFrames == 0)
   }
 
+  // minimal test-side bit writer for hand-built SPS payloads — covers
+  // the SPS branches the fixture encoder never takes (pocType 0/1,
+  // scaling matrices, interlace)
+  private class Bits {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0; private var n = 0
+    def u(v: Long, k: Int): Bits = {
+      (k - 1 to 0 by -1).foreach { i =>
+        cur = (cur << 1) | ((v >> i) & 1).toInt; n += 1
+        if (n == 8) { out.write(cur); cur = 0; n = 0 }
+      }; this
+    }
+    def ue(v: Long): Bits = {
+      val code = v + 1
+      val len = 63 - java.lang.Long.numberOfLeadingZeros(code)
+      u(0, len.toInt); u(code, len.toInt + 1)
+    }
+    def se(v: Long): Bits = ue(if (v <= 0) -2 * v else 2 * v - 1)
+    def done(): Array[Byte] = { u(1, 1); while (n != 0) u(0, 1); out.toByteArray }
+  }
+
+  private def streamWithSps(sps: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0, 0, 0, 1, 0x67)); out.write(sps)
+    // one valid IDR slice (first_mb=0, type I, pps 0, frame_num 0, idr 0)
+    val slice = new Bits
+    slice.ue(0).ue(7).ue(0).u(0, 4).ue(0)
+    out.write(Array[Byte](0, 0, 1, 0x65)); out.write(slice.done())
+    out.toByteArray
+  }
+
+  test("SPS branches the fixture never takes: pocType 0, pocType 1, " +
+    "scaling matrix, interlace") {
+    // pocType 0: one extra ue (log2_max_pic_order_cnt_lsb_minus4)
+    val poc0 = new Bits
+    poc0.u(66, 8).u(0, 8).u(31, 8).ue(0).ue(0)
+      .ue(0).ue(2) // pocType 0 + log2maxpoclsb
+      .ue(1).u(0, 1).ue(3).ue(2).u(1, 1).u(1, 1).u(0, 1).u(0, 1)
+    val i0 = H264Codec.parse(streamWithSps(poc0.done())).get
+    assert(i0.width == 64 && i0.height == 48 && i0.frames == 1)
+    // pocType 1: flag + 2 se + cycle of 2 se offsets
+    val poc1 = new Bits
+    poc1.u(66, 8).u(0, 8).u(31, 8).ue(0).ue(0)
+      .ue(1).u(1, 1).se(-3).se(4).ue(2).se(1).se(-1)
+      .ue(1).u(0, 1).ue(3).ue(2).u(1, 1).u(1, 1).u(0, 1).u(0, 1)
+    val i1 = H264Codec.parse(streamWithSps(poc1.done())).get
+    assert(i1.width == 64 && i1.height == 48)
+    // High profile with one scaling list present (16-entry delta walk)
+    val sm = new Bits
+    sm.u(100, 8).u(0, 8).u(41, 8).ue(0)
+      .ue(1).ue(0).ue(0).u(0, 1) // chroma 4:2:0, depths, bypass
+      .u(1, 1) // seq_scaling_matrix_present
+    sm.u(1, 1) // list 0 present
+    (0 until 16).foreach(_ => sm.se(1)) // deltas keep nextScale nonzero
+    (1 until 8).foreach(_ => sm.u(0, 1)) // lists 1..7 absent
+    sm.ue(0).ue(2).ue(1).u(0, 1).ue(3).ue(2).u(1, 1).u(1, 1).u(0, 1).u(0, 1)
+    val i2 = H264Codec.parse(streamWithSps(sm.done())).get
+    assert(i2.profile == "high" && i2.width == 64 && i2.height == 48)
+    // interlaced (frame_mbs_only=0): height doubles per map unit and
+    // mb_adaptive flag is consumed
+    val il = new Bits
+    il.u(66, 8).u(0, 8).u(31, 8).ue(0).ue(0).ue(2)
+      .ue(1).u(0, 1).ue(3).ue(2)
+      .u(0, 1).u(1, 1) // frame_mbs_only=0, mb_adaptive=1
+      .u(1, 1).u(0, 1).u(0, 1)
+    val i3 = H264Codec.parse(streamWithSps(il.done())).get
+    assert(i3.width == 64 && i3.height == 96, s"${i3.width}x${i3.height}")
+  }
+
   test("truncated final slice counts as bad, earlier frames survive") {
     val good = H264Codec.encodeFixture(64, 48, frames = 4)
     // cut inside the last NAL's payload (drop the final byte)

@@ -99,4 +99,18 @@ class LmPrunedSpec extends GraftSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(4000))
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("EXACT ops cross into broadcast when the type table fits (adaptive)") {
+    Seq(
+      TextAnalysis.bigramNll(docs, "text", "doc_id"),
+      TextAnalysis.kneserNeyNll(docs, "text", "doc_id"),
+      TextAnalysis.unigramNll(docs, "text", "doc_id")
+    ).foreach { q =>
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        "small-vocab exact LM must broadcast its staged model:\n" + plan.take(3000))
+      assert(plan.contains("BroadcastHashJoin"))
+    }
+  }
 }
