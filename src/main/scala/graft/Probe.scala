@@ -620,3 +620,82 @@ object AsofProbe {
     spark.stop()
   }
 }
+
+/** Scale forensics for the GraftTable-backed incremental near-dup index
+  * (round 11): build a corpus-sized signature index, compact it, then
+  * measure a small batch's dedup step and report how many index FILES
+  * the manifest pruning actually opened vs the snapshot total. */
+object IndexProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/scale100")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Dedup
+    import graft.sources.GraftTable
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[index] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    val n = docs.count()
+    println(s"[index] corpus docs: $n")
+    val idx = java.nio.file.Files.createTempDirectory("graft_index_probe_").toString + "/idx"
+    // ingest the corpus signatures in 4 appends (the steady-stream shape)
+    t("ingest-4-appends") {
+      (0 until 4).foreach { k =>
+        val part = docs.filter(pmod(col("doc_id"), lit(4)) === k)
+        val sig = Dedup.bandedShingleRowsPublic(part, "text", "doc_id", 16, 4, 42L, 3)
+          .withColumn("__bkey", xxhash64(col("__bucket")))
+        GraftTable.append(sig, idx, "__bkey")
+      }
+    }
+    val preCompact = GraftTable.snapshot(spark, idx).get.files.length
+    // pruning proportions BEFORE compaction, against the accreted
+    // 128-file snapshot: range pruning on a hash key wins when
+    // keys < files — the 100 TB regime (a 100 TB index is ~10^5-10^6
+    // files; a microbatch is 10^4 keys; hit fraction ~ keys/files)
+    val tiny = docs.filter(col("doc_id") % 49999 === 1).limit(4)
+      .withColumn("doc_id", col("doc_id") + 2000000000L).localCheckpoint(true)
+    val tinyKeys = Dedup.bandedShingleRowsPublic(tiny, "text", "doc_id", 16, 4, 42L, 3)
+      .select(xxhash64(col("__bucket")).as("k")).distinct()
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    val touchedPre = GraftTable.readForBuckets(spark, idx, tinyKeys,
+      residualFilter = false).inputFiles.length
+    println(s"[index] pre-compaction: ${tinyKeys.length} keys touch " +
+      s"$touchedPre of $preCompact files")
+    t("compact")(Dedup.compactIndex(spark, idx, targetFileBytes = 32L << 20, minFiles = 2))
+    val snap = GraftTable.snapshot(spark, idx).get
+    println(s"[index] files: $preCompact pre-compaction -> ${snap.files.length} compacted; " +
+      s"rows=${snap.files.map(_.rows).sum}")
+    // the incremental step: a 1000-doc batch against the corpus index
+    val batch = docs.filter(col("doc_id") % 997 === 0).limit(1000)
+      .withColumn("doc_id", col("doc_id") + 1000000000L) // new ids
+      .localCheckpoint(true)
+    println(s"[index] batch docs: ${batch.count()}")
+    // pruning evidence: how many files does the batch's key set touch?
+    val keys = Dedup.bandedShingleRowsPublic(batch, "text", "doc_id", 16, 4, 42L, 3)
+      .select(xxhash64(col("__bucket")).as("k")).distinct()
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    val touched = GraftTable.readForBuckets(spark, idx, keys,
+      residualFilter = false).inputFiles.length
+    println(s"[index] pruned read touches $touched of ${snap.files.length} files " +
+      s"for ${keys.length} batch bucket keys")
+    val touchedPost = GraftTable.readForBuckets(spark, idx, tinyKeys,
+      residualFilter = false).inputFiles.length
+    println(s"[index] post-compaction: ${tinyKeys.length} keys touch " +
+      s"$touchedPost of ${snap.files.length} files")
+    val t4 = t("tiny-batch-dedup-step")(
+      Dedup.incrementalNearDup(tiny, idx, "text", "doc_id", 16, 4, 42L, 3, 0.8).count())
+    println(s"[index] tiny-batch survivors: $t4")
+    val survivors = t("incremental-dedup-step")(
+      Dedup.incrementalNearDup(batch, idx, "text", "doc_id", 16, 4, 42L, 3, 0.8).count())
+    println(s"[index] batch survivors: $survivors")
+    spark.stop()
+  }
+}

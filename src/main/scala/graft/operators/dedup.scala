@@ -240,6 +240,12 @@ object Dedup {
     * shared candidate-generation shape behind the fused batch verify and
     * the incremental index (`incrementalNearDup`). One signature UDF call
     * per doc; the explode is bands× rows, never pairs. */
+  /** Probe/forensics entry to the banded signature rows (IndexProbe). */
+  def bandedShingleRowsPublic(df: DataFrame, textCol: String, idCol: String,
+                              numHashes: Int, bands: Int, seed: Long,
+                              shingleN: Int): DataFrame =
+    bandedShingleRows(df, textCol, idCol, numHashes, bands, seed, shingleN)
+
   private[operators] def bandedShingleRows(df: DataFrame, textCol: String,
                                            idCol: String, numHashes: Int,
                                            bands: Int, seed: Long,
