@@ -49,20 +49,31 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")))
         .split("\\s+")(0).toDouble
       catch { case _: Exception => -1.0 }
+    // Gates of record come from the COMMITTED bench_gates.json (r10 clean
+    // map + per-round isolated re-recordings), never from bench_map.json:
+    // defaulting to the file this run overwrites let one contended closing
+    // run ratchet every later run's 2x reprobe threshold (round-11
+    // verdict — a self-adjudication that ratchets is self-defeating).
     val gates: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(sys.env.getOrElse(
-            "SPARK_GRAFT_GATES", "/root/repo/bench_map.json"))))
+            "SPARK_GRAFT_GATES", "/root/repo/bench_gates.json"))))
         // gates only adjudicate a run at the SAME scale they were
         // recorded at — a 100x stress run compared against sf0.1 gates
         // would re-probe every query for nothing
         val gateSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
         if (!gateSf.contains(sfDir)) Map.empty[String, Double]
         else {
-          val fromQueries = txt.substring(txt.indexOf("\"queries\":{"))
+          // bound the scan to the queries object ONLY: the artifact also
+          // carries "reprobe"/"load" maps whose keys repeat query names,
+          // and an unbounded scan let those overwrite gate values via
+          // toMap last-wins. The queries map is flat, so the first '}'
+          // after its opening brace closes it.
+          val idx = txt.indexOf("\"queries\":{")
+          val body = txt.substring(idx, txt.indexOf('}', idx) + 1)
           "\"([A-Za-z0-9_]+)\":(-?[0-9][0-9.eE+-]*)".r
-            .findAllMatchIn(fromQueries)
+            .findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       } catch { case _: Exception => Map.empty[String, Double] }

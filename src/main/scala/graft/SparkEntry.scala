@@ -3414,10 +3414,13 @@ object SparkEntry {
     // a selection gate directly.
     "q_rho_select" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
+      // ONE unigram stage shared by both LM passes (round-12: the
+      // double-staged vocab table was the q_rho_select gate breach)
+      val sharedUni = Some(TextAnalysis.stageUnigrams(docs, "text"))
       val scored = graft.core.Stage.materialize(
-        TextAnalysis.unigramNll(docs, "text", "doc_id")
+        TextAnalysis.unigramNll(docs, "text", "doc_id", sharedUni)
           .select(col("doc_id"), col("mean_nll"))
-          .join(TextAnalysis.bigramNll(docs, "text", "doc_id")
+          .join(TextAnalysis.bigramNll(docs, "text", "doc_id", sharedUni)
             .select(col("doc_id"), col("mean_nll2")), Seq("doc_id"))
           .select(col("doc_id"), col("mean_nll"), col("mean_nll2"),
             (col("mean_nll") - col("mean_nll2")).as("excess")), "rho_scored")
@@ -3654,9 +3657,10 @@ object SparkEntry {
     }),
 
     "q_multimodal" -> ((s, dir) => {
-      // blobs synthesized from text bytes (no codecs in this container —
-      // decode is the documented StubCodecs layer); exercises the batched
-      // mapPartitions feature-extraction path end-to-end. Rows-only check.
+      // blobs synthesized from text bytes (not valid images — the real
+      // codecs return None and the model-free byte-moment features take
+      // over); exercises the batched mapPartitions feature-extraction
+      // path end-to-end. Rows-only check.
       val docs = tbl(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("blob"))
       Multimodal.extractImageFeatures(docs, "doc_id", "blob", dims = 8, batchSize = 32)

@@ -8,9 +8,11 @@ import java.io.ByteArrayOutputStream
  * same argument as the JPEG Huffman and GIF LZW work. This moves FLAC
  * out of the `StubCodecs` boundary: real speech corpora ship as FLAC
  * (LibriSpeech-class datasets), so the audio leg of the pipeline now
- * decodes its dominant compressed format for real, leaving only
- * MP3/H.264 stubbed (psychoacoustic/entropy machinery genuinely beyond
- * a hand-rolled decoder).
+ * decodes its dominant compressed format for real. The MP3 and H.264
+ * FRAME layers followed in r10/r11 (`StubCodecs` is deleted); only MP3
+ * PCM synthesis and H.264 macroblock decode stay out — psychoacoustic/
+ * entropy machinery with no in-container ground truth to validate
+ * against (the validatability argument in those codec headers).
  *
  * Decoder scope (None for anything else; hostile bytes never throw):
  * 8/12/16-bit PCM, 1-2 channels, all four channel assignments

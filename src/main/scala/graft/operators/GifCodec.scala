@@ -7,8 +7,10 @@ import java.io.ByteArrayOutputStream
  * plain bit arithmetic — no codec library, the same move as the
  * `java.util.zip` PNG work and the [[JpegCodec]] Huffman tables. With
  * this, decode is REAL for every common legacy web image format
- * (JPEG/PNG/GIF/BMP); `Multimodal.StubCodecs` remains only for
- * MP3/H.264 (FLAC decodes for real since FlacCodec).
+ * (JPEG/PNG/GIF/BMP); FLAC decodes for real since FlacCodec, and the
+ * MP3/H.264 FRAME layers since r10/r11 (`StubCodecs` is deleted — only
+ * MP3 PCM synthesis and H.264 macroblock decode stay out, by the
+ * validatability argument in their codec headers).
  *
  * Decoder scope (None for anything else; hostile bytes never throw):
  * first image of the stream (animated GIFs decode frame 1 — the

@@ -6,7 +6,9 @@ package graft.operators
  * IDCT and YCbCr→RGB are all plain arithmetic, the same move as the
  * `java.util.zip` PNG work. This closes the dominant-web-format gap the
  * stub boundary used to carve out: decode is now REAL for JPEG/PNG/BMP/
- * WAV, and `StubCodecs` remains only for MP3/H.264.
+ * WAV (and since r10/r11 the MP3 and H.264 FRAME layers — `StubCodecs`
+ * is deleted; only MP3 PCM synthesis and H.264 macroblock decode stay
+ * out, by the validatability argument in their codec headers).
  *
  * Decoder scope (returns None for anything else, never throws on
  * hostile bytes): baseline SOF0, 8-bit precision, 1 or 3 components,

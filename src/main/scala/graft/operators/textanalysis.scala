@@ -754,17 +754,20 @@ object TextAnalysis {
     * outgrows broadcast), only the O(1) vocab total broadcast; decimal
     * NLL sums for engine-exact reduction. */
   def bigramNll(df: org.apache.spark.sql.DataFrame, textCol: String,
-                idCol: String): org.apache.spark.sql.DataFrame = {
+                idCol: String,
+                sharedUni: Option[(org.apache.spark.sql.DataFrame, Long)] = None)
+      : org.apache.spark.sql.DataFrame = {
     val w = words(col(textCol))
     val n = greatest(size(w) - 1, lit(0))
     val toks = df.select(col(idCol),
         explode(zip_with(slice(w, lit(1), n), slice(w, lit(2), n),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col(idCol), col("bg.w1"), col("bg.w2"))
-    val uni = graft.core.Stage.materialize(
-      df.select(explode(words(col(textCol))).as("w1"))
-        .groupBy("w1").agg(count(lit(1)).as("__c1")), "lm2_uni")
-    val uniSmall = uni.count() <= MaxBroadcastModelRows
+    // shared-stage path: a composition that already staged the unigram
+    // table ([[stageUnigrams]]) hands it in; alone, stage it here
+    val (uniStaged, uniRows) = sharedUni.getOrElse(stageUnigrams(df, textCol))
+    val uni = uniStaged.select(col("term").as("w1"), col("__c").as("__c1"))
+    val uniSmall = uniRows <= MaxBroadcastModelRows
     val vocab = uni.agg(count(lit(1)).cast(DoubleType).as("__v"))
     val bi = toks.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
     // assemble the per-bigram-TYPE nll model at vocab size first, then
@@ -997,19 +1000,35 @@ object TextAnalysis {
     * an explicit broadcast never plans that exchange. */
   val MaxBroadcastModelRows: Long = 8000000L
 
+  /** The corpus unigram count table (term, __c), staged once, plus its
+    * row count (a parquet-metadata read off the stage). Compositions
+    * that run BOTH [[unigramNll]] and [[bigramNll]] over one corpus
+    * (q_rho_select, [[doremiWeights]]) build this once and pass it to
+    * both — each op independently staging the same vocab table cost
+    * them ~4 extra stage+count actions ≈ +2s fixed at sf0.1 (the
+    * round-11 verdict's q_rho_select gate breach). */
+  def stageUnigrams(df: org.apache.spark.sql.DataFrame,
+                    textCol: String): (org.apache.spark.sql.DataFrame, Long) = {
+    val uni = graft.core.Stage.materialize(
+      df.select(explode(words(col(textCol))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("__c")), "lm_uni")
+    (uni, uni.count())
+  }
+
   def unigramNll(df: org.apache.spark.sql.DataFrame, textCol: String,
-                 idCol: String): org.apache.spark.sql.DataFrame = {
+                 idCol: String,
+                 sharedUni: Option[(org.apache.spark.sql.DataFrame, Long)] = None)
+      : org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol), explode(words(col(textCol))).as("term"))
     // the LM table is vocab-sized: staged once (totals read the stage,
     // not a second corpus agg) and broadcast when it provably fits —
     // the corpus token stream then scores without shuffling on term
     // (measured 87.1s -> scan-bound at permute-100x, where the exact
     // key join shuffled ~6e9 token rows against a fixed-size vocab)
-    val lm = graft.core.Stage.materialize(
-      toks.groupBy(col("term")).agg(count(lit(1)).as("__c")), "lm_uni")
+    val (lm, lmRows) = sharedUni.getOrElse(stageUnigrams(df, textCol))
     val totals = lm.agg(sum(col("__c")).cast(DoubleType).as("__tot"),
       count(lit(1)).cast(DoubleType).as("__v"))
-    (if (lm.count() <= MaxBroadcastModelRows)
+    (if (lmRows <= MaxBroadcastModelRows)
        toks.join(broadcast(lm), Seq("term"))
      else toks.join(lm, Seq("term")))
       .crossJoin(broadcast(totals))
@@ -1348,8 +1367,12 @@ object TextAnalysis {
   def doremiWeights(df: org.apache.spark.sql.DataFrame, textCol: String,
                     idCol: String, domain: Column,
                     eta: Double = 1.0): org.apache.spark.sql.DataFrame = {
-    val uni = unigramNll(df, textCol, idCol)
-    val bi = bigramNll(df, textCol, idCol)
+    // one shared unigram stage feeds both LM passes (round-12: each op
+    // staging its own copy of the same vocab table cost ~2 extra
+    // actions per composition)
+    val shared = Some(stageUnigrams(df, textCol))
+    val uni = unigramNll(df, textCol, idCol, shared)
+    val bi = bigramNll(df, textCol, idCol, shared)
     val scored = df.select(col(idCol), domain.as("source"))
       .join(uni, Seq(idCol))
       .join(bi, Seq(idCol))

@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
  * bytes, minBucket, maxBucket, addedAt, kind). Commits are atomic: the
  * manifest writes to a dotted temp name and renames into place, so a
  * concurrent reader sees the previous snapshot or the new one, never a
- * torn file list (single-writer, many-reader — the discipline the
- * incremental dedup index already assumes).
+ * torn file list. Writers use OPTIMISTIC CONCURRENCY (round-12): each
+ * snapshot id is claimed by an exclusive create before rename, a lost
+ * race rebases on the new latest and retries, and appends enforce the
+ * table's schema (names + types) before writing — concurrent appends
+ * both survive with all rows present.
  *
  * The 100 TB read path: [[readBuckets]]/[[readForBuckets]] prune the
  * file list MANIFEST-SIDE — a bucket predicate touches only files whose
@@ -65,11 +68,7 @@ object GraftTable {
     case c => c.toString
   } + "\""
 
-  private def writeSnapshot(spark: SparkSession, dir: String,
-                            snap: Snapshot): Unit = {
-    val f = fs(spark, dir)
-    val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
-    if (!f.exists(md)) f.mkdirs(md)
+  private def snapshotBody(snap: Snapshot): String = {
     val body = new StringBuilder()
     body.append(s"""{"id":${snap.id},"bucketCol":${q(snap.bucketCol)},"files":[""")
     body.append(snap.files.map(e =>
@@ -77,14 +76,58 @@ object GraftTable {
         s""""minBucket":${e.minBucket},"maxBucket":${e.maxBucket},""" +
         s""""addedAt":${e.addedAt},"kind":${q(e.kind)}}""").mkString(","))
     body.append("]}")
+    body.toString
+  }
+
+  /** A dead writer's claim older than this may be broken by a new
+    * writer (the claim holder crashed between claim and publish). */
+  private val ClaimTtlMs = 15L * 60 * 1000
+
+  /**
+   * Optimistic-concurrency publish (round-12; the Delta/Iceberg commit
+   * protocol shape). Returns false on a LOST RACE — another writer
+   * already published this snapshot id — in which case the caller must
+   * re-read the latest snapshot, rebase its file list, and retry.
+   *
+   * Why not rename alone: HDFS rename fails on an existing destination,
+   * but LocalFileSystem (File.renameTo) silently OVERWRITES — two
+   * writers both publishing snapshot-(N+1).json would let the second
+   * erase the first's files from the manifest. So mutual exclusion
+   * comes from an EXCLUSIVE CREATE (`create(path, overwrite=false)`)
+   * of a claim file, which both filesystems make atomic, while reader
+   * atomicity still comes from temp-write + rename (readers only ever
+   * list fully-written `snapshot-*.json` names — `.claim` and `.tmp`
+   * never match the snapshot filter).
+   */
+  private def tryPublish(spark: SparkSession, dir: String,
+                         snap: Snapshot): Boolean = {
+    val f = fs(spark, dir)
+    val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
+    if (!f.exists(md)) f.mkdirs(md)
     val name = f"snapshot-${snap.id}%09d.json"
-    val tmp = new org.apache.hadoop.fs.Path(md, s".$name.tmp")
-    val out = f.create(tmp, true)
-    out.write(body.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
     val fin = new org.apache.hadoop.fs.Path(md, name)
-    if (!f.rename(tmp, fin))
-      throw new java.io.IOException(s"GraftTable: manifest publish failed: $fin")
+    if (f.exists(fin)) return false // already published by someone else
+    val claim = new org.apache.hadoop.fs.Path(md, s"$name.claim")
+    // break a stale claim from a crashed writer; a live one is younger
+    try {
+      val st = f.getFileStatus(claim)
+      if (System.currentTimeMillis() - st.getModificationTime > ClaimTtlMs)
+        f.delete(claim, false)
+    } catch { case _: java.io.FileNotFoundException => }
+    val held =
+      try { f.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false } // claim exists: lost
+    if (!held) return false
+    try {
+      if (f.exists(fin)) return false // claimed too late: winner already renamed
+      val tmp = new org.apache.hadoop.fs.Path(md, s".$name.tmp")
+      val out = f.create(tmp, true)
+      out.write(snapshotBody(snap).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      if (!f.rename(tmp, fin))
+        throw new java.io.IOException(s"GraftTable: manifest publish failed: $fin")
+      true
+    } finally f.delete(claim, false)
   }
 
   /** Hand-rolled parse of our own fixed manifest shape (no JSON lib on
@@ -133,20 +176,49 @@ object GraftTable {
 
   // ------------------------------------------------------------ writes
 
+  /** Fail fast on an append whose columns don't match the table's
+    * (names + types, order-insensitive — the Delta enforcement shape).
+    * Checked against the parquet footer of one live file, so the check
+    * costs a footer read, not a scan. */
+  private def checkSchema(spark: SparkSession, dir: String,
+                          prev: Snapshot, incoming: DataFrame): Unit = {
+    if (prev.files.isEmpty) return
+    val existing = spark.read.parquet(prev.files.head.path).schema
+    val a = existing.fields.map(f => (f.name, f.dataType)).toSet
+    val b = incoming.schema.fields.map(f => (f.name, f.dataType)).toSet
+    require(a == b,
+      s"GraftTable.append: schema mismatch at $dir — table has " +
+        s"${existing.fields.map(f => s"${f.name}:${f.dataType.simpleString}").sorted.mkString(", ")} " +
+        s"but the append has " +
+        s"${incoming.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").sorted.mkString(", ")}")
+  }
+
+  /** Max publish retries before an append/compact gives up (each retry
+    * rebases on the latest snapshot — losing that many races in a row
+    * means pathological contention, better surfaced than spun on). */
+  private val MaxCommitRetries = 20
+
   /** Append `df` as a new snapshot: rows land range-clustered by
     * `bucketCol` (so per-file min/max stats are selective from the first
     * write), per-file stats are computed in one columnar pass over the
-    * new files only, and the manifest publishes atomically. Returns the
-    * new snapshot. Single-writer discipline, like the index it backs. */
+    * new files only, and the manifest publishes atomically with
+    * OPTIMISTIC CONCURRENCY (round-12): a lost publish race re-reads the
+    * latest snapshot, rebases the cumulative file list, and retries —
+    * the moved data files stay valid across retries, so a retry costs a
+    * manifest read, not a rewrite. Concurrent appends therefore both
+    * survive with all rows present. Returns the new snapshot. */
   def append(df: DataFrame, dir: String, bucketCol: String,
              numFiles: Option[Int] = None): Snapshot = {
     val spark = df.sparkSession
     val prev = snapshot(spark, dir)
-    prev.foreach(s => require(s.bucketCol == bucketCol,
-      s"GraftTable at $dir is bucketed by ${s.bucketCol}, not $bucketCol"))
+    val clustered = df.withColumn(bucketCol, col(bucketCol).cast("long"))
+    prev.foreach { s =>
+      require(s.bucketCol == bucketCol,
+        s"GraftTable at $dir is bucketed by ${s.bucketCol}, not $bucketCol")
+      checkSchema(spark, dir, s, clustered)
+    }
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val tmp = s"${dir.stripSuffix("/")}/.append_$stamp"
-    val clustered = df.withColumn(bucketCol, col(bucketCol).cast("long"))
     (numFiles match {
       case Some(n) => clustered.repartitionByRange(n, col(bucketCol))
       case None => clustered.repartitionByRange(col(bucketCol))
@@ -165,8 +237,9 @@ object GraftTable {
         (f.makeQualified(dest).toString, f.getFileStatus(dest).getLen)
       }
     f.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    val nextId = prev.map(_.id + 1).getOrElse(1L)
-    val entries =
+    // per-file stats over the NEW files only (addedAt is re-stamped per
+    // publish attempt below — the stats themselves never change)
+    val statEntries =
       if (moved.isEmpty) Seq.empty
       else {
         val byteSizes = moved.toMap
@@ -180,13 +253,28 @@ object GraftTable {
             val key = byteSizes.keys.find(k => uri.endsWith(
               new org.apache.hadoop.fs.Path(k).getName)).getOrElse(uri)
             FileEntry(key, r.getLong(1), byteSizes.getOrElse(key, 0L),
-              r.getLong(2), r.getLong(3), nextId, "append")
+              r.getLong(2), r.getLong(3), 0L, "append")
           }
       }
-    val snap = Snapshot(nextId, bucketCol,
-      prev.map(_.files).getOrElse(Seq.empty) ++ entries)
-    writeSnapshot(spark, dir, snap)
-    snap
+    var base = prev
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val nextId = base.map(_.id + 1).getOrElse(1L)
+      val snap = Snapshot(nextId, bucketCol,
+        base.map(_.files).getOrElse(Seq.empty) ++
+          statEntries.map(_.copy(addedAt = nextId)))
+      if (tryPublish(spark, dir, snap)) return snap
+      attempt += 1
+      Thread.sleep(math.min(50L * attempt, 500L)) // back off behind the claim holder
+      val rebased = snapshot(spark, dir)
+      rebased.foreach { s =>
+        require(s.bucketCol == bucketCol,
+          s"GraftTable at $dir is bucketed by ${s.bucketCol}, not $bucketCol")
+      }
+      base = rebased
+    }
+    throw new java.io.IOException(
+      s"GraftTable.append: lost $MaxCommitRetries publish races at $dir — giving up")
   }
 
   /** Rewrite the CURRENT snapshot into ~`targetFileBytes` files
@@ -221,9 +309,8 @@ object GraftTable {
         (f.makeQualified(dest).toString, f.getFileStatus(dest).getLen)
       }
     f.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    val nextId = cur.id + 1
     val byteSizes = moved.toMap
-    val entries = spark.read.parquet(moved.map(_._1): _*)
+    val statEntries = spark.read.parquet(moved.map(_._1): _*)
       .groupBy(input_file_name().as("__f"))
       .agg(count(lit(1)).as("__n"),
         min(col(cur.bucketCol)).as("__lo"), max(col(cur.bucketCol)).as("__hi"))
@@ -232,11 +319,26 @@ object GraftTable {
         val key = byteSizes.keys.find(k => uri.endsWith(
           new org.apache.hadoop.fs.Path(k).getName)).getOrElse(uri)
         FileEntry(key, r.getLong(1), byteSizes.getOrElse(key, 0L),
-          r.getLong(2), r.getLong(3), nextId, "compact")
+          r.getLong(2), r.getLong(3), 0L, "compact")
       }
-    val snap = Snapshot(nextId, cur.bucketCol, entries)
-    writeSnapshot(spark, dir, snap)
-    snap
+    // optimistic publish: if an APPEND won the race for cur.id+1, the
+    // compacted files cover only the rows up to cur.id — the retried
+    // snapshot must carry the interlopers' append files ALONGSIDE the
+    // compacted set, or their rows would silently vanish from latest
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val latest = snapshot(spark, dir).getOrElse(cur)
+      val nextId = latest.id + 1
+      val interlopers = latest.files.filter(e =>
+        e.addedAt > cur.id && e.kind == "append")
+      val snap = Snapshot(nextId, cur.bucketCol,
+        statEntries.map(_.copy(addedAt = nextId)) ++ interlopers)
+      if (tryPublish(spark, dir, snap)) return snap
+      attempt += 1
+      Thread.sleep(math.min(50L * attempt, 500L))
+    }
+    throw new java.io.IOException(
+      s"GraftTable.compact: lost $MaxCommitRetries publish races at $dir — giving up")
   }
 
   /** Drop manifests older than the newest `keepSnapshots` and delete
@@ -262,6 +364,16 @@ object GraftTable {
       f.delete(new org.apache.hadoop.fs.Path(
         manifestDir(dir), f"snapshot-$i%09d.json"), false)
     }
+    // housekeeping: a claim for an already-published id can never
+    // succeed (its final exists) — it is a dead writer's leftover
+    val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
+    f.listStatus(md).toSeq.map(_.getPath)
+      .filter(p => p.getName.endsWith(".json.claim"))
+      .filter { p =>
+        val id = p.getName.stripSuffix(".json.claim")
+          .stripPrefix("snapshot-").toLong
+        id <= ids.last
+      }.foreach(p => f.delete(p, false))
     (drop.length, deleted)
   }
 
@@ -331,9 +443,16 @@ object GraftTable {
     val ids = snapshotIds(spark, dir)
     require(ids.nonEmpty, s"GraftTable.delta: empty table at $dir")
     val to = toId.getOrElse(ids.last)
-    require(ids.contains(fromId) || fromId == 0L,
+    // fromId == 0 means "everything since the table existed" — which is
+    // only answerable while snapshot 1 is still present. After expire()
+    // drops early manifests, compaction snapshots list no append-kind
+    // files for the pre-compaction rows, so delta(0) would silently
+    // return only post-compaction appends (round-11 ADVICE): reject it
+    // like any other expired lookback and send the caller to read().
+    require(ids.contains(fromId) || (fromId == 0L && ids.head == 1L),
       s"GraftTable.delta: snapshot $fromId expired or never existed " +
-        s"(present: ${ids.mkString(",")}) — expire() bounded the lookback")
+        s"(present: ${ids.mkString(",")}) — expire() bounded the lookback" +
+        (if (fromId == 0L) "; use read() for the full current state" else ""))
     val entries = (math.max(fromId + 1, ids.head) to to)
       .flatMap(i => snapshot(spark, dir, Some(i)))
       .flatMap(s => s.files.filter(e => e.addedAt > fromId && e.addedAt <= to &&

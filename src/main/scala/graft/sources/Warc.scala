@@ -258,14 +258,23 @@ object Warc {
             deflater.end()
             out.close()
           }
-          // HDFS rename does NOT overwrite: a retry after a committed-
-          // but-unacknowledged attempt must delete the stale final file
-          // first or the rename returns false and the retry (which would
-          // have produced identical bytes) fails spuriously
-          if (fs.exists(finalPath)) fs.delete(finalPath, false)
-          if (!fs.rename(tmpPath, finalPath))
-            throw new java.io.IOException(
+          // Commit: if the final file already exists, SOME attempt of
+          // this partition committed it — and every attempt produces
+          // byte-identical output (deterministic input order + name-based
+          // UUIDs), so treat the partition as committed and discard this
+          // attempt's temp. Deleting the final here instead (the round-11
+          // code) opened a speculation race: a loser attempt could delete
+          // the winner's committed shard and die before its own rename,
+          // leaving the shard missing in a job that reported success.
+          if (fs.exists(finalPath)) {
+            fs.delete(tmpPath, false)
+          } else if (!fs.rename(tmpPath, finalPath)) {
+            // rename lost a race with another attempt's commit: fine iff
+            // the final now exists (identical bytes); fatal otherwise
+            if (fs.exists(finalPath)) fs.delete(tmpPath, false)
+            else throw new java.io.IOException(
               s"Warc.writeShards: rename $tmpPath -> $finalPath failed")
+          }
           Iterator.single((name, n, bytes))
         }
       }.collect().toSeq // one row per non-empty partition — model-sized

@@ -108,6 +108,105 @@ class GraftTableSpec extends GraftSpec {
     assert(GraftTable.read(spark, dir).count() == 140)
   }
 
+  test("concurrent appends: both writers survive with all rows present") {
+    // two threads race the optimistic publish path — the loser must
+    // rebase on the winner's snapshot and retry, so EVERY row from both
+    // appends lands in the final manifest (the round-11 verdict's
+    // lost-update scenario: last-wins rename silently erased one side)
+    val dir = freshDir()
+    GraftTable.append(rows(0, 50), dir, "bucket") // base snapshot
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val tasks = Seq(rows(50, 120), rows(120, 200)).map { df =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try { gate.await(); GraftTable.append(df, dir, "bucket"); () }
+          catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    gate.countDown()
+    tasks.foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(errs.isEmpty, errs.toString)
+    val ids = GraftTable.snapshotIds(spark, dir)
+    assert(ids == Seq(1L, 2L, 3L), s"both commits must publish: $ids")
+    val got = GraftTable.read(spark, dir).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 200L).toSeq,
+      s"lost rows: ${got.length} of 200")
+    // no claim files left behind
+    val leftovers = new java.io.File(s"$dir/_manifests").listFiles()
+      .map(_.getName).filter(_.endsWith(".claim"))
+    assert(leftovers.isEmpty, leftovers.toSeq)
+  }
+
+  test("append enforces the table schema (names + types)") {
+    val dir = freshDir()
+    GraftTable.append(rows(0, 10), dir, "bucket")
+    // extra column
+    val e1 = intercept[IllegalArgumentException] {
+      GraftTable.append(rows(10, 20).withColumn("extra", lit(1)), dir, "bucket")
+    }
+    assert(e1.getMessage.contains("schema mismatch"), e1.getMessage)
+    // same names, different type
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.append(
+        rows(10, 20).withColumn("payload", col("payload").cast("binary")),
+        dir, "bucket")
+    }
+    assert(e2.getMessage.contains("schema mismatch"), e2.getMessage)
+    // column order must NOT matter (Delta-style name-based enforcement)
+    GraftTable.append(rows(10, 20).select("payload", "id", "bucket"), dir, "bucket")
+    assert(GraftTable.read(spark, dir).count() == 20)
+  }
+
+  test("delta(0) refuses after expire dropped snapshot 1") {
+    val dir = freshDir()
+    GraftTable.append(rows(0, 100), dir, "bucket") // 1
+    // full history still present: delta(0) == read()
+    assert(GraftTable.delta(spark, dir, 0L).count() == 100)
+    GraftTable.append(rows(100, 130), dir, "bucket") // 2
+    GraftTable.compact(spark, dir, targetFileBytes = 1L << 30, minFiles = 2) // 3
+    GraftTable.append(rows(130, 140), dir, "bucket") // 4
+    GraftTable.expire(spark, dir, keepSnapshots = 2)
+    // pre-compaction append files are deleted and absent from kept
+    // manifests — delta(0) would silently return only rows 130..139
+    // (round-11 ADVICE); it must refuse instead
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.delta(spark, dir, 0L).collect()
+    }
+    assert(e.getMessage.contains("use read()"), e.getMessage)
+  }
+
+  test("compact retried over a racing append keeps the interloper's rows") {
+    // direct exercise of the compact rebase path: append wins the id the
+    // compactor wanted; the retried compaction snapshot must list the
+    // interloper's append files alongside the compacted set
+    val dir = freshDir()
+    (0 until 4).foreach(k => GraftTable.append(rows(k * 25, k * 25 + 25), dir, "bucket"))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val fCompact = pool.submit(new Runnable {
+      def run(): Unit =
+        try { gate.await(); GraftTable.compact(spark, dir, targetFileBytes = 1L << 30); () }
+        catch { case t: Throwable => errs.add(t) }
+    })
+    val fAppend = pool.submit(new Runnable {
+      def run(): Unit =
+        try { gate.await(); GraftTable.append(rows(100, 125), dir, "bucket"); () }
+        catch { case t: Throwable => errs.add(t) }
+    })
+    gate.countDown()
+    Seq(fCompact, fAppend).foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(errs.isEmpty, errs.toString)
+    val got = GraftTable.read(spark, dir).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 125L).toSeq, s"lost rows: ${got.length} of 125")
+  }
+
   test("bucket-column mismatch and empty-table reads fail fast") {
     val dir = freshDir()
     GraftTable.append(rows(0, 10), dir, "bucket")

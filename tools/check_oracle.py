@@ -60,6 +60,44 @@ for name, sql in sorted(oracle.items()):
             rows.append((tuple(cells),
                          tuple(str(tbl.column(c)[i].as_py()) for c in gcols)))
         return [full for _, full in sorted(rows)]
+    def key_aligned_ok(got, want, tol):
+        # Second-chance alignment for tolerance queries: the 5-decimal
+        # sort key above only REDUCES reorder risk — a within-tolerance
+        # pair straddling a 1e-5 grid line still sorts the two tables
+        # differently and the positional zip then compares mismatched
+        # rows. Align on the exact non-float columns instead, then match
+        # float cells within each group after a numeric sort.
+        import pyarrow as pa
+        fcols = [c for c in gcols
+                 if (c in got.column_names
+                     and pa.types.is_floating(got.schema.field(c).type))
+                 or (c in want.column_names
+                     and pa.types.is_floating(want.schema.field(c).type))]
+        kcols = [c for c in gcols if c not in fcols]
+
+        def groups(tbl):
+            d = {}
+            for i in range(tbl.num_rows):
+                k = tuple(str(tbl.column(c)[i].as_py()) for c in kcols)
+                v = tuple(tbl.column(c)[i].as_py() for c in fcols)
+                d.setdefault(k, []).append(v)
+            return d
+
+        def skey(t):
+            return tuple((v is None, 0.0 if v is None else float(v))
+                         for v in t)
+        G, W = groups(got), groups(want)
+        if set(G) != set(W):
+            return False
+        for k in G:
+            a, b = sorted(G[k], key=skey), sorted(W[k], key=skey)
+            if len(a) != len(b):
+                return False
+            for ra, rb in zip(a, b):
+                if not all(close_enough(x, y, tol) for x, y in zip(ra, rb)):
+                    return False
+        return True
+
     g, w = norm(got), norm(want)
     if len(g) == len(w) and all(
             (a == b) if tol is None else
@@ -68,6 +106,8 @@ for name, sql in sorted(oracle.items()):
             for a, b in zip(g, w)):
         suffix = "" if tol is None else f" (declared tol {tol})"
         print(f"[ OK ] {name}: {len(g)} rows{suffix}")
+    elif tol is not None and len(g) == len(w) and key_aligned_ok(got, want, tol):
+        print(f"[ OK ] {name}: {len(g)} rows (declared tol {tol}, key-aligned)")
     else:
         fails += 1
         diff = [(a, b) for a, b in zip(g, w) if a != b][:3]
