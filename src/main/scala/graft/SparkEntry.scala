@@ -2139,6 +2139,52 @@ object SparkEntry {
       Dedup.clusters(verified).select(col("id").as("doc_id"), col("cluster_id"))
     }),
 
+    // The STREAMING ingestion leg of the incremental near-dup index
+    // (round 12): documents replayed as a 3-microbatch file stream
+    // (doc_id % 3, strictly increasing file mtimes + maxFilesPerTrigger=1
+    // fix the batch order), each batch deduped against the standing
+    // GraftTable index via the foreachBatch sink — one atomic manifest
+    // publish per microbatch, per-batch commit markers for exactly-once
+    // restarts, survivors as per-batch parquet. The oracle replays the
+    // full incremental semantics in SQL: within-batch near-dup clusters
+    // keep their min id, clusters touching an earlier-batch survivor are
+    // poisoned, and index matches drop — over the same banded-minhash +
+    // Jaccard edge relation as q_dedup_minhash.
+    "q_index_stream" -> ((s, dir) => {
+      import graft.operators.Dedup
+      streamTmpHookInstalled
+      val base = java.nio.file.Files.createTempDirectory(
+        s"graft_idxstream_${streamRun.incrementAndGet()}_")
+      streamTmpDirs.add(base)
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(3L)).as("batch"))
+      val inDir = base.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      (0 until 3).foreach { b =>
+        val tmp = base.resolve(s"tmp$b").toString
+        docs.filter(col("batch") === b).coalesce(1)
+          .write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = inDir.resolve(s"b$b.parquet").toFile
+        require(part.renameTo(dest), s"stage move failed: $dest")
+        // deterministic arrival order for the file source's mtime sort
+        require(dest.setLastModified(1700000000000L + b * 60000L))
+      }
+      val idx = base.resolve("index").toString
+      val surv = base.resolve("surv").toString
+      val schema = s.read.parquet(inDir.toString).schema
+      val q = Dedup.incrementalNearDupSink(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString),
+        idx, surv, base.resolve("ckpt").toString,
+        "text", "doc_id", mhHashes, mhBands, mhSeed, mhShingle,
+        threshold = 0.8)
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$surv/batch-*").select(col("doc_id"), col("batch"))
+    }),
+
     // Distributed connected components, standalone and FORCED onto the
     // iterative min-label-propagation path (driverEdgeLimit = 0): the
     // q_dedup_minhash oracle covers the driver union-find that small
@@ -5226,6 +5272,54 @@ object SparkEntry {
          |$mhVerifiedEdgeCtes
          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          |FROM reach GROUP BY a""".stripMargin,
+
+    // incremental-index streaming replay: same banded-candidate + Jaccard
+    // edge relation (sym), but the closure runs PER BATCH (doc_id % 3)
+    // and the keep decision iterates batches in arrival order — batch-0
+    // clusters keep their min id; later batches also drop any doc whose
+    // edge reaches an earlier-batch survivor (the index match), and such
+    // a match poisons the doc's whole within-batch cluster
+    "q_index_stream" ->
+      s"""WITH RECURSIVE ${mhShingleCtesFor(
+             "(SELECT * FROM documents WHERE text IS NOT NULL)")},
+         |$mhSigCandCtes,
+         |$mhVerifiedEdgeCtes,
+         |bat AS (SELECT doc_id, doc_id % 3 AS b FROM documents
+         |        WHERE text IS NOT NULL),
+         |symb AS (SELECT ba.b AS bt, s.a, s.b FROM sym s
+         |         JOIN bat ba ON ba.doc_id = s.a
+         |         JOIN bat bb ON bb.doc_id = s.b AND bb.b = ba.b),
+         |reachb(bt, a, b) AS (
+         |  SELECT bt, a, b FROM symb
+         |  UNION
+         |  SELECT r.bt, r.a, s.b FROM reachb r
+         |  JOIN symb s ON s.bt = r.bt AND s.a = r.b WHERE s.b <> r.a),
+         |cl AS (SELECT bt, a AS doc_id, least(a, min(b)) AS cid
+         |       FROM reachb GROUP BY bt, a),
+         |lab AS (SELECT ba.doc_id, ba.b, coalesce(cl.cid, ba.doc_id) AS cid
+         |        FROM bat ba LEFT JOIN cl
+         |          ON cl.doc_id = ba.doc_id AND cl.bt = ba.b),
+         |kept0 AS (SELECT doc_id FROM lab WHERE b = 0 AND doc_id = cid),
+         |m1 AS (SELECT DISTINCT l.doc_id FROM lab l
+         |       JOIN sym s ON s.a = l.doc_id
+         |       JOIN kept0 k ON k.doc_id = s.b WHERE l.b = 1),
+         |p1 AS (SELECT DISTINCT l.cid FROM lab l
+         |       JOIN m1 ON m1.doc_id = l.doc_id WHERE l.b = 1),
+         |kept1 AS (SELECT doc_id FROM lab WHERE b = 1 AND doc_id = cid
+         |          AND cid NOT IN (SELECT cid FROM p1)),
+         |kept01 AS (SELECT doc_id FROM kept0
+         |           UNION ALL SELECT doc_id FROM kept1),
+         |m2 AS (SELECT DISTINCT l.doc_id FROM lab l
+         |       JOIN sym s ON s.a = l.doc_id
+         |       JOIN kept01 k ON k.doc_id = s.b WHERE l.b = 2),
+         |p2 AS (SELECT DISTINCT l.cid FROM lab l
+         |       JOIN m2 ON m2.doc_id = l.doc_id WHERE l.b = 2),
+         |kept2 AS (SELECT doc_id FROM lab WHERE b = 2 AND doc_id = cid
+         |          AND cid NOT IN (SELECT cid FROM p2))
+         |SELECT l.doc_id, l.b AS batch FROM lab l
+         |JOIN (SELECT doc_id FROM kept0 UNION ALL
+         |      SELECT doc_id FROM kept1 UNION ALL
+         |      SELECT doc_id FROM kept2) k ON k.doc_id = l.doc_id""".stripMargin,
 
     // same closure, but the Spark side is FORCED onto the distributed
     // label-propagation path — the oracle certifies the iterative

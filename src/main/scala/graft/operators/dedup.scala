@@ -506,6 +506,98 @@ object Dedup {
     } finally banded.unpersist(blocking = false)
   }
 
+  // ------------------------------------------- streaming index ingestion
+
+  private def commitMarkerPath(indexDir: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(
+      s"${indexDir.stripSuffix("/")}/_streaming_commits", f"batch-$batchId%012d")
+
+  private def indexFs(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Has this stream batch already been fully applied to the index?
+    * (Marker files under `<indexDir>/_streaming_commits/`.) */
+  def isIndexBatchCommitted(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, batchId: Long): Boolean =
+    indexFs(spark, indexDir).exists(commitMarkerPath(indexDir, batchId))
+
+  /**
+   * One foreachBatch body of the STREAMING index-ingestion leg: dedup
+   * the microbatch against the standing index ([[incrementalNearDup]]),
+   * write its survivors to `<survivorsDir>/batch-<id>` (overwrite —
+   * idempotent under replay), and mark the batch committed.
+   *
+   * Restart semantics (the foreachBatch contract: a batch MAY be
+   * replayed after a failure, with the same batchId):
+   *  - a batch whose commit marker exists is skipped entirely — the
+   *    exactly-once gate;
+   *  - a replay that crashed BEFORE the index append recomputes from
+   *    unchanged state — identical by determinism;
+   *  - a replay that crashed AFTER the append but before the marker
+   *    recomputes against an index already holding this batch's
+   *    survivor signatures. The survivor set is UNCHANGED: a doc's own
+   *    signature rows never match it (`__id` inequality in the index
+   *    probe), and two survivors of one batch are never near-dups of
+   *    each other (they'd have shared a within-batch cluster). The
+   *    re-append leaves duplicate signature rows — benign for matching
+   *    (candidates are distinct-ed on id) and bounded to one batch;
+   *    [[compactIndex]]'s rewrite carries them until an exact-dedup
+   *    maintenance pass, which correctness never requires.
+   */
+  def processIndexBatch(batch: DataFrame, batchId: Long, indexDir: String,
+                        survivorsDir: String, textCol: String, idCol: String,
+                        numHashes: Int, bands: Int, seed: Long = 42L,
+                        shingleN: Int = 1, threshold: Double = 0.8,
+                        maxBucketSize: Int = 4096): Unit = {
+    val spark = batch.sparkSession
+    if (isIndexBatchCommitted(spark, indexDir, batchId)) return
+    val survivors = incrementalNearDup(batch, indexDir, textCol, idCol,
+      numHashes, bands, seed, shingleN, threshold, maxBucketSize)
+    survivors.write.mode("overwrite")
+      .parquet(s"${survivorsDir.stripSuffix("/")}/batch-$batchId")
+    survivors.unpersist(blocking = false)
+    val f = indexFs(spark, indexDir)
+    val marker = commitMarkerPath(indexDir, batchId)
+    if (!f.exists(marker.getParent)) f.mkdirs(marker.getParent)
+    f.create(marker, true).close() // last step: presence == fully applied
+  }
+
+  /**
+   * The streaming sink leg of the incremental near-dup index: a
+   * `foreachBatch` writer that feeds every microbatch through
+   * [[processIndexBatch]] — the GraftTable gets one atomic manifest
+   * publish per microbatch, survivors land as per-batch parquet, and
+   * the commit markers make restarts exactly-once at the batch level.
+   * Pair with the stream's own checkpoint (`checkpointDir`) so a
+   * restarted query resumes at the first unprocessed source offset.
+   *
+   * At 100 TB this is the ingestion front door: corpus-so-far state is
+   * the manifest-pruned parquet index, stream state is only source
+   * offsets — no executor-memory signature store to size or lose.
+   */
+  def incrementalNearDupSink(stream: DataFrame, indexDir: String,
+                             survivorsDir: String, checkpointDir: String,
+                             textCol: String, idCol: String,
+                             numHashes: Int, bands: Int, seed: Long = 42L,
+                             shingleN: Int = 1, threshold: Double = 0.8,
+                             maxBucketSize: Int = 4096, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processIndexBatch(batch, batchId, indexDir, survivorsDir,
+          textCol, idCol, numHashes, bands, seed, shingleN, threshold,
+          maxBucketSize)
+        // index maintenance from the single-writer path, AFTER the
+        // batch's commit marker: a crash here only defers compaction
+        // to a later batch, never loses or replays rows
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          compactIndex(batch.sparkSession, indexDir)
+        ()
+      }
+      .start()
+
   /**
    * Compaction of the incremental signature index — now a
    * [[graft.sources.GraftTable]] maintenance call: [[incrementalNearDup]]
@@ -549,28 +641,21 @@ object Dedup {
    * index join resolves all buckets in one shot and keeps corpus state
    * out of the state store entirely.
    */
+  /** Alias for [[incrementalNearDupSink]] — the original name of the
+    * streaming leg. Round 12 replaced its mode("append") survivor
+    * writes (which double-wrote on a foreachBatch replay) with the
+    * commit-marked per-batch path: survivors land under
+    * `<survivorDir>/batch-<id>` (overwrite — idempotent) and replayed
+    * batches are skipped via `_streaming_commits` markers. */
   def nearDupStream(stream: DataFrame, indexDir: String, survivorDir: String,
                     checkpointDir: String, textCol: String, idCol: String,
                     numHashes: Int, bands: Int, seed: Long = 42L,
                     shingleN: Int = 1, threshold: Double = 0.8,
                     maxBucketSize: Int = 4096, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val survivors = incrementalNearDup(batch, indexDir, textCol, idCol,
-          numHashes, bands, seed, shingleN, threshold, maxBucketSize)
-        survivors.write.mode("append").parquet(survivorDir)
-        survivors.unpersist(blocking = false)
-        // index maintenance from the single-writer path (the safe spot —
-        // see compactIndex): every `compactEvery` microbatches the
-        // per-batch append files collapse into bucket-clustered files
-        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
-          compactIndex(batch.sparkSession, indexDir)
-        ()
-      }
-      .start()
+    incrementalNearDupSink(stream, indexDir, survivorDir, checkpointDir,
+      textCol, idCol, numHashes, bands, seed, shingleN, threshold,
+      maxBucketSize, compactEvery)
 
   // -------------------------------------------------------------- simhash
 

@@ -184,8 +184,11 @@ object GraftTable {
                           prev: Snapshot, incoming: DataFrame): Unit = {
     if (prev.files.isEmpty) return
     val existing = spark.read.parquet(prev.files.head.path).schema
-    val a = existing.fields.map(f => (f.name, f.dataType)).toSet
-    val b = incoming.schema.fields.map(f => (f.name, f.dataType)).toSet
+    // catalogString, not DataType equality: parquet read-back flips
+    // array/struct NULLABILITY flags (containsNull) that don't change
+    // what rows fit the table — names + value types are the contract
+    val a = existing.fields.map(f => (f.name, f.dataType.catalogString)).toSet
+    val b = incoming.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSet
     require(a == b,
       s"GraftTable.append: schema mismatch at $dir — table has " +
         s"${existing.fields.map(f => s"${f.name}:${f.dataType.simpleString}").sorted.mkString(", ")} " +

@@ -67,10 +67,77 @@ class IncrementalDedupSpec extends GraftSpec {
       query.processAllAvailable()
       mem.addData(Seq((4L, nearDup("a")), (5L, doc("e"))))
       query.processAllAvailable()
-      val kept = spark.read.parquet(survivorDir)
+      val kept = spark.read.parquet(s"$survivorDir/batch-*")
         .select("doc_id").as[Long].collect().sorted.toSeq
       assert(kept == Seq(1L, 3L, 5L))
+      // per-batch commit markers exist for both microbatches
+      assert(Dedup.isIndexBatchCommitted(spark, indexDir, 0L))
+      assert(Dedup.isIndexBatchCommitted(spark, indexDir, 1L))
     } finally query.stop()
+  }
+
+  test("checkpoint restart resumes at the first unprocessed batch") {
+    // FILE source, not MemoryStream: the memory source is not
+    // checkpoint-recoverable (its offsets reset per instance) — file-
+    // source offset recovery is the production restart path anyway
+    val base = Files.createTempDirectory("nd_restart").toString
+    val (inDir, indexDir, survivorDir, ckpt) =
+      (s"$base/in", s"$base/idx", s"$base/out", s"$base/ckpt")
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+    def addFile(name: String, data: Seq[(Long, String)]): Unit = {
+      val tmp = s"$base/tmp_$name"
+      data.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      assert(part.renameTo(new java.io.File(s"$inDir/$name.parquet")))
+    }
+    val schemaSeed = Seq((0L, "")).toDF("doc_id", "text").schema
+    def run(): Unit = {
+      val q = Dedup.incrementalNearDupSink(
+        spark.readStream.schema(schemaSeed)
+          .option("maxFilesPerTrigger", "1").parquet(inDir),
+        indexDir, survivorDir, ckpt,
+        "text", "doc_id", numHashes = 16, bands = 4, seed = 42L,
+        shingleN = 3, threshold = 0.8)
+      try q.processAllAvailable() finally q.stop()
+    }
+    addFile("b0", Seq((1L, doc("a")), (2L, nearDup("a")), (3L, doc("c"))))
+    run()
+    assert(Dedup.isIndexBatchCommitted(spark, indexDir, 0L))
+    val idsAfter1 = graft.sources.GraftTable.snapshotIds(spark, indexDir)
+    // new data lands, the query restarts from the SAME checkpoint: the
+    // recovered source offset skips b0 — batch-0 state must be untouched
+    // and b1 must process as the next batch against the standing index
+    addFile("b1", Seq((4L, nearDup("a")), (5L, doc("e"))))
+    run()
+    assert(Dedup.isIndexBatchCommitted(spark, indexDir, 1L))
+    val kept = spark.read.parquet(s"$survivorDir/batch-*")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L), s"got $kept")
+    assert(graft.sources.GraftTable.snapshotIds(spark, indexDir)
+      .length > idsAfter1.length, "second run must append to the index")
+  }
+
+  test("a replayed batch id is skipped: index and survivors unchanged") {
+    val base = Files.createTempDirectory("nd_replay").toString
+    val (indexDir, survivorDir) = (s"$base/idx", s"$base/out")
+    val batch = Seq((1L, doc("a")), (2L, nearDup("a"))).toDF("doc_id", "text")
+    Dedup.processIndexBatch(batch, 0L, indexDir, survivorDir,
+      "text", "doc_id", numHashes = 16, bands = 4, seed = 42L,
+      shingleN = 3, threshold = 0.8)
+    val ids = graft.sources.GraftTable.snapshotIds(spark, indexDir)
+    val kept = spark.read.parquet(s"$survivorDir/batch-0")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L))
+    // replay the SAME batch id (the foreachBatch restart contract):
+    // the commit marker short-circuits — no new snapshot, same rows
+    Dedup.processIndexBatch(batch, 0L, indexDir, survivorDir,
+      "text", "doc_id", numHashes = 16, bands = 4, seed = 42L,
+      shingleN = 3, threshold = 0.8)
+    assert(graft.sources.GraftTable.snapshotIds(spark, indexDir) == ids)
+    assert(spark.read.parquet(s"$survivorDir/batch-0")
+      .select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L))
   }
 
   test("index compaction: fewer files, identical signature rows, index stays live") {
