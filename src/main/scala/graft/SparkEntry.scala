@@ -1861,6 +1861,85 @@ object SparkEntry {
         .select(col("doc_id"), col("bucket"), col("n_tokens"))
     }),
 
+    // curation v13 — the MULTIMODAL front door (round 12): the codec kit
+    // composed into one gated pipeline. Each doc carries a media blob
+    // (doc_id%3: PNG image / MP3 audio / H.264 video, all real encoders),
+    // then per-modality codec gates — image: real decode + dHash56
+    // near-dup keep-min (docs 6k and 6k+3 share an md5-noise base, the
+    // odd one +3/channel brightness — the gradient hash provably cancels
+    // it, so every planted pair drops its later member); audio: MP3
+    // frame walk with duration >= 130 ms, bitrate >= 128 kbps, zero bad
+    // frames; video: H.264 SPS walk with fps >= 25, frames >= 5,
+    // width >= 48, zero bad NALs — and finally the CCNet-style per-source
+    // sqrt cap over the union. The oracle replays everything from the
+    // fixture formulas: the dHash grid arithmetic, the MP3/H.264 header
+    // math, and the md5-rank cap rule. At 100 TB the shape is: blobs
+    // never shuffle (codec gates are mapPartitions projections), only
+    // (id, hash/meta) rows move — the dHash band join and the
+    // O(#sources) cap are the exchanges.
+    "q_curate13" -> ((s, dir) => {
+      import graft.operators.{Mp3Codec, H264Codec}
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"))
+      val imgUdf = udf { (id: Long) =>
+        val seed = id / 6
+        val bright = (3 * ((id / 3) % 2)).toInt
+        Multimodal.RealCodecs.encodePng(16, 12, (x, y) => {
+          val h = graft.operators.Dedup.md5LongJvm(s"cx_${seed}_${x}_$y")
+          ((h % 247).toInt + bright, ((h / 247) % 247).toInt + bright,
+            ((h / 247 / 247) % 247).toInt + bright)
+        })
+      }
+      val mp3Udf = udf { (id: Long) =>
+        Mp3Codec.encodeSilent(
+          sampleRate = if (id % 2 == 1) 44100 else 32000, channels = 1,
+          frames = (3 + id % 5).toInt,
+          bitrateKbps = if (id % 4 < 2) 192 else 96, withCrc = false)
+      }
+      val vidUdf = udf { (id: Long) =>
+        H264Codec.encodeFixture(
+          width = 16 * (2 + (id % 4).toInt),
+          height = 16 * (3 + (id % 3).toInt),
+          frames = (3 + id % 6).toInt,
+          fps = if (id % 2 == 0) 30.0 else 24.0,
+          profileIdc = 66, levelIdc = 31, slicesPerFrame = 1, cropRight = 0)
+      }
+      // image leg: decode-verified stats + near-dup keep-min. Radius
+      // adapts on the same corpus-count rule as q_image_dedup (and the
+      // oracle replays the identical CASE), so the band join stays
+      // selective at every scale factor.
+      val radius =
+        if (tbl(s, dir, "documents").count() > 200000L) 1 else 3
+      val img = docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
+        .select(col("doc_id"), imgUdf(col("doc_id")).as("blob"))
+      val imgOk = Multimodal.imageStats(img, "doc_id", "blob", batchSize = 32)
+        .filter(col("width").isNotNull && col("width") * col("height") >= 64)
+        .select(col("media_id").as("doc_id"))
+      val losers = Multimodal.imageNearDupPairs(img, "doc_id", "blob",
+          radius = radius)
+        .select(col("id_b").as("doc_id")).distinct()
+      val imgKept = imgOk.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("image").as("kind"))
+      // audio leg: MP3 frame-walk gates
+      val aud = docs.filter(pmod(col("doc_id"), lit(3L)) === 1)
+        .select(col("doc_id"), mp3Udf(col("doc_id")).as("blob"))
+      val audKept = Multimodal.mp3Info(aud, "doc_id", "blob", batchSize = 32)
+        .filter(col("format") === "mp3" && col("bad_frames") === 0 &&
+          col("duration_ms") >= 130 && col("bitrate_kbps") >= 128)
+        .select(col("media_id").as("doc_id"), lit("audio").as("kind"))
+      // video leg: H.264 SPS-walk gates
+      val vid = docs.filter(pmod(col("doc_id"), lit(3L)) === 2)
+        .select(col("doc_id"), vidUdf(col("doc_id")).as("blob"))
+      val vidKept = Multimodal.h264Info(vid, "doc_id", "blob", batchSize = 32)
+        .filter(col("format") === "h264" && col("bad_nals") === 0 &&
+          col("fps") >= 25.0 && col("frames") >= 5 && col("width") >= 48)
+        .select(col("media_id").as("doc_id"), lit("video").as("kind"))
+      val gated = imgKept.unionByName(audKept).unionByName(vidKept)
+        .join(docs, Seq("doc_id"))
+      Sampling.sourceCap(gated, col("source"), col("doc_id"))
+        .select(col("doc_id"), col("kind"), col("source"))
+    }),
+
     "q_curate11" -> ((s, dir) => {
       import graft.operators.{TextAnalysis, Robots, Sampling}
       val restrictive =
@@ -6022,6 +6101,65 @@ object SparkEntry {
         |SELECT f.doc_id, f.bucket, f.n AS n_tokens
         |FROM fresh f JOIN keep k ON f.doc_id = k.doc_id
         |WHERE f.n BETWEEN 5 AND 5000""".stripMargin,
+
+    // the multimodal front door replayed from the fixture formulas:
+    // dHash grid arithmetic for the image keep-min (q_image_dedup's
+    // cell CTEs with the cx_ seed/brightness plan), MP3/H.264 header
+    // math for the audio/video gates, md5-rank sqrt caps per source
+    "q_curate13" ->
+      """WITH base AS (SELECT doc_id, source FROM documents
+        |  WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, doc_id // 6 AS seed, 3 * ((doc_id // 3) % 2) AS br
+        |      FROM base WHERE doc_id % 3 = 0),
+        |px AS (SELECT d.doc_id, d.br, x.x, y.y,
+        |    ('0x' || substr(md5('cx_' || CAST(d.seed AS VARCHAR) || '_'
+        |      || CAST(x.x AS VARCHAR) || '_' || CAST(y.y AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM d, range(0, 16) x(x), range(0, 12) y(y)),
+        |cell AS (SELECT px.doc_id, i.i, j.j,
+        |    CAST(sum(px.h % 247 + (px.h // 247) % 247
+        |      + (px.h // 247 // 247) % 247 + 3 * px.br)
+        |      // count(*) AS BIGINT) AS g
+        |  FROM px, range(0, 9) i(i), range(0, 7) j(j)
+        |  WHERE px.x >= i.i * 16 // 9 AND px.x < (i.i + 1) * 16 // 9
+        |    AND px.y >= j.j * 12 // 7 AND px.y < (j.j + 1) * 12 // 7
+        |  GROUP BY px.doc_id, i.i, j.j),
+        |hh AS (SELECT a.doc_id,
+        |    CAST(coalesce(sum(CASE WHEN a.g > b.g
+        |      THEN CAST(1 AS BIGINT) << CAST(a.j * 8 + a.i AS INTEGER)
+        |      ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS fp
+        |  FROM cell a JOIN cell b
+        |    ON a.doc_id = b.doc_id AND a.j = b.j AND b.i = a.i + 1
+        |  WHERE a.i < 8
+        |  GROUP BY a.doc_id),
+        |imgkept AS (SELECT a.doc_id FROM hh a WHERE NOT EXISTS (
+        |    SELECT 1 FROM hh b WHERE b.doc_id < a.doc_id
+        |      AND bit_count(xor(a.fp, b.fp)) <=
+        |        CASE WHEN (SELECT count(*) FROM documents) > 200000
+        |             THEN 1 ELSE 3 END)),
+        |audkept AS (SELECT doc_id FROM base WHERE doc_id % 3 = 1
+        |  AND ((3 + doc_id % 5) * 1152 * 1000)
+        |    // (CASE WHEN doc_id % 2 = 1 THEN 44100 ELSE 32000 END) >= 130
+        |  AND (CASE WHEN doc_id % 4 < 2 THEN 192 ELSE 96 END) >= 128),
+        |vidkept AS (SELECT doc_id FROM base WHERE doc_id % 3 = 2
+        |  AND (CASE WHEN doc_id % 2 = 0 THEN 30.0 ELSE 24.0 END) >= 25
+        |  AND (3 + doc_id % 6) >= 5
+        |  AND 16 * (2 + doc_id % 4) >= 48),
+        |gated AS (SELECT b.doc_id,
+        |    CASE b.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind, b.source
+        |  FROM base b JOIN (SELECT doc_id FROM imgkept UNION ALL
+        |    SELECT doc_id FROM audkept UNION ALL
+        |    SELECT doc_id FROM vidkept) k ON k.doc_id = b.doc_id),
+        |c AS (SELECT source, count(*) AS n FROM gated GROUP BY source),
+        |caps AS (SELECT source, n,
+        |    greatest(2, CAST(ceil(sqrt(n)) AS BIGINT)) AS cap FROM c),
+        |r AS (SELECT g.doc_id, g.kind, g.source, caps.cap, caps.n,
+        |    row_number() OVER (PARTITION BY g.source ORDER BY
+        |      ('0x' || substr(md5(CAST(g.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % 1000000, g.doc_id) AS rk
+        |  FROM gated g JOIN caps USING (source))
+        |SELECT doc_id, kind, source FROM r
+        |WHERE n <= cap OR rk <= cap""".stripMargin,
 
     // the snapshot CTEs + hash dedup (min-id within delta, anti vs the
     // standing unchanged hashes) + the word-count band — one chain
