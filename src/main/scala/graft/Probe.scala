@@ -699,3 +699,109 @@ object IndexProbe {
     spark.stop()
   }
 }
+
+/**
+ * Manifest mechanics at REALISTIC file counts (round-12, verdict #7):
+ * IndexProbe's pruning claim extrapolated from 22 files; this probe
+ * measures the driver-side manifest costs that actually bound the
+ * design — parse time, prune time, manifest bytes — at 10^4 REAL files
+ * (a built table, pruned reads included) and 10^5/10^6 SYNTHETIC
+ * manifest entries (same JSON shape, fake paths — the parse/prune cost
+ * is a pure function of the entry list, no data files needed).
+ */
+object ManifestProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Dedup
+    import graft.sources.GraftTable
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[manifest] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    // ---- 10^4 REAL files: 16 appends x 640 range-clustered files ----
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("text").isNotNull).select(col("doc_id"), col("text"))
+    println(s"[manifest] corpus docs: ${docs.count()}")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_manifest_probe_").toString + "/idx"
+    val filesPerAppend = sys.env.getOrElse("SPARK_GRAFT_MANIFEST_FILES", "640").toInt
+    val appends = sys.env.getOrElse("SPARK_GRAFT_MANIFEST_APPENDS", "16").toInt
+    t(s"ingest-$appends-appends-x-$filesPerAppend-files") {
+      (0 until appends).foreach { k =>
+        val part = docs.filter(pmod(col("doc_id"), lit(appends)) === k)
+        val sig = Dedup.bandedShingleRowsPublic(part, "text", "doc_id", 16, 4, 42L, 3)
+          .withColumn("__bkey", xxhash64(col("__bucket")))
+        GraftTable.append(sig, idx, "__bkey", numFiles = Some(filesPerAppend))
+      }
+    }
+    val snap = GraftTable.snapshot(spark, idx).get
+    val manifestPath = java.nio.file.Paths.get(
+      s"$idx/_manifests/snapshot-${"%09d".format(snap.id)}.json")
+    println(s"[manifest] files=${snap.files.length} " +
+      s"manifestBytes=${java.nio.file.Files.size(manifestPath)}")
+    val parse1 = t("parse-10^4-manifest")(
+      GraftTable.snapshot(spark, idx).get.files.length)
+    require(parse1 == snap.files.length)
+    // a 10^4-doc microbatch's bucket-key set against the 10^4-file table
+    val batch = docs.limit(10000)
+      .withColumn("doc_id", col("doc_id") + 1000000000L).localCheckpoint(true)
+    val keys = Dedup.bandedShingleRowsPublic(batch, "text", "doc_id", 16, 4, 42L, 3)
+      .select(xxhash64(col("__bucket")).as("k")).distinct()
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    val touched = t("prune-10^4-files")(
+      GraftTable.readForBuckets(spark, idx, keys, residualFilter = false)
+        .inputFiles.length)
+    println(s"[manifest] ${keys.length} keys touch $touched of " +
+      s"${snap.files.length} files (hit fraction " +
+      f"${touched.toDouble / snap.files.length}%.3f)")
+    val stepT0 = System.nanoTime()
+    val surv = Dedup.incrementalNearDup(batch, idx, "text", "doc_id",
+      16, 4, 42L, 3, 0.8).count()
+    println(f"[manifest] 10^4-doc dedup step vs 10^4-file table: " +
+      f"${(System.nanoTime() - stepT0) / 1e9}%.2f s, $surv survivors")
+    // ---- synthetic manifests: parse+prune cost at 10^5 / 10^6 entries ----
+    Seq(100000, 1000000).foreach { n =>
+      val synth = java.nio.file.Files
+        .createTempDirectory(s"graft_manifest_synth_${n}_").toString + "/t"
+      val md = java.nio.file.Paths.get(s"$synth/_manifests")
+      java.nio.file.Files.createDirectories(md)
+      val sb = new StringBuilder()
+      sb.append("""{"id":1,"bucketCol":"__bkey","files":[""")
+      var i = 0
+      val span = Long.MaxValue / n * 2 // disjoint ranges across the hash line
+      while (i < n) {
+        if (i > 0) sb.append(',')
+        val lo = Long.MinValue + i.toLong * span
+        sb.append(s"""{"path":"/synthetic/part-$i.parquet","rows":100000,""" +
+          s""""bytes":134217728,"minBucket":$lo,"maxBucket":${lo + span - 1},""" +
+          s""""addedAt":1,"kind":"append"}""")
+        i += 1
+      }
+      sb.append("]}")
+      java.nio.file.Files.write(md.resolve("snapshot-000000001.json"),
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[manifest] synthetic n=$n bytes=${sb.length}")
+      val parsed = t(s"parse-$n-entries")(
+        GraftTable.snapshot(spark, synth).get)
+      require(parsed.files.length == n)
+      // prune the 10^4-doc key set against it (driver-side sorted merge)
+      val t0 = System.nanoTime()
+      val bs = keys.distinct.sorted
+      val hit = parsed.files.count { e =>
+        val j = java.util.Arrays.binarySearch(bs, e.minBucket)
+        val from = if (j >= 0) j else -j - 1
+        from < bs.length && bs(from) <= e.maxBucket
+      }
+      println(f"[manifest] prune-$n-entries: ${(System.nanoTime() - t0) / 1e9}%.3f s, " +
+        s"$hit of $n files hit for ${bs.length} keys")
+    }
+    spark.stop()
+  }
+}
