@@ -3150,6 +3150,46 @@ object SparkEntry {
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
     }),
 
+    // catalog layer (round 12): names → tables with MULTI-TABLE atomic
+    // commits. The standing corpus and its content-hash index are two
+    // GraftTables under one catalog; the crawl appends advance BOTH
+    // table HEADs, but catalog readers keep seeing the pinned standing
+    // state until ONE commit moves both pins — a reader can never
+    // observe the corpus advanced past the index (the consistency a
+    // multi-table curation pipeline needs). The output combines the
+    // pinned-v1 reads with the post-commit read: if pins leaked, the
+    // standing counts would show crawl rows and the oracle would catch it
+    "q_table_catalog" -> ((s, dir) => {
+      import graft.sources.{GraftCatalog, GraftTable}
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(64)).as("bucket"),
+          md5(col("text").cast("string")).as("h"))
+      val cat = GraftTable.scratchTable("catalog")
+      val tc = GraftTable.scratchTable("cat_corpus")
+      val ti = GraftTable.scratchTable("cat_index")
+      val standing = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      GraftTable.append(standing, tc, "bucket")
+      GraftTable.append(standing.select(col("bucket"), col("h")), ti, "bucket")
+      val v1 = GraftCatalog.commit(s, cat, updates = Map.empty,
+        register = Map("corpus" -> tc, "index" -> ti))
+      val crawl = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val c2 = GraftTable.append(crawl, tc, "bucket")
+      val i2 = GraftTable.append(crawl.select(col("bucket"), col("h")), ti, "bucket")
+      // pinned reads resolve v1's snapshot file lists NOW — immutable
+      val standingCorpus = GraftCatalog.read(s, cat, "corpus")
+      val standingIdx = GraftCatalog.read(s, cat, "index")
+      GraftCatalog.commit(s, cat,
+        updates = Map("corpus" -> c2.id, "index" -> i2.id),
+        basedOn = Some(v1.version))
+      val fullCorpus = GraftCatalog.read(s, cat, "corpus")
+      standingCorpus.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("standing_docs"))
+        .join(fullCorpus.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("total_docs")), Seq("bucket"))
+        .join(standingIdx.groupBy(col("bucket"))
+          .agg(countDistinct(col("h")).as("standing_keys")), Seq("bucket"))
+    }),
+
     // composed curation v8 — the INCREMENTAL ingest path (at 100 TB you
     // re-curate the delta, not the corpus): snapshot diff selects
     // added/changed docs; exact dedup keeps the lowest id per content
@@ -6084,6 +6124,23 @@ object SparkEntry {
       """SELECT doc_id % 64 AS bucket, CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents WHERE text IS NOT NULL AND doc_id % 3 IN (1, 2)
         |GROUP BY 1""".stripMargin,
+
+    // catalog pins are value-invisible when they work (pinned = the
+    // standing subset, post-commit = everything), so the replay is
+    // plain filters — a pin leak would inflate the standing counts
+    "q_table_catalog" ->
+      """WITH d AS (SELECT doc_id, doc_id % 64 AS bucket, md5(text) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |st AS (SELECT bucket, CAST(count(*) AS BIGINT) AS standing_docs
+        |  FROM d WHERE doc_id % 3 = 0 GROUP BY 1),
+        |tot AS (SELECT bucket, CAST(count(*) AS BIGINT) AS total_docs
+        |  FROM d GROUP BY 1),
+        |idx AS (SELECT bucket, CAST(count(DISTINCT h) AS BIGINT)
+        |    AS standing_keys
+        |  FROM d WHERE doc_id % 3 = 0 GROUP BY 1)
+        |SELECT st.bucket, st.standing_docs, tot.total_docs,
+        |  idx.standing_keys
+        |FROM st JOIN tot USING (bucket) JOIN idx USING (bucket)""".stripMargin,
 
     // the table mechanics (append/time-travel/delta) are value-invisible
     // so the recurate pass replays as plain filters: standing = %3=0

