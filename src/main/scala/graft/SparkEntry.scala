@@ -2261,6 +2261,10 @@ object SparkEntry {
         "text", "doc_id", mhHashes, mhBands, mhSeed, mhShingle,
         threshold = 0.8)
       try q.processAllAvailable() finally q.stop()
+      // (reading the batch-* glob logs a benign "WARN FileStreamSink:
+      // Assume no metadata directory" with a FileNotFoundException body
+      // — that is the sink-detection probe failing on a glob, not an
+      // error in this query)
       s.read.parquet(s"$surv/batch-*").select(col("doc_id"), col("batch"))
     }),
 

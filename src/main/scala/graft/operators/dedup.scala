@@ -283,10 +283,21 @@ object Dedup {
   def minhashNearDupPairs(df: DataFrame, textCol: String, idCol: String,
                           numHashes: Int, bands: Int, seed: Long = 42L,
                           shingleN: Int = 1, threshold: Double = 0.8,
-                          maxBucketSize: Int = 4096): DataFrame = {
-    val spark = df.sparkSession
+                          maxBucketSize: Int = 4096): DataFrame =
+    pairsFromBandedRows(
+      bandedShingleRows(df, textCol, idCol, numHashes, bands, seed, shingleN),
+      threshold, maxBucketSize)
+
+  /** Verified near-dup pairs from an ALREADY-BUILT banded relation —
+    * factored out (round 12) so [[incrementalNearDup]] reuses its
+    * persisted banded rows instead of re-running the signature UDF
+    * over the batch a second time. */
+  private[operators] def pairsFromBandedRows(banded: DataFrame,
+                                             threshold: Double,
+                                             maxBucketSize: Int): DataFrame = {
+    val spark = banded.sparkSession
     import spark.implicits._
-    bandedShingleRows(df, textCol, idCol, numHashes, bands, seed, shingleN)
+    banded
       .as[(String, Long, Array[Long])]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
@@ -479,9 +490,10 @@ object Dedup {
             .filter(jacUdf(col("n.__sh"), col("o.__sh")))
             .select(col("n.__id").as("__id")).distinct()
         } else spark.emptyDataset[Long].toDF("__id")
-      // within-batch near-dup clusters (same machinery as the batch path)
-      val pairs = minhashNearDupPairs(batch, textCol, idCol,
-        numHashes, bands, seed, shingleN, threshold, maxBucketSize)
+      // within-batch near-dup clusters (same machinery as the batch
+      // path, fed from the PERSISTED banded rows — round 12: the old
+      // call re-ran the signature UDF over the batch a second time)
+      val pairs = pairsFromBandedRows(banded, threshold, maxBucketSize)
       val cl = clusters(pairs) // (id, cluster_id = min reachable id)
       // a cluster is poisoned when any member matched the index; in clean
       // clusters only the minimum id survives
