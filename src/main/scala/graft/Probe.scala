@@ -742,10 +742,13 @@ object ManifestProbe {
       }
     }
     val snap = GraftTable.snapshot(spark, idx).get
-    val manifestPath = java.nio.file.Paths.get(
+    val meta = GraftTable.snapshotMeta(spark, idx).get
+    val listPath = java.nio.file.Paths.get(
       s"$idx/_manifests/snapshot-${"%09d".format(snap.id)}.json")
-    println(s"[manifest] files=${snap.files.length} " +
-      s"manifestBytes=${java.nio.file.Files.size(manifestPath)}")
+    val shardBytes = meta.refs.map(r =>
+      java.nio.file.Files.size(java.nio.file.Paths.get(s"$idx/_manifests/${r.name}"))).sum
+    println(s"[manifest] files=${snap.files.length} shards=${meta.refs.length} " +
+      s"listBytes=${java.nio.file.Files.size(listPath)} shardBytes=$shardBytes")
     val parse1 = t("parse-10^4-manifest")(
       GraftTable.snapshot(spark, idx).get.files.length)
     require(parse1 == snap.files.length)
@@ -766,41 +769,74 @@ object ManifestProbe {
       16, 4, 42L, 3, 0.8).count()
     println(f"[manifest] 10^4-doc dedup step vs 10^4-file table: " +
       f"${(System.nanoTime() - stepT0) / 1e9}%.2f s, $surv survivors")
-    // ---- synthetic manifests: parse+prune cost at 10^5 / 10^6 entries ----
+    // ---- synthetic manifests: parse+prune cost at 10^5 / 10^6 entries
+    // (two-level shapes written directly — same JSON GraftTable emits;
+    // fake data paths, since parse/prune cost is a pure function of the
+    // entry list) ----
     Seq(100000, 1000000).foreach { n =>
       val synth = java.nio.file.Files
         .createTempDirectory(s"graft_manifest_synth_${n}_").toString + "/t"
       val md = java.nio.file.Paths.get(s"$synth/_manifests")
       java.nio.file.Files.createDirectories(md)
-      val sb = new StringBuilder()
-      sb.append("""{"id":1,"bucketCol":"__bkey","files":[""")
-      var i = 0
+      val perShard = 8192 // GraftTable.MaxShardEntries
       val span = Long.MaxValue / n * 2 // disjoint ranges across the hash line
+      def entryLo(i: Int) = Long.MinValue + i.toLong * span
+      val refs = new StringBuilder()
+      var shard = 0
+      var totalShardBytes = 0L
+      var i = 0
       while (i < n) {
-        if (i > 0) sb.append(',')
-        val lo = Long.MinValue + i.toLong * span
-        sb.append(s"""{"path":"/synthetic/part-$i.parquet","rows":100000,""" +
-          s""""bytes":134217728,"minBucket":$lo,"maxBucket":${lo + span - 1},""" +
-          s""""addedAt":1,"kind":"append"}""")
-        i += 1
+        val hiIdx = math.min(i + perShard, n)
+        val sb = new StringBuilder()
+        sb.append("""{"entries":[""")
+        var j = i
+        while (j < hiIdx) {
+          if (j > i) sb.append(',')
+          sb.append(s"""{"path":"/synthetic/part-$j.parquet","rows":100000,""" +
+            s""""bytes":134217728,"minBucket":${entryLo(j)},"maxBucket":${entryLo(j) + span - 1}}""")
+          j += 1
+        }
+        sb.append("]}")
+        val name = f"manifest-synth$shard%05d-0.json"
+        java.nio.file.Files.write(md.resolve(name),
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        totalShardBytes += sb.length
+        if (shard > 0) refs.append(',')
+        refs.append(s"""{"name":"$name","nFiles":${hiIdx - i},""" +
+          s""""rows":${(hiIdx - i) * 100000L},"bytes":${(hiIdx - i) * 134217728L},""" +
+          s""""minBucket":${entryLo(i)},"maxBucket":${entryLo(hiIdx - 1) + span - 1},""" +
+          """"addedAt":1,"kind":"append"}""")
+        shard += 1
+        i = hiIdx
       }
-      sb.append("]}")
       java.nio.file.Files.write(md.resolve("snapshot-000000001.json"),
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      println(s"[manifest] synthetic n=$n bytes=${sb.length}")
-      val parsed = t(s"parse-$n-entries")(
-        GraftTable.snapshot(spark, synth).get)
+        (s"""{"id":1,"bucketCol":"__bkey","manifests":[""" + refs + "]}")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[manifest] synthetic n=$n shards=$shard " +
+        s"listBytes=${java.nio.file.Files.size(md.resolve("snapshot-000000001.json"))} " +
+        s"shardBytes=$totalShardBytes")
+      // measurement order is cache-aware (shards cache once parsed):
+      // list parse cold, then the narrow-range prune COLD (parses only
+      // its hit shards — the headline two-level win), then the key-set
+      // prune (parses the rest cold), then full materialization (warm —
+      // the steady-state snapshot() cost after any pruned read)
+      val metaT = t(s"parse-list-$n")(GraftTable.snapshotMeta(spark, synth).get)
+      require(metaT.refs.map(_.nFiles).sum == n)
+      // the clustered-range case — ref-level pruning skips ~all shards
+      val lo = entryLo(n / 2)
+      val (_, rangeHit) = t(s"pruneRange-$n-cold")(
+        GraftTable.pruneRange(spark, synth, lo, lo + span * 10))
+      println(s"[manifest] pruneRange-$n: ${rangeHit.length} files, " +
+        s"ref-level shard skip leaves ~1 shard of $shard")
+      // the 10^4-key set (uniform hash keys: every shard is hit — the
+      // worst case for ref-level pruning; entry-level pruning still
+      // cuts 10^6 files to ~|keys|)
+      val (_, hitSet) = t(s"pruneForBuckets-$n-mostly-cold")(
+        GraftTable.pruneForBuckets(spark, synth, keys))
+      println(s"[manifest] pruneForBuckets-$n: ${hitSet.length} of $n files hit " +
+        s"for ${keys.distinct.length} keys")
+      val parsed = t(s"materialize-$n-entries-warm")(GraftTable.snapshot(spark, synth).get)
       require(parsed.files.length == n)
-      // prune the 10^4-doc key set against it (driver-side sorted merge)
-      val t0 = System.nanoTime()
-      val bs = keys.distinct.sorted
-      val hit = parsed.files.count { e =>
-        val j = java.util.Arrays.binarySearch(bs, e.minBucket)
-        val from = if (j >= 0) j else -j - 1
-        from < bs.length && bs(from) <= e.maxBucket
-      }
-      println(f"[manifest] prune-$n-entries: ${(System.nanoTime() - t0) / 1e9}%.3f s, " +
-        s"$hit of $n files hit for ${bs.length} keys")
     }
     spark.stop()
   }

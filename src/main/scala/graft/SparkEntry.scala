@@ -3154,6 +3154,32 @@ object SparkEntry {
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
     }),
 
+    // schema evolution (round 12): the crawl starts shipping a `lang`
+    // column mid-stream. mergeSchema appends it to the TABLE schema
+    // (stored in the manifest list, the Iceberg shape); rows written
+    // before the column existed read back as null through the stored-
+    // schema scan — including AFTER a compaction rewrites them. The
+    // aggregate groups on coalesce(lang,'_pre'), so a wrong null story
+    // (dropped rows, misattributed lang) shifts counts and the oracle
+    // catches it
+    "q_table_evolve" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(64)).as("bucket"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val t = graft.sources.GraftTable.scratchTable("evolve")
+      graft.sources.GraftTable.append(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0), t, "bucket")
+      graft.sources.GraftTable.append(
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+          .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(4)))),
+        t, "bucket", mergeSchema = true)
+      graft.sources.GraftTable.compact(s, t, targetFileBytes = 1L << 30,
+        minFiles = 2)
+      graft.sources.GraftTable.read(s, t)
+        .groupBy(coalesce(col("lang"), lit("_pre")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
     // catalog layer (round 12): names → tables with MULTI-TABLE atomic
     // commits. The standing corpus and its content-hash index are two
     // GraftTables under one catalog; the crawl appends advance BOTH
@@ -6128,6 +6154,19 @@ object SparkEntry {
       """SELECT doc_id % 64 AS bucket, CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents WHERE text IS NOT NULL AND doc_id % 3 IN (1, 2)
         |GROUP BY 1""".stripMargin,
+
+    // schema evolution is value-visible only through the null story:
+    // pre-evolution rows group under '_pre', evolved rows under their
+    // lang label — replayed as a CASE over the same source rows
+    "q_table_evolve" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT CASE WHEN doc_id % 3 = 0 THEN '_pre'
+        |            ELSE 'l' || CAST(doc_id % 4 AS VARCHAR) END AS lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS sum_tokens
+        |FROM d GROUP BY 1""".stripMargin,
 
     // catalog pins are value-invisible when they work (pinned = the
     // standing subset, post-commit = everything), so the replay is

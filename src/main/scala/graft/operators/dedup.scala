@@ -473,8 +473,8 @@ object Dedup {
       // handful of files, not all of them. Key-set collect is bounded
       // by batch-docs x bands; past the cap the full snapshot reads.
       val indexMatched: DataFrame =
-        if (graft.sources.GraftTable.snapshot(spark, indexDir)
-              .exists(_.files.nonEmpty)) {
+        if (graft.sources.GraftTable.snapshotMeta(spark, indexDir)
+              .exists(_.refs.nonEmpty)) {
           val maxPruneKeys = 1 << 20
           val batchKeys = banded
             .select(xxhash64(col("__bucket")).as("k")).distinct()
@@ -632,8 +632,8 @@ object Dedup {
                    targetFileBytes: Long = 128L << 20,
                    minFiles: Int = 8): (Int, Int) = {
     require(targetFileBytes > 0 && minFiles >= 2, "bad compaction params")
-    val before = graft.sources.GraftTable.snapshot(spark, indexDir)
-      .map(_.files.length).getOrElse(0)
+    val before = graft.sources.GraftTable.snapshotMeta(spark, indexDir)
+      .map(_.refs.map(_.nFiles).sum).getOrElse(0)
     if (before < minFiles) return (before, before)
     val snap = graft.sources.GraftTable.compact(
       spark, indexDir, targetFileBytes, minFiles)

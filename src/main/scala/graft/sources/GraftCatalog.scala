@@ -176,7 +176,7 @@ object GraftCatalog {
         val pin = updates.getOrElse(n,
           latestTables.find(_.name == n).map(_.snapshotId).getOrElse(
             // newly registered without an explicit pin: pin its latest
-            GraftTable.snapshot(spark, dirs(n)).map(_.id).getOrElse(0L)))
+            GraftTable.snapshotMeta(spark, dirs(n)).map(_.id).getOrElse(0L)))
         TableRef(n, dirs(n), pin)
       }
       val next = Version(latest.map(_.version + 1).getOrElse(1L), tables)

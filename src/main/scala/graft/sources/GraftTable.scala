@@ -11,32 +11,49 @@ import org.apache.spark.sql.functions._
  * atomic publish, file-level statistics pruning, compaction with time
  * travel, snapshot delta).
  *
- * Layout:
+ * Layout (TWO-LEVEL since round 12 — the Iceberg manifest-list shape):
  * {{{
- *   <dir>/data/<uuid>-part-*.parquet        immutable data files
- *   <dir>/_manifests/snapshot-000000K.json  one manifest per snapshot
+ *   <dir>/data/<uuid>-part-*.parquet         immutable data files
+ *   <dir>/_manifests/manifest-<uuid>.json    immutable manifest SHARDS,
+ *                                            each listing <= 8192 file
+ *                                            entries with per-file stats
+ *   <dir>/_manifests/snapshot-000000K.json   one manifest LIST per
+ *                                            snapshot: the shard refs
+ *                                            with per-shard aggregate
+ *                                            stats (bucket range, rows,
+ *                                            bytes, addedAt, kind)
  * }}}
  *
- * Every manifest lists the COMPLETE file set of its snapshot with
- * per-file statistics on the declared LONG bucket column: (path, rows,
- * bytes, minBucket, maxBucket, addedAt, kind). Commits are atomic: the
- * manifest writes to a dotted temp name and renames into place, so a
- * concurrent reader sees the previous snapshot or the new one, never a
- * torn file list. Writers use OPTIMISTIC CONCURRENCY (round-12): each
- * snapshot id is claimed by an exclusive create before rename, a lost
- * race rebases on the new latest and retries, and appends enforce the
- * table's schema (names + types) before writing — concurrent appends
- * both survive with all rows present.
+ * Why two levels: a single manifest listing the complete file set is
+ * comfortable to ~10^5 entries but (a) re-writes O(total files) bytes
+ * on EVERY commit and (b) costs ~10 s to parse at 10^6 entries
+ * (measured, ManifestProbe) — both divergent at 100 TB. With the list
+ * layout a commit writes only its OWN shard(s) plus a list whose size
+ * is O(#shards), and a pruned read applies the [minBucket, maxBucket]
+ * rule TWICE: shard refs are pruned before any shard is even read,
+ * then the surviving shards' entries prune to files. Nothing else
+ * changed — the FileEntry shape and prune rule were already range-keyed.
+ *
+ * Every snapshot still reaches its COMPLETE file set (through its
+ * shard refs). Commits are atomic: the list writes to a dotted temp
+ * name and renames into place, so a concurrent reader sees the
+ * previous snapshot or the new one, never a torn file list. Writers
+ * use OPTIMISTIC CONCURRENCY (round-12): each snapshot id is claimed
+ * by an exclusive create before rename, a lost race rebases on the new
+ * latest and retries (shards, like data files, are immutable and stay
+ * valid across retries), and appends enforce the table's schema
+ * (names + types) before writing — concurrent appends both survive
+ * with all rows present.
  *
  * The 100 TB read path: [[readBuckets]]/[[readForBuckets]] prune the
- * file list MANIFEST-SIDE — a bucket predicate touches only files whose
- * [minBucket, maxBucket] intersects it, before Spark lists or opens
- * anything. [[compact]] rewrites the live snapshot range-clustered by
- * bucket so each file covers a narrow bucket range (that clustering is
- * what makes the stats selective — the Z-order argument from
- * [[graft.operators.Layout]] in one dimension). Old snapshots keep
- * reading their own file lists (time travel) until [[expire]] drops
- * them.
+ * file list MANIFEST-SIDE — a bucket predicate touches only shards,
+ * then files, whose [minBucket, maxBucket] intersects it, before Spark
+ * lists or opens anything. [[compact]] rewrites the live snapshot
+ * range-clustered by bucket so each file covers a narrow bucket range
+ * (that clustering is what makes the stats selective — the Z-order
+ * argument from [[graft.operators.Layout]] in one dimension). Old
+ * snapshots keep reading their own file lists (time travel) until
+ * [[expire]] drops them.
  */
 object GraftTable {
 
@@ -45,12 +62,42 @@ object GraftTable {
     * real shared-FS dir). */
   def scratchTable(tag: String): String = TextFormats.scratchDir(s"table_$tag")
 
-  /** One immutable data file with its bucket statistics. */
+  /** One immutable data file with its bucket statistics. `addedAt` and
+    * `kind` are carried at SHARD granularity in the manifest list (all
+    * files of one shard share the commit that published them) and
+    * stamped onto the materialized entries. */
   case class FileEntry(path: String, rows: Long, bytes: Long,
                        minBucket: Long, maxBucket: Long,
                        addedAt: Long, kind: String) // kind: append|compact
 
+  /** A manifest shard reference in a snapshot's list: the shard file
+    * name plus the aggregate statistics that let readers prune the
+    * whole shard without opening it. */
+  case class ManifestRef(name: String, nFiles: Int, rows: Long, bytes: Long,
+                         minBucket: Long, maxBucket: Long,
+                         addedAt: Long, kind: String)
+
+  /** The two-level view of a snapshot: its shard refs, unparsed.
+    * `schemaDdl` is the table schema AT THIS SNAPSHOT (round-12 schema
+    * evolution — the Iceberg schema-in-metadata shape): reads apply it
+    * explicitly, so files written before a column existed surface the
+    * column as null; None only for pre-evolution metadata, where reads
+    * fall back to a parquet footer. */
+  case class SnapshotMeta(id: Long, bucketCol: String, refs: Seq[ManifestRef],
+                          schemaDdl: Option[String] = None) {
+    def schema: Option[org.apache.spark.sql.types.StructType] =
+      schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+  }
+
+  /** The materialized view: the complete file set (all shards parsed). */
   case class Snapshot(id: Long, bucketCol: String, files: Seq[FileEntry])
+
+  /** Max file entries per manifest shard — one shard per append in the
+    * steady state (an append producing more files splits). 8192 entries
+    * is ~1.5 MB of JSON: large enough that a 10^6-file table is ~125
+    * refs in the list, small enough that parsing one hit shard is
+    * milliseconds. */
+  private val MaxShardEntries = 8192
 
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -68,15 +115,105 @@ object GraftTable {
     case c => c.toString
   } + "\""
 
-  private def snapshotBody(snap: Snapshot): String = {
+  private def listBody(meta: SnapshotMeta): String = {
     val body = new StringBuilder()
-    body.append(s"""{"id":${snap.id},"bucketCol":${q(snap.bucketCol)},"files":[""")
-    body.append(snap.files.map(e =>
-      s"""{"path":${q(e.path)},"rows":${e.rows},"bytes":${e.bytes},""" +
-        s""""minBucket":${e.minBucket},"maxBucket":${e.maxBucket},""" +
-        s""""addedAt":${e.addedAt},"kind":${q(e.kind)}}""").mkString(","))
+    body.append(s"""{"id":${meta.id},"bucketCol":${q(meta.bucketCol)},""")
+    meta.schemaDdl.foreach(d => body.append(s""""schema":${q(d)},"""))
+    body.append(""""manifests":[""")
+    body.append(meta.refs.map(r =>
+      s"""{"name":${q(r.name)},"nFiles":${r.nFiles},"rows":${r.rows},""" +
+        s""""bytes":${r.bytes},"minBucket":${r.minBucket},"maxBucket":${r.maxBucket},""" +
+        s""""addedAt":${r.addedAt},"kind":${q(r.kind)}}""").mkString(","))
     body.append("]}")
     body.toString
+  }
+
+  private def shardBody(entries: Seq[FileEntry]): String = {
+    val body = new StringBuilder()
+    body.append("""{"entries":[""")
+    body.append(entries.map(e =>
+      s"""{"path":${q(e.path)},"rows":${e.rows},"bytes":${e.bytes},""" +
+        s""""minBucket":${e.minBucket},"maxBucket":${e.maxBucket}}""").mkString(","))
+    body.append("]}")
+    body.toString
+  }
+
+  /** Hand-rolled parse of our own fixed shapes (no JSON lib on the
+    * classpath beyond Spark's shaded ones). */
+  private def parseMeta(text: String): SnapshotMeta = {
+    val id = "\"id\":(\\d+)".r.findFirstMatchIn(text).get.group(1).toLong
+    val bucketCol = "\"bucketCol\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findFirstMatchIn(text).get.group(1)
+    val schemaDdl = "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findFirstMatchIn(text).map(m => unescape(m.group(1)))
+    val ref = ("\\{\"name\":\"((?:[^\"\\\\]|\\\\.)*)\",\"nFiles\":(\\d+)," +
+      "\"rows\":(\\d+),\"bytes\":(\\d+),\"minBucket\":(-?\\d+)," +
+      "\"maxBucket\":(-?\\d+),\"addedAt\":(\\d+),\"kind\":\"(\\w+)\"\\}").r
+    val refs = ref.findAllMatchIn(text).map(m =>
+      ManifestRef(unescape(m.group(1)), m.group(2).toInt, m.group(3).toLong,
+        m.group(4).toLong, m.group(5).toLong, m.group(6).toLong,
+        m.group(7).toLong, m.group(8))).toSeq
+    SnapshotMeta(id, bucketCol, refs, schemaDdl)
+  }
+
+  private def unescape(s: String): String =
+    s.replace("\\\\", "\\").replace("\\\"", "\"")
+
+  private def parseShard(text: String): Seq[FileEntry] = {
+    val entry = ("\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\",\"rows\":(\\d+)," +
+      "\"bytes\":(\\d+),\"minBucket\":(-?\\d+),\"maxBucket\":(-?\\d+)\\}").r
+    entry.findAllMatchIn(text).map(m =>
+      FileEntry(unescape(m.group(1)), m.group(2).toLong, m.group(3).toLong,
+        m.group(4).toLong, m.group(5).toLong, 0L, "")).toSeq
+  }
+
+  /** Shards are immutable once published, so their parsed entries cache
+    * process-wide (repeated snapshot loads — delta walks, expire, the
+    * incremental-index probe loop — re-read only the small list).
+    * Bounded: a blown cap clears wholesale (no LRU bookkeeping; refill
+    * is one shard read each). */
+  private val shardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[FileEntry]]()
+  private val ShardCacheMax = 1024
+
+  private def readShardRaw(spark: SparkSession, dir: String,
+                           name: String): Seq[FileEntry] = {
+    val key = s"${manifestDir(dir)}/$name"
+    val cached = shardCache.get(key)
+    if (cached != null) return cached
+    val in = fs(spark, dir).open(new org.apache.hadoop.fs.Path(manifestDir(dir), name))
+    val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
+    in.close()
+    val parsed = parseShard(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    if (shardCache.size() >= ShardCacheMax) shardCache.clear()
+    shardCache.put(key, parsed)
+    parsed
+  }
+
+  /** A shard's entries with the ref's commit identity stamped on. */
+  private def loadRef(spark: SparkSession, dir: String,
+                      ref: ManifestRef): Seq[FileEntry] =
+    readShardRaw(spark, dir, ref.name)
+      .map(_.copy(addedAt = ref.addedAt, kind = ref.kind))
+
+  /** Write one or more immutable manifest shards for `entries`; returns
+    * refs with addedAt = 0 (the publisher stamps the final snapshot id
+    * into the LIST — retries re-stamp without touching the shards). */
+  private def writeShards(spark: SparkSession, dir: String,
+                          entries: Seq[FileEntry], kind: String): Seq[ManifestRef] = {
+    if (entries.isEmpty) return Seq.empty
+    val f = fs(spark, dir)
+    val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
+    if (!f.exists(md)) f.mkdirs(md)
+    entries.grouped(MaxShardEntries).zipWithIndex.map { case (group, i) =>
+      val name = s"manifest-${java.util.UUID.randomUUID().toString.take(8)}-$i.json"
+      val out = f.create(new org.apache.hadoop.fs.Path(md, name), false)
+      out.write(shardBody(group).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      ManifestRef(name, group.length, group.map(_.rows).sum,
+        group.map(_.bytes).sum, group.map(_.minBucket).min,
+        group.map(_.maxBucket).max, 0L, kind)
+    }.toSeq
   }
 
   /** A dead writer's claim older than this may be broken by a new
@@ -87,7 +224,7 @@ object GraftTable {
    * Optimistic-concurrency publish (round-12; the Delta/Iceberg commit
    * protocol shape). Returns false on a LOST RACE — another writer
    * already published this snapshot id — in which case the caller must
-   * re-read the latest snapshot, rebase its file list, and retry.
+   * re-read the latest snapshot, rebase its shard-ref list, and retry.
    *
    * Why not rename alone: HDFS rename fails on an existing destination,
    * but LocalFileSystem (File.renameTo) silently OVERWRITES — two
@@ -96,15 +233,15 @@ object GraftTable {
    * comes from an EXCLUSIVE CREATE (`create(path, overwrite=false)`)
    * of a claim file, which both filesystems make atomic, while reader
    * atomicity still comes from temp-write + rename (readers only ever
-   * list fully-written `snapshot-*.json` names — `.claim` and `.tmp`
-   * never match the snapshot filter).
+   * list fully-written `snapshot-*.json` names — `.claim`, `.tmp`, and
+   * the `manifest-*.json` shards never match the snapshot filter).
    */
   private def tryPublish(spark: SparkSession, dir: String,
-                         snap: Snapshot): Boolean = {
+                         meta: SnapshotMeta): Boolean = {
     val f = fs(spark, dir)
     val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
     if (!f.exists(md)) f.mkdirs(md)
-    val name = f"snapshot-${snap.id}%09d.json"
+    val name = f"snapshot-${meta.id}%09d.json"
     val fin = new org.apache.hadoop.fs.Path(md, name)
     if (f.exists(fin)) return false // already published by someone else
     val claim = new org.apache.hadoop.fs.Path(md, s"$name.claim")
@@ -122,28 +259,12 @@ object GraftTable {
       if (f.exists(fin)) return false // claimed too late: winner already renamed
       val tmp = new org.apache.hadoop.fs.Path(md, s".$name.tmp")
       val out = f.create(tmp, true)
-      out.write(snapshotBody(snap).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.write(listBody(meta).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
       if (!f.rename(tmp, fin))
         throw new java.io.IOException(s"GraftTable: manifest publish failed: $fin")
       true
     } finally f.delete(claim, false)
-  }
-
-  /** Hand-rolled parse of our own fixed manifest shape (no JSON lib on
-    * the classpath beyond Spark's shaded ones). */
-  private def parseSnapshot(text: String): Snapshot = {
-    val id = "\"id\":(\\d+)".r.findFirstMatchIn(text).get.group(1).toLong
-    val bucketCol = "\"bucketCol\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
-      .findFirstMatchIn(text).get.group(1)
-    val entry = ("\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\",\"rows\":(\\d+)," +
-      "\"bytes\":(\\d+),\"minBucket\":(-?\\d+),\"maxBucket\":(-?\\d+)," +
-      "\"addedAt\":(\\d+),\"kind\":\"(\\w+)\"\\}").r
-    val files = entry.findAllMatchIn(text).map(m =>
-      FileEntry(m.group(1).replace("\\\\", "\\").replace("\\\"", "\""),
-        m.group(2).toLong, m.group(3).toLong, m.group(4).toLong,
-        m.group(5).toLong, m.group(6).toLong, m.group(7))).toSeq
-    Snapshot(id, bucketCol, files)
   }
 
   /** All snapshot ids present, ascending. */
@@ -157,9 +278,10 @@ object GraftTable {
       .sorted
   }
 
-  /** Load a snapshot (latest when `id` is None); None on an empty table. */
-  def snapshot(spark: SparkSession, dir: String,
-               id: Option[Long] = None): Option[Snapshot] = {
+  /** Load a snapshot's manifest LIST (latest when `id` is None) without
+    * touching any shard; None on an empty table. */
+  def snapshotMeta(spark: SparkSession, dir: String,
+                   id: Option[Long] = None): Option[SnapshotMeta] = {
     val ids = snapshotIds(spark, dir)
     val want = id match {
       case Some(i) => if (ids.contains(i)) Some(i) else None
@@ -170,30 +292,104 @@ object GraftTable {
       val in = fs(spark, dir).open(p)
       val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
       in.close()
-      parseSnapshot(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      parseMeta(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
     }
   }
 
+  /** Load a snapshot fully materialized (every shard parsed; latest
+    * when `id` is None). Pruned readers should prefer
+    * [[readBuckets]]/[[readForBuckets]], which skip non-intersecting
+    * shards entirely. */
+  def snapshot(spark: SparkSession, dir: String,
+               id: Option[Long] = None): Option[Snapshot] =
+    snapshotMeta(spark, dir, id).map(m =>
+      Snapshot(m.id, m.bucketCol, m.refs.flatMap(loadRef(spark, dir, _))))
+
   // ------------------------------------------------------------ writes
 
-  /** Fail fast on an append whose columns don't match the table's
-    * (names + types, order-insensitive — the Delta enforcement shape).
-    * Checked against the parquet footer of one live file, so the check
-    * costs a footer read, not a scan. */
-  private def checkSchema(spark: SparkSession, dir: String,
-                          prev: Snapshot, incoming: DataFrame): Unit = {
-    if (prev.files.isEmpty) return
-    val existing = spark.read.parquet(prev.files.head.path).schema
+  /** Any live data-file path of the snapshot (one shard read). */
+  private def firstFilePath(spark: SparkSession, dir: String,
+                            meta: SnapshotMeta): Option[String] =
+    meta.refs.headOption.flatMap(r =>
+      loadRef(spark, dir, r).headOption.map(_.path))
+
+  /** Name-based union of two table schemas (a's columns first); a
+    * column on both sides must type-match. All fields nullable — any
+    * column may predate some files. */
+  private def unionSchemas(dir: String,
+                           a: org.apache.spark.sql.types.StructType,
+                           b: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val aT = a.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val clash = b.fields.filter(f => aT.get(f.name).exists(_ != f.dataType.catalogString))
+    require(clash.isEmpty,
+      s"GraftTable at $dir: concurrent schema evolution disagrees on " +
+        s"${clash.map(_.name).mkString(", ")}")
+    StructType((a.fields ++ b.fields.filterNot(f => aT.contains(f.name)))
+      .map(_.copy(nullable = true)))
+  }
+
+  /** The table schema of a snapshot: the stored DDL when present
+    * (free), else one parquet footer (pre-evolution metadata). */
+  private def tableSchema(spark: SparkSession, dir: String,
+                          prev: SnapshotMeta): Option[org.apache.spark.sql.types.StructType] =
+    prev.schema.orElse(
+      firstFilePath(spark, dir, prev).map(p => spark.read.parquet(p).schema))
+
+  /**
+   * Resolve an append's schema against the table's (the Delta
+   * enforcement shape, name-based and order-insensitive). Returns the
+   * aligned DataFrame plus the (possibly evolved) table schema.
+   *
+   * Strict (`mergeSchema = false`, default): names + types must match
+   * exactly.
+   *
+   * Merge (`mergeSchema = true`): NEW columns are admitted (appended,
+   * as nullable, to the table schema — old files surface them as null
+   * through the stored-schema read path); columns the append OMITS are
+   * filled with typed nulls; a column present on both sides must still
+   * type-match — silent type change is never admitted.
+   */
+  private def resolveSchema(spark: SparkSession, dir: String,
+                            prev: SnapshotMeta, incoming: DataFrame,
+                            mergeSchema: Boolean)
+      : (DataFrame, org.apache.spark.sql.types.StructType) = {
+    import org.apache.spark.sql.types.StructType
+    val nullable = StructType(incoming.schema.fields.map(_.copy(nullable = true)))
+    val existing = tableSchema(spark, dir, prev).getOrElse(return (incoming, nullable))
     // catalogString, not DataType equality: parquet read-back flips
     // array/struct NULLABILITY flags (containsNull) that don't change
     // what rows fit the table — names + value types are the contract
-    val a = existing.fields.map(f => (f.name, f.dataType.catalogString)).toSet
-    val b = incoming.schema.fields.map(f => (f.name, f.dataType.catalogString)).toSet
-    require(a == b,
+    def typeOf(s: StructType) =
+      s.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val tTypes = typeOf(existing)
+    val aTypes = typeOf(incoming.schema)
+    val shared = tTypes.keySet.intersect(aTypes.keySet)
+    val typeClash = shared.filter(n => tTypes(n) != aTypes(n))
+    def describe(s: StructType) =
+      s.fields.map(f => s"${f.name}:${f.dataType.simpleString}").sorted.mkString(", ")
+    require(typeClash.isEmpty,
       s"GraftTable.append: schema mismatch at $dir — table has " +
-        s"${existing.fields.map(f => s"${f.name}:${f.dataType.simpleString}").sorted.mkString(", ")} " +
-        s"but the append has " +
-        s"${incoming.schema.fields.map(f => s"${f.name}:${f.dataType.simpleString}").sorted.mkString(", ")}")
+        s"${describe(existing)} but the append has ${describe(incoming.schema)}" +
+        s" (type change on ${typeClash.toSeq.sorted.mkString(", ")})")
+    if (!mergeSchema) {
+      require(tTypes.keySet == aTypes.keySet,
+        s"GraftTable.append: schema mismatch at $dir — table has " +
+          s"${describe(existing)} but the append has ${describe(incoming.schema)}" +
+          s" (pass mergeSchema = true to evolve)")
+      (incoming, StructType(existing.fields.map(_.copy(nullable = true))))
+    } else {
+      // evolved schema: table columns in table order, new columns after
+      val newCols = incoming.schema.fields.filter(f => !tTypes.contains(f.name))
+      val evolved = StructType(
+        (existing.fields ++ newCols).map(_.copy(nullable = true)))
+      // align the append to it; omitted table columns fill with nulls
+      val aligned = incoming.select(evolved.fields.map(f =>
+        if (aTypes.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      (aligned, evolved)
+    }
   }
 
   /** Max publish retries before an append/compact gives up (each retry
@@ -204,21 +400,30 @@ object GraftTable {
   /** Append `df` as a new snapshot: rows land range-clustered by
     * `bucketCol` (so per-file min/max stats are selective from the first
     * write), per-file stats are computed in one columnar pass over the
-    * new files only, and the manifest publishes atomically with
-    * OPTIMISTIC CONCURRENCY (round-12): a lost publish race re-reads the
-    * latest snapshot, rebases the cumulative file list, and retries —
-    * the moved data files stay valid across retries, so a retry costs a
-    * manifest read, not a rewrite. Concurrent appends therefore both
-    * survive with all rows present. Returns the new snapshot. */
+    * new files only, the new files' manifest shard is written ONCE
+    * (commit cost is O(new files) + O(#shards) for the list — never
+    * O(total files)), and the list publishes atomically with OPTIMISTIC
+    * CONCURRENCY: a lost publish race re-reads the latest snapshot,
+    * rebases the shard-ref list, and retries — the moved data files and
+    * written shards stay valid across retries, so a retry costs a list
+    * read, not a rewrite. Concurrent appends therefore both survive
+    * with all rows present. Returns the new snapshot's META (id + shard
+    * refs) — deliberately NOT the materialized file list, so an append
+    * to a 10^6-file table never parses shards it didn't write. */
   def append(df: DataFrame, dir: String, bucketCol: String,
-             numFiles: Option[Int] = None): Snapshot = {
+             numFiles: Option[Int] = None,
+             mergeSchema: Boolean = false): SnapshotMeta = {
     val spark = df.sparkSession
-    val prev = snapshot(spark, dir)
-    val clustered = df.withColumn(bucketCol, col(bucketCol).cast("long"))
+    val prev = snapshotMeta(spark, dir)
+    val incoming = df.withColumn(bucketCol, col(bucketCol).cast("long"))
     prev.foreach { s =>
       require(s.bucketCol == bucketCol,
         s"GraftTable at $dir is bucketed by ${s.bucketCol}, not $bucketCol")
-      checkSchema(spark, dir, s, clustered)
+    }
+    val (clustered, schema) = prev match {
+      case Some(s) => resolveSchema(spark, dir, s, incoming, mergeSchema)
+      case None => (incoming, org.apache.spark.sql.types.StructType(
+        incoming.schema.fields.map(_.copy(nullable = true))))
     }
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val tmp = s"${dir.stripSuffix("/")}/.append_$stamp"
@@ -240,8 +445,7 @@ object GraftTable {
         (f.makeQualified(dest).toString, f.getFileStatus(dest).getLen)
       }
     f.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    // per-file stats over the NEW files only (addedAt is re-stamped per
-    // publish attempt below — the stats themselves never change)
+    // per-file stats over the NEW files only
     val statEntries =
       if (moved.isEmpty) Seq.empty
       else {
@@ -259,17 +463,25 @@ object GraftTable {
               r.getLong(2), r.getLong(3), 0L, "append")
           }
       }
+    val newRefs = writeShards(spark, dir, statEntries, "append")
     var base = prev
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val nextId = base.map(_.id + 1).getOrElse(1L)
-      val snap = Snapshot(nextId, bucketCol,
-        base.map(_.files).getOrElse(Seq.empty) ++
-          statEntries.map(_.copy(addedAt = nextId)))
-      if (tryPublish(spark, dir, snap)) return snap
+      // a racing writer may itself have evolved the schema: the commit
+      // of record is the metadata-level UNION (both writers' files are
+      // already on disk in their own shapes; the union schema reads
+      // each with nulls for the columns it predates)
+      val mergedSchema = base.flatMap(_.schema)
+        .map(s => unionSchemas(dir, s, schema)).getOrElse(schema)
+      val meta = SnapshotMeta(nextId, bucketCol,
+        base.map(_.refs).getOrElse(Seq.empty) ++
+          newRefs.map(_.copy(addedAt = nextId)),
+        Some(mergedSchema.toDDL))
+      if (tryPublish(spark, dir, meta)) return meta
       attempt += 1
       Thread.sleep(math.min(50L * attempt, 500L)) // back off behind the claim holder
-      val rebased = snapshot(spark, dir)
+      val rebased = snapshotMeta(spark, dir)
       rebased.foreach { s =>
         require(s.bucketCol == bucketCol,
           s"GraftTable at $dir is bucketed by ${s.bucketCol}, not $bucketCol")
@@ -289,8 +501,10 @@ object GraftTable {
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L << 20,
               minFiles: Int = 4): Snapshot = {
-    val cur = snapshot(spark, dir).getOrElse(
+    val curMeta = snapshotMeta(spark, dir).getOrElse(
       throw new IllegalStateException(s"GraftTable.compact: empty table at $dir"))
+    val cur = Snapshot(curMeta.id, curMeta.bucketCol,
+      curMeta.refs.flatMap(loadRef(spark, dir, _)))
     if (cur.files.length < minFiles) return cur
     val totalBytes = cur.files.map(_.bytes).sum
     val nOut = math.max(1L, math.min(cur.files.length - 1L,
@@ -298,7 +512,11 @@ object GraftTable {
     if (nOut >= cur.files.length) return cur
     val stamp = "c" + java.util.UUID.randomUUID().toString.take(8)
     val tmp = s"${dir.stripSuffix("/")}/.compact_$stamp"
-    spark.read.parquet(cur.files.map(_.path): _*)
+    // read with the stored schema (when present) so a post-evolution
+    // compaction materializes every column — nulls included — into the
+    // rewritten files
+    val reader = curMeta.schema.foldLeft(spark.read)((r, s) => r.schema(s))
+    reader.parquet(cur.files.map(_.path): _*)
       .repartitionByRange(nOut, col(cur.bucketCol))
       .sortWithinPartitions(col(cur.bucketCol))
       .write.mode("overwrite").parquet(tmp)
@@ -324,19 +542,24 @@ object GraftTable {
         FileEntry(key, r.getLong(1), byteSizes.getOrElse(key, 0L),
           r.getLong(2), r.getLong(3), 0L, "compact")
       }
+    val newRefs = writeShards(spark, dir, statEntries, "compact")
     // optimistic publish: if an APPEND won the race for cur.id+1, the
     // compacted files cover only the rows up to cur.id — the retried
-    // snapshot must carry the interlopers' append files ALONGSIDE the
+    // snapshot must carry the interlopers' append SHARDS alongside the
     // compacted set, or their rows would silently vanish from latest
     var attempt = 0
     while (attempt < MaxCommitRetries) {
-      val latest = snapshot(spark, dir).getOrElse(cur)
+      val latest = snapshotMeta(spark, dir).getOrElse(
+        SnapshotMeta(cur.id, cur.bucketCol, Seq.empty))
       val nextId = latest.id + 1
-      val interlopers = latest.files.filter(e =>
-        e.addedAt > cur.id && e.kind == "append")
-      val snap = Snapshot(nextId, cur.bucketCol,
-        statEntries.map(_.copy(addedAt = nextId)) ++ interlopers)
-      if (tryPublish(spark, dir, snap)) return snap
+      val interlopers = latest.refs.filter(r =>
+        r.addedAt > cur.id && r.kind == "append")
+      val meta = SnapshotMeta(nextId, cur.bucketCol,
+        newRefs.map(_.copy(addedAt = nextId)) ++ interlopers,
+        latest.schemaDdl.orElse(curMeta.schemaDdl))
+      if (tryPublish(spark, dir, meta))
+        return Snapshot(nextId, cur.bucketCol,
+          meta.refs.flatMap(loadRef(spark, dir, _)))
       attempt += 1
       Thread.sleep(math.min(50L * attempt, 500L))
     }
@@ -345,18 +568,21 @@ object GraftTable {
   }
 
   /** Drop manifests older than the newest `keepSnapshots` and delete
-    * data files no kept snapshot references. Bounds [[delta]] lookback
-    * to the kept range. Returns (manifests dropped, files deleted). */
+    * data files — and manifest shards — no kept snapshot references.
+    * Bounds [[delta]] lookback to the kept range. Returns (manifests
+    * dropped, files deleted). */
   def expire(spark: SparkSession, dir: String, keepSnapshots: Int = 2): (Int, Int) = {
     require(keepSnapshots >= 1, "keepSnapshots >= 1")
     val ids = snapshotIds(spark, dir)
     val drop = ids.dropRight(keepSnapshots)
     if (drop.isEmpty) return (0, 0)
     val keep = ids.takeRight(keepSnapshots)
-    val referenced = keep.flatMap(i =>
-      snapshot(spark, dir, Some(i)).get.files.map(p =>
-        fs(spark, dir).makeQualified(new org.apache.hadoop.fs.Path(p.path)).toString)).toSet
     val f = fs(spark, dir)
+    val keptMetas = keep.flatMap(i => snapshotMeta(spark, dir, Some(i)))
+    val keptShards = keptMetas.flatMap(_.refs.map(_.name)).toSet
+    val referenced = keptMetas.flatMap(_.refs).distinct
+      .flatMap(r => loadRef(spark, dir, r).map(e =>
+        f.makeQualified(new org.apache.hadoop.fs.Path(e.path)).toString)).toSet
     val dd = new org.apache.hadoop.fs.Path(dataDir(dir))
     val deleted =
       if (!f.exists(dd)) 0
@@ -367,80 +593,115 @@ object GraftTable {
       f.delete(new org.apache.hadoop.fs.Path(
         manifestDir(dir), f"snapshot-$i%09d.json"), false)
     }
-    // housekeeping: a claim for an already-published id can never
-    // succeed (its final exists) — it is a dead writer's leftover
     val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
-    f.listStatus(md).toSeq.map(_.getPath)
-      .filter(p => p.getName.endsWith(".json.claim"))
-      .filter { p =>
-        val id = p.getName.stripSuffix(".json.claim")
-          .stripPrefix("snapshot-").toLong
-        id <= ids.last
-      }.foreach(p => f.delete(p, false))
+    f.listStatus(md).toSeq.map(_.getPath).foreach { p =>
+      val n = p.getName
+      // shards referenced by no kept snapshot are dead (their snapshots
+      // are gone — time travel to them already fails)
+      if (n.startsWith("manifest-") && n.endsWith(".json") && !keptShards.contains(n))
+        f.delete(p, false)
+      // housekeeping: a claim for an already-published id can never
+      // succeed (its final exists) — it is a dead writer's leftover
+      if (n.endsWith(".json.claim") &&
+          n.stripSuffix(".json.claim").stripPrefix("snapshot-").toLong <= ids.last)
+        f.delete(p, false)
+    }
     (drop.length, deleted)
   }
 
   // ------------------------------------------------------------ reads
 
-  private def readFiles(spark: SparkSession, files: Seq[FileEntry],
-                        schemaFrom: String): DataFrame =
-    if (files.nonEmpty) spark.read.parquet(files.map(_.path): _*)
-    else spark.read.parquet(schemaFrom).limit(0)
+  /** Read `files` applying the snapshot's stored schema when present —
+    * files written before a column evolved in surface it as null. */
+  private def readFiles(spark: SparkSession, meta: SnapshotMeta,
+                        files: Seq[FileEntry], schemaFrom: => String): DataFrame = {
+    val reader = meta.schema.foldLeft(spark.read)((r, s) => r.schema(s))
+    if (files.nonEmpty) reader.parquet(files.map(_.path): _*)
+    else reader.parquet(schemaFrom).limit(0)
+  }
 
   /** Full scan of a snapshot (latest by default). */
   def read(spark: SparkSession, dir: String,
            snapshotId: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, dir, snapshotId).getOrElse(
+    val meta = snapshotMeta(spark, dir, snapshotId).getOrElse(
       throw new IllegalStateException(s"GraftTable.read: empty table at $dir"))
-    require(snap.files.nonEmpty, s"GraftTable.read: snapshot ${snap.id} has no files")
-    spark.read.parquet(snap.files.map(_.path): _*)
+    val files = meta.refs.flatMap(loadRef(spark, dir, _))
+    require(files.nonEmpty, s"GraftTable.read: snapshot ${meta.id} has no files")
+    readFiles(spark, meta, files, files.head.path)
   }
 
-  /** Bucket-RANGE scan: only files whose [minBucket, maxBucket]
-    * intersects [lo, hi] are handed to Spark (manifest-side pruning —
-    * nothing else is listed or opened), then the exact residual filter
-    * applies. */
+  /** Manifest-side half of [[readBuckets]]: the file entries whose
+    * [minBucket, maxBucket] intersects [lo, hi], pruned at BOTH levels
+    * (a non-intersecting shard is never even read). Public so planners
+    * and probes can cost the prune without a Spark read. */
+  def pruneRange(spark: SparkSession, dir: String, lo: Long, hi: Long,
+                 snapshotId: Option[Long] = None): (SnapshotMeta, Seq[FileEntry]) = {
+    require(lo <= hi, s"bad bucket range [$lo, $hi]")
+    val meta = snapshotMeta(spark, dir, snapshotId).getOrElse(
+      throw new IllegalStateException(s"GraftTable: empty table at $dir"))
+    val hit = meta.refs.filter(r => r.maxBucket >= lo && r.minBucket <= hi)
+      .flatMap(loadRef(spark, dir, _))
+      .filter(e => e.maxBucket >= lo && e.minBucket <= hi)
+    (meta, hit)
+  }
+
+  /** Manifest-side half of [[readForBuckets]]: the file entries whose
+    * range contains any requested bucket — shard refs pruned first,
+    * then the surviving shards' entries. Sorted-merge over (sorted
+    * ranges, sorted buckets). */
+  def pruneForBuckets(spark: SparkSession, dir: String, buckets: Array[Long],
+                      snapshotId: Option[Long] = None): (SnapshotMeta, Seq[FileEntry]) = {
+    val meta = snapshotMeta(spark, dir, snapshotId).getOrElse(
+      throw new IllegalStateException(s"GraftTable: empty table at $dir"))
+    val bs = buckets.distinct.sorted
+    def anyIn(lo: Long, hi: Long): Boolean = {
+      // any bucket in [lo, hi]? binary-search the sorted set
+      val i = java.util.Arrays.binarySearch(bs, lo)
+      val from = if (i >= 0) i else -i - 1
+      from < bs.length && bs(from) <= hi
+    }
+    val hit = meta.refs.filter(r => anyIn(r.minBucket, r.maxBucket))
+      .flatMap(loadRef(spark, dir, _))
+      .filter(e => anyIn(e.minBucket, e.maxBucket))
+    (meta, hit)
+  }
+
+  /** Bucket-RANGE scan: only the [[pruneRange]] survivors are handed to
+    * Spark (nothing else is listed or opened), then the exact residual
+    * filter applies. */
   def readBuckets(spark: SparkSession, dir: String, lo: Long, hi: Long,
                   snapshotId: Option[Long] = None): DataFrame = {
-    require(lo <= hi, s"bad bucket range [$lo, $hi]")
-    val snap = snapshot(spark, dir, snapshotId).getOrElse(
-      throw new IllegalStateException(s"GraftTable.readBuckets: empty table at $dir"))
-    val hit = snap.files.filter(e => e.maxBucket >= lo && e.minBucket <= hi)
-    readFiles(spark, hit, snap.files.head.path)
-      .filter(col(snap.bucketCol).between(lo, hi))
+    val (meta, hit) = pruneRange(spark, dir, lo, hi, snapshotId)
+    readFiles(spark, meta, hit, firstFilePath(spark, dir, meta).getOrElse(
+      throw new IllegalStateException("empty snapshot")))
+      .filter(col(meta.bucketCol).between(lo, hi))
   }
 
   /** Bucket-SET scan (the incremental-index shape: a small batch's
-    * bucket set against a large clustered table): files pruned to those
-    * whose range contains any requested bucket, then the exact residual
-    * filter. Sorted-merge over (sorted entries, sorted buckets). */
+    * bucket set against a large clustered table): the [[pruneForBuckets]]
+    * survivors, then the exact residual filter. */
   def readForBuckets(spark: SparkSession, dir: String, buckets: Array[Long],
                      snapshotId: Option[Long] = None,
                      residualFilter: Boolean = true): DataFrame = {
-    val snap = snapshot(spark, dir, snapshotId).getOrElse(
-      throw new IllegalStateException(s"GraftTable.readForBuckets: empty table at $dir"))
-    val bs = buckets.distinct.sorted
-    val hit = snap.files.filter { e =>
-      // any bucket in [minBucket, maxBucket]? binary-search the sorted set
-      val i = java.util.Arrays.binarySearch(bs, e.minBucket)
-      val from = if (i >= 0) i else -i - 1
-      from < bs.length && bs(from) <= e.maxBucket
-    }
-    val pruned = readFiles(spark, hit, snap.files.headOption.map(_.path).getOrElse(
+    val (meta, hit) = pruneForBuckets(spark, dir, buckets, snapshotId)
+    val pruned = readFiles(spark, meta, hit, firstFilePath(spark, dir, meta).getOrElse(
       throw new IllegalStateException("empty snapshot")))
     // residualFilter=false when the caller's own equality predicate (a
     // bucket-keyed JOIN) already applies exactly — a 100k-literal isin
     // would only duplicate it
     if (residualFilter)
-      pruned.filter(col(snap.bucketCol).isin(bs.map(java.lang.Long.valueOf): _*))
+      pruned.filter(col(meta.bucketCol).isin(
+        buckets.distinct.sorted.map(java.lang.Long.valueOf): _*))
     else pruned
   }
 
   /** Rows appended AFTER snapshot `fromId` up to and including `toId`
-    * (latest by default): the append-kind files in that id range, read
+    * (latest by default): the append-kind shards in that id range, read
     * directly — exact regardless of intervening compactions (compaction
     * adds no rows; the superseded append files stay on disk until
-    * [[expire]], which therefore bounds delta lookback). */
+    * [[expire]], which therefore bounds delta lookback). Shard-level
+    * addedAt makes the walk O(#lists + #hit shards) — no full
+    * materialization of any snapshot. */
   def delta(spark: SparkSession, dir: String, fromId: Long,
             toId: Option[Long] = None): DataFrame = {
     val ids = snapshotIds(spark, dir)
@@ -449,20 +710,21 @@ object GraftTable {
     // fromId == 0 means "everything since the table existed" — which is
     // only answerable while snapshot 1 is still present. After expire()
     // drops early manifests, compaction snapshots list no append-kind
-    // files for the pre-compaction rows, so delta(0) would silently
+    // shards for the pre-compaction rows, so delta(0) would silently
     // return only post-compaction appends (round-11 ADVICE): reject it
     // like any other expired lookback and send the caller to read().
     require(ids.contains(fromId) || (fromId == 0L && ids.head == 1L),
       s"GraftTable.delta: snapshot $fromId expired or never existed " +
         s"(present: ${ids.mkString(",")}) — expire() bounded the lookback" +
         (if (fromId == 0L) "; use read() for the full current state" else ""))
-    val entries = (math.max(fromId + 1, ids.head) to to)
-      .flatMap(i => snapshot(spark, dir, Some(i)))
-      .flatMap(s => s.files.filter(e => e.addedAt > fromId && e.addedAt <= to &&
-        e.kind == "append"))
-      .distinctBy(_.path)
-    val base = snapshot(spark, dir, Some(to)).get
-    readFiles(spark, entries, base.files.headOption.map(_.path).getOrElse(
+    val hitRefs = (math.max(fromId + 1, ids.head) to to)
+      .flatMap(i => snapshotMeta(spark, dir, Some(i)))
+      .flatMap(m => m.refs.filter(r => r.addedAt > fromId && r.addedAt <= to &&
+        r.kind == "append"))
+      .distinctBy(_.name)
+    val entries = hitRefs.flatMap(loadRef(spark, dir, _))
+    val base = snapshotMeta(spark, dir, Some(to)).get
+    readFiles(spark, base, entries, firstFilePath(spark, dir, base).getOrElse(
       throw new IllegalStateException("empty snapshot")))
   }
 }

@@ -23,10 +23,52 @@ class GraftTableSpec extends GraftSpec {
     assert(got.length == 150 && got.head.getLong(0) == 0L &&
       got.last.getLong(0) == 149L)
     assert(GraftTable.snapshotIds(spark, dir) == Seq(1L, 2L))
-    // no torn temp manifests left behind (dot-files = Hadoop crc sidecars)
+    // no torn temp manifests left behind (dot-files = Hadoop crc
+    // sidecars); only snapshot lists and manifest shards may exist
     val mf = new java.io.File(s"$dir/_manifests").listFiles().map(_.getName)
       .filterNot(_.startsWith("."))
-    assert(mf.forall(n => n.startsWith("snapshot-") && n.endsWith(".json")), mf.toSeq)
+    assert(mf.forall(n =>
+      (n.startsWith("snapshot-") || n.startsWith("manifest-")) &&
+        n.endsWith(".json")), mf.toSeq)
+  }
+
+  test("two-level manifests: one immutable shard per append, O(#shards) lists") {
+    val dir = freshDir()
+    (0 until 4).foreach(k =>
+      GraftTable.append(rows(k * 100, k * 100 + 100), dir, "bucket",
+        numFiles = Some(4)))
+    val meta = GraftTable.snapshotMeta(spark, dir).get
+    assert(meta.refs.length == 4, s"one shard per append: ${meta.refs}")
+    // shard aggregates reconcile with the materialized file set
+    val snap = GraftTable.snapshot(spark, dir).get
+    assert(meta.refs.map(_.nFiles).sum == snap.files.length)
+    assert(meta.refs.map(_.rows).sum == snap.files.map(_.rows).sum)
+    assert(meta.refs.map(_.minBucket).min == snap.files.map(_.minBucket).min)
+    assert(meta.refs.map(_.maxBucket).max == snap.files.map(_.maxBucket).max)
+    // an earlier snapshot's list references the SAME immutable shards —
+    // a commit never rewrites history, only adds its own shard
+    val m2 = GraftTable.snapshotMeta(spark, dir, Some(2L)).get
+    assert(m2.refs.length == 2)
+    assert(m2.refs.map(_.name).toSet.subsetOf(meta.refs.map(_.name).toSet))
+    // every entry materializes with its shard's commit identity
+    assert(snap.files.map(_.addedAt).toSet == Set(1L, 2L, 3L, 4L))
+    assert(snap.files.forall(_.kind == "append"))
+  }
+
+  test("expire garbage-collects shards no kept snapshot references") {
+    val dir = freshDir()
+    (0 until 5).foreach(k =>
+      GraftTable.append(rows(k * 50, k * 50 + 50), dir, "bucket"))
+    GraftTable.compact(spark, dir, targetFileBytes = 1L << 30, minFiles = 2)
+    GraftTable.expire(spark, dir, keepSnapshots = 1)
+    val kept = GraftTable.snapshotMeta(spark, dir).get
+    val onDisk = new java.io.File(s"$dir/_manifests").listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(onDisk ==
+      kept.refs.map(_.name).toSet + f"snapshot-${kept.id}%09d.json",
+      s"orphan shards must be deleted: $onDisk vs ${kept.refs.map(_.name)}")
+    // and the kept snapshot still reads completely
+    assert(GraftTable.read(spark, dir).count() == 250)
   }
 
   test("readBuckets prunes manifest-side: only intersecting files open") {
@@ -159,6 +201,52 @@ class GraftTableSpec extends GraftSpec {
     // column order must NOT matter (Delta-style name-based enforcement)
     GraftTable.append(rows(10, 20).select("payload", "id", "bucket"), dir, "bucket")
     assert(GraftTable.read(spark, dir).count() == 20)
+  }
+
+  test("schema evolution: mergeSchema appends new columns, old rows read null") {
+    val dir = freshDir()
+    GraftTable.append(rows(0, 100), dir, "bucket") // snapshot 1: 3 columns
+    // strict append of a wider frame still fails
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.append(rows(100, 150).withColumn("lang", lit("en")), dir, "bucket")
+    }
+    assert(e.getMessage.contains("mergeSchema"), e.getMessage)
+    // merge append evolves the schema
+    GraftTable.append(rows(100, 150).withColumn("lang", lit("en")), dir, "bucket",
+      mergeSchema = true)
+    val got = GraftTable.read(spark, dir)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "bucket", "payload", "lang"))
+    assert(got.filter(col("lang").isNull).count() == 100, "old rows surface null")
+    assert(got.filter(col("lang") === "en").count() == 50)
+    // an append OMITTING the evolved column fills it with nulls
+    GraftTable.append(rows(150, 160), dir, "bucket", mergeSchema = true)
+    assert(GraftTable.read(spark, dir).filter(col("lang").isNull).count() == 110)
+    // time travel: snapshot 1 predates the column entirely
+    assert(!GraftTable.read(spark, dir, Some(1L)).schema.fieldNames.contains("lang"))
+    // type change is rejected even under mergeSchema
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.append(
+        rows(160, 170).withColumn("lang", lit(7)), dir, "bucket", mergeSchema = true)
+    }
+    assert(e2.getMessage.contains("type change"), e2.getMessage)
+    // pruned reads and delta go through the same stored-schema path
+    assert(GraftTable.readBuckets(spark, dir, 0, 15)
+      .schema.fieldNames.contains("lang"))
+    assert(GraftTable.delta(spark, dir, 1L).filter(col("lang").isNull).count() == 10)
+  }
+
+  test("compaction after evolution materializes the union schema") {
+    val dir = freshDir()
+    GraftTable.append(rows(0, 100), dir, "bucket")
+    GraftTable.append(rows(100, 150).withColumn("lang", lit("xx")), dir, "bucket",
+      mergeSchema = true)
+    val before = GraftTable.read(spark, dir)
+      .orderBy("id").collect().toSeq
+    GraftTable.compact(spark, dir, targetFileBytes = 1L << 30, minFiles = 2)
+    val after = GraftTable.read(spark, dir)
+    assert(after.schema.fieldNames.toSeq == Seq("id", "bucket", "payload", "lang"))
+    assert(after.orderBy("id").collect().toSeq == before,
+      "row multiset incl. evolved nulls unchanged by compaction")
   }
 
   test("delta(0) refuses after expire dropped snapshot 1") {
