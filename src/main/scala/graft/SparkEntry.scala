@@ -3154,6 +3154,29 @@ object SparkEntry {
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
     }),
 
+    // copy-on-write takedown (round 12): delete rows by content
+    // predicate, manifest-pruned to the victims' bucket keys — only
+    // files holding victims are rewritten (kind=delete), everything
+    // else keeps file identity. The post-delete read must agree with
+    // the plain filtered aggregate; a resurrection (lost replacement),
+    // over-delete, or double-read of a replaced shard all shift counts
+    "q_table_delete" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(64)).as("bucket"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val t = graft.sources.GraftTable.scratchTable("delete")
+      (0 until 3).foreach(k => graft.sources.GraftTable.append(
+        docs.filter(pmod(col("doc_id"), lit(3)) === k), t, "bucket",
+        numFiles = Some(4)))
+      val victimBuckets = docs.filter(pmod(col("doc_id"), lit(17)) === 3)
+        .select(col("bucket")).distinct().collect().map(_.getLong(0))
+      graft.sources.GraftTable.deleteWhere(s, t,
+        pmod(col("doc_id"), lit(17)) === 3, buckets = Some(victimBuckets))
+      graft.sources.GraftTable.read(s, t)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
     // schema evolution (round 12): the crawl starts shipping a `lang`
     // column mid-stream. mergeSchema appends it to the TABLE schema
     // (stored in the manifest list, the Iceberg shape); rows written
@@ -6153,6 +6176,16 @@ object SparkEntry {
     "q_table_delta" ->
       """SELECT doc_id % 64 AS bucket, CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents WHERE text IS NOT NULL AND doc_id % 3 IN (1, 2)
+        |GROUP BY 1""".stripMargin,
+
+    // the takedown is value-visible as a plain anti-filter; the TABLE
+    // mechanics (pruned victim scan, partial rewrite, shard
+    // replacement) must not shift a single row
+    "q_table_delete" ->
+      """SELECT doc_id % 64 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+        |    AS sum_tokens
+        |FROM documents WHERE text IS NOT NULL AND doc_id % 17 <> 3
         |GROUP BY 1""".stripMargin,
 
     // schema evolution is value-visible only through the null story:

@@ -567,6 +567,130 @@ object GraftTable {
       s"GraftTable.compact: lost $MaxCommitRetries publish races at $dir — giving up")
   }
 
+  /**
+   * Copy-on-write row deletion (round-12; the Delta `DELETE WHERE`
+   * shape — the takedown path a training-data corpus eventually needs):
+   * rewrite ONLY the files that hold matching rows, dropping them;
+   * every other file keeps its identity (no data movement, its shard
+   * entry is byte-identical). Cost is therefore proportional to the
+   * files the victims live in, not the table — and when the caller
+   * knows the victims' bucket keys (`buckets`, the content-hash /
+   * doc-id shape), candidate files prune MANIFEST-SIDE first, so a
+   * handful of takedowns against a clustered 100 TB table scans a
+   * handful of files.
+   *
+   * Mechanics: matching files are found with one pruned scan
+   * (`input_file_name` + the predicate), rewritten without the
+   * matching rows as kind="delete" entries, and the touched shards are
+   * replaced by metadata-only rewrites (kept entries, original
+   * addedAt/kind preserved). kind="delete" keeps [[delta]] exact on
+   * its own terms: delta is the APPEND log — rewrites add no rows to
+   * it, and a delta window that predates the delete still reads the
+   * original append files (on disk until [[expire]]), so deletions are
+   * NOT retroactively reflected in older windows (the standard
+   * append-log caveat; full current state is [[read]]).
+   *
+   * Concurrency: racing APPENDS rebase and merge like any commit. A
+   * racing compaction/delete moved the files under us — that surfaces
+   * as an IOException conflict rather than resurrecting rewritten
+   * rows; re-run against the new state.
+   *
+   * Returns the new snapshot meta, or the CURRENT one when nothing
+   * matched (no empty commit).
+   */
+  def deleteWhere(spark: SparkSession, dir: String,
+                  condition: org.apache.spark.sql.Column,
+                  buckets: Option[Array[Long]] = None): SnapshotMeta = {
+    val base = snapshotMeta(spark, dir).getOrElse(
+      throw new IllegalStateException(s"GraftTable.deleteWhere: empty table at $dir"))
+    val candidates = buckets match {
+      case Some(bs) => pruneForBuckets(spark, dir, bs)._2
+      case None => base.refs.flatMap(loadRef(spark, dir, _))
+    }
+    if (candidates.isEmpty) return base
+    def leaf(p: String) = new org.apache.hadoop.fs.Path(p).getName
+    val hitNames = readFiles(spark, base, candidates, candidates.head.path)
+      .filter(condition)
+      .select(input_file_name().as("__f")).distinct()
+      .collect().map(r => leaf(r.getString(0))).toSet
+    if (hitNames.isEmpty) return base
+    val isHit = (e: FileEntry) => hitNames.contains(leaf(e.path))
+    val hitFiles = candidates.filter(isHit)
+    // rewrite the hit files without the matching rows
+    val stamp = "d" + java.util.UUID.randomUUID().toString.take(8)
+    val tmp = s"${dir.stripSuffix("/")}/.delete_$stamp"
+    readFiles(spark, base, hitFiles, hitFiles.head.path)
+      .filter(!condition)
+      .repartitionByRange(math.max(1, hitFiles.length), col(base.bucketCol))
+      .sortWithinPartitions(col(base.bucketCol))
+      .write.mode("overwrite").parquet(tmp)
+    val f = fs(spark, dir)
+    val dd = new org.apache.hadoop.fs.Path(dataDir(dir))
+    val moved = f.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val dest = new org.apache.hadoop.fs.Path(dd, s"$stamp-${st.getPath.getName}")
+        require(f.rename(st.getPath, dest), s"GraftTable delete move failed: $dest")
+        (f.makeQualified(dest).toString, f.getFileStatus(dest).getLen)
+      }
+    f.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val statEntries =
+      if (moved.isEmpty) Seq.empty
+      else {
+        val byteSizes = moved.toMap
+        spark.read.parquet(moved.map(_._1): _*)
+          .groupBy(input_file_name().as("__f"))
+          .agg(count(lit(1)).as("__n"),
+            min(col(base.bucketCol)).as("__lo"), max(col(base.bucketCol)).as("__hi"))
+          .collect().toSeq.map { r =>
+            val uri = r.getString(0)
+            val key = byteSizes.keys.find(k => uri.endsWith(leaf(k))).getOrElse(uri)
+            FileEntry(key, r.getLong(1), byteSizes.getOrElse(key, 0L),
+              r.getLong(2), r.getLong(3), 0L, "delete")
+          }
+      }
+    val newRefs = writeShards(spark, dir, statEntries, "delete")
+    // metadata-only replacements for every shard that listed a hit file
+    // (kept entries, ORIGINAL addedAt/kind — retries never re-stamp)
+    val replacements: Map[String, Option[ManifestRef]] =
+      base.refs.flatMap { r =>
+        val entries = loadRef(spark, dir, r)
+        if (!entries.exists(isHit)) None
+        else {
+          val kept = entries.filterNot(isHit)
+          val rep =
+            if (kept.isEmpty) None
+            else writeShards(spark, dir, kept, r.kind).headOption
+              .map(_.copy(addedAt = r.addedAt))
+          Some(r.name -> rep)
+        }
+      }.toMap
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val latest = snapshotMeta(spark, dir).getOrElse(base)
+      // every base shard must still be live (appends only ADD refs); a
+      // vanished one means a racing compaction/delete rewrote the files
+      // we based this delete on
+      val latestNames = latest.refs.map(_.name).toSet
+      if (!base.refs.forall(r => latestNames.contains(r.name)))
+        throw new java.io.IOException(
+          s"GraftTable.deleteWhere: concurrent compaction/delete at $dir — " +
+            "re-run against the new state")
+      val nextId = latest.id + 1
+      val refs = latest.refs.flatMap(r =>
+        replacements.get(r.name) match {
+          case None => Some(r) // untouched (or an interloper append)
+          case Some(rep) => rep
+        }) ++ newRefs.map(_.copy(addedAt = nextId))
+      val meta = SnapshotMeta(nextId, base.bucketCol, refs, latest.schemaDdl)
+      if (tryPublish(spark, dir, meta)) return meta
+      attempt += 1
+      Thread.sleep(math.min(50L * attempt, 500L))
+    }
+    throw new java.io.IOException(
+      s"GraftTable.deleteWhere: lost $MaxCommitRetries publish races at $dir — giving up")
+  }
+
   /** Drop manifests older than the newest `keepSnapshots` and delete
     * data files — and manifest shards — no kept snapshot references.
     * Bounds [[delta]] lookback to the kept range. Returns (manifests
@@ -722,7 +846,11 @@ object GraftTable {
       .flatMap(m => m.refs.filter(r => r.addedAt > fromId && r.addedAt <= to &&
         r.kind == "append"))
       .distinctBy(_.name)
-    val entries = hitRefs.flatMap(loadRef(spark, dir, _))
+    // distinct by PATH, not just shard name: a deleteWhere replacement
+    // shard lists a subset of its original's files under a new shard
+    // name — both shards appear across the walked window and would
+    // otherwise hand the shared paths to the reader twice
+    val entries = hitRefs.flatMap(loadRef(spark, dir, _)).distinctBy(_.path)
     val base = snapshotMeta(spark, dir, Some(to)).get
     readFiles(spark, base, entries, firstFilePath(spark, dir, base).getOrElse(
       throw new IllegalStateException("empty snapshot")))

@@ -249,6 +249,54 @@ class GraftTableSpec extends GraftSpec {
       "row multiset incl. evolved nulls unchanged by compaction")
   }
 
+  test("deleteWhere: copy-on-write — only files holding victims rewritten") {
+    val dir = freshDir()
+    GraftTable.append(rows(0, 800), dir, "bucket", numFiles = Some(8))
+    val before = GraftTable.snapshot(spark, dir).get
+    def names(s: GraftTable.Snapshot) =
+      s.files.map(e => new org.apache.hadoop.fs.Path(e.path).getName).toSet
+    // victims live in bucket 3 only (range-clustered: ~1 file holds them)
+    val m = GraftTable.deleteWhere(spark, dir,
+      col("bucket") === 3 && col("id") < 100)
+    assert(m.id == 2L)
+    val after = GraftTable.snapshot(spark, dir).get
+    val rewritten = names(before).diff(names(after))
+    assert(rewritten.nonEmpty && rewritten.size <= 2,
+      s"only victim-holding files rewritten: $rewritten")
+    val got = GraftTable.read(spark, dir).select("id").as[Long].collect().sorted
+    val want = (0L until 800L).filterNot(i => i % 16 == 3 && i < 100)
+    assert(got.toSeq == want)
+    // time travel: pre-delete snapshot intact
+    assert(GraftTable.read(spark, dir, Some(1L)).count() == 800)
+    // rewritten entries carry kind=delete; untouched keep their kind
+    assert(after.files.filter(e => !names(before).contains(
+      new org.apache.hadoop.fs.Path(e.path).getName)).forall(_.kind == "delete"))
+    // a no-match delete publishes nothing
+    val m2 = GraftTable.deleteWhere(spark, dir, col("id") === 99999L)
+    assert(m2.id == 2L)
+  }
+
+  test("deleteWhere: bucket-pruned path agrees; delta stays the append log") {
+    val dir = freshDir()
+    GraftTable.append(rows(0, 100), dir, "bucket") // 1
+    GraftTable.append(rows(100, 200), dir, "bucket") // 2
+    GraftTable.deleteWhere(spark, dir, col("id").between(150, 159),
+      buckets = Some((150L until 160L).map(_ % 16).toArray)) // 3
+    assert(GraftTable.read(spark, dir).count() == 190)
+    // delta is the APPEND log: the pre-delete window still reads the
+    // original append files (deletions are not retroactive there), and
+    // the replacement shard must not double-read the shared paths
+    val d = GraftTable.delta(spark, dir, 1L).select("id").as[Long].collect().sorted
+    assert(d.toSeq == (100L until 200L).toSeq, s"got ${d.length} rows")
+    // a post-delete append then delta FROM the delete snapshot: only it
+    GraftTable.append(rows(200, 210), dir, "bucket") // 4
+    val d2 = GraftTable.delta(spark, dir, 3L).select("id").as[Long].collect().sorted
+    assert(d2.toSeq == (200L until 210L).toSeq)
+    // expire to latest: the state stays exact
+    GraftTable.expire(spark, dir, keepSnapshots = 1)
+    assert(GraftTable.read(spark, dir).count() == 200)
+  }
+
   test("delta(0) refuses after expire dropped snapshot 1") {
     val dir = freshDir()
     GraftTable.append(rows(0, 100), dir, "bucket") // 1
