@@ -3154,6 +3154,28 @@ object SparkEntry {
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
     }),
 
+    // generalized zone maps + z-order compaction (round 12): n_chars is
+    // declared a stats column, the compaction z-orders (bucket, n_chars)
+    // so every rewritten file covers a hyper-box in BOTH dimensions, and
+    // the read is a readWhere range on n_chars — files pruned by the
+    // manifest's per-file [min,max] before Spark opens anything. The
+    // value contract is a plain filter; the skipping is spec-measured
+    "q_table_where" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(64)).as("bucket"),
+          col("n_chars").cast("long").as("n_chars"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      val t = graft.sources.GraftTable.scratchTable("where")
+      (0 until 3).foreach(k => graft.sources.GraftTable.append(
+        docs.filter(pmod(col("doc_id"), lit(3)) === k), t, "bucket",
+        numFiles = Some(4), statsCols = Seq("n_chars")))
+      graft.sources.GraftTable.compact(s, t, targetFileBytes = 1L,
+        minFiles = 2, clusterBy = Seq("bucket", "n_chars"))
+      graft.sources.GraftTable.readWhere(s, t, "n_chars", 200L, 2000L)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
+
     // copy-on-write takedown (round 12): delete rows by content
     // predicate, manifest-pruned to the victims' bucket keys — only
     // files holding victims are rewritten (kind=delete), everything
@@ -6176,6 +6198,16 @@ object SparkEntry {
     "q_table_delta" ->
       """SELECT doc_id % 64 AS bucket, CAST(count(*) AS BIGINT) AS n_docs
         |FROM documents WHERE text IS NOT NULL AND doc_id % 3 IN (1, 2)
+        |GROUP BY 1""".stripMargin,
+
+    // zone-map scan: the z-order layout and manifest pruning are
+    // value-invisible — a plain range filter replays it
+    "q_table_where" ->
+      """SELECT doc_id % 64 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+        |    AS sum_tokens
+        |FROM documents
+        |WHERE text IS NOT NULL AND n_chars BETWEEN 200 AND 2000
         |GROUP BY 1""".stripMargin,
 
     // the takedown is value-visible as a plain anti-filter; the TABLE

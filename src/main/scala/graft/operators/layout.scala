@@ -48,6 +48,39 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /**
+   * K-way Morton/Z-value (round-12, the GraftTable clustered-compaction
+   * key): bit i of column j lands at interleaved position i*k + j, so
+   * each file of a z-sorted layout covers a small hyper-box in ALL k
+   * dimensions at once. Columns must already be mapped onto the
+   * [0, 2^bits) grid by a MONOTONE map (scaled range — [[gridScale]] —
+   * when range pruning is the goal; modulo only when locality of
+   * hash-like keys is). k * bits must fit a positive long.
+   */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.length
+    require(k >= 1, "at least one column")
+    require(bits >= 1 && k * bits <= 62, s"k*bits <= 62, got $k*$bits")
+    val masked = cols.map(_.cast("long").bitwiseAND(lit((1L << bits) - 1)))
+    (for {
+      i <- 0 until bits
+      (c, j) <- masked.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Monotone map of `c` from its global [lo, hi] onto the [0, 2^bits)
+    * grid — the range-preserving coordinate for [[zValueN]]. Constant
+    * columns (hi == lo) map to 0. */
+  def gridScale(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits in [1, 31], got $bits")
+    val cells = 1L << bits
+    if (hi <= lo) lit(0L)
+    else least(lit(cells - 1),
+      ((c.cast("long") - lit(lo)).cast("double") / lit((hi - lo).toDouble)
+        * lit(cells.toDouble)).cast("long"))
+  }
+
   /** The matching DuckDB expression for [[zValue]] — the oracle's half
     * of the contract, generated from the same bit walk. */
   def zValueSql(x: String, y: String, bits: Int): String = {

@@ -65,17 +65,24 @@ object GraftTable {
   /** One immutable data file with its bucket statistics. `addedAt` and
     * `kind` are carried at SHARD granularity in the manifest list (all
     * files of one shard share the commit that published them) and
-    * stamped onto the materialized entries. */
+    * stamped onto the materialized entries. `stats` (round-12 zone
+    * maps) holds [min, max] for any extra LONG-valued columns the
+    * writer declared (`statsCols`) — the generalized-skipping leg:
+    * [[readWhere]] prunes on any of them, soundly treating a missing
+    * entry as unbounded. */
   case class FileEntry(path: String, rows: Long, bytes: Long,
                        minBucket: Long, maxBucket: Long,
-                       addedAt: Long, kind: String) // kind: append|compact
+                       addedAt: Long, kind: String, // kind: append|compact|delete
+                       stats: Map[String, (Long, Long)] = Map.empty)
 
   /** A manifest shard reference in a snapshot's list: the shard file
     * name plus the aggregate statistics that let readers prune the
-    * whole shard without opening it. */
+    * whole shard without opening it. `stats` aggregates a column's
+    * range over the shard's files when EVERY file carries it. */
   case class ManifestRef(name: String, nFiles: Int, rows: Long, bytes: Long,
                          minBucket: Long, maxBucket: Long,
-                         addedAt: Long, kind: String)
+                         addedAt: Long, kind: String,
+                         stats: Map[String, (Long, Long)] = Map.empty)
 
   /** The two-level view of a snapshot: its shard refs, unparsed.
     * `schemaDdl` is the table schema AT THIS SNAPSHOT (round-12 schema
@@ -123,17 +130,31 @@ object GraftTable {
     body.append(meta.refs.map(r =>
       s"""{"name":${q(r.name)},"nFiles":${r.nFiles},"rows":${r.rows},""" +
         s""""bytes":${r.bytes},"minBucket":${r.minBucket},"maxBucket":${r.maxBucket},""" +
-        s""""addedAt":${r.addedAt},"kind":${q(r.kind)}}""").mkString(","))
+        s""""addedAt":${r.addedAt},"kind":${q(r.kind)}${statsJson(r.stats)}}""")
+      .mkString(","))
     body.append("]}")
     body.toString
   }
+
+  /** `,"stats":{"c":[lo,hi],...}` or empty. Stats column names are
+    * restricted to \w+ at declaration, so no escaping is needed. */
+  private def statsJson(stats: Map[String, (Long, Long)]): String =
+    if (stats.isEmpty) ""
+    else stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+      s""""$c":[$lo,$hi]"""
+    }.mkString(""","stats":{""", ",", "}")
+
+  private def parseStats(body: String): Map[String, (Long, Long)] =
+    "\"(\\w+)\":\\[(-?\\d+),(-?\\d+)\\]".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> (m.group(2).toLong, m.group(3).toLong)).toMap
 
   private def shardBody(entries: Seq[FileEntry]): String = {
     val body = new StringBuilder()
     body.append("""{"entries":[""")
     body.append(entries.map(e =>
       s"""{"path":${q(e.path)},"rows":${e.rows},"bytes":${e.bytes},""" +
-        s""""minBucket":${e.minBucket},"maxBucket":${e.maxBucket}}""").mkString(","))
+        s""""minBucket":${e.minBucket},"maxBucket":${e.maxBucket}""" +
+        s"""${statsJson(e.stats)}}""").mkString(","))
     body.append("]}")
     body.toString
   }
@@ -148,11 +169,13 @@ object GraftTable {
       .findFirstMatchIn(text).map(m => unescape(m.group(1)))
     val ref = ("\\{\"name\":\"((?:[^\"\\\\]|\\\\.)*)\",\"nFiles\":(\\d+)," +
       "\"rows\":(\\d+),\"bytes\":(\\d+),\"minBucket\":(-?\\d+)," +
-      "\"maxBucket\":(-?\\d+),\"addedAt\":(\\d+),\"kind\":\"(\\w+)\"\\}").r
+      "\"maxBucket\":(-?\\d+),\"addedAt\":(\\d+),\"kind\":\"(\\w+)\"" +
+      "(?:,\"stats\":\\{([^}]*)\\})?\\}").r
     val refs = ref.findAllMatchIn(text).map(m =>
       ManifestRef(unescape(m.group(1)), m.group(2).toInt, m.group(3).toLong,
         m.group(4).toLong, m.group(5).toLong, m.group(6).toLong,
-        m.group(7).toLong, m.group(8))).toSeq
+        m.group(7).toLong, m.group(8),
+        Option(m.group(9)).map(parseStats).getOrElse(Map.empty))).toSeq
     SnapshotMeta(id, bucketCol, refs, schemaDdl)
   }
 
@@ -161,10 +184,12 @@ object GraftTable {
 
   private def parseShard(text: String): Seq[FileEntry] = {
     val entry = ("\\{\"path\":\"((?:[^\"\\\\]|\\\\.)*)\",\"rows\":(\\d+)," +
-      "\"bytes\":(\\d+),\"minBucket\":(-?\\d+),\"maxBucket\":(-?\\d+)\\}").r
+      "\"bytes\":(\\d+),\"minBucket\":(-?\\d+),\"maxBucket\":(-?\\d+)" +
+      "(?:,\"stats\":\\{([^}]*)\\})?\\}").r
     entry.findAllMatchIn(text).map(m =>
       FileEntry(unescape(m.group(1)), m.group(2).toLong, m.group(3).toLong,
-        m.group(4).toLong, m.group(5).toLong, 0L, "")).toSeq
+        m.group(4).toLong, m.group(5).toLong, 0L, "",
+        Option(m.group(6)).map(parseStats).getOrElse(Map.empty))).toSeq
   }
 
   /** Shards are immutable once published, so their parsed entries cache
@@ -210,9 +235,14 @@ object GraftTable {
       val out = f.create(new org.apache.hadoop.fs.Path(md, name), false)
       out.write(shardBody(group).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
+      // shard-level stats only for columns EVERY file in the group
+      // bounds — anything else would make ref-level pruning unsound
+      val sharedCols = group.map(_.stats.keySet).reduce(_ intersect _)
+      val refStats = sharedCols.map(c => c -> (
+        group.map(_.stats(c)._1).min, group.map(_.stats(c)._2).max)).toMap
       ManifestRef(name, group.length, group.map(_.rows).sum,
         group.map(_.bytes).sum, group.map(_.minBucket).min,
-        group.map(_.maxBucket).max, 0L, kind)
+        group.map(_.maxBucket).max, 0L, kind, refStats)
     }.toSeq
   }
 
@@ -397,6 +427,40 @@ object GraftTable {
     * means pathological contention, better surfaced than spun on). */
   private val MaxCommitRetries = 20
 
+  /** One columnar pass over freshly-moved files: per-file row count and
+    * [min, max] for the bucket column plus every declared stats column
+    * (a column all-null within a file records no bound there — readers
+    * treat the absence as unbounded, which keeps pruning sound). */
+  private def fileStats(spark: SparkSession, moved: Seq[(String, Long)],
+                        bucketCol: String, statsCols: Seq[String],
+                        kind: String): Seq[FileEntry] = {
+    if (moved.isEmpty) return Seq.empty
+    statsCols.foreach(c => require(c.matches("\\w+"),
+      s"GraftTable stats column name must be \\w+: $c"))
+    val byteSizes = moved.toMap
+    val aggs = Seq(count(lit(1)).as("__n"),
+      min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi")) ++
+      statsCols.flatMap(c => Seq(
+        min(col(c).cast("long")).as(s"__lo_$c"),
+        max(col(c).cast("long")).as(s"__hi_$c")))
+    spark.read.parquet(moved.map(_._1): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq.map { r =>
+        // input_file_name returns a URI form; match on suffix
+        val uri = r.getString(0)
+        val key = byteSizes.keys.find(k => uri.endsWith(
+          new org.apache.hadoop.fs.Path(k).getName)).getOrElse(uri)
+        val stats = statsCols.zipWithIndex.flatMap { case (c, i) =>
+          val lo = 4 + 2 * i
+          if (r.isNullAt(lo) || r.isNullAt(lo + 1)) None
+          else Some(c -> (r.getLong(lo), r.getLong(lo + 1)))
+        }.toMap
+        FileEntry(key, r.getLong(1), byteSizes.getOrElse(key, 0L),
+          r.getLong(2), r.getLong(3), 0L, kind, stats)
+      }
+  }
+
   /** Append `df` as a new snapshot: rows land range-clustered by
     * `bucketCol` (so per-file min/max stats are selective from the first
     * write), per-file stats are computed in one columnar pass over the
@@ -409,10 +473,15 @@ object GraftTable {
     * read, not a rewrite. Concurrent appends therefore both survive
     * with all rows present. Returns the new snapshot's META (id + shard
     * refs) — deliberately NOT the materialized file list, so an append
-    * to a 10^6-file table never parses shards it didn't write. */
+    * to a 10^6-file table never parses shards it didn't write.
+    *
+    * `statsCols` (round-12 zone maps) declares extra LONG-valued
+    * columns whose per-file [min, max] land in the manifest — the
+    * generalized-skipping leg [[readWhere]] prunes on. */
   def append(df: DataFrame, dir: String, bucketCol: String,
              numFiles: Option[Int] = None,
-             mergeSchema: Boolean = false): SnapshotMeta = {
+             mergeSchema: Boolean = false,
+             statsCols: Seq[String] = Nil): SnapshotMeta = {
     val spark = df.sparkSession
     val prev = snapshotMeta(spark, dir)
     val incoming = df.withColumn(bucketCol, col(bucketCol).cast("long"))
@@ -446,23 +515,7 @@ object GraftTable {
       }
     f.delete(new org.apache.hadoop.fs.Path(tmp), true)
     // per-file stats over the NEW files only
-    val statEntries =
-      if (moved.isEmpty) Seq.empty
-      else {
-        val byteSizes = moved.toMap
-        spark.read.parquet(moved.map(_._1): _*)
-          .groupBy(input_file_name().as("__f"))
-          .agg(count(lit(1)).as("__n"),
-            min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
-          .collect().toSeq.map { r =>
-            // input_file_name returns a URI form; match on suffix
-            val uri = r.getString(0)
-            val key = byteSizes.keys.find(k => uri.endsWith(
-              new org.apache.hadoop.fs.Path(k).getName)).getOrElse(uri)
-            FileEntry(key, r.getLong(1), byteSizes.getOrElse(key, 0L),
-              r.getLong(2), r.getLong(3), 0L, "append")
-          }
-      }
+    val statEntries = fileStats(spark, moved, bucketCol, statsCols, "append")
     val newRefs = writeShards(spark, dir, statEntries, "append")
     var base = prev
     var attempt = 0
@@ -497,10 +550,22 @@ object GraftTable {
     * file list is the compacted files ONLY. The row multiset is
     * unchanged (spec-pinned); old snapshots keep reading their own
     * files until [[expire]]. No-op (returns the current snapshot) when
-    * fewer than `minFiles` files or compaction would not shrink. */
+    * fewer than `minFiles` files or compaction would not shrink.
+    *
+    * `clusterBy` (round-12): a non-empty column list switches the
+    * layout from the bucket range sort to a K-WAY Z-ORDER over those
+    * columns ([[graft.operators.Layout.zValueN]] on range-scaled grid
+    * coordinates): each rewritten file then covers a small hyper-box
+    * in EVERY clustered dimension, so [[readWhere]] range predicates
+    * on ANY of them prune files — at the documented price that the
+    * single-column bucket ranges widen (~sqrt trade for 2-D). Stats
+    * columns carried in the current snapshot are recomputed for the
+    * rewritten files automatically; `statsCols` adds new ones. */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L << 20,
-              minFiles: Int = 4): Snapshot = {
+              minFiles: Int = 4,
+              clusterBy: Seq[String] = Nil,
+              statsCols: Seq[String] = Nil): Snapshot = {
     val curMeta = snapshotMeta(spark, dir).getOrElse(
       throw new IllegalStateException(s"GraftTable.compact: empty table at $dir"))
     val cur = Snapshot(curMeta.id, curMeta.bucketCol,
@@ -510,16 +575,42 @@ object GraftTable {
     val nOut = math.max(1L, math.min(cur.files.length - 1L,
       (totalBytes + targetFileBytes - 1) / targetFileBytes)).toInt
     if (nOut >= cur.files.length) return cur
+    // stats recorded for the rewrite: whatever the live files already
+    // bound, plus any newly requested columns
+    val allStats = (cur.files.flatMap(_.stats.keys) ++ statsCols)
+      .distinct.filterNot(_ == cur.bucketCol)
     val stamp = "c" + java.util.UUID.randomUUID().toString.take(8)
     val tmp = s"${dir.stripSuffix("/")}/.compact_$stamp"
     // read with the stored schema (when present) so a post-evolution
     // compaction materializes every column — nulls included — into the
     // rewritten files
     val reader = curMeta.schema.foldLeft(spark.read)((r, s) => r.schema(s))
-    reader.parquet(cur.files.map(_.path): _*)
-      .repartitionByRange(nOut, col(cur.bucketCol))
-      .sortWithinPartitions(col(cur.bucketCol))
-      .write.mode("overwrite").parquet(tmp)
+    val live = reader.parquet(cur.files.map(_.path): _*)
+    val clustered =
+      if (clusterBy.isEmpty)
+        live.repartitionByRange(nOut, col(cur.bucketCol))
+          .sortWithinPartitions(col(cur.bucketCol))
+      else {
+        import graft.operators.Layout
+        val bits = math.min(16, 62 / clusterBy.length)
+        // one pass for the global ranges that anchor the monotone grid
+        val bounds = live.agg(
+          clusterBy.flatMap(c => Seq(min(col(c).cast("long")),
+            max(col(c).cast("long")))).head,
+          clusterBy.flatMap(c => Seq(min(col(c).cast("long")),
+            max(col(c).cast("long")))).tail: _*).collect().head
+        val coords = clusterBy.zipWithIndex.map { case (c, i) =>
+          require(!bounds.isNullAt(2 * i),
+            s"GraftTable.compact: clusterBy column $c is all-null")
+          Layout.gridScale(col(c), bounds.getLong(2 * i),
+            bounds.getLong(2 * i + 1), bits)
+        }
+        live.withColumn("__z", Layout.zValueN(coords, bits))
+          .repartitionByRange(nOut, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      }
+    clustered.write.mode("overwrite").parquet(tmp)
     val f = fs(spark, dir)
     val dd = new org.apache.hadoop.fs.Path(dataDir(dir))
     val moved = f.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
@@ -530,18 +621,7 @@ object GraftTable {
         (f.makeQualified(dest).toString, f.getFileStatus(dest).getLen)
       }
     f.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    val byteSizes = moved.toMap
-    val statEntries = spark.read.parquet(moved.map(_._1): _*)
-      .groupBy(input_file_name().as("__f"))
-      .agg(count(lit(1)).as("__n"),
-        min(col(cur.bucketCol)).as("__lo"), max(col(cur.bucketCol)).as("__hi"))
-      .collect().toSeq.map { r =>
-        val uri = r.getString(0)
-        val key = byteSizes.keys.find(k => uri.endsWith(
-          new org.apache.hadoop.fs.Path(k).getName)).getOrElse(uri)
-        FileEntry(key, r.getLong(1), byteSizes.getOrElse(key, 0L),
-          r.getLong(2), r.getLong(3), 0L, "compact")
-      }
+    val statEntries = fileStats(spark, moved, cur.bucketCol, allStats, "compact")
     val newRefs = writeShards(spark, dir, statEntries, "compact")
     // optimistic publish: if an APPEND won the race for cur.id+1, the
     // compacted files cover only the rows up to cur.id — the retried
@@ -634,21 +714,9 @@ object GraftTable {
         (f.makeQualified(dest).toString, f.getFileStatus(dest).getLen)
       }
     f.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    val statEntries =
-      if (moved.isEmpty) Seq.empty
-      else {
-        val byteSizes = moved.toMap
-        spark.read.parquet(moved.map(_._1): _*)
-          .groupBy(input_file_name().as("__f"))
-          .agg(count(lit(1)).as("__n"),
-            min(col(base.bucketCol)).as("__lo"), max(col(base.bucketCol)).as("__hi"))
-          .collect().toSeq.map { r =>
-            val uri = r.getString(0)
-            val key = byteSizes.keys.find(k => uri.endsWith(leaf(k))).getOrElse(uri)
-            FileEntry(key, r.getLong(1), byteSizes.getOrElse(key, 0L),
-              r.getLong(2), r.getLong(3), 0L, "delete")
-          }
-      }
+    // carry forward whatever stats columns the rewritten files bounded
+    val carried = hitFiles.flatMap(_.stats.keys).distinct
+    val statEntries = fileStats(spark, moved, base.bucketCol, carried, "delete")
     val newRefs = writeShards(spark, dir, statEntries, "delete")
     // metadata-only replacements for every shard that listed a hit file
     // (kept entries, ORIGINAL addedAt/kind — retries never re-stamp)
@@ -788,6 +856,39 @@ object GraftTable {
       .flatMap(loadRef(spark, dir, _))
       .filter(e => anyIn(e.minBucket, e.maxBucket))
     (meta, hit)
+  }
+
+  /** Manifest-side half of [[readWhere]]: entries whose recorded
+    * [min, max] for `column` intersects [lo, hi] — shard refs pruned
+    * first. A ref or entry with NO recorded range for the column is
+    * kept (unbounded), so pruning is sound for files that predate the
+    * column's stats declaration. */
+  def pruneWhere(spark: SparkSession, dir: String, column: String,
+                 lo: Long, hi: Long,
+                 snapshotId: Option[Long] = None): (SnapshotMeta, Seq[FileEntry]) = {
+    require(lo <= hi, s"bad range [$lo, $hi]")
+    val meta = snapshotMeta(spark, dir, snapshotId).getOrElse(
+      throw new IllegalStateException(s"GraftTable: empty table at $dir"))
+    if (column == meta.bucketCol) return pruneRange(spark, dir, lo, hi, snapshotId)
+    val hit = meta.refs
+      .filter(_.stats.get(column).forall { case (l, h) => h >= lo && l <= hi })
+      .flatMap(loadRef(spark, dir, _))
+      .filter(_.stats.get(column).forall { case (l, h) => h >= lo && l <= hi })
+    (meta, hit)
+  }
+
+  /** Generalized zone-map scan (round-12): a range predicate on ANY
+    * declared stats column opens only the [[pruneWhere]] survivors,
+    * then the exact residual filter applies. With a z-order
+    * [[compact]] layout over the same columns this is multi-dimensional
+    * data skipping on a plain parquet table. */
+  def readWhere(spark: SparkSession, dir: String, column: String,
+                lo: Long, hi: Long,
+                snapshotId: Option[Long] = None): DataFrame = {
+    val (meta, hit) = pruneWhere(spark, dir, column, lo, hi, snapshotId)
+    readFiles(spark, meta, hit, firstFilePath(spark, dir, meta).getOrElse(
+      throw new IllegalStateException("empty snapshot")))
+      .filter(col(column).cast("long").between(lo, hi))
   }
 
   /** Bucket-RANGE scan: only the [[pruneRange]] survivors are handed to

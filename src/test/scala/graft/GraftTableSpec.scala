@@ -249,6 +249,43 @@ class GraftTableSpec extends GraftSpec {
       "row multiset incl. evolved nulls unchanged by compaction")
   }
 
+  test("zone maps + z-order compact: readWhere prunes on a second dimension") {
+    val dir = freshDir()
+    // ts is independent of bucket: under the bucket-range layout every
+    // file spans the full ts range, so a ts predicate can prune nothing
+    // 16 input files so the z-compact rewrites to 15 — each covers
+    // ~6.7% of the curve, a wide margin over the 3% ts box even under
+    // range-partitioner sampling error (the boundary split is sampled,
+    // not exact)
+    val df = (0 until 1600).map(i => (i.toLong, i.toLong % 16, 1000L + i, s"doc-$i"))
+      .toDF("id", "bucket", "ts", "payload")
+    GraftTable.append(df, dir, "bucket", numFiles = Some(16), statsCols = Seq("ts"))
+    val snap = GraftTable.snapshot(spark, dir).get
+    assert(snap.files.forall(_.stats.contains("ts")))
+    assert(GraftTable.snapshotMeta(spark, dir).get.refs.forall(_.stats.contains("ts")))
+    val want = GraftTable.read(spark, dir)
+      .filter(col("ts").between(1100, 1150)).orderBy("id").collect().toSeq
+    val gotPre = GraftTable.readWhere(spark, dir, "ts", 1100, 1150)
+      .orderBy("id").collect().toSeq
+    assert(gotPre == want)
+    assert(GraftTable.pruneWhere(spark, dir, "ts", 1100, 1150)._2.length ==
+      snap.files.length, "bucket layout scatters ts: nothing prunable yet")
+    // z-order compact over (bucket, ts): every file becomes a hyper-box
+    GraftTable.compact(spark, dir, targetFileBytes = 1L, minFiles = 2,
+      clusterBy = Seq("bucket", "ts"))
+    val zFiles = GraftTable.snapshot(spark, dir).get.files
+    val tsHit = GraftTable.pruneWhere(spark, dir, "ts", 1100, 1150)._2.length
+    assert(tsHit < zFiles.length,
+      s"z-layout must make ts prunable: $tsHit of ${zFiles.length}")
+    // and the bucket dimension stays prunable too (the 2-D trade)
+    val bHit = GraftTable.pruneRange(spark, dir, 3, 3)._2.length
+    assert(bHit < zFiles.length, s"bucket still prunable: $bHit of ${zFiles.length}")
+    // values unchanged through the z rewrite, both pruned and full
+    assert(GraftTable.readWhere(spark, dir, "ts", 1100, 1150)
+      .orderBy("id").collect().toSeq == want)
+    assert(GraftTable.read(spark, dir).count() == 1600)
+  }
+
   test("deleteWhere: copy-on-write — only files holding victims rewritten") {
     val dir = freshDir()
     GraftTable.append(rows(0, 800), dir, "bucket", numFiles = Some(8))
