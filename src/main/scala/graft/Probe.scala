@@ -273,6 +273,10 @@ object CovStreamProbe {
         .option("checkpointLocation", s"$stage/ckpt")
         .outputMode("complete").start()
       q.processAllAvailable()
+      // executed microbatch physical plan (plan-shape evidence for the
+      // cell pre-aggregation: ObjectHashAggregate over the kernel's
+      // partial cells, never an explode of O(rows·d²) cells)
+      if (n == batches.head) q.explain()
       val prog = q.recentProgress.filter(_.numInputRows > 0)
       prog.zipWithIndex.foreach { case (p, i) =>
         println(f"[probe] n=$n batch=$i rows=${p.numInputRows}%7d " +

@@ -477,33 +477,79 @@ object Similarity {
    * are the same multiset grouped finer, and decimal sums are exact, so
    * deriving sᵢ from the d sentinel cells is value-identical while
    * cutting the decimal-agg work ~6×: one sum per triangle row instead
-   * of three per full-square row). The cell generator is a JVM UDF by
-   * measured justification (house rule): the declarative
-   * posexplode×posexplode formulation materializes d² rows per vector
-   * each carrying three doubles into the aggregate — 16.2 s at sf0.1 vs
-   * 8.6 s for this shape, same bit-exact drained grid.
+   * of three per full-square row).
+   *
+   * Round-12 shape: the cells are PRE-AGGREGATED per task with the
+   * [[momentAggregate]] int128 kernel (quantize12 is bit-identical to
+   * Spark's double→decimal(_,12) cast, add128 to its decimal sum — the
+   * proof is the hash-exact kmeans/embed-cov oracle family), and only
+   * the ≤(d(d+1)/2 + d) partial cells per task enter the streaming
+   * aggregation as exact scale-12 decimals. The previous shape (explode
+   * every cell of every row into the decimal agg) paid a measured
+   * ~3.7 ms/row — 70× the batch kernel (CovStreamProbe, SCALE.md): a
+   * Decimal cast + non-vectorized Decimal add per CELL, n·(d²/2+d)
+   * rows through the exchange per microbatch. The kernel pays primitive
+   * long adds per cell and ships O(tasks · d²) cells, never O(rows · d²)
+   * — the same exchange-carries-cells scale shape as the batch kernel,
+   * now per delta. Drained grid bit-identical by construction (decimal
+   * addition is exact, so any grouping/order of the same quantized
+   * multiset sums identically); CovStreamProbe re-checks grid equality
+   * against the batch path on every run.
+   *
+   * Cells are tracked in a LongMap keyed by (i, j), so ragged vectors
+   * contribute to exactly the cells their length reaches — per-cell
+   * counts stay identical to the old per-row explode.
    */
   def covCellStream(df: DataFrame, vecCol: String): DataFrame = {
-    val cellsUdf = udf((v: Seq[Double]) => {
-      if (v == null) Seq.empty[(Int, Int, Double)]
-      else {
-        val d = v.length
-        val out = new Array[(Int, Int, Double)](d * (d + 1) / 2 + d)
-        var k = 0
-        var i = 0
-        while (i < d) {
-          out(k) = (i, -1, v(i)); k += 1
-          var j = i
-          while (j < d) { out(k) = (i, j, v(i) * v(j)); k += 1; j += 1 }
-          i += 1
+    import KMeansDet.quantize12
+    val spark = df.sparkSession
+    import spark.implicits._
+    val partials = df
+      .select(col(vecCol).cast(ArrayType(DoubleType)).as("__v"))
+      .as[Seq[Double]]
+      .mapPartitions { it =>
+        // (hi, lo, n) per live cell; key = (i << 32) | (j + 1)
+        val cells = new scala.collection.mutable.LongMap[Array[Long]]()
+        def acc(i: Int, j: Int, q: Long): Unit = {
+          val k = (i.toLong << 32) | ((j + 1).toLong & 0xffffffffL)
+          val c = cells.getOrElseUpdate(k, new Array[Long](3))
+          val l0 = c(1); val nlo = l0 + q
+          c(0) += (q >> 63) + (((l0 & q) | ((l0 | q) & ~nlo)) >>> 63)
+          c(1) = nlo
+          c(2) += 1
         }
-        out.toSeq
+        it.foreach { v =>
+          if (v != null) {
+            val d = v.length
+            try {
+              var i = 0
+              while (i < d) {
+                val xi = v(i)
+                acc(i, -1, quantize12(xi))
+                var j = i
+                while (j < d) { acc(i, j, quantize12(xi * v(j))); j += 1 }
+                i += 1
+              }
+            } catch { case e: FeatureRangeException =>
+              throw new IllegalArgumentException(
+                "covCellStream: embedding magnitude out of range — exact " +
+                  "scale-12 moment sums need |xi| and every product " +
+                  "|xi*xj| under 1e6 (so roughly |xi| < 1e3); rescale or " +
+                  s"normalize the vectors first. Cause: ${e.getMessage}", e)
+            }
+          }
+        }
+        cells.iterator.map { case (k, c) =>
+          val big = (BigInt(c(0)) << 64) + BigInt(java.lang.Long.toUnsignedString(c(1)))
+          ((k >> 32).toInt, (k & 0xffffffffL).toInt - 1, c(2),
+            new java.math.BigDecimal(big.bigInteger, 12))
+        }
       }
-    })
-    df.select(explode(cellsUdf(col(vecCol).cast(ArrayType(DoubleType)))).as("c"))
-      .select(col("c._1").as("i"), col("c._2").as("j"), col("c._3").as("__x"))
+      .toDF("i", "j", "__n", "__s")
+    partials
       .groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"), sum(col("__x").cast("decimal(28,12)")).as("s"))
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__s").cast("decimal(38,12)")).as("s"))
   }
 
   /**
