@@ -259,6 +259,46 @@ object SparkEntry {
     * bounded result each batch, so end-of-stream state IS batch parity.
     * The memory sink holds exactly the agg's group count (4096 rows for
     * the 4x1024 sketch) — driver-bounded by the operator's shape. */
+  /** Shuffle-partition count for a streaming drain's STATEFUL exchange,
+    * derived from the replay input's size (round 12). Streaming disables
+    * AQE, so the post-shuffle coalescing that right-sizes every batch
+    * exchange never runs — a stateful query commits one state store per
+    * shuffle partition per microbatch instead, a pure fixed cost
+    * (~40–60 ms/store/batch measured for the RocksDB drains: the
+    * q_hll_window+q_sessionize_stream pair reads 9.8 s at 32 partitions,
+    * 6.3 s at 8, 6.5 s at 4 — linear in partitions past the knee).
+    * Derivation, not a local constant: one partition per `perPartBytes`
+    * of replay input, floored at 4 (keep the post-exchange compute
+    * parallel), CAPPED at the session's configured
+    * spark.sql.shuffle.partitions — the cluster-tuned value — so a
+    * corpus-sized replay keeps full parallelism and only provably tiny
+    * inputs shed the commit overhead. `SPARK_GRAFT_STREAM_SHUFFLE`
+    * overrides the derivation outright. */
+  private def streamShufflePartitions(s: SparkSession, inputPath: String,
+      perPartBytes: Long = 4L << 20): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.toInt).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(inputPath)
+      val bytes =
+        try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+        catch { case _: Exception => Long.MaxValue } // unknown => keep session value
+      val sessionParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      math.min(sessionParts,
+        math.max(4L, (bytes + perPartBytes - 1) / perPartBytes)).toInt
+    }
+
+  /** Runs `body` with spark.sql.shuffle.partitions scoped to `n` (the
+    * stateful-stream sizing above) and restores the session value after —
+    * the same scoped-conf pattern as the RocksDB provider swap. The
+    * partition count is baked into the stream's state layout at START,
+    * so only query start needs the scope. */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def runDocStreamComplete(s: SparkSession, dir: String, name: String)(
       build: DataFrame => DataFrame): DataFrame =
     runTableStreamComplete(s, dir, "documents", name)(build)
@@ -277,9 +317,12 @@ object SparkEntry {
         s.readStream.schema(schema)
           .option("pathGlobFilter", s"$table.parquet").parquet(dir)
     val qn = s"graft_docstream_${name}_${streamRun.incrementAndGet()}"
-    val query = build(raw).writeStream
-      .format("memory").queryName(qn)
-      .outputMode("complete").start()
+    val query = withShufflePartitions(s,
+        streamShufflePartitions(s, docPath)) {
+      build(raw).writeStream
+        .format("memory").queryName(qn)
+        .outputMode("complete").start()
+    }
     try {
       query.processAllAvailable()
       val rows = s.table(qn).collect()
@@ -364,10 +407,12 @@ object SparkEntry {
     }
     s.streams.addListener(peakListener)
     val query =
-      try build(union).writeStream
-        .format("parquet").option("path", s"$out/data")
-        .option("checkpointLocation", s"$out/ckpt")
-        .outputMode("append").start()
+      try withShufflePartitions(s, streamShufflePartitions(s, evPath)) {
+        build(union).writeStream
+          .format("parquet").option("path", s"$out/data")
+          .option("checkpointLocation", s"$out/ckpt")
+          .outputMode("append").start()
+      }
       finally {
         prevProvider match {
           case Some(v) => s.conf.set(providerKey, v)
@@ -398,8 +443,10 @@ object SparkEntry {
         p.stateOperators.map(_.numRowsTotal).sum
       val peak = math.max(withState.map(rows).max,
         Option(peaks.get(query.runId)).map(_.longValue).getOrElse(0L))
+      val stateParts = withState.last.stateOperators.head.numShufflePartitions
       System.err.println(s"[stream] $name: peakStateRows=$peak" +
-        s" lastStateRows=${rows(withState.last)}")
+        s" lastStateRows=${rows(withState.last)}" +
+        s" stateShufflePartitions=$stateParts")
     }
     s.read.parquet(s"$out/data")
   }
@@ -1910,8 +1957,13 @@ object SparkEntry {
       // selective at every scale factor.
       val radius =
         if (tbl(s, dir, "documents").count() > 200000L) 1 else 3
-      val img = docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
-        .select(col("doc_id"), imgUdf(col("doc_id")).as("blob"))
+      // staged once (round 12): the blob leg feeds BOTH imageStats and
+      // the dHash fingerprint stage — un-staged, the 192-md5s-per-image
+      // encode UDF re-ran for each consumer (two full encode passes)
+      val img = graft.core.Stage.materialize(
+        docs.filter(pmod(col("doc_id"), lit(3L)) === 0)
+          .select(col("doc_id"), imgUdf(col("doc_id")).as("blob")),
+        "curate13_img")
       val imgOk = Multimodal.imageStats(img, "doc_id", "blob", batchSize = 32)
         .filter(col("width").isNotNull && col("width") * col("height") >= 64)
         .select(col("media_id").as("doc_id"))
