@@ -2292,11 +2292,18 @@ object SparkEntry {
           pmod(col("doc_id"), lit(3L)).as("batch"))
       val inDir = base.resolve("in")
       java.nio.file.Files.createDirectories(inDir)
+      // ONE staging job for all three batch files (round 12: was three
+      // filter+coalesce(1) writes = three sequential scans of the
+      // corpus): partitionBy(__part) lays each batch out as one file in
+      // its own key dir (each key lives in exactly one post-repartition
+      // partition), and `batch` stays a DATA column so the streamed
+      // schema is unchanged
+      val tmp = base.resolve("tmp").toString
+      docs.withColumn("__part", col("batch"))
+        .repartition(col("__part"))
+        .write.partitionBy("__part").mode("overwrite").parquet(tmp)
       (0 until 3).foreach { b =>
-        val tmp = base.resolve(s"tmp$b").toString
-        docs.filter(col("batch") === b).coalesce(1)
-          .write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
+        val part = new java.io.File(s"$tmp/__part=$b").listFiles()
           .find(_.getName.endsWith(".parquet")).get
         val dest = inDir.resolve(s"b$b.parquet").toFile
         require(part.renameTo(dest), s"stage move failed: $dest")
@@ -2306,13 +2313,21 @@ object SparkEntry {
       val idx = base.resolve("index").toString
       val surv = base.resolve("surv").toString
       val schema = s.read.parquet(inDir.toString).schema
-      val q = Dedup.incrementalNearDupSink(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
-          .parquet(inDir.toString),
-        idx, surv, base.resolve("ckpt").toString,
-        "text", "doc_id", mhHashes, mhBands, mhSeed, mhShingle,
-        threshold = 0.8)
-      try q.processAllAvailable() finally q.stop()
+      // the foreachBatch body's joins/aggs read the session
+      // shuffle-partition conf at each batch's plan time — scope the
+      // whole drain to the input-derived size (same rationale as the
+      // stateful drains: a ~1.7k-doc microbatch over 32-partition
+      // exchanges is pure task-scheduling overhead; results are
+      // partitioning-independent)
+      withShufflePartitions(s, streamShufflePartitions(s, inDir.toString)) {
+        val q = Dedup.incrementalNearDupSink(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+            .parquet(inDir.toString),
+          idx, surv, base.resolve("ckpt").toString,
+          "text", "doc_id", mhHashes, mhBands, mhSeed, mhShingle,
+          threshold = 0.8)
+        try q.processAllAvailable() finally q.stop()
+      }
       // (reading the batch-* glob logs a benign "WARN FileStreamSink:
       // Assume no metadata directory" with a FileNotFoundException body
       // — that is the sink-detection probe failing on a glob, not an

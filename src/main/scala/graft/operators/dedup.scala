@@ -495,6 +495,9 @@ object Dedup {
       // call re-ran the signature UDF over the batch a second time)
       val pairs = pairsFromBandedRows(banded, threshold, maxBucketSize)
       val cl = clusters(pairs) // (id, cluster_id = min reachable id)
+      // the index-probe join feeds BOTH the poison set and the drop set —
+      // persisted so the banded×index Jaccard verify runs once per batch
+      indexMatched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // a cluster is poisoned when any member matched the index; in clean
       // clusters only the minimum id survives
       val poisoned = cl.join(indexMatched, cl("id") === indexMatched("__id"))
@@ -509,6 +512,7 @@ object Dedup {
           batch(idCol).cast(LongType) === dropIds("id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       survivors.count() // pin results before the index grows
+      indexMatched.unpersist(blocking = false)
       val sigRows = banded
         .join(survivors.select(batch(idCol).cast(LongType).as("__sid")),
           col("__id") === col("__sid"), "left_semi")

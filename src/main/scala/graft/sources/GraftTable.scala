@@ -427,16 +427,90 @@ object GraftTable {
     * means pathological contention, better surfaced than spun on). */
   private val MaxCommitRetries = 20
 
-  /** One columnar pass over freshly-moved files: per-file row count and
-    * [min, max] for the bucket column plus every declared stats column
-    * (a column all-null within a file records no bound there — readers
-    * treat the absence as unbounded, which keeps pruning sound). */
+  /** Per-file row count and [min, max] for the bucket column plus every
+    * declared stats column (a column all-null within a file records no
+    * bound there — readers treat the absence as unbounded, which keeps
+    * pruning sound).
+    *
+    * Round-12 fast path: the bounds come from the PARQUET FOOTERS —
+    * driver-side, O(files) metadata reads, never a data scan (INT64
+    * column statistics are exact, and every bucket column is cast to
+    * long before write). Previously every append/compact re-READ its
+    * freshly written files in a Spark job just to recompute what the
+    * writer's footers already record — one whole extra pass over every
+    * ingested byte at 100 TB. Falls back to the columnar scan whenever
+    * a footer lacks usable INT64 statistics (non-long stats column,
+    * stats disabled), so the recorded bounds are identical either way. */
   private def fileStats(spark: SparkSession, moved: Seq[(String, Long)],
                         bucketCol: String, statsCols: Seq[String],
                         kind: String): Seq[FileEntry] = {
     if (moved.isEmpty) return Seq.empty
     statsCols.foreach(c => require(c.matches("\\w+"),
       s"GraftTable stats column name must be \\w+: $c"))
+    footerStats(spark, moved, bucketCol, statsCols, kind).getOrElse(
+      scanStats(spark, moved, bucketCol, statsCols, kind))
+  }
+
+  /** Footer route for [[fileStats]]: None when any file/column lacks
+    * exact INT64 statistics — the caller then runs the scan. Per-block
+    * min/max combine exactly like the scan's min/max aggregate; blocks
+    * or files without values for a column contribute no bound. */
+  private def footerStats(spark: SparkSession, moved: Seq[(String, Long)],
+                          bucketCol: String, statsCols: Seq[String],
+                          kind: String): Option[Seq[FileEntry]] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    try {
+      val out = moved.map { case (path, bytes) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path), conf)
+        val footer = {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter finally r.close()
+        }
+        val blocks = footer.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        // Left(()) = stats unusable (fall back); Right(None) = column has
+        // no values in this file (soundly unbounded)
+        def bound(name: String): Either[Unit, Option[(Long, Long)]] = {
+          var lo = Long.MaxValue; var hi = Long.MinValue; var seen = false
+          blocks.foreach { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == name) match {
+              case None => // column absent from this file (pre-evolution)
+              case Some(c) => c.getStatistics match {
+                case ls: org.apache.parquet.column.statistics.LongStatistics
+                    if ls.hasNonNullValue =>
+                  lo = math.min(lo, ls.getMin); hi = math.max(hi, ls.getMax)
+                  seen = true
+                case st if st != null && st.isNumNullsSet &&
+                    st.getNumNulls == b.getRowCount => // all-null block
+                case _ => return Left(())
+              }
+            }
+          }
+          Right(if (seen) Some((lo, hi)) else None)
+        }
+        val (bLo, bHi) = bound(bucketCol) match {
+          case Right(Some(b)) => b
+          case _ => return None // bucket bound is required; the scan decides
+        }
+        val stats = statsCols.flatMap { c =>
+          bound(c) match {
+            case Right(opt) => opt.map(c -> _)
+            case Left(_) => return None
+          }
+        }.toMap
+        FileEntry(path, rows, bytes, bLo, bHi, 0L, kind, stats)
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+  }
+
+  /** The original one-columnar-pass route for [[fileStats]] — now the
+    * fallback behind [[footerStats]]. */
+  private def scanStats(spark: SparkSession, moved: Seq[(String, Long)],
+                        bucketCol: String, statsCols: Seq[String],
+                        kind: String): Seq[FileEntry] = {
     val byteSizes = moved.toMap
     val aggs = Seq(count(lit(1)).as("__n"),
       min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi")) ++
