@@ -792,6 +792,19 @@ class PipelineOpsSpec extends GraftSpec {
     assert(viaDistributed == viaDriver)
     assert(viaDriver == Set((1L, 1L), (2L, 1L), (4L, 1L),
       (7L, 7L), (9L, 7L), (11L, 7L)))
+
+    // a 15-edge chain with the min id at one END needs 15 propagation
+    // rounds (inside the default maxIter=20) — pins the sum-based
+    // convergence check (round 12: "label sum unchanged" replaced the
+    // per-round join diff) across many rounds, not just the diameter-2
+    // case above
+    val chain = (1L to 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainDriver = Dedup.clusters(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val chainDistributed = Dedup.clusters(chain, driverEdgeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(chainDistributed == chainDriver)
+    assert(chainDistributed == (1L to 16L).map(i => (i, 1L)).toSet)
   }
 
   test("streaming exact dedup: first row per key wins, later dups dropped") {
