@@ -218,18 +218,25 @@ object QualityClassifier {
           .withColumn("p", p)
           .withColumn("e", floor(((col("p") - yD) / nD) * lit(1000000000.0) + lit(0.5)))
           .withColumn("f", floor((col("p") - yD) * lit(1000000000.0) + lit(0.5)))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val grads = scored.select(explode(col("bs")).as("b"), col("e"))
-            .groupBy(col("b")).agg(sum(col("e")).as("g"))
-            .collect() // O(dim) — the model, never the data
-          val fSum = scored.agg(sum(col("f"))).first().getLong(0)
-          grads.foreach { r =>
-            val b = r.getInt(0); val g = r.getLong(1)
+        // ONE action per round (round 12: was a gradient collect PLUS a
+        // separate bias-sum job over a persisted intermediate): the bias
+        // gradient rides the same partial-agg shuffle as bucket −1 —
+        // per-doc f where the bucket rows carry e. Long sums, so the
+        // merged aggregation is value-identical to the two it replaces.
+        val grads = scored
+          .select(explode(concat(col("bs"), array(lit(-1)))).as("b"),
+            col("e"), col("f"))
+          .select(col("b"),
+            when(col("b") === -1, col("f")).otherwise(col("e")).as("v"))
+          .groupBy(col("b")).agg(sum(col("v")).as("g"))
+          .collect() // O(dim) — the model, never the data
+        grads.foreach { r =>
+          val b = r.getInt(0); val g = r.getLong(1)
+          if (b == -1)
+            biasMilli -= math.floor(g.toDouble * lrBias / (1000000.0 * nDocs) + 0.5).toLong
+          else
             w(b) -= math.floor(g.toDouble * lr / (1000000.0 * nDocs) + 0.5).toLong
-          }
-          biasMilli -= math.floor(fSum.toDouble * lrBias / (1000000.0 * nDocs) + 0.5).toLong
-        } finally scored.unpersist(blocking = false)
+        }
       }
       (w, biasMilli)
     } finally base.unpersist(blocking = false)
