@@ -525,24 +525,45 @@ object Dedup {
       // call re-ran the signature UDF over the batch a second time)
       val pairs = pairsFromBandedRows(banded, threshold, maxBucketSize)
       val cl = clusters(pairs) // (id, cluster_id = min reachable id)
-      // the index-probe join feeds BOTH the poison set and the drop set —
-      // persisted so the banded×index Jaccard verify runs once per batch
-      indexMatched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // a cluster is poisoned when any member matched the index; in clean
-      // clusters only the minimum id survives
-      val poisoned = cl.join(indexMatched, cl("id") === indexMatched("__id"))
-        .select(col("cluster_id")).distinct()
-      val clusterDrops = cl.join(broadcast(poisoned), Seq("cluster_id"), "left_semi")
-        .select(col("id"))
-        .union(cl.filter(col("id") =!= col("cluster_id")).select(col("id")))
-        .distinct()
-      val dropIds = indexMatched.select(col("__id").as("id"))
-        .union(clusterDrops).distinct()
+      // Drop-set algebra (a cluster is poisoned when any member matched
+      // the index; in clean clusters only the minimum id survives).
+      // Round 12: both inputs are BATCH-bounded — |matched| <= batch
+      // docs, |cl| <= batch docs — so up to a cap the set algebra runs
+      // on the driver (one collect each; the banded×index Jaccard
+      // verify therefore executes exactly once) and the anti-join gets
+      // a broadcast-able local drop list, replacing four tiny
+      // shuffles (poisoned distinct, semi, union, union-distinct) per
+      // microbatch. Past the cap the original distributed algebra
+      // runs — the same driver-boundedness pivot as clusters()'s
+      // 5M-edge union-find limit.
+      val maxDriverDrops = 1 << 22
+      val matchedIds = indexMatched.select(col("__id"))
+        .limit(maxDriverDrops + 1).as[Long].collect()
+      val clRows = cl.select(col("id").cast(LongType),
+          col("cluster_id").cast(LongType))
+        .limit(maxDriverDrops + 1).as[(Long, Long)].collect()
+      val dropIds: DataFrame =
+        if (matchedIds.length <= maxDriverDrops && clRows.length <= maxDriverDrops) {
+          val matched = matchedIds.toSet
+          val poisonedC = clRows.iterator
+            .filter(r => matched(r._1)).map(_._2).toSet
+          val drops = (matchedIds.iterator ++ clRows.iterator.collect {
+            case (id, cid) if poisonedC(cid) || id != cid => id
+          }).toSet
+          broadcast(spark.createDataset(drops.toSeq).toDF("id"))
+        } else {
+          val poisoned = cl.join(indexMatched, cl("id") === indexMatched("__id"))
+            .select(col("cluster_id")).distinct()
+          cl.join(broadcast(poisoned), Seq("cluster_id"), "left_semi")
+            .select(col("id"))
+            .union(cl.filter(col("id") =!= col("cluster_id")).select(col("id")))
+            .union(indexMatched.select(col("__id").as("id")))
+            .distinct()
+        }
       val survivors = batch.join(dropIds,
           batch(idCol).cast(LongType) === dropIds("id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       survivors.count() // pin results before the index grows
-      indexMatched.unpersist(blocking = false)
       val sigRows = banded
         .join(survivors.select(batch(idCol).cast(LongType).as("__sid")),
           col("__id") === col("__sid"), "left_semi")
