@@ -104,18 +104,24 @@ object GraftCatalog {
     val fin = new org.apache.hadoop.fs.Path(cd, name)
     if (f.exists(fin)) return false
     val claim = new org.apache.hadoop.fs.Path(cd, s"$name.claim")
-    val held =
-      try { f.create(claim, false).close(); true }
-      catch { case _: java.io.IOException => false }
-    if (!held) return false
+    // O_EXCL claim + attempt-unique temp (see GraftTable.createExclusive:
+    // the local ChecksumFileSystem's create(overwrite=false) is
+    // exists-then-create, and the commit-race spec caught two writers
+    // both "holding" a claim through that window and colliding on the
+    // shared temp's .crc sibling)
+    if (!GraftTable.createExclusive(f, claim)) return false
     try {
       if (f.exists(fin)) return false
-      val tmp = new org.apache.hadoop.fs.Path(cd, s".$name.tmp")
+      val tmp = new org.apache.hadoop.fs.Path(cd,
+        s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = f.create(tmp, true)
       out.write(body(v).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
-      if (!f.rename(tmp, fin))
+      if (!f.rename(tmp, fin)) {
+        f.delete(tmp, false)
+        if (f.exists(fin)) return false // renamed under us: lost the race
         throw new java.io.IOException(s"GraftCatalog: publish failed: $fin")
+      }
       true
     } finally f.delete(claim, false)
   }

@@ -281,21 +281,46 @@ object GraftTable {
       if (System.currentTimeMillis() - st.getModificationTime > ClaimTtlMs)
         f.delete(claim, false)
     } catch { case _: java.io.FileNotFoundException => }
-    val held =
-      try { f.create(claim, false).close(); true }
-      catch { case _: java.io.IOException => false } // claim exists: lost
-    if (!held) return false
+    if (!createExclusive(f, claim)) return false // claim exists: lost
     try {
       if (f.exists(fin)) return false // claimed too late: winner already renamed
-      val tmp = new org.apache.hadoop.fs.Path(md, s".$name.tmp")
+      // attempt-unique temp: even a claim-protocol violation (or a
+      // broken stale claim whose writer is still alive) never has two
+      // writers sharing one temp path
+      val tmp = new org.apache.hadoop.fs.Path(md,
+        s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       val out = f.create(tmp, true)
       out.write(listBody(meta).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
-      if (!f.rename(tmp, fin))
+      if (!f.rename(tmp, fin)) {
+        f.delete(tmp, false)
+        if (f.exists(fin)) return false // renamed under us: lost the race
         throw new java.io.IOException(s"GraftTable: manifest publish failed: $fin")
+      }
       true
     } finally f.delete(claim, false)
   }
+
+  /** Atomic claim creation. HDFS-like filesystems give O_EXCL semantics
+    * through create(overwrite = false); the local ChecksumFileSystem
+    * does NOT — its exists-then-create is two steps (plus a .crc
+    * sibling), and GraftCatalogSpec's commit-race test caught two
+    * writers both "holding" a claim through that window. For file://
+    * the claim goes through java.nio Files.createFile, which is O_EXCL
+    * at the syscall. */
+  private[sources] def createExclusive(
+      f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    if ("file" == f.getUri.getScheme) {
+      try {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch { case _: java.io.IOException => false } // exists (or unwritable): lost
+    } else {
+      try { f.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
 
   /** All snapshot ids present, ascending. */
   def snapshotIds(spark: SparkSession, dir: String): Seq[Long] = {
