@@ -276,7 +276,18 @@ object SparkEntry {
     * overrides the derivation outright. */
   private def streamShufflePartitions(s: SparkSession, inputPath: String,
       perPartBytes: Long = 4L << 20): Int =
-    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.toInt).getOrElse {
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map { v =>
+      // validated here (round 13): a bare toInt threw an opaque
+      // NumberFormatException, and 0/negative would fail query start
+      // far downstream with no mention of the env var
+      val n = try v.toInt catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STREAM_SHUFFLE must be a positive int, got '$v'")
+      }
+      require(n > 0,
+        s"SPARK_GRAFT_STREAM_SHUFFLE must be a positive int, got '$v'")
+      n
+    }.getOrElse {
       val p = new org.apache.hadoop.fs.Path(inputPath)
       val bytes =
         try p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -291,7 +302,10 @@ object SparkEntry {
     * stateful-stream sizing above) and restores the session value after —
     * the same scoped-conf pattern as the RocksDB provider swap. The
     * partition count is baked into the stream's state layout at START,
-    * so only query start needs the scope. */
+    * so only query start needs the scope. NOT thread-safe: the session
+    * conf is shared, so two streams starting concurrently could capture
+    * each other's count — every caller here starts streams from the
+    * single driver thread (the Bench/Verify mains are sequential). */
   private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
@@ -2328,11 +2342,16 @@ object SparkEntry {
           threshold = 0.8)
         try q.processAllAvailable() finally q.stop()
       }
-      // (reading the batch-* glob logs a benign "WARN FileStreamSink:
-      // Assume no metadata directory" with a FileNotFoundException body
-      // — that is the sink-detection probe failing on a glob, not an
-      // error in this query)
-      s.read.parquet(s"$surv/batch-*").select(col("doc_id"), col("batch"))
+      // Read the per-batch survivor dirs as EXPLICIT paths, not a
+      // batch-* glob: with a single glob path Spark's FileStreamSink
+      // sink-detection probe logs a scary FileNotFoundException stack
+      // (benign, but it was the first thing in every round's
+      // entry_tail); multiple resolved paths skip the probe entirely.
+      val batchDirs = new java.io.File(surv).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+        .map(_.toString).sorted
+      s.read.parquet(batchDirs.toIndexedSeq: _*)
+        .select(col("doc_id"), col("batch"))
     }),
 
     // Distributed connected components, standalone and FORCED onto the

@@ -246,6 +246,12 @@ object Dedup {
                               shingleN: Int): DataFrame =
     bandedShingleRows(df, textCol, idCol, numHashes, bands, seed, shingleN)
 
+  /** Probe/forensics entry to the round-13 fused verify pass (plan
+    * evidence + IndexProbe). */
+  def fusedBucketVerifyPublic(banded: DataFrame, idxRows: Option[DataFrame],
+                              threshold: Double, maxBucketSize: Int): DataFrame =
+    fusedBucketVerify(banded, idxRows, threshold, maxBucketSize)
+
   private[operators] def bandedShingleRows(df: DataFrame, textCol: String,
                                            idCol: String, numHashes: Int,
                                            bands: Int, seed: Long,
@@ -328,6 +334,109 @@ object Dedup {
       }
       .toDF("id_a", "id_b")
       .distinct()
+  }
+
+  /**
+   * The fused single-pass verify behind [[incrementalNearDup]] (round
+   * 13): within-batch near-dup pairs AND index matches from ONE sorted
+   * group-by-bucket pass over the union of the batch's banded rows
+   * (tag 0) and the pruned index rows (tag 1).
+   *
+   * Semantics are identical by construction to the two passes it fuses:
+   *  - tag-0 rows of a group are buffered in ascending-id order (the
+   *    flatMapSortedGroups sort) and verified pairwise with EXACTLY
+   *    [[pairsFromBandedRows]]'s logic, including the oversized-bucket
+   *    pivot fallback (group membership is the batch rows only, so the
+   *    maxBucketSize cutoff sees the same counts);
+   *  - tag-1 rows then STREAM through: each is verified against the
+   *    not-yet-matched batch docs (id inequality + Jaccard >= threshold
+   *    — the old join's condition), with early exit per matched doc and
+   *    per exhausted group, so the match SET equals the old
+   *    join+distinct while index rows are never materialized per group.
+   *
+   * Output: (__k, __a, __b) — __k = 0 a verified within-batch pair
+   * (__a < __b), __k = 1 an index match for batch doc __a (__b = 0).
+   */
+  private[operators] def fusedBucketVerify(banded: DataFrame,
+                                           idxRows: Option[DataFrame],
+                                           threshold: Double,
+                                           maxBucketSize: Int): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val tagged = banded.select(lit(0).as("__t"), col("__bucket"),
+      col("__id"), col("__sh"))
+    val fusedIn = idxRows match {
+      case Some(idx) => tagged.unionAll(idx.select(lit(1).as("__t"),
+        col("__bucket"), col("__id"), col("__sh")))
+      case None => tagged
+    }
+    val th = threshold
+    val mbs = maxBucketSize
+    fusedIn.as[(Int, String, Long, Array[Long])]
+      .groupByKey(_._2)
+      .flatMapSortedGroups(col("__t"), col("__id")) { (_, it) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+        // phase 1: buffer the batch (tag-0) docs — they sort first,
+        // ascending id, exactly pairsFromBandedRows' sortBy(_._2)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        var pending: (Int, String, Long, Array[Long]) = null
+        while (pending == null && it.hasNext) {
+          val r = it.next()
+          if (r._1 == 0) buf += ((r._3, r._4)) else pending = r
+        }
+        val docs = buf.toArray
+        // within-batch pairs — IDENTICAL logic (incl. pivot fallback)
+        // to pairsFromBandedRows over the same batch-only group
+        if (docs.length <= mbs) {
+          var i = 0
+          while (i < docs.length) {
+            var j = i + 1
+            while (j < docs.length) {
+              if (jaccardSorted(docs(i)._2, docs(j)._2) >= th)
+                out += ((0, docs(i)._1, docs(j)._1))
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          val pivots = math.min(8, docs.length)
+          var i = 0
+          while (i < pivots) {
+            var j = i + 1
+            while (j < docs.length) {
+              if (jaccardSorted(docs(i)._2, docs(j)._2) >= th)
+                out += ((0, docs(i)._1, docs(j)._1))
+              j += 1
+            }
+            i += 1
+          }
+        }
+        // phase 2: stream the index (tag-1) rows through the verify;
+        // early exit once every batch doc in the group has matched
+        if (docs.nonEmpty && pending != null) {
+          val matched = new Array[Boolean](docs.length)
+          var unmatched = docs.length
+          def probe(oid: Long, osh: Array[Long]): Unit = {
+            var i = 0
+            while (i < docs.length && unmatched > 0) {
+              if (!matched(i) && docs(i)._1 != oid &&
+                  jaccardSorted(docs(i)._2, osh) >= th) {
+                matched(i) = true
+                unmatched -= 1
+                out += ((1, docs(i)._1, 0L))
+              }
+              i += 1
+            }
+          }
+          probe(pending._3, pending._4)
+          while (unmatched > 0 && it.hasNext) {
+            val r = it.next()
+            probe(r._3, r._4)
+          }
+        }
+        out
+      }
+      .toDF("__k", "__a", "__b")
   }
 
   /** |A ∩ B| / |A ∪ B| over sorted distinct arrays (linear merge). */
@@ -426,8 +535,18 @@ object Dedup {
       val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
-    // the checkpointed generation's blocks, released once superseded
-    def blocks(df: DataFrame) = df.queryExecution.toRdd
+    // The checkpointed generation's PERSISTED blocks, released once
+    // superseded. Round 13 (r12 ADVICE): unpersisting
+    // queryExecution.toRdd was a no-op — toRdd on a localCheckpointed
+    // Dataset returns a freshly derived wrapper RDD that was never
+    // persisted, so every superseded generation stayed cached until GC.
+    // The RDD that localCheckpoint actually persisted is the one inside
+    // the Dataset's LogicalRDD leaf; unpersist THAT. (Safe: prev is
+    // never read again once the new generation is materialized.)
+    def checkpointRdds(df: DataFrame) =
+      df.queryExecution.logical.collect {
+        case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+      }
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -439,7 +558,7 @@ object Dedup {
         .groupBy("id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint() // eager: materializes the new generation
       val s = labelSum(labels)
-      blocks(prev).unpersist(blocking = false)
+      checkpointRdds(prev).foreach(_.unpersist(blocking = false))
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
@@ -474,8 +593,11 @@ object Dedup {
    *    `exact`'s min-id rule; cluster transitivity mirrors the batch
    *    dedup pipeline, which drops all non-minimum members).
    *
-   * The survivors are materialized (cached + counted) BEFORE the index
-   * append, so the returned plan never observes its own docs in the index.
+   * The survivors read only the batch and a driver-local drop list (or,
+   * past the driver cap, the persisted fused frame over an immutable
+   * index SNAPSHOT resolved before the append), so the returned plan
+   * never observes the batch's own docs in the index; the append job
+   * itself materializes the persisted survivors for later consumers.
    */
   def incrementalNearDup(batch: DataFrame, indexDir: String,
                          textCol: String, idCol: String,
@@ -488,70 +610,114 @@ object Dedup {
       numHashes, bands, seed, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val th = threshold
-      val jacUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
-        jaccardSorted(a.toArray, b.toArray) >= th
-      }
-      // ids matched against the index (empty relation when no index yet).
-      // The index is a GraftTable SNAPSHOT: the manifest names an
-      // immutable file list, so the append at the end of this function
-      // can never leak the batch's own survivors back into this read
-      // (the isolation the old explicit file-list read provided, now by
-      // table semantics), and the read PRUNES manifest-side to files
-      // whose clustered __bkey range intersects the batch's bucket set
-      // — after compaction a small batch against a huge index touches a
-      // handful of files, not all of them. Key-set collect is bounded
-      // by batch-docs x bands; past the cap the full snapshot reads.
-      val indexMatched: DataFrame =
-        if (graft.sources.GraftTable.snapshotMeta(spark, indexDir)
-              .exists(_.refs.nonEmpty)) {
-          val maxPruneKeys = 1 << 20
-          val batchKeys = banded
-            .select(xxhash64(col("__bucket")).as("k")).distinct()
-            .limit(maxPruneKeys + 1).as[Long].collect()
+      // The index side (empty when no index yet). The index is a
+      // GraftTable SNAPSHOT: the manifest names an immutable file list,
+      // so the append at the end of this function can never leak the
+      // batch's own survivors back into this read (the isolation the
+      // old explicit file-list read provided, now by table semantics),
+      // and the read PRUNES manifest-side to files whose clustered
+      // __bkey range intersects the batch's bucket set — after
+      // compaction a small batch against a huge index touches a handful
+      // of files, not all of them. Key-set collect is bounded by
+      // batch-docs x bands; past the cap the full snapshot reads.
+      val idxRows: Option[DataFrame] =
+        graft.sources.GraftTable.snapshotMeta(spark, indexDir)
+          .filter(_.refs.nonEmpty).map { meta =>
+          // Round 13: below a metadata-derived size floor the bucket
+          // prune cannot pay — collecting the batch's key set is a
+          // Spark job (~0.3 s fixed) that saves at most `totalBytes` of
+          // extra scan, so a provably tiny index reads whole. Pure
+          // metadata decision (manifest byte sums, no data read); past
+          // the floor — i.e. everywhere at scale — the pruned path runs
+          // unchanged.
+          val idxBytes = meta.refs.map(_.bytes).sum
+          val pruneFloor = sys.env.get("SPARK_GRAFT_IDX_PRUNE_FLOOR")
+            .map(_.toLong).getOrElse(32L << 20)
           val idx =
-            if (batchKeys.length <= maxPruneKeys)
-              graft.sources.GraftTable.readForBuckets(spark, indexDir,
-                batchKeys, residualFilter = false)
-            else graft.sources.GraftTable.read(spark, indexDir)
-          banded.as("n").join(idx.as("o"),
-              col("n.__bucket") === col("o.__bucket") &&
-                col("n.__id") =!= col("o.__id"))
-            .filter(jacUdf(col("n.__sh"), col("o.__sh")))
-            .select(col("n.__id").as("__id")).distinct()
-        } else spark.emptyDataset[Long].toDF("__id")
-      // within-batch near-dup clusters (same machinery as the batch
-      // path, fed from the PERSISTED banded rows — round 12: the old
-      // call re-ran the signature UDF over the batch a second time)
-      val pairs = pairsFromBandedRows(banded, threshold, maxBucketSize)
-      val cl = clusters(pairs) // (id, cluster_id = min reachable id)
+            if (idxBytes <= pruneFloor)
+              graft.sources.GraftTable.read(spark, indexDir)
+            else {
+              val maxPruneKeys = 1 << 20
+              val batchKeys = banded
+                .select(xxhash64(col("__bucket")).as("k")).distinct()
+                .limit(maxPruneKeys + 1).as[Long].collect()
+              if (batchKeys.length <= maxPruneKeys)
+                graft.sources.GraftTable.readForBuckets(spark, indexDir,
+                  batchKeys, residualFilter = false)
+              else graft.sources.GraftTable.read(spark, indexDir)
+            }
+          idx.select(col("__bucket"), col("__id"), col("__sh"))
+        }
+      // FUSED verify pass (round 13): the index-probe join and the
+      // within-batch pair join both key on the band bucket and both
+      // verify Jaccard over the same shingle sets — one sorted
+      // group-by-bucket pass over (batch banded rows ∪ pruned index
+      // rows) emits BOTH candidate sets, replacing one join shuffle +
+      // one groupByKey shuffle over the banded rows with a single
+      // exchange (guide §2.4/§3.3). Within a group the batch docs
+      // arrive first (sorted by tag, then id — the same ascending-id
+      // order pairsFromBandedRows sorted into), are buffered (bounded
+      // by the batch), and the index rows then STREAM through the
+      // verify with early exit per matched doc — index rows are never
+      // materialized per group, so a hot corpus bucket costs O(olds)
+      // scans, not memory. Output rows: __k = 0 a verified within-batch
+      // pair (__a < __b), __k = 1 an index match for batch doc __a.
+      val fused = fusedBucketVerify(banded, idxRows, threshold, maxBucketSize)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
       // Drop-set algebra (a cluster is poisoned when any member matched
       // the index; in clean clusters only the minimum id survives).
-      // Round 12: both inputs are BATCH-bounded — |matched| <= batch
-      // docs, |cl| <= batch docs — so up to a cap the set algebra runs
-      // on the driver (one collect each; the banded×index Jaccard
-      // verify therefore executes exactly once) and the anti-join gets
-      // a broadcast-able local drop list, replacing four tiny
-      // shuffles (poisoned distinct, semi, union, union-distinct) per
-      // microbatch. Past the cap the original distributed algebra
-      // runs — the same driver-boundedness pivot as clusters()'s
-      // 5M-edge union-find limit.
-      val maxDriverDrops = 1 << 22
-      val matchedIds = indexMatched.select(col("__id"))
-        .limit(maxDriverDrops + 1).as[Long].collect()
-      val clRows = cl.select(col("id").cast(LongType),
-          col("cluster_id").cast(LongType))
-        .limit(maxDriverDrops + 1).as[(Long, Long)].collect()
+      // Round 13: ONE driver collect of the fused pass's output replaces
+      // the round-12 three (matched ids, verified pairs via clusters()'s
+      // internal edge collect, cluster rows) — both sets are
+      // BATCH-bounded (|matched| <= batch docs, pairs capped by the
+      // bucket pivot logic), the union-find below is clusters()'s own
+      // driver algebra (duplicate edges across buckets are harmless to
+      // it, so the pre-collect distinct shuffles are gone too), and the
+      // anti-join gets a broadcast-able local drop list. Past the cap
+      // the original distributed algebra runs over the PERSISTED fused
+      // frame (r12 verdict: the un-persisted fallback recomputed the
+      // banded×index verify — the expensive leg — twice).
+      // override (tests force 0 to pin the distributed fallback branch)
+      val maxDriverDrops = Integer.getInteger(
+        "graft.dedup.maxDriverDrops", 1 << 22).intValue()
+      val fusedRows = fused.limit(maxDriverDrops + 1)
+        .as[(Int, Long, Long)].collect()
       val dropIds: DataFrame =
-        if (matchedIds.length <= maxDriverDrops && clRows.length <= maxDriverDrops) {
-          val matched = matchedIds.toSet
-          val poisonedC = clRows.iterator
-            .filter(r => matched(r._1)).map(_._2).toSet
-          val drops = (matchedIds.iterator ++ clRows.iterator.collect {
-            case (id, cid) if poisonedC(cid) || id != cid => id
-          }).toSet
+        if (fusedRows.length <= maxDriverDrops) {
+          // same union-find as clusters()'s driver branch: min-id roots
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          fusedRows.foreach { case (k, a, b) =>
+            if (k == 0) {
+              parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+              val (ra, rb) = (find(a), find(b))
+              if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+            }
+          }
+          val matched = fusedRows.iterator.filter(_._1 == 1).map(_._2).toSet
+          // poisoned clusters = clusters holding an index-matched member;
+          // drops = matched ∪ poisoned-cluster members ∪ non-minimum
+          // members of clean clusters — identical to the r12 set algebra
+          // over clusters() rows (ids outside any pair have no cluster row)
+          val poisonedC = matched.iterator
+            .filter(parent.contains).map(find).toSet
+          val drops = matched ++ parent.keys.filter { id =>
+            val r = find(id); poisonedC(r) || id != r
+          }
           broadcast(spark.createDataset(drops.toSeq).toDF("id"))
         } else {
+          val indexMatched = fused.filter(col("__k") === 1)
+            .select(col("__a").as("__id")).distinct()
+          val pairs = fused.filter(col("__k") === 0)
+            .select(col("__a").as("id_a"), col("__b").as("id_b")).distinct()
+          val cl = clusters(pairs) // (id, cluster_id = min reachable id)
           val poisoned = cl.join(indexMatched, cl("id") === indexMatched("__id"))
             .select(col("cluster_id")).distinct()
           cl.join(broadcast(poisoned), Seq("cluster_id"), "left_semi")
@@ -563,13 +729,18 @@ object Dedup {
       val survivors = batch.join(dropIds,
           batch(idCol).cast(LongType) === dropIds("id"), "left_anti")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      survivors.count() // pin results before the index grows
+      // No separate pinning count (round 13): the index read is an
+      // immutable GraftTable SNAPSHOT resolved above, so a survivor
+      // replay after the append can never observe the batch's own rows —
+      // the append job below is the first action over `survivors` and
+      // fills its cache for the caller's write/collect.
       val sigRows = banded
         .join(survivors.select(batch(idCol).cast(LongType).as("__sid")),
           col("__id") === col("__sid"), "left_semi")
         .withColumn("__bkey", xxhash64(col("__bucket")))
       graft.sources.GraftTable.append(sigRows, indexDir, "__bkey")
       survivors
+      } finally fused.unpersist(blocking = false)
     } finally banded.unpersist(blocking = false)
   }
 

@@ -51,6 +51,12 @@ object Quantiles {
   def boundedHistCells(df: DataFrame, value: Column, binWidth: Long,
                        bins: Int): DataFrame = {
     require(binWidth >= 1 && bins >= 2, "binWidth >= 1, bins >= 2")
+    // Round 13 note: a mapPartitions per-task pre-agg into a long[bins]
+    // array was tried and REVERTED — the codegen'd partial aggregate
+    // already ships <= bins cells per task through the exchange, and
+    // the object (de)serialization boundary measured SLOWER than the
+    // per-row agg it replaced (q_quantile_stream 1.15 -> 1.50 s at
+    // sf0.1). The Column form below is the fast shape.
     df.select(value.cast("long").as("__v")).filter(col("__v").isNotNull)
       .select(least(lit(bins - 1L), greatest(lit(0L),
         expr(s"__v div $binWidth"))).as("bin"))

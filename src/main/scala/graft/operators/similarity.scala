@@ -541,6 +541,14 @@ object Similarity {
         }
         cells.iterator.map { case (k, c) =>
           val big = (BigInt(c(0)) << 64) + BigInt(java.lang.Long.toUnsignedString(c(1)))
+          // Headroom note (r12 ADVICE): the tuple ENCODER types this
+          // BigDecimal as decimal(38,18), capping a representable task
+          // partial at |s| < 1e20 even though the int128 kernel carries
+          // ~1.7e38 — past the cap the encode fails loudly (ANSI), never
+          // sums wrong. With the |xi*xj| < 1e6 quantize12 guard a task
+          // needs ~1e14 max-magnitude rows to get there (10^5x any
+          // realistic task), so the narrowing is accepted and documented
+          // rather than worked around with a (hi, lo) reassembly.
           ((k >> 32).toInt, (k & 0xffffffffL).toInt - 1, c(2),
             new java.math.BigDecimal(big.bigInteger, 12))
         }

@@ -1089,12 +1089,60 @@ object TextAnalysis {
   def countMinCells(df: org.apache.spark.sql.DataFrame, textCol: String,
                     depth: Int = 4, width: Int = 1024): org.apache.spark.sql.DataFrame = {
     require(depth >= 1 && width >= 2, s"bad sketch shape ($depth x $width)")
-    val rows = explode(sequence(lit(0), lit(depth - 1))).as("r")
-    df.select(explode(words(col(textCol))).as("term"))
-      .select(col("term"), rows)
-      .select(col("r").cast("long").as("r"),
-        cmBucket(width)(col("term"), col("r")).cast("long").as("b"))
-      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cc"))
+    // Round 13 (guide §2.3 aggregate-before-shuffle, the covCellStream
+    // treatment with long counts): the old shape exploded every token
+    // occurrence x depth rows through the md5 UDF and the partial agg —
+    // depth md5s PER OCCURRENCE, where the batch countMinTopTerms hashes
+    // only distinct terms. Per task: count occurrences per DISTINCT term
+    // in a hash map (an insert is ~10x cheaper than one md5), then fill
+    // the grid with depth hashes per distinct term and emit <=
+    // depth*width partial cells into the (streaming) aggregation.
+    // Cell-exact: occupancy = sum of per-term counts over terms hashing
+    // into the cell — identical long arithmetic, any grouping. The
+    // term map is CAPPED (flushed into the grid at 2^20 entries), so
+    // task memory is bounded by the cap, never the vocabulary.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = depth
+    val w = width
+    val partials = df.select(col(textCol).cast("string").as("__t"))
+      .as[String]
+      .mapPartitions { it =>
+        val counts = new scala.collection.mutable.HashMap[String, Array[Long]]()
+        val cells = new scala.collection.mutable.LongMap[Long]()
+        def flush(): Unit = {
+          counts.foreachEntry { (term, c) =>
+            var r = 0
+            while (r < d) {
+              // same bytes as cmBucket: md5LongJvm("cm" + r + "_" + term)
+              val b = (Dedup.md5LongJvm("cm" + r + "_" + term) % w).toInt
+              val k = (r.toLong << 32) | (b.toLong & 0xffffffffL)
+              cells(k) = cells.getOrElse(k, 0L) + c(0)
+              r += 1
+            }
+          }
+          counts.clear()
+        }
+        it.foreach { t =>
+          if (t != null) {
+            // JVM twin of words(): split(lower(text), "\\s+") with
+            // Spark's limit = -1 (leading/trailing empties kept)
+            val ws = t.toLowerCase.split("\\s+", -1)
+            var i = 0
+            while (i < ws.length) {
+              counts.getOrElseUpdate(ws(i), new Array[Long](1))(0) += 1
+              i += 1
+            }
+            if (counts.size > (1 << 20)) flush()
+          }
+        }
+        flush()
+        cells.iterator.map { case (k, cc) =>
+          (k >> 32, k & 0xffffffffL, cc)
+        }
+      }
+      .toDF("r", "b", "__cc")
+    partials.groupBy(col("r"), col("b")).agg(sum(col("__cc")).as("cc"))
   }
 
   def countMinTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
@@ -1221,6 +1269,15 @@ object TextAnalysis {
    */
   def hllRegisters(df: org.apache.spark.sql.DataFrame, groupCol: Column,
                    valueCol: Column, m: Int = 1024): org.apache.spark.sql.DataFrame = {
+    // Round 13 note: a mapPartitions per-task pre-agg with a (grp,
+    // value) dedup cache (md5 only for first-seen pairs) was tried and
+    // REVERTED — the codegen'd partial max already ships <= groups*m
+    // register cells per task through the exchange, and the object
+    // (de)serialization boundary measured SLOWER than the single
+    // codegen'd md5 per occurrence it partly saved (q_hll_stream
+    // 1.42 -> 1.73 s at sf0.1). The Column form below is the fast
+    // shape; countMinCells keeps its pre-agg because there FOUR
+    // UDF-boundary md5s per occurrence were saved, which dominates.
     val (reg, rho) = hllHash(valueCol, m)
     df.select(groupCol.as("grp"), reg.as("register"), rho.as("__rho"))
       .groupBy(col("grp"), col("register"))

@@ -505,6 +505,21 @@ object GraftTable {
               case Some(c) => c.getStatistics match {
                 case ls: org.apache.parquet.column.statistics.LongStatistics
                     if ls.hasNonNullValue =>
+                  // round 13 (r12 ADVICE): only PLAIN int64 qualifies —
+                  // an annotated INT64 (TIMESTAMP/TIME micros etc.)
+                  // would record footer-unit bounds where the scan
+                  // fallback's cast("long") records epoch seconds, so
+                  // the recorded zone map would depend on the route.
+                  // A plain-integer annotation (INT(64, signed)) is the
+                  // same value space as the cast; anything else falls
+                  // back to the scan.
+                  val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+                  val plainInt64 = ann == null || (ann match {
+                    case i: org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                      i.getBitWidth == 64 && i.isSigned
+                    case _ => false
+                  })
+                  if (!plainInt64) return Left(())
                   lo = math.min(lo, ls.getMin); hi = math.max(hi, ls.getMax)
                   seen = true
                 case st if st != null && st.isNumNullsSet &&

@@ -49,6 +49,29 @@ class IncrementalDedupSpec extends GraftSpec {
     s.unpersist()
   }
 
+  test("distributed drop-set fallback (maxDriverDrops=0) matches the driver path") {
+    // force the >cap branch: the drop-set algebra runs distributed
+    // (poison join + semi + unions) instead of the driver set algebra —
+    // verdicts must be identical, across batches, including index hits
+    // and poisoned in-batch clusters
+    val prop = "graft.dedup.maxDriverDrops"
+    System.setProperty(prop, "0")
+    try {
+      val indexDir = Files.createTempDirectory("nd_fallback").toString + "/idx"
+      val s1 = dedupStep(Seq(
+        (1L, doc("a")), (2L, nearDup("a")), (3L, doc("c"))), indexDir)
+      assert(s1.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+      s1.unpersist()
+      // index hit (4), new doc (5), in-batch near-dup of 5 (6), and a
+      // poisoned pair (7, 8 near-dups of indexed doc c)
+      val s2 = dedupStep(Seq(
+        (4L, nearDup("a")), (5L, doc("e")), (6L, nearDup("e")),
+        (7L, nearDup("c")), (8L, nearDup("c"))), indexDir)
+      assert(s2.select("doc_id").as[Long].collect().sorted.toSeq == Seq(5L))
+      s2.unpersist()
+    } finally System.clearProperty(prop)
+  }
+
   test("nearDupStream end-to-end over two microbatches") {
     val base = Files.createTempDirectory("nd_stream").toString
     val (indexDir, survivorDir, ckpt) =

@@ -801,8 +801,17 @@ class PipelineOpsSpec extends GraftSpec {
     val chain = (1L to 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val chainDriver = Dedup.clusters(chain)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // round 13 (r12 ADVICE): superseded label generations must ACTUALLY
+    // be unpersisted — the old blocks() unpersisted a derived wrapper
+    // RDD (a no-op), so a 15-round chain left ~16 generations cached.
+    // Count persistent RDDs across the call: at most the final
+    // generation may remain, never one per round.
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val chainDistributed = Dedup.clusters(chain, driverEdgeLimit = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter - persistedBefore <= 1,
+      s"label-propagation generations leaked: $persistedBefore -> $persistedAfter persistent RDDs")
     assert(chainDistributed == chainDriver)
     assert(chainDistributed == (1L to 16L).map(i => (i, 1L)).toSet)
   }
@@ -1130,6 +1139,54 @@ class PipelineOpsSpec extends GraftSpec {
       assert(rows.count(_._2 == l).toLong == expected,
         s"lang $l copy total != md5-gate replay")
     }
+  }
+
+  test("countMinCells per-task pre-agg equals the explode+agg reference form") {
+    import graft.operators.{TextAnalysis, Dedup}
+    // tricky tokenizations: case folding, leading/trailing whitespace
+    // (split keeps the empty edge tokens), empty text, null text, tabs
+    val docs = Seq((1L, "Spark SPARK flink"), (2L, " lead trail "),
+      (3L, ""), (4L, null.asInstanceOf[String]), (5L, "a\t b\nc a"))
+      .toDF("doc_id", "text")
+    def cells(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = cells(TextAnalysis.countMinCells(docs, "text", depth = 4, width = 32))
+    // reference: the pre-round-13 per-OCCURRENCE explode + hash + agg
+    val bucket = udf((term: String, r: Int) =>
+      (Dedup.md5LongJvm("cm" + r + "_" + term) % 32).toInt)
+    val ref = cells(docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+      .select(col("term"), explode(sequence(lit(0), lit(3))).as("r"))
+      .select(col("r").cast("long").as("r"),
+        bucket(col("term"), col("r")).cast("long").as("b"))
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("cc")))
+    assert(got == ref, s"pre-agg grid != reference grid")
+  }
+
+  test("hllRegisters per-task pre-agg equals the Column-chain reference form") {
+    import graft.operators.TextAnalysis
+    val df = ((0 until 500).map(i => ("big", s"v$i")) ++
+      (0 until 500).map(i => ("big", s"v${i % 7}")) ++ // dups change nothing
+      (0 until 30).map(i => ("small", s"w$i")) ++
+      Seq(("small", null.asInstanceOf[String]))) // null keeps old semantics
+      .toDF("grp", "value")
+    def regs(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    val m = 64
+    val got = regs(TextAnalysis.hllRegisters(df, col("grp"), col("value"), m = m))
+    // reference: the pre-round-13 conv(substring(md5(...))) Column chain
+    val p = 6; val suffixBits = 60 - p
+    val h = conv(substring(md5(concat(lit("hll_"), col("value").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val w = shiftright(h, p)
+    val rho = when(w === 0, lit(suffixBits + 1))
+      .otherwise(lit(suffixBits + 1) - length(bin(w))).cast("long")
+    val ref = regs(df
+      .select(col("grp"), pmod(h, lit(m.toLong)).as("register"), rho.as("__rho"))
+      .groupBy(col("grp"), col("register")).agg(max(col("__rho")).as("max_rho")))
+    assert(got == ref, "pre-agg registers != reference registers")
   }
 
   test("hll registers: estimate within error bound, merge = cell-wise max") {
