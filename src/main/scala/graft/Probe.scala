@@ -324,20 +324,43 @@ object ClusterProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    t("warm-scan")(docs.count())
-    val pairs = graft.operators.Dedup.minhashNearDupPairs(
-        docs, "text", "doc_id", 16, 4, 42L, 3, 0.8)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SPARK_GRAFT_CHAINS=<nChains>,<len>: synthetic HIGH-DIAMETER graph
+    // instead of the corpus near-dup edges (round 13, r12 verdict #7 —
+    // the corpus graphs all have small diameter, so they never show the
+    // rounds x per-round cost of the label-propagation loop; min-id
+    // propagates one hop per round, so a chain of `len` edges needs
+    // `len` rounds; keep len under clusters()' maxIter=20).
+    val pairs = sys.env.get("SPARK_GRAFT_CHAINS") match {
+      case Some(spec) =>
+        val Array(nChains, len) = spec.split(",").map(_.trim.toLong)
+        require(len >= 1 && len < 20, s"chain length must be in [1, 20): $len")
+        import spark.implicits._
+        spark.range(nChains * len)
+          .select((col("id") / len).cast("long").as("c"),
+            pmod(col("id"), lit(len)).as("p"))
+          // node ids: chain c occupies [c*(len+1), (c+1)*(len+1)); the
+          // MIN id sits at position 0 so every round matters
+          .select((col("c") * (len + 1) + col("p")).as("id_a"),
+            (col("c") * (len + 1) + col("p") + 1).as("id_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case None =>
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        t("warm-scan")(docs.count())
+        graft.operators.Dedup.minhashNearDupPairs(
+            docs, "text", "doc_id", 16, 4, 42L, 3, 0.8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     println(s"[probe] verified edges: ${t("pairs")(pairs.count())}")
     val uf = t("driver-union-find")(
-      graft.operators.Dedup.clusters(pairs).collect())
+      graft.operators.Dedup.clusters(pairs, driverEdgeLimit = 100000000L).collect())
     val lp = t("distributed-label-propagation")(
       graft.operators.Dedup.clustersDistributed(pairs).collect())
     val ufm = uf.map(r => r.getLong(0) -> r.getLong(1)).toMap
     val lpm = lp.map(r => r.getLong(0) -> r.getLong(1)).toMap
     println(s"[probe] labeled nodes: uf=${ufm.size} lp=${lpm.size} " +
       s"equal=${ufm == lpm}")
+    println(s"[probe] persistent RDDs after propagation: " +
+      s"${spark.sparkContext.getPersistentRDDs.size}")
     require(ufm == lpm, "paths disagree")
     spark.stop()
   }

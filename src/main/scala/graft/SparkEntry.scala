@@ -458,9 +458,18 @@ object SparkEntry {
       val peak = math.max(withState.map(rows).max,
         Option(peaks.get(query.runId)).map(_.longValue).getOrElse(0L))
       val stateParts = withState.last.stateOperators.head.numShufflePartitions
+      // phase forensics (round 13): where a drain's wall-clock goes —
+      // durationMs summed over every microbatch (addBatch = the batch's
+      // jobs, stateCommit etc. inside triggerExecution)
+      import scala.jdk.CollectionConverters._
+      val phases = query.recentProgress.flatMap(_.durationMs.asScala)
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2.longValue).sum }
+        .toSeq.sortBy(-_._2)
+        .map { case (k, v) => s"$k=${v}ms" }.mkString(" ")
       System.err.println(s"[stream] $name: peakStateRows=$peak" +
         s" lastStateRows=${rows(withState.last)}" +
-        s" stateShufflePartitions=$stateParts")
+        s" stateShufflePartitions=$stateParts" +
+        s" batches=${query.recentProgress.length} $phases")
     }
     s.read.parquet(s"$out/data")
   }
